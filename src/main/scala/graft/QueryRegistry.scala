@@ -10,7 +10,8 @@ object QueryRegistry {
   type Q = (SparkSession, String) => DataFrame
 
   private def modules: Seq[QueryModule] = Seq(
-    queries.RelationalQueries)
+    queries.RelationalQueries,
+    queries.CdcQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap
