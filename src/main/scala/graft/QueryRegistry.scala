@@ -11,7 +11,10 @@ object QueryRegistry {
 
   private def modules: Seq[QueryModule] = Seq(
     queries.RelationalQueries,
-    queries.CdcQueries)
+    queries.CdcQueries,
+    queries.WindowQueries,
+    queries.EventQueries,
+    queries.FunctionQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over `events` (SURVEY §2.9 L4 + §2.1 S4): JSON
+  * property extraction, tumbling time windows (batch analog of T6), and the
+  * dispatcher's due-PENDING queue-scan predicate. */
+object EventQueries extends graft.QueryModule {
+  import Determinism._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F16/F13: JSON extraction (`events.props` is a JSON string) + grouped agg.
+    * Integer sums are exact; avg derived as exact-sum / count. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        (sum($"k").cast("double") / count($"k")).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** T6 batch analog: tumbling 1-day windows via Spark's native window()
+    * (epoch-aligned, equals date_trunc for whole days). */
+  def tumblingDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".cast("date").as("day"), $"event_type", $"n", $"sum_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  /** S4: the async dispatcher's queue-scan predicate — due PENDING rows only
+    * (status machine per `cdc_webhook--1.0.sql:35`, poll loop
+    * `src/cdc_webhook_worker.c:46-75`). Status is derived deterministically
+    * from event_type so DuckDB can replay. */
+  def queueScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        when($"event_type" === "error", "FAILED")
+          .when($"event_type".isin("click", "view"), "PENDING")
+          .otherwise("DELIVERED").as("status"),
+        $"ts".as("next_attempt"))
+      .filter($"status" === "PENDING" &&
+        $"next_attempt" <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select($"event_id", $"status")
+      .orderBy($"event_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q20_json_props" -> jsonProps,
+    "q21_tumbling_daily" -> tumblingDaily,
+    "q23_queue_scan" -> queueScan)
+
+  def oracles: Map[String, String] = Map(
+    "q20_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+        |   / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q23_queue_scan" ->
+      """SELECT event_id, status FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN 'FAILED'
+        |         WHEN event_type IN ('click','view') THEN 'PENDING'
+        |         ELSE 'DELIVERED' END AS status,
+        |    ts AS next_attempt
+        |  FROM events)
+        |WHERE status = 'PENDING' AND next_attempt <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin)
+}
