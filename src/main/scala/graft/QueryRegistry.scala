@@ -14,7 +14,8 @@ object QueryRegistry {
     queries.CdcQueries,
     queries.WindowQueries,
     queries.EventQueries,
-    queries.FunctionQueries)
+    queries.FunctionQueries,
+    queries.LlmQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.9 L1):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is one hash-partitioned groupBy on the dedup key (or its
+  *    md5 fingerprint, which also evens out key-length skew);
+  *  - MinHash/LSH is the linear-cost fuzzy path: shingle → per-band min-hash
+  *    (map-side combinable agg) → candidate pairs only where a band bucket
+  *    collides (the quadratic blowup is confined to same-bucket groups) →
+  *    Jaccard verification on the candidates only;
+  *  - hashes are md5-based (not Spark's murmur `hash()`) so any engine —
+  *    including the DuckDB oracle — reproduces identical signatures.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per distinct key + group size.
+    * groupBy, not dropDuplicates, so the representative is deterministic. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("representative_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles via array slicing — per-row, shuffle-free (beats a
+    * lead()-window implementation, which would shuffle by doc at scale).
+    * Documents shorter than `n` tokens produce no shingles. */
+  def shingles(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val d = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+    val slices = expr(
+      s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))")
+    d.select(col(idCol), explode(slices).as("shingle"))
+  }
+
+  /** MinHash signature per (doc, band): min over shingles of
+    * md5(band || '|' || shingle). `bands` independent permutations via the
+    * band-salted hash. Partial+final min-agg ⇒ map-side combine. */
+  def minhashSignatures(shingleDf: DataFrame, bands: Int,
+                        idCol: String = "doc_id"): DataFrame =
+    shingleDf
+      .withColumn("band", explode(lit((0 until bands).toArray)))
+      .groupBy(col(idCol), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle"))))
+        .as("minhash"))
+
+  /** LSH candidate pairs: docs sharing any (band, minhash) bucket. The
+    * self-join is per-bucket, so cost is Σ bucket² not n². */
+  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = sigs.select(col("band"), col("minhash"), col(idCol).as("doc_a"))
+    val b = sigs.select(col("band"), col("minhash"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "minhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity over distinct shingle sets, for candidate pairs only.
+    * Output is exact-integer intersection/union counts plus the ratio. */
+  def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val distinctSh = shingleDf.select(col(idCol), col("shingle")).distinct()
+    val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(distinctSh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
+      .join(distinctSh.select(col(idCol).as("doc_b"), col("shingle").as("sh_b")), "doc_b")
+      .filter(col("shingle") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .withColumn("n_union", col("size_a") + col("size_b") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+  }
+
+  /** 16-bit SimHash from md5 nibbles: each token contributes ±1 per bit
+    * position (bits 0..15 = first 4 hex chars of md5(token)); the signature
+    * bit is 1 where the sum is positive. Integer-only arithmetic ⇒ portable
+    * across engines. */
+  def simhash16(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val contrib = toks
+      .withColumn("h4", substring(md5(col("tok")), 1, 4))
+      .withColumn("bitpos", explode(lit((0 until 16).toArray)))
+      .withColumn("nibble",
+        expr("instr('0123456789abcdef', substring(h4, cast(bitpos / 4 as int) + 1, 1)) - 1"))
+      .withColumn("bit",
+        expr("case when (nibble & shiftleft(1, bitpos % 4)) != 0 then 1 else 0 end"))
+      .withColumn("contrib", col("bit") * 2 - 1)
+    contrib
+      .groupBy(col(idCol), col("bitpos"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1, bitpos)")).otherwise(0))
+        .cast("int").as("simhash"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (SURVEY §2.9 / builder
+  * mandate): media travel as opaque `binary` columns with typed metadata;
+  * decode / feature-extract / resize / frame-sample run partition-wise over
+  * batches so a real codec drops in without changing the plan shape.
+  *
+  * The actual codecs are STUBBED — this container has no image/audio
+  * libraries — with deterministic byte-level fakes (clearly marked below).
+  * Everything around the stub is real: schema, encoders, mapPartitions batch
+  * shape, partitioning behavior. At 100 TB the per-asset work is
+  * embarrassingly parallel; the only sizing concern is
+  * `spark.sql.files.maxPartitionBytes` vs. asset size, because one task
+  * holds one batch of raw bytes at a time.
+  */
+object Multimodal {
+
+  /** One media asset: opaque payload + typed metadata. */
+  final case class Asset(
+      asset_id: Long, kind: String, data: Array[Byte],
+      width: Int, height: Int, sample_rate: Int, duration_ms: Int)
+
+  final case class AssetFeatures(
+      asset_id: Long, kind: String, n_bytes: Long,
+      byte_hist: Array[Long], brightness: Double)
+
+  final case class Frame(asset_id: Long, frame_no: Int, data: Array[Byte])
+
+  /** Build a deterministic asset table from `documents` (text bytes stand in
+    * for media payloads; kind cycles by doc_id). Real pipelines point this at
+    * a binary-file source instead. */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("data"),
+      (col("n_chars") % 640 + 1).cast("int").as("width"),
+      (col("n_chars") % 480 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") * 10).cast("int").as("duration_ms"))
+      .as[Asset]
+  }
+
+  /** STUB decode: a real implementation hands `a.data` to a codec here.
+    * The deterministic fake treats the payload as "pixels": a 16-bin byte
+    * histogram and a mean-byte "brightness". */
+  private def decodeStub(a: Asset): AssetFeatures = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    a.data.foreach { b =>
+      val v = b & 0xff
+      hist(v / 16) += 1
+      sum += v
+    }
+    AssetFeatures(a.asset_id, a.kind, a.data.length.toLong, hist,
+      if (a.data.isEmpty) 0.0 else sum.toDouble / a.data.length)
+  }
+
+  /** Feature extraction: partition-wise batches over the asset Dataset —
+    * the mapPartitions shape a vectorized codec (or JNI batch call) needs. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** STUB resize: real impl re-encodes pixels; the fake truncates the payload
+    * proportionally and rewrites metadata — the plan shape (narrow map,
+    * payload-size reduction before any shuffle) is what matters. */
+  def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.width <= maxW && a.height <= maxH) a
+      else {
+        val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
+        val newLen = math.max(1, (a.data.length * scale * scale).toInt)
+        a.copy(width = (a.width * scale).toInt.max(1),
+          height = (a.height * scale).toInt.max(1),
+          data = a.data.take(newLen))
+      }
+    })
+  }
+
+  /** STUB frame sampling for video assets: frames are fixed-size byte windows
+    * (a real demuxer yields codec frames); emits every `stride`-th frame.
+    * flatMap keeps it streaming — no per-asset materialization. */
+  def sampleFrames(assets: Dataset[Asset], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(col("kind") === "video").as[Asset].mapPartitions(_.flatMap { a =>
+      a.data.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => Frame(a.asset_id, i, chunk)
+      }
+    })
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.9 L3):
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so the whole stage stays inside WholeStageCodegen
+  * and scales embarrassingly (per-row, no shuffle until the caller
+  * aggregates). All outputs are integer/string-deterministic so a SQL oracle
+  * can replay them.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    * non-alphanumeric marks counted separately (the shape a byte-pair
+    * encoder's pre-tokenizer produces). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality metrics: length, token stats, lexical diversity, stopword ratio.
+    * Ratios are exact-integer divisions surfaced as double (deterministic). */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nDistinct = size(array_distinct(t))
+    val stopwords = Seq("the", "a", "of", "and", "in")
+    val nStop = size(filter(t, x => x.isInCollection(stopwords)))
+    df.withColumn("n_chars_obs", length(col(textCol)))
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_distinct", nDistinct)
+      .withColumn("n_stopwords", nStop)
+      // chars excluding the n-1 separators, per token
+      .withColumn("avg_token_len",
+        (length(col(textCol)) - (nTok - lit(1))).cast("double") / nTok)
+      .withColumn("distinct_ratio", nDistinct.cast("double") / nTok)
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok)
+  }
+
+  /** Language-ID heuristic: marker-token scoring per candidate language,
+    * argmax with deterministic tie-break (scores then fixed precedence).
+    * A real pipeline would use char-n-gram profiles; the mechanism — per-row
+    * scoring against broadcastable profiles, no shuffle — is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "des"),
+    "es" -> Seq("el", "los", "y", "de"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), x => x.isInCollection(markers)))
+    }
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = langScores(col(textCol)).foldLeft(df) {
+      case (d, (lang, c)) => d.withColumn(s"score_$lang", c)
+    }
+    // precedence order = langMarkers order on ties
+    val best = langMarkers.map(_._1).tail.foldLeft(
+      (col(s"score_${langMarkers.head._1}"), lit(langMarkers.head._1))) {
+      case ((bestScore, bestLang), lang) =>
+        val sc = col(s"score_$lang")
+        (when(sc > bestScore, sc).otherwise(bestScore),
+          when(sc > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    scored.withColumn("predicted_lang",
+      when(col(s"score_${langMarkers.head._1}") <= 0 &&
+        langMarkers.tail.map(m => col(s"score_${m._1}") <= 0).reduce(_ && _),
+        lit("unknown")).otherwise(best))
+  }
+
+  /** Document fingerprint: md5 over the normalization pipeline
+    * lower → strip non-alphanumerics → collapse whitespace. Near-identical
+    * formatting variants collapse to one fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+}

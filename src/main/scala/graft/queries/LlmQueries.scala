@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline surface (SURVEY §2.9): dedup (exact, MinHash/
+  * LSH, SimHash, Jaccard), similarity search (brute-force + LSH buckets),
+  * text analysis, multimodal plumbing. All signatures are md5-derived so the
+  * DuckDB oracle replays them bit-for-bit. */
+object LlmQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- dedup -------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("fp", TextAnalysis.fingerprint($"text"))
+    Dedup.exact(docs, "fp", "doc_id").orderBy($"fp")
+  }
+
+  def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashSignatures(Dedup.shingles(Tables.documents(s, dir)), bands = 4)
+      .orderBy($"doc_id", $"band")
+  }
+
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(Tables.documents(s, dir)), bands = 4)
+    Dedup.lshCandidates(sigs).orderBy($"doc_a", $"doc_b")
+  }
+
+  def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingles(Tables.documents(s, dir))
+    val sigs = Dedup.minhashSignatures(sh, bands = 4)
+    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), sh)
+      .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhash16(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  // ---- similarity --------------------------------------------------------
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimMillionths = 350000L)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def lshBucketHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.lshBuckets(Tables.embeddings(s, dir), planes = 8)
+      .groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"bucket")
+  }
+
+  /** LSH-bucketed ANN (rows-only: same quantized sims as q35 but restricted
+    * to the query's bucket — recall/speed tradeoff is the point). */
+  def lshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  // ---- text analysis -----------------------------------------------------
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.langId(Tables.documents(s, dir))
+      .select($"doc_id", $"lang", $"score_en", $"score_fr", $"score_es", $"predicted_lang")
+      .orderBy($"doc_id")
+  }
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+      .select($"doc_id", $"n_chars_obs", $"n_tokens", $"n_distinct",
+        $"n_stopwords", $"avg_token_len", $"distinct_ratio", $"stopword_ratio")
+      .orderBy($"doc_id")
+  }
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang",
+        TextAnalysis.tokenCount($"text").as("n_tok"),
+        TextAnalysis.subwordCount($"text").as("n_sub"))
+      .groupBy($"lang")
+      .agg(sum($"n_tok").as("sum_tokens"), sum($"n_sub").as("sum_subwords"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  /** Binary-column plumbing checked end-to-end: payload byte length + digest
+    * + kind routing (decode stubs are exercised in MultimodalSpec). */
+  def multimodalBytes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.assetsFromDocuments(s, Tables.documents(s, dir)).toDF()
+      .select($"asset_id", $"kind", length($"data").as("n_bytes"),
+        md5($"data").as("payload_md5"))
+      .orderBy($"asset_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q30_dedup_exact" -> dedupExact,
+    "q31_minhash_sigs" -> minhashSigs,
+    "q32_lsh_candidates" -> lshCandidatePairs,
+    "q33_jaccard_verify" -> jaccardVerify,
+    "q34_simhash" -> simhash,
+    "q35_cosine_topk" -> cosineTopK,
+    "q36_neardup_vectors" -> nearDupVectors,
+    "q37_langid" -> langId,
+    "q38_quality" -> quality,
+    "q39_token_stats" -> tokenStats,
+    "q41_lsh_buckets" -> lshBucketHistogram,
+    "q42_multimodal_bytes" -> multimodalBytes,
+    "q43_lsh_topk" -> lshTopK)
+
+  // Shared oracle CTEs --------------------------------------------------------
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+      |  FROM t, (SELECT unnest(range(0, 512)) AS i) r
+      |  WHERE len(toks) >= 3 AND i <= len(toks) - 3
+      |), sig AS (
+      |  SELECT doc_id, CAST(band AS INTEGER) AS band,
+      |         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+      |  GROUP BY doc_id, band
+      |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
+        | min(doc_id) AS representative_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q31_minhash_sigs" -> (shingleCte +
+      "\nSELECT doc_id, band, minhash FROM sig ORDER BY doc_id, band"),
+    "q32_lsh_candidates" -> (shingleCte +
+      """
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q33_jaccard_verify" -> (shingleCte +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh sa ON sa.doc_id = c.doc_a
+        |  JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  za.set_size + zb.set_size - i.n_inter AS n_union,
+        |  CAST(i.n_inter AS DOUBLE) / (za.set_size + zb.set_size - i.n_inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q34_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), contrib AS (
+        |  SELECT doc_id, bitpos,
+        |    CASE WHEN ((instr('0123456789abcdef',
+        |                substring(md5(tok), CAST(bitpos // 4 AS INTEGER) + 1, 1)) - 1)
+        |               & (1 << CAST(bitpos % 4 AS INTEGER))) <> 0
+        |         THEN 1 ELSE -1 END AS c
+        |  FROM toks, (SELECT unnest(range(0, 16)) AS bitpos) b
+        |), bits AS (
+        |  SELECT doc_id, bitpos, sum(c) AS s FROM contrib GROUP BY doc_id, bitpos
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (1 << CAST(bitpos AS INTEGER)) ELSE 0 END) AS INTEGER) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q35_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
+        |FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q36_neardup_vectors" ->
+      """WITH d AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 65)) AS i) r
+        |  WHERE a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT vec_a, vec_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
+        |FROM d WHERE floor(dot * 1000000) >= 350000
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q37_langid" ->
+      """SELECT doc_id, lang,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS INTEGER) AS score_en,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des'))) AS INTEGER) AS score_fr,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','de'))) AS INTEGER) AS score_es,
+        | CASE WHEN CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS INTEGER) <= 0
+        |       AND CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des'))) AS INTEGER) <= 0
+        |       AND CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','de'))) AS INTEGER) <= 0
+        |      THEN 'unknown'
+        |      WHEN len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des')))
+        |         > len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))
+        |      THEN CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','de')))
+        |                   > greatest(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))),
+        |                              len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des'))))
+        |                THEN 'es' ELSE 'fr' END
+        |      ELSE CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','de')))
+        |                   > greatest(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))),
+        |                              len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','des'))))
+        |                THEN 'es' ELSE 'en' END
+        | END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars_obs,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','in'))) AS INTEGER) AS n_stopwords,
+        | CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS avg_token_len,
+        | CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS distinct_ratio,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_token_stats" ->
+      """SELECT lang,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_subwords,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q41_lsh_buckets" ->
+      """WITH coefs AS (
+        |  SELECT p, dim,
+        |    2 * ((instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 2, 1)) - 1)) - 255 AS coef
+        |  FROM (SELECT unnest(range(0, 8)) AS p) pl, (SELECT unnest(range(1, 65)) AS dim) dm
+        |), proj AS (
+        |  SELECT e.vec_id, c.p, sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.coef) AS proj
+        |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q42_multimodal_bytes" ->
+      """SELECT doc_id AS asset_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY asset_id""".stripMargin)
+}

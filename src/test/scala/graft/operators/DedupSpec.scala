@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),        // exact dup of 1
+    (3L, "the quick brown fox leaps high"),   // near-dup of 1
+    (4L, "completely different words entirely here"),
+    (5L, "xy zz")                             // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id representative and counts dups") {
+    val d = docs.withColumn("fp", TextAnalysis.fingerprint($"text"))
+    val r = Dedup.exact(d, "fp", "doc_id")
+      .select($"representative_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: n-1 overlapping trigrams; short docs yield none") {
+    val sh = Dedup.shingles(docs).as[(Long, String)].collect()
+    assert(sh.count(_._1 == 1L) == 3) // 5 tokens -> 3 trigrams
+    assert(sh.filter(_._1 == 1L).map(_._2).toSet ==
+      Set("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(!sh.exists(_._1 == 5L))
+  }
+
+  test("identical docs have identical minhash signatures in every band") {
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs), bands = 4)
+    val byDoc = sigs.as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+  }
+
+  test("lsh candidates include the exact pair and exclude unrelated docs") {
+    val pairs = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs), bands = 4))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard is 1.0 for identical docs and in (0,1) for near-dups") {
+    val sh = Dedup.shingles(docs)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardVerify(pairs, sh)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: equal for identical text, 16-bit range, unequal for distinct") {
+    val h = Dedup.simhash16(docs).as[(Long, Int)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall(v => v >= 0 && v < 65536))
+    assert(h(1L) != h(4L))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("quality metrics on a known string") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df)
+      .select($"n_chars_obs", $"n_tokens", $"n_distinct", $"n_stopwords",
+        $"avg_token_len", $"distinct_ratio")
+      .head()
+    assert(r.getInt(0) == 22 && r.getInt(1) == 6)
+    assert(r.getInt(2) == 5)          // "the" repeats
+    assert(r.getInt(3) == 2)          // two "the"
+    assert(math.abs(r.getDouble(4) - 17.0 / 6) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 5.0 / 6) < 1e-12)
+  }
+
+  test("subword count splits letter runs, digits and punctuation") {
+    val df = Seq((1L, "abc de12 f.g")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.subwordCount($"text")).as[Int].head()
+    // abc | de | 12 | f | . | g
+    assert(n == 6)
+  }
+
+  test("fingerprint collapses case/punctuation/whitespace variants") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.fingerprint(lower($"text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId scores markers and breaks ties by precedence") {
+    val df = Seq(
+      (1L, "the cat and a dog"),       // en markers
+      (2L, "le chat et la mer des"),   // fr markers
+      (3L, "el mar y los rios de"),    // es markers
+      (4L, "nothing matching here")    // no markers
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.langId(df)
+      .select($"doc_id", $"predicted_lang").as[(Long, String)].collect().toMap
+    assert(p(1L) == "en" && p(2L) == "fr" && p(3L) == "es" && p(4L) == "unknown")
+  }
+}
