@@ -1,0 +1,66 @@
+package graft.queue
+
+import graft.model.TriggerConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable event queue — the reference's `cdc_webhook.event_log` table
+  * (`cdc_webhook--1.0.sql:25-47`) as a parquet dataset: per-event delivery
+  * state, retry config, attempt-history arrays, and `next_attempt`
+  * scheduling.
+  *
+  * Layout for scale: partitioned by `status`, so the dispatcher's
+  * due-PENDING scan prunes to the PENDING partition only — the Spark analog
+  * of the reference's btree indexes on (status, next_attempt)
+  * (`cdc_webhook--1.0.sql:50-52`). In production this dataset would be a
+  * Delta/Iceberg table with MERGE-based transitions; plain parquet +
+  * snapshot-swap keeps v1 dependency-free with identical semantics for a
+  * single dispatcher writer.
+  */
+object EventLog {
+
+  final case class QueueRow(
+      id: String,
+      trigger_schema: String, trigger_table: String, trigger_name: String,
+      webhook_url: String, headers: String, payload: String,
+      timeout: Int, status: String, attempt_count: Int,
+      attempts_time: Seq[java.sql.Timestamp],
+      attempts_status: Seq[Int],
+      attempts_response: Seq[String],
+      next_attempt: java.sql.Timestamp,
+      retry_number: Int, retry_interval: Int, retry_backoff: String,
+      created_at: java.sql.Timestamp)
+
+  /** ASYNC enqueue (S2, reference `cdc_webhook--1.0.sql:296-324`): envelope
+    * rows + the trigger's retry config → PENDING queue rows due immediately. */
+  def enqueue(envelopes: DataFrame, cfg: TriggerConfig, queueDir: String): Unit = {
+    val headersJson =
+      cfg.headers.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    envelopes.select(
+        col("id"),
+        lit(cfg.schemaName).as("trigger_schema"),
+        lit(cfg.tableName).as("trigger_table"),
+        lit(cfg.name).as("trigger_name"),
+        lit(cfg.webhookUrl).as("webhook_url"),
+        lit(headersJson).as("headers"),
+        to_json(struct(col("id"), col("created_at"), col("table"),
+          col("trigger"), col("event"))).as("payload"),
+        lit(cfg.timeout).as("timeout"),
+        lit("PENDING").as("status"),
+        lit(0).as("attempt_count"),
+        array().cast("array<timestamp>").as("attempts_time"),
+        array().cast("array<int>").as("attempts_status"),
+        array().cast("array<string>").as("attempts_response"),
+        current_timestamp().as("next_attempt"),
+        lit(cfg.retryNumber).as("retry_number"),
+        lit(cfg.retryInterval).as("retry_interval"),
+        lit(cfg.retryBackoff).as("retry_backoff"),
+        current_timestamp().as("created_at"))
+      .write.mode("append").partitionBy("status").parquet(queueDir)
+  }
+
+  def read(spark: SparkSession, queueDir: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[QueueRow].schema)
+      .parquet(queueDir)
+}
