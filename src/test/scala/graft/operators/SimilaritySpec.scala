@@ -22,6 +22,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(d - 1.0) < 1e-6)
   }
 
+  test("codegen'd vec_dot equals the portable HOF dot on real embeddings") {
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = real.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = real.crossJoin(q).select(
+      Similarity.dot($"embedding", $"qv").as("hof"),
+      graft.functions.GraftFunctions.vecDot(spark, $"embedding", $"qv").as("native"))
+    // identical accumulation order ⇒ bit-identical doubles
+    assert(both.filter($"hof" =!= $"native").count() == 0)
+  }
+
   test("topK ranks the identical vector first (after the query itself)") {
     val top = Similarity.topK(emb, queryId = 0L, k = 3)
       .as[(Long, Long)].collect()
