@@ -52,22 +52,40 @@ object WebhookSink {
   /** Deliver one micro-batch of envelope rows (schema from
     * ChangeCapture.envelope). Partitions by table identity for per-key
     * ordering, serializes the envelope to JSON, posts sequentially. Throws
-    * on failure when cancelOnFailure (fails the batch → retry). */
+    * on failure when cancelOnFailure (fails the batch → retry).
+    *
+    * Security routing (reference `cdc_webhook--1.0.sql:184-198,237-249`):
+    * NONE inlines url/headers as plan literals (the reference embeds them in
+    * the generated function source); PRIVATE resolves them per-row from the
+    * credential store via broadcast join, so secret values never appear in
+    * the plan — `explain` output stays clean, the analog of
+    * `pg_get_functiondef` not leaking (test_security_private). */
   def deliverBatch(batch: DataFrame, cfg: TriggerConfig,
-                   poster: HttpPoster = JdkHttpPoster): Unit = {
-    val url = cfg.webhookUrl
-    val headers = cfg.headers
+                   poster: HttpPoster = JdkHttpPoster,
+                   credentialsDir: Option[String] = None): Unit = {
     val cancel = cfg.cancelOnFailure
-    val ordered = batch
+    val addressed = cfg.security match {
+      case "PRIVATE" =>
+        val dir = credentialsDir.getOrElse(throw new IllegalArgumentException(
+          "PRIVATE security needs a credentialsDir"))
+        graft.queue.CredentialStore.resolve(batch, batch.sparkSession, dir)
+          .withColumn("_url", col("resolved_url"))
+          .withColumn("_headers", col("resolved_headers"))
+      case _ =>
+        batch.withColumn("_url", lit(cfg.webhookUrl))
+          .withColumn("_headers", lit(HeadersCodec.toJson(cfg.headers)))
+    }
+    val ordered = addressed
       .withColumn("payload_json", to_json(struct(
         col("id"), col("created_at"), col("table"), col("trigger"), col("event"))))
       .select(col("id"), col("table.name").as("tbl"),
-        col("created_at"), col("payload_json"))
+        col("created_at"), col("payload_json"), col("_url"), col("_headers"))
       .repartition(col("tbl"))
       .sortWithinPartitions(col("created_at"), col("id"))
     ordered.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
-        val out = deliverPayload(cfg, poster, url, headers,
+        val out = deliverPayload(cfg, poster, r.getString(4),
+          HeadersCodec.parse(r.getString(5)),
           r.getString(0), r.getString(3))
         if (!out.success) {
           // P6: redacted error — header VALUES never appear in logs/errors

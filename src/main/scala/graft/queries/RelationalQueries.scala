@@ -151,6 +151,18 @@ object RelationalQueries extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** GROUPING SETS (A4): per-status and per-priority marginals + grand total
+    * in one pass (Catalyst Expand → single shuffle). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** UNION / INTERSECT / EXCEPT in one tagged result (U1). */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -183,7 +195,8 @@ object RelationalQueries extends graft.QueryModule {
     "q15_distinct_agg" -> distinctAgg,
     "q16_setops" -> setOps,
     "q27_topn_global" -> topNGlobal,
-    "q28_approx_distinct" -> approxDistinct)
+    "q28_approx_distinct" -> approxDistinct,
+    "q44_grouping_sets" -> groupingSetsAgg)
 
   /** DuckDB-side mirror of Determinism.dsum. */
   private def dsumSql(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -238,6 +251,10 @@ object RelationalQueries extends graft.QueryModule {
     "q27_topn_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q44_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

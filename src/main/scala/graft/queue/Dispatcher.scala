@@ -42,8 +42,8 @@ object Dispatcher {
     val attempted = q.filter(isDue(_)).mapPartitions(_.map { r =>
       // IN_PROGRESS → terminal transition happens within the cycle; only
       // terminal states are persisted (single-writer dispatcher).
-      val (status, resp) = poster.post(r.webhook_url, parseHeaders(r.headers),
-        r.payload, r.timeout * 1000L)
+      val (status, resp) = poster.post(r.webhook_url,
+        graft.delivery.HeadersCodec.parse(r.headers), r.payload, r.timeout * 1000L)
       val ok = status >= 200 && status < 300
       val attempts = r.attempt_count + 1
       val newStatus =
@@ -98,13 +98,6 @@ object Dispatcher {
       if (pending) Thread.sleep(pollMs)
     }
     out.toSeq
-  }
-
-  private[queue] def parseHeaders(json: String): Map[String, String] = {
-    // headers are a flat {"k":"v",...} JSON object (reference F13); a tiny
-    // hand parser avoids dragging a JSON lib into the executor closure.
-    val m = """"([^"]+)"\s*:\s*"([^"]*)"""".r
-    m.findAllMatchIn(json).map(g => g.group(1) -> g.group(2)).toMap
   }
 
   private def swapDirs(tmp: Path, target: Path): Unit = {

@@ -34,8 +34,7 @@ object EventLog {
   /** ASYNC enqueue (S2, reference `cdc_webhook--1.0.sql:296-324`): envelope
     * rows + the trigger's retry config → PENDING queue rows due immediately. */
   def enqueue(envelopes: DataFrame, cfg: TriggerConfig, queueDir: String): Unit = {
-    val headersJson =
-      cfg.headers.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val headersJson = graft.delivery.HeadersCodec.toJson(cfg.headers)
     envelopes.select(
         col("id"),
         lit(cfg.schemaName).as("trigger_schema"),
