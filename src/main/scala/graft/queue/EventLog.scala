@@ -35,13 +35,19 @@ object EventLog {
     * rows + the trigger's retry config → PENDING queue rows due immediately. */
   def enqueue(envelopes: DataFrame, cfg: TriggerConfig, queueDir: String): Unit = {
     val headersJson = graft.delivery.HeadersCodec.toJson(cfg.headers)
+    // PRIVATE-resolved batches carry per-row url/headers; NONE uses the
+    // config literals (reference stores the resolved values either way).
+    val urlCol = if (envelopes.columns.contains("resolved_url"))
+      col("resolved_url") else lit(cfg.webhookUrl)
+    val hdrCol = if (envelopes.columns.contains("resolved_headers"))
+      col("resolved_headers") else lit(headersJson)
     envelopes.select(
         col("id"),
         lit(cfg.schemaName).as("trigger_schema"),
         lit(cfg.tableName).as("trigger_table"),
         lit(cfg.name).as("trigger_name"),
-        lit(cfg.webhookUrl).as("webhook_url"),
-        lit(headersJson).as("headers"),
+        urlCol.as("webhook_url"),
+        hdrCol.as("headers"),
         to_json(struct(col("id"), col("created_at"), col("table"),
           col("trigger"), col("event"))).as("payload"),
         lit(cfg.timeout).as("timeout"),

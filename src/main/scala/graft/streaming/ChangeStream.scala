@@ -28,20 +28,29 @@ object ChangeStream {
     ChangeCapture.capture(changes, cfg)
 
   /** Route a captured stream per the trigger's mode. Caller starts it
-    * (`.start()`), choosing checkpoint location and trigger cadence. */
+    * (`.start()`), choosing checkpoint location and trigger cadence.
+    * PRIVATE security resolves url/headers from the credential store at fire
+    * time (reference `cdc_webhook--1.0.sql:237-249` resolves before either
+    * the sync call or the enqueue). */
   def deliveryWriter(envelopes: DataFrame, cfg: TriggerConfig,
                      queueDir: String = "",
-                     poster: HttpPoster = JdkHttpPoster): DataStreamWriter[org.apache.spark.sql.Row] = {
+                     poster: HttpPoster = JdkHttpPoster,
+                     credentialsDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = envelopes.writeStream.outputMode("append")
     cfg.mode match {
       case "SYNC" =>
         w.foreachBatch { (batch: DataFrame, _: Long) =>
-          WebhookSink.deliverBatch(batch, cfg, poster)
+          WebhookSink.deliverBatch(batch, cfg, poster, credentialsDir)
         }
       case "ASYNC" =>
         require(queueDir.nonEmpty, "ASYNC mode needs a queueDir")
         w.foreachBatch { (batch: DataFrame, _: Long) =>
-          EventLog.enqueue(batch, cfg, queueDir)
+          val addressed = credentialsDir match {
+            case Some(dir) if cfg.security == "PRIVATE" =>
+              graft.queue.CredentialStore.resolve(batch, batch.sparkSession, dir)
+            case _ => batch
+          }
+          EventLog.enqueue(addressed, cfg, queueDir)
         }.trigger(Trigger.ProcessingTime("1 second")) // reference worker cadence
     }
   }
