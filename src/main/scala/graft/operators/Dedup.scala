@@ -37,16 +37,19 @@ object Dedup {
     d.select(col(idCol), explode(slices).as("shingle"))
   }
 
-  /** MinHash signature per (doc, band): min over shingles of
-    * md5(band || '|' || shingle). `bands` independent permutations via the
-    * band-salted hash. Partial+final min-agg ⇒ map-side combine. */
+  /** MinHash signature per (doc, band): each shingle is md5'd ONCE and the
+    * 32-hex digest is sliced into `bands` disjoint 8-hex (32-bit) band
+    * hashes — 4× fewer digest computations than band-salted hashing, same
+    * independence in practice. Partial+final min-agg ⇒ map-side combine. */
   def minhashSignatures(shingleDf: DataFrame, bands: Int,
-                        idCol: String = "doc_id"): DataFrame =
+                        idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 1 && bands <= 4, "bands must be 1..4 (32 hex chars / 8)")
     shingleDf
+      .withColumn("mh", md5(col("shingle")))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .groupBy(col(idCol), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle"))))
-        .as("minhash"))
+      .agg(min(expr("substring(mh, band * 8 + 1, 8)")).as("minhash"))
+  }
 
   /** LSH candidate pairs: docs sharing any (band, minhash) bucket. The
     * self-join is per-bucket, so cost is Σ bucket² not n². */

@@ -136,7 +136,7 @@ object LlmQueries extends graft.QueryModule {
       |  WHERE len(toks) >= 3 AND i <= len(toks) - 3
       |), sig AS (
       |  SELECT doc_id, CAST(band AS INTEGER) AS band,
-      |         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+      |         min(substring(md5(shingle), CAST(band * 8 + 1 AS INTEGER), 8)) AS minhash
       |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
       |  GROUP BY doc_id, band
       |)""".stripMargin
