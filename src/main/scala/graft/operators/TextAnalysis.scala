@@ -77,6 +77,31 @@ object TextAnalysis {
         lit("unknown")).otherwise(best))
   }
 
+  /** TF-IDF via two aggregations (SURVEY §2.9 L3): term frequency per
+    * (doc, token), document frequency per token, corpus size — joined back
+    * per term. Ranking uses the exact rational tf/df (single double division
+    * of exact integers — engine-deterministic); the tfidf score itself is
+    * floor-quantized. Both aggregations are partial+final hash aggs; the df
+    * side is tiny (vocabulary) and broadcast back onto tf. */
+  def tfidf(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id", topPerDoc: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))))
+      .filter(col("rnk") <= topPerDoc)
+      .withColumn("tfidf_q",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 10000).cast("long"))
+      .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"), col("tfidf_q"))
+  }
+
   /** Document fingerprint: md5 over the normalization pipeline
     * lower → strip non-alphanumerics → collapse whitespace. Near-identical
     * formatting variants collapse to one fingerprint (exact-dedup key). */

@@ -99,6 +99,14 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"lang")
   }
 
+  /** TF-IDF via two aggregations (tf, df) + broadcast join-back; top-5
+    * terms per doc ranked by the exact tf/df rational. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tfidf(Tables.documents(s, dir), topPerDoc = 5)
+      .orderBy($"doc_id", $"rnk")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column plumbing checked end-to-end: payload byte length + digest
@@ -124,7 +132,8 @@ object LlmQueries extends graft.QueryModule {
     "q39_token_stats" -> tokenStats,
     "q41_lsh_buckets" -> lshBucketHistogram,
     "q42_multimodal_bytes" -> multimodalBytes,
-    "q43_lsh_topk" -> lshTopK)
+    "q43_lsh_topk" -> lshTopK,
+    "q45_tfidf" -> tfidfTop)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -263,6 +272,19 @@ object LlmQueries extends graft.QueryModule {
         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q45_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df, n.n_docs,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE)/d.df DESC, t.tok) AS rnk
+        |  FROM tf t JOIN df d USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rnk, tok, tf, df,
+        |  CAST(floor(tf * ln(CAST(n_docs AS DOUBLE)/df) * 10000) AS BIGINT) AS tfidf_q
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "q42_multimodal_bytes" ->
       """SELECT doc_id AS asset_id,
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

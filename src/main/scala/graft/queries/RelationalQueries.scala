@@ -151,6 +151,26 @@ object RelationalQueries extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Per-group top-k via the typed bounded [[graft.operators.TopKAggregator]]
+    * — shuffles O(groups·k) partial buffers instead of sorting whole
+    * partitions like the q7 window formulation; result set is identical
+    * (same oracle). */
+  def topkViaAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ScoredId, TopKAggregator}
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => ScoredId(t._2, t._3))
+      .agg(new TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (ck, top) =>
+        top.zipWithIndex.map { case (sc, i) => (ck, i + 1, sc.id, sc.score) }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** GROUPING SETS (A4): per-status and per-priority marginals + grand total
     * in one pass (Catalyst Expand → single shuffle). */
   def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
@@ -196,7 +216,8 @@ object RelationalQueries extends graft.QueryModule {
     "q16_setops" -> setOps,
     "q27_topn_global" -> topNGlobal,
     "q28_approx_distinct" -> approxDistinct,
-    "q44_grouping_sets" -> groupingSetsAgg)
+    "q44_grouping_sets" -> groupingSetsAgg,
+    "q46_topk_aggregator" -> topkViaAggregator)
 
   /** DuckDB-side mirror of Determinism.dsum. */
   private def dsumSql(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -255,6 +276,12 @@ object RelationalQueries extends graft.QueryModule {
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q46_topk_aggregator" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

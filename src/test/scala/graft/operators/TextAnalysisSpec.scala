@@ -38,6 +38,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(fps(1L) != fps(3L))
   }
 
+  test("tfidf: rare terms outrank common ones; tf and df are exact") {
+    val df = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidf(df, topPerDoc = 2)
+      .select($"doc_id", $"rnk", $"tok", $"tf", $"df")
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4, t._5)).toSeq).toMap
+    // banana: tf=2, df=1 beats apple: tf=1, df=3
+    assert(r(1L) == Seq(("banana", 2L, 1L), ("apple", 1L, 3L)))
+    assert(r(2L).head._1 == "cherry") // df=1 beats apple df=3
+  }
+
   test("langId scores markers and breaks ties by precedence") {
     val df = Seq(
       (1L, "the cat and a dog"),       // en markers
