@@ -126,7 +126,7 @@ object FunctionQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "q17_string_funcs" ->
       """SELECT p_partkey, lower(p_type) AS type_lower, upper(p_name) AS name_upper,
-        | substring(p_name, 1, 5) AS name_pfx, length(p_name) AS name_len,
+        | substring(p_name, 1, 5) AS name_pfx, CAST(length(p_name) AS INTEGER) AS name_len,
         | concat_ws('-', p_brand, p_type) AS brand_type,
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
         | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
@@ -134,10 +134,10 @@ object FunctionQueries extends graft.QueryModule {
         |FROM part WHERE p_partkey % 3 = 0 AND p_name LIKE '%bolt%'
         |ORDER BY p_partkey""".stripMargin,
     "q18_date_funcs" ->
-      """SELECT o_orderkey, year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-        | month(o_orderdate) AS mo, dayofmonth(o_orderdate) AS dom,
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
         | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-        | date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_ref
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_ref
         |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
     "q19_math_funcs" ->
       """SELECT s_suppkey, abs(s_acctbal) AS abs_bal,
@@ -165,7 +165,7 @@ object FunctionQueries extends graft.QueryModule {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q29_monthly_orders" ->
-      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n,
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

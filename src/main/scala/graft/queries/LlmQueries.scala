@@ -282,7 +282,7 @@ object LlmQueries extends graft.QueryModule {
         |    row_number() OVER (PARTITION BY t.doc_id
         |      ORDER BY CAST(t.tf AS DOUBLE)/d.df DESC, t.tok) AS rnk
         |  FROM tf t JOIN df d USING (tok) CROSS JOIN n)
-        |SELECT doc_id, rnk, tok, tf, df,
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, tf, df,
         |  CAST(floor(tf * ln(CAST(n_docs AS DOUBLE)/df) * 10000) AS BIGINT) AS tfidf_q
         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "q42_multimodal_bytes" ->
