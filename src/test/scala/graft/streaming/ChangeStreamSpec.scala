@@ -77,6 +77,33 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestSession with BeforeAndA
     assert(server.bodies.exists(_.contains(""""op":"DELETE"""")))
   }
 
+  test("file-source change feed: appended parquet drives capture (S1 prod path)") {
+    val feedDir = Files.createTempDirectory("graft_feed_").toString
+    val (_, template) = changeStream() // reuse schema
+    // write an initial batch of change rows as the append-dir producer would
+    Seq(ChangeRec("INSERT", null, Emp(10, "zoe", 900)))
+      .toDS().toDF()
+      .select($"op", $"oldImage".as("old"), $"newImage".as("new"))
+      .write.mode("append").parquet(feedDir)
+    val stream = spark.readStream.schema(template.schema).parquet(feedDir)
+    val env = ChangeStream.capture(stream, cfg("SYNC", "http://x/"))
+    val q = env.writeStream.format("memory").queryName("file_cap_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_cap_out").count() == 1)
+      // a second appended file is picked up incrementally
+      Seq(ChangeRec("DELETE", Emp(11, "yan", 800), null))
+        .toDS().toDF()
+        .select($"op", $"oldImage".as("old"), $"newImage".as("new"))
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val ops = spark.table("file_cap_out")
+        .select($"event.op").as[String].collect().toSet
+      assert(ops == Set("INSERT", "DELETE"))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates event time") {
     val ms = MemoryStream[Evt]
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
