@@ -68,10 +68,12 @@ object Dedup {
                     idCol: String = "doc_id"): DataFrame = {
     val distinctSh = shingleDf.select(col(idCol), col("shingle")).distinct()
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    // shingle is part of the second join KEY — joining on doc_b alone and
+    // filtering afterwards would materialize |pairs|·|shingles_b| rows
     val inter = pairs
       .join(distinctSh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
-      .join(distinctSh.select(col(idCol).as("doc_b"), col("shingle").as("sh_b")), "doc_b")
-      .filter(col("shingle") === col("sh_b"))
+      .join(distinctSh.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
