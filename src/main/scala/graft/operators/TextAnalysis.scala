@@ -102,6 +102,21 @@ object TextAnalysis {
       .select(col(idCol), col("rnk"), col("tok"), col("tf"), col("df"), col("tfidf_q"))
   }
 
+  /** Rolling-hash document fingerprint: polynomial fold over the token
+    * stream, h = (h·131 + v(tok)) mod (2³¹−1), where v(tok) is the first
+    * md5 byte of the token (engine-portable). Order-sensitive — unlike the
+    * md5 [[fingerprint]] it distinguishes permuted documents — and purely
+    * integer, so the SQL oracle replays it exactly (left fold: Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce`). */
+  def rollingFingerprint(textCol: String = "text"): Column =
+    expr(
+      s"""aggregate(
+         |  transform(split($textCol, ' '), t ->
+         |    cast((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) as bigint)),
+         |  cast(0 as bigint),
+         |  (acc, v) -> (acc * 131 + v) % 2147483647)""".stripMargin)
+
   /** Document fingerprint: md5 over the normalization pipeline
     * lower → strip non-alphanumerics → collapse whitespace. Near-identical
     * formatting variants collapse to one fingerprint (exact-dedup key). */

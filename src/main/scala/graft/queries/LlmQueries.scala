@@ -99,6 +99,14 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"lang")
   }
 
+  /** Rolling-hash fingerprints (order-sensitive, integer-only). */
+  def rollingFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.rollingFingerprint().as("rolling_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF via two aggregations (tf, df) + broadcast join-back; top-5
     * terms per doc ranked by the exact tf/df rational. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
@@ -130,6 +138,7 @@ object LlmQueries extends graft.QueryModule {
     "q37_langid" -> langId,
     "q38_quality" -> quality,
     "q39_token_stats" -> tokenStats,
+    "q40_rolling_fingerprint" -> rollingFingerprints,
     "q41_lsh_buckets" -> lshBucketHistogram,
     "q42_multimodal_bytes" -> multimodalBytes,
     "q43_lsh_topk" -> lshTopK,
@@ -258,6 +267,15 @@ object LlmQueries extends graft.QueryModule {
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_subwords,
         | count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q40_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t ->
+        |        CAST((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+        |           + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1) AS BIGINT))),
+        |    (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q41_lsh_buckets" ->
       """WITH coefs AS (
         |  SELECT p, dim,

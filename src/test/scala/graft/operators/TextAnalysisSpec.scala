@@ -38,6 +38,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(fps(1L) != fps(3L))
   }
 
+  test("rolling fingerprint is order-sensitive where md5 fingerprint is not") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),  // same tokens, different order
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      TextAnalysis.rollingFingerprint().as("r")).as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
   test("tfidf: rare terms outrank common ones; tf and df are exact") {
     val df = Seq(
       (1L, "apple banana banana"),
