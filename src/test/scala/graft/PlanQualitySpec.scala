@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these operators
+  * survive a 100× scale-up are in the PLAN, not the output — filters reaching
+  * the parquet scan, pruned read schemas, broadcast dimension joins, and
+  * partial aggregation. A refactor that silently loses one of these still
+  * passes the value-level oracle; this spec fails instead. */
+class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // 11-column table read as 5 columns (plan strings truncate long fields,
+    // so check inclusion of kept columns + absence of a pruned one)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q3: dimension joins are broadcast, no shuffle on the dim side") {
+    val p = plan("q3_join_multiway")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q4: explicitly hinted dimension broadcast survives planning") {
+    assert(plan("q4_join_broadcast_dim").contains("BroadcastHashJoin"))
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("q27: global top-n plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q27_topn_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q41: LSH bucketing is a scan + project with no join or explode") {
+    val p = plan("q41_lsh_buckets")
+    assert(!p.contains("Join") && !p.contains("Generate"))
+    assert(p.contains("graft_vec_dot") || p.contains("floatvectordot") ||
+      p.toLowerCase.contains("vec_dot"))
+  }
+
+  test("q35: brute-force ANN is a broadcast cross join (no shuffle of the corpus)") {
+    val p = plan("q35_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
