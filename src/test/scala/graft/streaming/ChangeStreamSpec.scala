@@ -125,6 +125,24 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestSession with BeforeAndA
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim joined onto a live stream (J1 shape)") {
+    val ms = MemoryStream[Evt]
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    ms.addData(Evt(t(1), 1, "click", 1.0), Evt(t(2), 2, "purchase", 9.0))
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"), ("view", "engagement"))
+      .toDF("event_type", "category")
+    val enriched = ms.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"user_id", $"category").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "engagement"), (2L, "revenue")))
+    } finally q.stop()
+  }
+
   test("session windows split on the inactivity gap") {
     val ms = MemoryStream[Evt]
     def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
