@@ -15,7 +15,8 @@ object QueryRegistry {
     queries.WindowQueries,
     queries.EventQueries,
     queries.FunctionQueries,
-    queries.LlmQueries)
+    queries.LlmQueries,
+    queries.ExtraQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap
