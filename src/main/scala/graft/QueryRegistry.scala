@@ -16,7 +16,8 @@ object QueryRegistry {
     queries.EventQueries,
     queries.FunctionQueries,
     queries.LlmQueries,
-    queries.ExtraQueries)
+    queries.ExtraQueries,
+    queries.AdvancedQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap

@@ -70,9 +70,14 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * public Column(Expression) constructor, so custom expressions are exposed
   * through the function registry + `call_function`). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering on every call spams "replaced a previously
+    // registered function" warnings into the bench/verify logs
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Dot product Column over two array<float> columns. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {

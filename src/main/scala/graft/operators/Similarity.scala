@@ -92,6 +92,61 @@ object Similarity {
     (2 * firstByte - 255).toFloat
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to its
+    * nearest centroid by quantized dot product (ties → lowest centroid id).
+    *
+    * Centroids here are a deterministic sample (the first `nlist` vectors by
+    * id) standing in for a k-means codebook — Lloyd iterations would reuse
+    * exactly this assignment plan per step, so the scale shape is what
+    * matters: centroids broadcast (a codebook is KBs), the corpus streams
+    * through map-side scoring `nlist` dots per row inside codegen, and the
+    * argmax is a partial+final max-of-struct aggregation — one shuffle of
+    * one row per vector, never the corpus×corpus product.
+    */
+  def ivfAssign(emb: DataFrame, nlist: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = centroids(emb, nlist, idCol, vecCol)
+    emb.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        struct(
+          quantize(GraftFunctions.vecDot(spark, col(vecCol), col("cvec"))).as("cdot"),
+          (-col("centroid_id")).as("negc")).as("sc"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max(col("sc")).as("m"))
+      .select(col(idCol), col(vecCol), (-col("m.negc")).as("centroid_id"))
+  }
+
+  private def centroids(emb: DataFrame, nlist: Int,
+                        idCol: String, vecCol: String): DataFrame =
+    emb.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cvec"))
+
+  /** IVF-probed ANN: search only the `nprobe` inverted lists whose centroids
+    * score highest against the query — corpus scanned once at build time,
+    * ~nprobe/nlist of it at query time. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val assigned = ivfAssign(emb, nlist, idCol, vecCol)
+    val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
+    val probes = centroids(emb, nlist, idCol, vecCol)
+      .crossJoin(broadcast(qvec))
+      .select(col("centroid_id"),
+        quantize(GraftFunctions.vecDot(spark, col("cvec"), col("query_vec"))).as("cdot"))
+      .orderBy(col("cdot").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned
+      .join(broadcast(probes), "centroid_id")
+      .crossJoin(broadcast(qvec))
+      .select(col(idCol),
+        quantize(GraftFunctions.vecDot(spark, col(vecCol), col("query_vec"))).as("sim_q"))
+      .orderBy(col("sim_q").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN: top-k within the query's LSH bucket only — the candidate
     * set shrinks ~2^planes-fold; recall is traded for a bounded join. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8,

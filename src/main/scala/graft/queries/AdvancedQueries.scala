@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Merge, RangeJoin, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 surface: temporal as-of join, broadcast range join, IVF ANN,
+  * document-level embedding near-dup, and batch CDC-apply (MERGE). Each
+  * query is deterministic and DuckDB-oracle-checked.
+  */
+object AdvancedQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join (§2.3): every purchase enriched with the user's latest
+    * prior-or-simultaneous click — one shuffle, union+window plan. */
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    // every event ts is unique in this feed; a (user_id, ts) dedupe would
+    // go here if the right side could carry same-instant duplicates
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("click_ts"), $"event_id".as("click_event_id"))
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts")
+      .select($"event_id", $"user_id", $"ts", $"value",
+        $"matched.click_event_id".as("click_event_id"),
+        $"matched.click_ts".as("click_ts"),
+        (unix_micros($"ts") - unix_micros($"matched.click_ts")).as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  /** Broadcast range (band) join (§2.3 EXT): price banding of lineitem —
+    * fact side never shuffles for the join. */
+  def rangeBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import Determinism._
+    val bands = Seq(
+      (1, 0.0, 10000.0), (2, 10000.0, 25000.0), (3, 25000.0, 50000.0),
+      (4, 50000.0, 75000.0), (5, 75000.0, 1000000.0))
+      .toDF("band_id", "lo", "hi")
+    RangeJoin.bands(Tables.lineitem(s, dir), bands, "l_extendedprice")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"band_id")
+  }
+
+  /** IVF ANN (§2.9 L2 scale path): probe the 2 best of 16 inverted lists. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+      nlist = 16, nprobe = 2)
+
+  /** Embedding-cosine near-dup on the documents table (§2.9 L1): pairs over
+    * threshold joined back to document metadata (broadcast dimension). */
+  def docNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meta = Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimMillionths = 350000L)
+      .join(broadcast(meta.select($"doc_id".as("vec_a"),
+        $"lang".as("lang_a"), $"source".as("source_a"))), "vec_a")
+      .join(broadcast(meta.select($"doc_id".as("vec_b"),
+        $"lang".as("lang_b"), $"source".as("source_b"))), "vec_b")
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"sim_q",
+        $"lang_a", $"lang_b", ($"source_a" === $"source_b").as("same_source"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Batch CDC-apply (S5/J2 closure): a deterministic change feed (deletes,
+    * two generations of updates, inserts) merged into the customer snapshot
+    * via [[Merge.applyChanges]] — last change per key wins by ts. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    def ts(extraDays: Int) = expr(
+      s"timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,$extraDays,0,0,c_custkey)")
+    val del = cust.filter($"c_custkey" % 10 === 3).select(
+      $"c_custkey", lit("DELETE").as("op"), ts(0).as("ts"),
+      lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
+      lit(null).cast("double").as("c_acctbal"), lit(null).cast("string").as("c_mktsegment"))
+    val upd1 = cust.filter($"c_custkey" % 10 === 4).select(
+      $"c_custkey", lit("UPDATE").as("op"), ts(0).as("ts"),
+      $"c_name", $"c_nationkey", ($"c_acctbal" + 100.0).as("c_acctbal"), $"c_mktsegment")
+    val upd2 = cust.filter($"c_custkey" % 20 === 4).select(
+      $"c_custkey", lit("UPDATE").as("op"), ts(1).as("ts"),
+      $"c_name", $"c_nationkey", ($"c_acctbal" + 200.0).as("c_acctbal"),
+      lit("REVISED").as("c_mktsegment"))
+    val ins = cust.filter($"c_custkey" % 10 === 5).select(
+      ($"c_custkey" + 10000000L).as("c_custkey"), lit("INSERT").as("op"),
+      expr("timestamp '2024-01-01 00:00:00'").as("ts"),
+      concat(lit("NEW#"), $"c_custkey".cast("string")).as("c_name"),
+      $"c_nationkey", $"c_acctbal", lit("FRESH").as("c_mktsegment"))
+    val changes = del.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    Merge.applyChanges(cust, changes, Seq("c_custkey"), "ts", "op")
+      .orderBy($"c_custkey")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q51_asof_join" -> asofPurchaseClick,
+    "q52_range_band" -> rangeBandJoin,
+    "q53_ivf_topk" -> ivfTopK,
+    "q54_doc_neardup" -> docNearDup,
+    "q55_cdc_apply" -> cdcApply)
+
+  def oracles: Map[String, String] = Map(
+    "q51_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, ts AS click_ts, event_id AS click_event_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_event_id, c.click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q52_range_band" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (1, 0.0, 10000.0), (2, 10000.0, 25000.0), (3, 25000.0, 50000.0),
+        |  (4, 50000.0, 75000.0), (5, 75000.0, 1000000.0))
+        |SELECT band_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q53_ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probe AS (SELECT centroid_id FROM scored WHERE vec_id = 0
+        |          ORDER BY cdot DESC, centroid_id LIMIT 2),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT a.vec_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM assigned a
+        |  JOIN probe p ON a.centroid_id = p.centroid_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q54_doc_neardup" ->
+      """WITH d AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 65)) AS i) r
+        |  WHERE a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT d.doc_a, d.doc_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q,
+        |  da.lang AS lang_a, db.lang AS lang_b,
+        |  da.source = db.source AS same_source
+        |FROM d
+        |JOIN documents da ON da.doc_id = d.doc_a
+        |JOIN documents db ON db.doc_id = d.doc_b
+        |WHERE floor(dot * 1000000) >= 350000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q55_cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, 'DELETE' AS op,
+        |    TIMESTAMP '2024-01-01' + c_custkey * INTERVAL 1 SECOND AS ts,
+        |    CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+        |    CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPDATE',
+        |    TIMESTAMP '2024-01-01' + c_custkey * INTERVAL 1 SECOND,
+        |    c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 4
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPDATE',
+        |    TIMESTAMP '2024-01-01' + INTERVAL 1 DAY + c_custkey * INTERVAL 1 SECOND,
+        |    c_name, c_nationkey, c_acctbal + 200.0, 'REVISED'
+        |  FROM customer WHERE c_custkey % 20 = 4
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'INSERT', TIMESTAMP '2024-01-01',
+        |    'NEW#' || CAST(c_custkey AS VARCHAR), c_nationkey, c_acctbal, 'FRESH'
+        |  FROM customer WHERE c_custkey % 10 = 5
+        |), lastc AS (
+        |  SELECT * FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC, op DESC) AS rn
+        |    FROM changes c) WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM lastc)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM lastc
+        |WHERE op <> 'DELETE'
+        |ORDER BY c_custkey""".stripMargin)
+}

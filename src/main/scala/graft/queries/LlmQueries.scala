@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
 object LlmQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The shingle set is the shared intermediate of the whole MinHash/LSH
+    * pipeline (signatures, candidate generation, Jaccard verification all
+    * re-derive it). On a cluster you'd materialize it once as a staging
+    * table; the single-job analog is one persisted DataFrame per
+    * (session, dir) — Spark's CacheManager then plan-matches every reuse,
+    * so q31/q32/q33 each read the md5'd shingles instead of recomputing
+    * them up to 4×. Memoized so persist() is called once (re-persisting
+    * an already-cached plan just warns and rescans). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent((s, dir), { key =>
+      Dedup.shingles(Tables.documents(key._1, key._2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   // ---- dedup -------------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -23,19 +39,19 @@ object LlmQueries extends graft.QueryModule {
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashSignatures(Dedup.shingles(Tables.documents(s, dir)), bands = 4)
+    Dedup.minhashSignatures(cachedShingles(s, dir), bands = 4)
       .orderBy($"doc_id", $"band")
   }
 
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Dedup.minhashSignatures(Dedup.shingles(Tables.documents(s, dir)), bands = 4)
+    val sigs = Dedup.minhashSignatures(cachedShingles(s, dir), bands = 4)
     Dedup.lshCandidates(sigs).orderBy($"doc_a", $"doc_b")
   }
 
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingles(Tables.documents(s, dir))
+    val sh = cachedShingles(s, dir)
     val sigs = Dedup.minhashSignatures(sh, bands = 4)
     Dedup.jaccardVerify(Dedup.lshCandidates(sigs), sh)
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
