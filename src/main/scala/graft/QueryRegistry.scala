@@ -17,7 +17,8 @@ object QueryRegistry {
     queries.FunctionQueries,
     queries.LlmQueries,
     queries.ExtraQueries,
-    queries.AdvancedQueries)
+    queries.AdvancedQueries,
+    queries.TrainingDataQueries)
 
   def all: Map[String, Q] = modules.flatMap(_.queries).toMap
   def oracles: Map[String, String] = modules.flatMap(_.oracles).toMap

@@ -63,10 +63,14 @@ object Dedup {
   }
 
   /** Jaccard similarity over distinct shingle sets, for candidate pairs only.
-    * Output is exact-integer intersection/union counts plus the ratio. */
+    * Output is exact-integer intersection/union counts plus the ratio.
+    * Pass `preDistincted = true` when `shingleDf` is already a set (e.g. a
+    * persisted staging table) to skip the dedup shuffle. */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame,
-                    idCol: String = "doc_id"): DataFrame = {
-    val distinctSh = shingleDf.select(col(idCol), col("shingle")).distinct()
+                    idCol: String = "doc_id",
+                    preDistincted: Boolean = false): DataFrame = {
+    val base = shingleDf.select(col(idCol), col("shingle"))
+    val distinctSh = if (preDistincted) base else base.distinct()
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     // shingle is part of the second join KEY — joining on doc_b alone and
     // filtering afterwards would materialize |pairs|·|shingles_b| rows

@@ -56,7 +56,7 @@ object AdvancedQueries extends graft.QueryModule {
   def docNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val meta = Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
-    Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimMillionths = 350000L)
+    SharedStages.nearDupPairs(s, dir)
       .join(broadcast(meta.select($"doc_id".as("vec_a"),
         $"lang".as("lang_a"), $"source".as("source_a"))), "vec_a")
       .join(broadcast(meta.select($"doc_id".as("vec_b"),

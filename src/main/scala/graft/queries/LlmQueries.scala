@@ -12,21 +12,11 @@ import org.apache.spark.sql.functions._
 object LlmQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
-  /** The shingle set is the shared intermediate of the whole MinHash/LSH
-    * pipeline (signatures, candidate generation, Jaccard verification all
-    * re-derive it). On a cluster you'd materialize it once as a staging
-    * table; the single-job analog is one persisted DataFrame per
-    * (session, dir) — Spark's CacheManager then plan-matches every reuse,
-    * so q31/q32/q33 each read the md5'd shingles instead of recomputing
-    * them up to 4×. Memoized so persist() is called once (re-persisting
-    * an already-cached plan just warns and rescans). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** See [[SharedStages.shingles]] — q31/q32/q33 (and the q58/q59 pipeline
+    * queries) all read the persisted shingle stage instead of recomputing
+    * the md5'd shingles up to 4×. */
   private def cachedShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir), { key =>
-      Dedup.shingles(Tables.documents(key._1, key._2))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    SharedStages.shingles(s, dir)
 
   // ---- dedup -------------------------------------------------------------
 
@@ -39,21 +29,23 @@ object LlmQueries extends graft.QueryModule {
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashSignatures(cachedShingles(s, dir), bands = 4)
+    // min-hash is duplicate-insensitive: signatures from the distinct set
+    // reuse the same persisted stage the Jaccard path needs anyway
+    Dedup.minhashSignatures(SharedStages.distinctShingles(s, dir), bands = 4)
       .orderBy($"doc_id", $"band")
   }
 
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Dedup.minhashSignatures(cachedShingles(s, dir), bands = 4)
+    val sigs = Dedup.minhashSignatures(SharedStages.distinctShingles(s, dir), bands = 4)
     Dedup.lshCandidates(sigs).orderBy($"doc_a", $"doc_b")
   }
 
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = cachedShingles(s, dir)
-    val sigs = Dedup.minhashSignatures(sh, bands = 4)
-    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), sh)
+    val dsh = SharedStages.distinctShingles(s, dir)
+    val sigs = Dedup.minhashSignatures(dsh, bands = 4)
+    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), dsh, preDistincted = true)
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -70,8 +62,7 @@ object LlmQueries extends graft.QueryModule {
 
   def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimMillionths = 350000L)
-      .orderBy($"vec_a", $"vec_b")
+    SharedStages.nearDupPairs(s, dir).orderBy($"vec_a", $"vec_b")
   }
 
   def lshBucketHistogram(s: SparkSession, dir: String): DataFrame = {
@@ -81,8 +72,9 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"bucket")
   }
 
-  /** LSH-bucketed ANN (rows-only: same quantized sims as q35 but restricted
-    * to the query's bucket — recall/speed tradeoff is the point). */
+  /** LSH-bucketed ANN: same quantized sims as q35 but restricted to the
+    * query's bucket — recall/speed tradeoff is the point. The md5-derived
+    * hyperplanes make the whole path oracle-checkable. */
   def lshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
@@ -306,6 +298,28 @@ object LlmQueries extends graft.QueryModule {
         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q43_lsh_topk" ->
+      """WITH coefs AS (
+        |  SELECT p, dim,
+        |    2 * ((instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 2, 1)) - 1)) - 255 AS coef
+        |  FROM (SELECT unnest(range(0, 8)) AS p) pl, (SELECT unnest(range(1, 65)) AS dim) dm
+        |), proj AS (
+        |  SELECT e.vec_id, c.p, sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.coef) AS proj
+        |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT b.vec_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM buckets b JOIN qb ON b.bucket = qb.bucket
+        |  JOIN embeddings e ON e.vec_id = b.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY b.vec_id)
+        |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
     "q45_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),

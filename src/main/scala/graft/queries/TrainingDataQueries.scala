@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline surface beyond dedup/similarity (SURVEY §2.9 EXT):
+  * reproducible stratified sampling, sequence packing, n-gram frequency,
+  * benchmark decontamination, PII-style redaction, and exact
+  * order-statistics. All deterministic and DuckDB-oracle-checked.
+  */
+object TrainingDataQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Reproducible stratified hash-sample (data-mixing): downsample the
+    * overrepresented strata, keep the rest. Pure per-row filter — no
+    * shuffle, no RNG state, identical at any scale/partitioning. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.stratified(Tables.documents(s, dir), "doc_id", "lang",
+      rates = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.1), defaultRate = 1.0)
+      .select($"doc_id", $"lang", $"h16")
+      .orderBy($"doc_id")
+  }
+
+  /** Fixed-capacity sequence packing: documents in deterministic shuffled
+    * order (md5 key) are laid head-to-tail per language; a pack boundary
+    * falls every 2048 tokens of running length. One window per language
+    * partition — packing a 100 TB corpus shards by (lang, date, …) so each
+    * partition's window sorts locally, never globally. */
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"lang",
+      size(split($"text", " ")).as("n_tok"),
+      md5($"doc_id".cast("string")).as("skey"))
+    val w = Window.partitionBy($"lang").orderBy($"skey", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor($"cum_before" / lit(2048.0)).cast("int"))
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"lang", $"pack_id")
+  }
+
+  /** Corpus n-gram frequency table (top-50 trigrams) — reads the shared
+    * persisted shingle stage; count ties broken lexicographically. */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SharedStages.shingles(s, dir)
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"shingle")
+      .limit(50)
+  }
+
+  /** Benchmark decontamination: per non-benchmark document, the fraction of
+    * its distinct trigrams that appear anywhere in the benchmark set
+    * (source src0). The benchmark shingle set is the join's small side; the
+    * corpus side streams through one hash join on the shingle key. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dsh = SharedStages.distinctShingles(s, dir)
+    val benchSh = dsh
+      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
+      .select($"shingle").distinct()
+    val evalSh = dsh
+      .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
+    val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val ov = evalSh.join(benchSh, "shingle")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    tot.join(ov, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+      .withColumn("overlap_frac", $"n_overlap".cast("double") / $"n_shingles")
+      .withColumn("contaminated", $"overlap_frac" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  /** PII-style redaction: digit runs replaced by a placeholder; emits the
+    * replacement count + a digest of the redacted text (not the text —
+    * the secret-stripping discipline of SURVEY §2.2 P6 applied to data). */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id",
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
+      md5(regexp_replace($"text", "[0-9]+", "<NUM>")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact order statistics per group (percentile_disc-style p50/p90 via
+    * row_number selection — no interpolation, engine-portable). */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val wc = Window.partitionBy($"l_returnflag")
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_extendedprice",
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n_rows"),
+        max(when($"rn" === floor(($"n" + 1) / lit(2.0)).cast("long"),
+          $"l_extendedprice")).as("p50"),
+        max(when($"rn" === ceil($"n" * lit(0.9)).cast("long"),
+          $"l_extendedprice")).as("p90"))
+      .orderBy($"l_returnflag")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q56_stratified_sample" -> stratifiedSample,
+    "q57_seq_packing" -> seqPacking,
+    "q58_ngram_freq" -> ngramFreq,
+    "q59_decontaminate" -> decontaminate,
+    "q60_redact" -> redact,
+    "q61_percentiles" -> percentiles)
+
+  private val h16Sql =
+    """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      | + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      | + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      | + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))""".stripMargin
+
+  private val shCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+      |  FROM t, (SELECT unnest(range(0, 512)) AS i) r
+      |  WHERE len(toks) >= 3 AND i <= len(toks) - 3
+      |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q56_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
+         |SELECT doc_id, lang, h16 FROM h
+         |WHERE h16 < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+         |                       WHEN 'de' THEN 0.1 ELSE 1.0 END) * 65536.0
+         |ORDER BY doc_id""".stripMargin,
+    "q57_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT lang, CAST(floor(cum_before / 2048.0) AS INTEGER) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    "q58_ngram_freq" -> (shCte +
+      "\nSELECT shingle, count(*) AS n FROM sh GROUP BY shingle ORDER BY n DESC, shingle LIMIT 50"),
+    "q59_decontaminate" -> (shCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM dsh
+        |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+        |eval AS (
+        |  SELECT dsh.doc_id, dsh.shingle FROM dsh
+        |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
+        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS contaminated
+        |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+    "q60_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+        | md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_rows,
+        |  max(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN l_extendedprice END) AS p90
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
