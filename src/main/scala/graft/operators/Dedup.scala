@@ -73,7 +73,10 @@ object Dedup {
     val distinctSh = if (preDistincted) base else base.distinct()
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     // shingle is part of the second join KEY — joining on doc_b alone and
-    // filtering afterwards would materialize |pairs|·|shingles_b| rows
+    // filtering afterwards would materialize |pairs|·|shingles_b| rows.
+    // All joins stay shuffle joins deliberately: the candidate-pair list is
+    // only bench-scale-small; at corpus scale it can be arbitrarily large,
+    // and AQE converts any genuinely-small side to broadcast at runtime.
     val inter = pairs
       .join(distinctSh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
       .join(distinctSh.select(col(idCol).as("doc_b"), col("shingle")),

@@ -108,7 +108,20 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch-based quantiles (KLL-style `percentile_approx`) beside the exact
+    * q61 — values are engine-specific by construction, so rows-only checked;
+    * ApproxQuantileSpec pins the error against the exact order statistics. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.9)), lit(10000))
+        .as("approx_p50_p90"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
     "q57_seq_packing" -> seqPacking,
     "q58_ngram_freq" -> ngramFreq,
