@@ -23,8 +23,10 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // min of three runs: the first pays cache/JIT warmup, and single-run
+    // noise on a shared host is ±15% — min-of-3 reports steady-state cost
     val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

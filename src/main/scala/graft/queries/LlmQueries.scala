@@ -29,23 +29,26 @@ object LlmQueries extends graft.QueryModule {
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // min-hash is duplicate-insensitive: signatures from the distinct set
-    // reuse the same persisted stage the Jaccard path needs anyway
-    Dedup.minhashSignatures(SharedStages.distinctShingles(s, dir), bands = 4)
+    // min is duplicate-insensitive — signatures read the raw shingle cache
+    // directly, no distinct exchange needed
+    Dedup.minhashSignatures(SharedStages.shingles(s, dir), bands = 4)
       .orderBy($"doc_id", $"band")
   }
 
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Dedup.minhashSignatures(SharedStages.distinctShingles(s, dir), bands = 4)
+    val sigs = Dedup.minhashSignatures(SharedStages.shingles(s, dir), bands = 4)
     Dedup.lshCandidates(sigs).orderBy($"doc_a", $"doc_b")
   }
 
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dsh = SharedStages.distinctShingles(s, dir)
-    val sigs = Dedup.minhashSignatures(dsh, bands = 4)
-    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), dsh, preDistincted = true)
+    val sh = SharedStages.shingles(s, dir)
+    val sigs = Dedup.minhashSignatures(sh, bands = 4)
+    // the verify's inline distinct appears three times in the plan (a-side,
+    // b-side, set sizes): ReuseExchange computes it once — measured faster
+    // than persisting the distinct relation and scanning it thrice
+    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), sh)
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }

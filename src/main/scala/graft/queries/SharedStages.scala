@@ -18,12 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SharedStages {
   private def memo(cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
                    s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir), _ =>
+    if (sys.env.contains("SPARK_GRAFT_NOCACHE")) build // dev A/B knob
+    else cache.computeIfAbsent((s, dir), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val distinctCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val nearDupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -33,11 +32,14 @@ object SharedStages {
   def shingles(s: SparkSession, dir: String): DataFrame =
     memo(shingleCache, s, dir)(Dedup.shingles(Tables.documents(s, dir)))
 
-  /** Distinct per-document shingle SET — the input of Jaccard intersection
-    * (used on both sides of the self-join plus the set-size aggregate) and
-    * decontamination; caching it saves the distinct's shuffle per reuse. */
+  /** Distinct per-document shingle SET. Deliberately NOT persisted: the
+    * distinct is an exchange over the cached shingles, and a consumer that
+    * uses it several times in one query (Jaccard touches it three times)
+    * gets ReuseExchange — measured faster than repeatedly scanning a cached
+    * 2.4M-row relation. Cache narrow/expensive outputs, recompute wide
+    * cheap exchanges. */
   def distinctShingles(s: SparkSession, dir: String): DataFrame =
-    memo(distinctCache, s, dir)(shingles(s, dir).distinct())
+    shingles(s, dir).distinct()
 
   /** Embedding near-dup pairs over the 0.35-similarity threshold — the
     * corpus×corpus scoring is the expensive stage, its output is tiny;
