@@ -67,11 +67,27 @@ object ExtraQueries extends graft.QueryModule {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist) —
+    * the one window family q8/q50 don't cover. */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" % 20 === 0)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "q47_sliding_window" -> slidingWindow,
     "q48_pivot" -> pivotCounts,
     "q49_null_funcs" -> nullFuncs,
-    "q50_window_extras" -> windowExtras)
+    "q50_window_extras" -> windowExtras,
+    "q63_window_distribution" -> windowDistribution)
 
   def oracles: Map[String, String] = Map(
     "q47_sliding_window" ->
@@ -99,6 +115,14 @@ object ExtraQueries extends graft.QueryModule {
         | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos_or_null,
         | (c_acctbal IS NULL OR c_acctbal < 0) AS is_missing_or_neg
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q63_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM orders WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q50_window_extras" ->
       """SELECT o_custkey, o_orderkey,
         | lead(o_orderkey, 1) OVER w AS next_orderkey,
