@@ -53,10 +53,29 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"event_id")
   }
 
+  /** F13 map surface: the reference walks JSONB headers as a key/value map
+    * (`src/cdc_webhook.c:59-94`) — here `props` parses to `map<string,int>`
+    * and a generator (explode) flattens entries for per-key aggregation.
+    * The oracle replays it via json_extract (this feed's maps are {"k": n};
+    * the Spark plan handles arbitrary keys). */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        explode(from_json($"props",
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+          .as(Seq("pkey", "pval")))
+      .groupBy($"event_type", $"pkey")
+      .agg(count(lit(1)).as("n"), sum($"pval").as("sum_val"),
+        min($"pval").as("min_val"), max($"pval").as("max_val"))
+      .orderBy($"event_type", $"pkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "q20_json_props" -> jsonProps,
     "q21_tumbling_daily" -> tumblingDaily,
-    "q23_queue_scan" -> queueScan)
+    "q23_queue_scan" -> queueScan,
+    "q64_map_funcs" -> mapFuncs)
 
   def oracles: Map[String, String] = Map(
     "q20_json_props" ->
@@ -69,6 +88,12 @@ object EventQueries extends graft.QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q64_map_funcs" ->
+      """SELECT event_type, 'k' AS pkey, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_val,
+        | min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_val,
+        | max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_val
+        |FROM events GROUP BY event_type ORDER BY event_type, pkey""".stripMargin,
     "q23_queue_scan" ->
       """SELECT event_id, status FROM (
         |  SELECT event_id,
