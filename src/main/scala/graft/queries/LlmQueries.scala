@@ -29,26 +29,21 @@ object LlmQueries extends graft.QueryModule {
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // min is duplicate-insensitive — signatures read the raw shingle cache
-    // directly, no distinct exchange needed
-    Dedup.minhashSignatures(SharedStages.shingles(s, dir), bands = 4)
-      .orderBy($"doc_id", $"band")
+    SharedStages.minhashSigs(s, dir).orderBy($"doc_id", $"band")
   }
 
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Dedup.minhashSignatures(SharedStages.shingles(s, dir), bands = 4)
-    Dedup.lshCandidates(sigs).orderBy($"doc_a", $"doc_b")
+    SharedStages.lshCandidates(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = SharedStages.shingles(s, dir)
-    val sigs = Dedup.minhashSignatures(sh, bands = 4)
     // the verify's inline distinct appears three times in the plan (a-side,
     // b-side, set sizes): ReuseExchange computes it once — measured faster
     // than persisting the distinct relation and scanning it thrice
-    Dedup.jaccardVerify(Dedup.lshCandidates(sigs), sh)
+    Dedup.jaccardVerify(SharedStages.lshCandidates(s, dir),
+      SharedStages.shingles(s, dir))
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }

@@ -41,6 +41,22 @@ object SharedStages {
   def distinctShingles(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir).distinct()
 
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** MinHash band signatures — 4 narrow rows per document, read by the
+    * signature listing, candidate generation, and Jaccard verification. */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    memo(sigCache, s, dir)(
+      Dedup.minhashSignatures(shingles(s, dir), bands = 4))
+
+  /** LSH candidate pairs — the banded self-join's output is one narrow row
+    * per candidate pair; q32 lists it and q33 verifies it. */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    memo(candCache, s, dir)(Dedup.lshCandidates(minhashSigs(s, dir)))
+
   /** Embedding near-dup pairs over the 0.35-similarity threshold — the
     * corpus×corpus scoring is the expensive stage, its output is tiny;
     * both the pair listing (q36) and the metadata join-back (q54) read it. */
