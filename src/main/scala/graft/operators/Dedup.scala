@@ -90,6 +90,50 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
   }
 
+  /** Connected-components clustering of candidate pairs — the terminal
+    * dedup step: every document gets its cluster's minimum id as
+    * representative (itself when it has no near-duplicates), so "keep one
+    * per cluster" is a filter on `doc == cluster_rep`.
+    *
+    * Iterative min-label propagation (BSP): each round, every node offers
+    * its current label to its neighbors and keeps the minimum seen. Rounds
+    * needed = graph diameter; near-dup clusters are dense and tiny, so this
+    * converges in 2-3 rounds regardless of corpus size. Each round is one
+    * shuffle of the (node, label) relation — there is no driver-side graph,
+    * and lineage is truncated per round (localCheckpoint; a production run
+    * on unreliable executors would use reliable checkpoint()) so the plan
+    * doesn't grow with iterations. Convergence test: Σ labels is strictly
+    * decreasing until the fixed point.
+    */
+  def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(true)
+    var labels = allDocs.select(col(idCol), col(idCol).cast("long").as("cluster_rep"))
+      .localCheckpoint(true)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_rep"))
+      .head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val offered = edges
+        .join(labels.withColumnRenamed(idCol, "s"), "s")
+        .select(col("d").as(idCol), col("cluster_rep"))
+      val next = labels.unionByName(offered)
+        .groupBy(col(idCol))
+        .agg(min("cluster_rep").as("cluster_rep"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("cluster_rep"))
+        .head().getLong(0)
+      converged = nextSum == sum
+      labels = next
+      sum = nextSum
+      i += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from md5 nibbles: each token contributes ±1 per bit
     * position (bits 0..15 = first 4 hex chars of md5(token)); the signature
     * bit is 1 where the sum is positive. Integer-only arithmetic ⇒ portable

@@ -53,6 +53,16 @@ object LlmQueries extends graft.QueryModule {
     Dedup.simhash16(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  /** Terminal dedup: LSH candidate pairs → connected components → one
+    * representative per duplicate cluster. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    Dedup.clusterPairs(docs, SharedStages.lshCandidates(s, dir))
+      .withColumn("is_rep", $"doc_id" === $"cluster_rep")
+      .orderBy($"doc_id")
+  }
+
   // ---- similarity --------------------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -148,7 +158,8 @@ object LlmQueries extends graft.QueryModule {
     "q41_lsh_buckets" -> lshBucketHistogram,
     "q42_multimodal_bytes" -> multimodalBytes,
     "q43_lsh_topk" -> lshTopK,
-    "q45_tfidf" -> tfidfTop)
+    "q45_tfidf" -> tfidfTop,
+    "q65_dup_clusters" -> dupClusters)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -296,6 +307,21 @@ object LlmQueries extends graft.QueryModule {
         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q65_dup_clusters" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |)
+        |SELECT doc AS doc_id, min(label) AS cluster_rep, doc = min(label) AS is_rep
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
     "q43_lsh_topk" ->
       """WITH coefs AS (
         |  SELECT p, dim,
