@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming event-log status machine via `mapGroupsWithState` — the
   * stateful-streaming realization of the queue contract the reference
@@ -64,5 +65,49 @@ object QueueStateMachine {
           state.update(cur)
           cur
         })
+  }
+
+  /** The same status machine on the `transformWithState` API (Spark 4's
+    * arbitrary-state v2): explicit named `ValueState`, RocksDB-backed —
+    * the forward path for production state (changelog checkpointing, state
+    * TTL per state variable rather than per key). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. */
+  def trackV2(spark: SparkSession, attempts: Dataset[Attempt],
+              retryNumber: Int): Dataset[QueueStatus] = {
+    import spark.implicits._
+    attempts
+      .groupByKey(_.event_id)
+      .transformWithState(new QueueStatusProcessor(retryNumber),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One `ValueState[QueueStatus]` per event id; fold identical to
+    * [[track]]'s. */
+  final class QueueStatusProcessor(retryNumber: Int)
+      extends StatefulProcessor[String, Attempt, QueueStatus] {
+    @transient private var state: ValueState[QueueStatus] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[QueueStatus](
+        "queueStatus", Encoders.product[QueueStatus], TTLConfig.NONE)
+
+    override def handleInputRows(id: String, rows: Iterator[Attempt],
+                                 timerValues: TimerValues): Iterator[QueueStatus] = {
+      var cur = if (state.exists()) state.get()
+                else QueueStatus(id, "PENDING", 0, Nil)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { a =>
+        if (cur.status == "PENDING") {
+          val n = cur.attempt_count + 1
+          val st =
+            if (success(a.http_status)) "DELIVERED"
+            else if (n > retryNumber) "FAILED"
+            else "PENDING"
+          cur = QueueStatus(id, st, n, cur.attempts_status :+ a.http_status)
+        }
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
   }
 }

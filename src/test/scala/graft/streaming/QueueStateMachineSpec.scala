@@ -44,6 +44,33 @@ class QueueStateMachineSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 API, RocksDB state) reaches the same statuses") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Attempt]
+    val tracked = QueueStateMachine.trackV2(spark, ms.toDS(), retryNumber = 1)
+    val q = tracked.writeStream.format("memory").queryName("qsm_v2")
+      .outputMode("update").start()
+    try {
+      ms.addData(Attempt("e1", ts(1), 500), Attempt("e2", ts(2), 204))
+      q.processAllAvailable()
+      ms.addData(Attempt("e1", ts(3), 200),
+        Attempt("e3", ts(4), 503), Attempt("e3", ts(5), 502))
+      q.processAllAvailable()
+      val m = lastByKey(spark.table("qsm_v2").as[QueueStatus].collect().toSeq)
+      assert(m("e1") == QueueStatus("e1", "DELIVERED", 2, Seq(500, 200)))
+      assert(m("e2") == QueueStatus("e2", "DELIVERED", 1, Seq(204)))
+      assert(m("e3") == QueueStatus("e3", "FAILED", 2, Seq(503, 502)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("attempts within a batch fold in timestamp order") {
     val ms = MemoryStream[Attempt]
     val tracked = QueueStateMachine.track(spark, ms.toDS(), retryNumber = 5)
