@@ -1,0 +1,51 @@
+package graft.queue
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dataset maintenance for streaming sinks.
+  *
+  * Every micro-batch of the capture/enqueue path appends one parquet file
+  * per partition (S2's `mode("append")` write) — after a day of 1-second
+  * triggers that is ~86k files, and scan planning starts to cost more than
+  * scanning. Periodic compaction rewrites a dataset directory into few
+  * right-sized files, preserving the partition layout (so the dispatcher's
+  * status pruning keeps working). Same snapshot-swap discipline as
+  * [[Dispatcher]]: write to a sibling dir, atomically move into place —
+  * a reader sees the old or the new snapshot, never a mix. A lakehouse
+  * table format (Delta/Iceberg OPTIMIZE) replaces this in production.
+  */
+object Maintenance {
+
+  /** Rewrite `dir` into `targetFilesPerPartition` files (per partition dir
+    * when `partitionCols` is non-empty). Returns the row count rewritten. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     partitionCols: Seq[String] = Nil,
+                     targetFilesPerPartition: Int = 1): Long = {
+    require(targetFilesPerPartition >= 1, "need at least one output file")
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val tmp = dir.stripSuffix("/") + ".compact"
+    val repartitioned =
+      if (partitionCols.nonEmpty)
+        df.repartition(targetFilesPerPartition,
+          partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(targetFilesPerPartition)
+    val writer = repartitioned.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    swap(tmp, dir)
+    n
+  }
+
+  private def swap(tmp: String, target: String): Unit = {
+    val t = Paths.get(target)
+    if (Files.exists(t)) {
+      Files.walk(t).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Files.move(Paths.get(tmp), t,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.queue
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(dir)
+    val it = Files.walk(p).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (it.hasNext) { val f = it.next(); if (f.toString.endsWith(".parquet")) out += f }
+    out.toSeq
+  }
+
+  test("compaction shrinks the file count and preserves rows + layout") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/q"
+    // simulate many micro-batch appends: 3 writes x 8 partitions
+    (1 to 3).foreach { b =>
+      (1 to 400).map(i => (s"e$b-$i", if (i % 2 == 0) "PENDING" else "DELIVERED"))
+        .toDF("event_id", "status")
+        .repartition(8).write.mode("append").partitionBy("status").parquet(dir)
+    }
+    val before = parquetFiles(dir).size
+    val rows = Maintenance.compactParquet(spark, dir,
+      partitionCols = Seq("status"), targetFilesPerPartition = 1)
+    val after = parquetFiles(dir).size
+    assert(rows == 1200)
+    assert(before > 8 && after <= 2, s"files before=$before after=$after")
+    val re = spark.read.parquet(dir)
+    assert(re.count() == 1200)
+    // partition layout survives → status pruning still works
+    val scan = re.filter($"status" === "PENDING").queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("PENDING"))
+    assert(re.filter($"status" === "PENDING").count() == 600)
+  }
+}
