@@ -57,8 +57,7 @@ object LlmQueries extends graft.QueryModule {
     * representative per duplicate cluster. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id")
-    Dedup.clusterPairs(docs, SharedStages.lshCandidates(s, dir))
+    SharedStages.dupClusters(s, dir)
       .withColumn("is_rep", $"doc_id" === $"cluster_rep")
       .orderBy($"doc_id")
   }

@@ -57,6 +57,18 @@ object SharedStages {
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
     memo(candCache, s, dir)(Dedup.lshCandidates(minhashSigs(s, dir)))
 
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Connected-components labels over the LSH candidate graph — one narrow
+    * row per document, produced by an iterative job (several rounds of
+    * tiny shuffles whose cost is scheduling, not data). */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    memo(clusterCache, s, dir)(
+      Dedup.clusterPairs(
+        Tables.documents(s, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+        lshCandidates(s, dir)))
+
   /** Embedding near-dup pairs over the 0.35-similarity threshold — the
     * corpus×corpus scoring is the expensive stage, its output is tiny;
     * both the pair listing (q36) and the metadata join-back (q54) read it. */
