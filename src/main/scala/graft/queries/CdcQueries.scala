@@ -93,6 +93,30 @@ object CdcQueries extends graft.QueryModule {
         col("event.data.old").as("old_json"), col("event.data.new").as("new_json"))
   }
 
+  /** P3/P4 hash-checked: the envelope made fully deterministic — id is a
+    * content hash instead of uuid(), created_at pinned, and the JSON row
+    * images restricted to the never-null columns (Spark's to_json omits
+    * null struct fields where DuckDB emits "f":null — excluding nullable
+    * fields makes the JSON text byte-identical across engines). q12 keeps
+    * the faithful uuid()/now() envelope as rows-only. */
+  def envelopeDeterministic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val diff = SnapshotDiff.diff(oldSnap(s, dir), newSnap(s, dir), Seq("c_custkey"))
+    diff.select(
+      md5(concat_ws("|", lit("customer"), $"op", $"c_custkey")).as("id"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("created_at"),
+      lit("public").as("table_schema"), lit("customer").as("table_name"),
+      lit("customer_all_ops").as("trigger_name"), lit("AFTER").as("timing"),
+      $"op",
+      when($"op" === "INSERT", lit(null).cast("string"))
+        .otherwise(to_json(struct($"old.c_custkey", $"old.c_name", $"old.c_nationkey")))
+        .as("old_json"),
+      when($"op" === "DELETE", lit(null).cast("string"))
+        .otherwise(to_json(struct($"new.c_custkey", $"new.c_name", $"new.c_nationkey")))
+        .as("new_json"))
+      .orderBy($"id")
+  }
+
   private val diffSql =
     """WITH old_snap AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
@@ -125,7 +149,8 @@ object CdcQueries extends graft.QueryModule {
   def queries: Map[String, Q] = Map(
     "q10_cdc_snapshot_diff" -> diffOps,
     "q11_cdc_capture_gate" -> captureGate,
-    "q12_cdc_envelope" -> envelopeProject)
+    "q12_cdc_envelope" -> envelopeProject,
+    "q66_envelope_det" -> envelopeDeterministic)
 
   def oracles: Map[String, String] = Map(
     "q10_cdc_snapshot_diff" -> (diffSql +
@@ -135,5 +160,41 @@ object CdcQueries extends graft.QueryModule {
         |SELECT c_custkey, op, old_acctbal, new_acctbal FROM diff
         |WHERE op IN ('INSERT','UPDATE')
         |  AND (op <> 'UPDATE' OR old_acctbal IS DISTINCT FROM new_acctbal)
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin),
+    "q66_envelope_det" ->
+      """WITH old_snap AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |), new_snap AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |         CASE WHEN c_custkey % 4 = 0 THEN 'MOVED'
+        |              WHEN c_custkey % 11 = 0 THEN NULL
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |), j AS (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+        |         CASE WHEN o.c_custkey IS NULL THEN 'INSERT'
+        |              WHEN n.c_custkey IS NULL THEN 'DELETE'
+        |              ELSE 'UPDATE' END AS op,
+        |         o.c_custkey AS o_ck, o.c_name AS o_name, o.c_nationkey AS o_nk,
+        |         n.c_custkey AS n_ck, n.c_name AS n_name, n.c_nationkey AS n_nk,
+        |         (o.c_name IS DISTINCT FROM n.c_name
+        |          OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+        |          OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |          OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) AS changed
+        |  FROM old_snap o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+        |), d AS (SELECT * FROM j WHERE op <> 'UPDATE' OR changed)
+        |SELECT md5('customer|' || op || '|' || CAST(k AS VARCHAR)) AS id,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |  'public' AS table_schema, 'customer' AS table_name,
+        |  'customer_all_ops' AS trigger_name, 'AFTER' AS timing, op,
+        |  CASE WHEN op = 'INSERT' THEN NULL
+        |       ELSE CAST(to_json(struct_pack(c_custkey := o_ck, c_name := o_name,
+        |                                     c_nationkey := o_nk)) AS VARCHAR) END AS old_json,
+        |  CASE WHEN op = 'DELETE' THEN NULL
+        |       ELSE CAST(to_json(struct_pack(c_custkey := n_ck, c_name := n_name,
+        |                                     c_nationkey := n_nk)) AS VARCHAR) END AS new_json
+        |FROM d ORDER BY id""".stripMargin)
 }
