@@ -89,6 +89,30 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic weighted data-mixture ordering: each source's documents
+    * are ranked by content hash, then stride-interleaved so a source with
+    * weight w contributes ~w docs per w+1 of anyone else's — the "mixture
+    * ratios" stage of a training-data pipeline, with no RNG. The global
+    * sort is the semantic (a training order IS a total order); at corpus
+    * scale the same key feeds `sortWithinPartitions` per output shard. */
+  def dataMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Map("src0" -> 3.0, "src1" -> 2.0)
+    val weight = weights.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when($"source" === k, lit(v)).otherwise(acc)
+    }
+    val perSource = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        row_number().over(perSource).cast("double").as("rnk"))
+      .withColumn("mix_key", ($"rnk" - 0.5) / weight)
+      .withColumn("mix_position",
+        row_number().over(Window.orderBy($"mix_key", $"source", $"doc_id")))
+      .select($"mix_position", $"doc_id", $"source")
+      .orderBy($"mix_position")
+  }
+
   /** Exact order statistics per group (percentile_disc-style p50/p90 via
     * row_number selection — no interpolation, engine-portable). */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -127,7 +151,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q58_ngram_freq" -> ngramFreq,
     "q59_decontaminate" -> decontaminate,
     "q60_redact" -> redact,
-    "q61_percentiles" -> percentiles)
+    "q61_percentiles" -> percentiles,
+    "q67_data_mixture" -> dataMixture)
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -187,6 +212,20 @@ object TrainingDataQueries extends graft.QueryModule {
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
         | md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_data_mixture" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE) AS rnk
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    (rnk - 0.5) / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |                   ELSE 1.0 END) AS mix_key
+        |  FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY mix_key, source, doc_id) AS INTEGER) AS mix_position,
+        |  doc_id, source
+        |FROM k ORDER BY mix_position""".stripMargin,
     "q61_percentiles" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_extendedprice,
