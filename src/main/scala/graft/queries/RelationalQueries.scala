@@ -171,6 +171,33 @@ object RelationalQueries extends graft.QueryModule {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** q3 re-planned with eager aggregation: lineitem revenue pre-aggregates
+    * per order BEFORE joining (a rewrite Catalyst does not apply itself),
+    * shrinking the big shuffle from one row per lineitem to one per order —
+    * the difference between shuffling 100 TB and 25 TB at the north-star
+    * scale. Result is identical to q3 (same oracle text). */
+  def joinMultiwayPreAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revPerOrder = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .as("rev"),
+        count(lit(1)).as("items"))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(revPerOrder, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(sum($"rev").cast("double").as("revenue"),
+        sum($"items").as("n_items"))
+      .orderBy($"n_name")
+  }
+
   /** GROUPING SETS (A4): per-status and per-priority marginals + grand total
     * in one pass (Catalyst Expand → single shuffle). */
   def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
@@ -217,13 +244,24 @@ object RelationalQueries extends graft.QueryModule {
     "q27_topn_global" -> topNGlobal,
     "q28_approx_distinct" -> approxDistinct,
     "q44_grouping_sets" -> groupingSetsAgg,
-    "q46_topk_aggregator" -> topkViaAggregator)
+    "q46_topk_aggregator" -> topkViaAggregator,
+    "q68_preagg_join" -> joinMultiwayPreAgg)
 
   /** DuckDB-side mirror of Determinism.dsum. */
   private def dsumSql(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
   def oracles: Map[String, String] = Map(
     "q3_join_multiway" ->
+      s"""SELECT n_name,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         | count(*) AS n_items
+         |FROM customer, orders, lineitem, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q68_preagg_join" ->
       s"""SELECT n_name,
          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          | count(*) AS n_items
