@@ -66,6 +66,23 @@ object AdvancedQueries extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Salted skew join in the oracle battery: events (user_id is the skewed
+    * key in any real feed) joined to a small user-attribute dim through
+    * [[graft.operators.SkewJoin]] — result provably identical to the plain
+    * join, but the hot key fans over 8 buckets. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import Determinism._
+    val userDim = Tables.events(s, dir)
+      .select($"user_id").distinct()
+      .withColumn("cohort", ($"user_id" % 4).cast("int"))
+    graft.operators.SkewJoin.salted(
+      Tables.events(s, dir), userDim, "user_id", $"event_id", buckets = 8)
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"cohort")
+  }
+
   /** Batch CDC-apply (S5/J2 closure): a deterministic change feed (deletes,
     * two generations of updates, inserts) merged into the customer snapshot
     * via [[Merge.applyChanges]] — last change per key wins by ts. */
@@ -100,7 +117,8 @@ object AdvancedQueries extends graft.QueryModule {
     "q52_range_band" -> rangeBandJoin,
     "q53_ivf_topk" -> ivfTopK,
     "q54_doc_neardup" -> docNearDup,
-    "q55_cdc_apply" -> cdcApply)
+    "q55_cdc_apply" -> cdcApply,
+    "q69_salted_join" -> saltedJoin)
 
   def oracles: Map[String, String] = Map(
     "q51_asof_join" ->
@@ -158,6 +176,12 @@ object AdvancedQueries extends graft.QueryModule {
         |JOIN documents db ON db.doc_id = d.doc_b
         |WHERE floor(dot * 1000000) >= 350000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q69_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 4 AS INTEGER) AS cohort FROM events)
+        |SELECT cohort, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q55_cdc_apply" ->
       """WITH changes AS (
         |  SELECT c_custkey, 'DELETE' AS op,
