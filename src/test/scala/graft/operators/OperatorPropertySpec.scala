@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the round-2 operators against brute-force Scala
+  * models: the as-of join (easy to get the boundary/tie/missing-key cases
+  * wrong) and CDC-apply (last-write-wins map semantics). Raw ScalaCheck
+  * runner, same pattern as [[graft.PropertySpecs]]. */
+class OperatorPropertySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("AsOfJoin.backward equals the brute-force latest-at-or-before model") {
+    val genLeft = Gen.listOfN(25,
+      for { k <- Gen.choose(0, 4); t <- Gen.choose(0L, 50L) } yield (k, t))
+    val genRight = Gen.listOfN(25,
+      for { k <- Gen.choose(0, 4); t <- Gen.choose(0L, 50L) } yield (k, t))
+    check(Prop.forAll(genLeft, genRight) { (ls, rs) =>
+      // unique (key, ts) on the right — the operator's documented precondition
+      val rClean = rs.distinctBy(r => (r._1, r._2))
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, s"k$k", ts(t)) }
+        .toDF("lid", "k", "t")
+      val right = rClean.zipWithIndex
+        .map { case ((k, t), i) => (s"k$k", ts(t), i.toLong) }
+        .toDF("k", "rt", "rid")
+      val got = AsOfJoin.backward(left, right, "k", "t", "rt")
+        .select($"lid", $"matched.rid".as("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      val model = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rClean.zipWithIndex
+          .filter { case ((rk, rtm), _) => rk == k && rtm <= t }
+        val best = if (cands.isEmpty) None
+                   else Some(cands.maxBy { case ((_, rtm), _) => rtm }._2.toLong)
+        i.toLong -> best
+      }.toMap
+      got == model
+    })
+  }
+
+  test("Merge.applyChanges equals the last-write-wins map model") {
+    val genSnap = Gen.listOfN(12, Gen.choose(0, 9)).map(_.distinct)
+    val genChanges = Gen.listOfN(18, for {
+      k <- Gen.choose(0, 14)
+      t <- Gen.choose(0L, 30L)
+      op <- Gen.oneOf("INSERT", "UPDATE", "DELETE")
+      v <- Gen.choose(0, 999)
+    } yield (k, t, op, v))
+    check(Prop.forAll(genSnap, genChanges) { (snapKeys, chs) =>
+      // unique (key, ts) — the window's deterministic-winner precondition
+      val changes = chs.distinctBy(c => (c._1, c._2))
+      val snapshot = snapKeys.map(k => (k.toLong, k * 10)).toDF("k", "v")
+      val changeDf = changes
+        .map { case (k, t, op, v) => (k.toLong, op, ts(t), v) }
+        .toDF("k", "op", "ts", "v")
+      val got = Merge.applyChanges(snapshot, changeDf, Seq("k"), "ts", "op")
+        .as[(Long, Int)].collect().toMap
+      val model = changes.groupBy(_._1).foldLeft(
+        snapKeys.map(k => k.toLong -> k * 10).toMap) {
+        case (acc, (k, versions)) =>
+          val (_, _, op, v) = versions.maxBy { case (_, t, o, _) => (t, o) }
+          if (op == "DELETE") acc - k.toLong else acc + (k.toLong -> v)
+      }
+      got == model
+    })
+  }
+}
