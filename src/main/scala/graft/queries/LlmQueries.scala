@@ -53,6 +53,25 @@ object LlmQueries extends graft.QueryModule {
     Dedup.simhash16(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  /** Character-level verification beside the token-level Jaccard (q33):
+    * exact Levenshtein distance over the candidates' leading 80 chars —
+    * the cheap second opinion fuzzy-dedup pipelines run before dropping a
+    * near-duplicate. Cost is |pairs|·O(80²), confined to the LSH candidate
+    * set exactly like q33. */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val texts = Tables.documents(s, dir)
+      .select($"doc_id", substring($"text", 1, 80).as("prefix"))
+    SharedStages.lshCandidates(s, dir)
+      .join(texts.select($"doc_id".as("doc_a"), $"prefix".as("pa")), "doc_a")
+      .join(texts.select($"doc_id".as("doc_b"), $"prefix".as("pb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"pa", $"pb").as("edit_dist"),
+        (lit(1.0) - levenshtein($"pa", $"pb").cast("double") /
+          greatest(length($"pa"), length($"pb"))).as("char_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Terminal dedup: LSH candidate pairs → connected components → one
     * representative per duplicate cluster. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -158,7 +177,8 @@ object LlmQueries extends graft.QueryModule {
     "q42_multimodal_bytes" -> multimodalBytes,
     "q43_lsh_topk" -> lshTopK,
     "q45_tfidf" -> tfidfTop,
-    "q65_dup_clusters" -> dupClusters)
+    "q65_dup_clusters" -> dupClusters,
+    "q70_edit_distance" -> editDistance)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -306,6 +326,20 @@ object LlmQueries extends graft.QueryModule {
         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q70_edit_distance" -> (shingleCte +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), tx AS (SELECT doc_id, substring(text, 1, 80) AS prefix FROM documents)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(levenshtein(ta.prefix, tb.prefix) AS INTEGER) AS edit_dist,
+        |  1.0 - CAST(levenshtein(ta.prefix, tb.prefix) AS DOUBLE)
+        |        / greatest(length(ta.prefix), length(tb.prefix)) AS char_sim
+        |FROM cand c
+        |JOIN tx ta ON ta.doc_id = c.doc_a
+        |JOIN tx tb ON tb.doc_id = c.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q65_dup_clusters" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
