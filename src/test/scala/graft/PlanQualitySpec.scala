@@ -53,4 +53,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q35_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("q56: hash sampling is a pure scan-side filter — zero exchanges before sort") {
+    val p = plan("q56_stratified_sample")
+    // the only exchange allowed is the final presentation sort's range partitioning
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("Join"))
+  }
+
+  test("q68: revenue aggregation sits below the order join (eager agg)") {
+    val p = plan("q68_preagg_join")
+    // partial+final pre-aggregation on l_orderkey appears under the join
+    assert(p.contains("hashpartitioning(l_orderkey"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4) // pre-agg + final agg, each 2-phase
+  }
+
+  test("q51: as-of join is union + one window, never a non-equi join") {
+    val p = plan("q51_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
