@@ -71,11 +71,31 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"event_type", $"pkey")
   }
 
+  /** Time-series gap fill: a generated date spine (sequence + explode — the
+    * generator surface, F8) left-joins the per-day error counts so days
+    * with no errors surface as explicit zeros. The spine derives from the
+    * feed's own min/max (broadcast scalar aggregate), so the query needs no
+    * external calendar at any scale. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(min($"ts").cast("date").as("d0"), max($"ts").cast("date").as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = ev.filter($"event_type" === "error")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_err"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n_err", lit(0L)).as("n_errors"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, Q] = Map(
     "q20_json_props" -> jsonProps,
     "q21_tumbling_daily" -> tumblingDaily,
     "q23_queue_scan" -> queueScan,
-    "q64_map_funcs" -> mapFuncs)
+    "q64_map_funcs" -> mapFuncs,
+    "q71_gap_fill" -> gapFill)
 
   def oracles: Map[String, String] = Map(
     "q20_json_props" ->
@@ -88,6 +108,15 @@ object EventQueries extends graft.QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q71_gap_fill" ->
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_err
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT s.day, CAST(coalesce(d.n_err, 0) AS BIGINT) AS n_errors
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin,
     "q64_map_funcs" ->
       """SELECT event_type, 'k' AS pkey, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_val,
