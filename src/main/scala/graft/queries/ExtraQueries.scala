@@ -82,7 +82,23 @@ object ExtraQueries extends graft.QueryModule {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** The correlated-scalar-aggregate pattern decorrelated: customers above
+    * their own segment's average balance. One window over the segment
+    * partition replaces the per-row subquery (exact DECIMAL sum / count so
+    * the average is partition-order-independent). */
+  def aboveSegmentAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+    Tables.customer(s, dir)
+      .withColumn("seg_avg",
+        (sum(dec($"c_acctbal")).over(w).cast("double") / count(lit(1)).over(w)))
+      .filter($"c_acctbal" > $"seg_avg")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal", $"seg_avg")
+      .orderBy($"c_custkey")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q72_above_avg" -> aboveSegmentAvg,
     "q47_sliding_window" -> slidingWindow,
     "q48_pivot" -> pivotCounts,
     "q49_null_funcs" -> nullFuncs,
@@ -115,6 +131,14 @@ object ExtraQueries extends graft.QueryModule {
         | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos_or_null,
         | (c_acctbal IS NULL OR c_acctbal < 0) AS is_missing_or_neg
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q72_above_avg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, seg_avg FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |      / count(*) OVER w AS seg_avg
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment))
+        |WHERE c_acctbal > seg_avg ORDER BY c_custkey""".stripMargin,
     "q63_window_distribution" ->
       """SELECT o_orderpriority, o_orderkey,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
