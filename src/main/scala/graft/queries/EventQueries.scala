@@ -90,12 +90,30 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"day")
   }
 
+  /** New-vs-returning cohorts: each event classified against its user's
+    * first-seen day (min ts over the user partition) — daily active users
+    * split by cohort, the standard product-analytics rollup. One shuffle on
+    * user for the window, one for the daily aggregate. */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .withColumn("first_day", min($"ts".cast("date")).over(w))
+      .withColumn("day", $"ts".cast("date"))
+      .withColumn("cohort",
+        when($"day" === $"first_day", "new").otherwise("returning"))
+      .groupBy($"day", $"cohort")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy($"day", $"cohort")
+  }
+
   def queries: Map[String, Q] = Map(
     "q20_json_props" -> jsonProps,
     "q21_tumbling_daily" -> tumblingDaily,
     "q23_queue_scan" -> queueScan,
     "q64_map_funcs" -> mapFuncs,
-    "q71_gap_fill" -> gapFill)
+    "q71_gap_fill" -> gapFill,
+    "q73_new_vs_returning" -> newVsReturning)
 
   def oracles: Map[String, String] = Map(
     "q20_json_props" ->
@@ -108,6 +126,14 @@ object EventQueries extends graft.QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q73_new_vs_returning" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+        |  FROM events)
+        |SELECT day, CASE WHEN day = first_day THEN 'new' ELSE 'returning' END AS cohort,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY day, cohort""".stripMargin,
     "q71_gap_fill" ->
       """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
         |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
