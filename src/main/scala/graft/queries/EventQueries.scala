@@ -107,7 +107,28 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"day", $"cohort")
   }
 
+  /** Conversion funnel: per signup day, how many signed-up users purchased
+    * within 7 days. Two filtered aggregates co-partitioned on user, one
+    * equi-join — no event-to-event cross product. */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .withColumn("converted",
+        $"purchase_ts" >= $"signup_ts" &&
+          $"purchase_ts" <= $"signup_ts" + expr("interval 7 days"))
+      .groupBy($"signup_ts".cast("date").as("signup_day"))
+      .agg(countDistinct($"user_id").as("n_signups"),
+        countDistinct(when($"converted", $"user_id")).as("n_converted"))
+      .orderBy($"signup_day")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q74_funnel" -> conversionFunnel,
     "q20_json_props" -> jsonProps,
     "q21_tumbling_daily" -> tumblingDaily,
     "q23_queue_scan" -> queueScan,
@@ -126,6 +147,20 @@ object EventQueries extends graft.QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q74_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT s.user_id, s.signup_ts,
+        |    (p.purchase_ts >= s.signup_ts AND
+        |     p.purchase_ts <= s.signup_ts + INTERVAL 7 DAY) AS converted
+        |  FROM s LEFT JOIN p ON p.user_id = s.user_id)
+        |SELECT CAST(signup_ts AS DATE) AS signup_day,
+        |  count(DISTINCT user_id) AS n_signups,
+        |  count(DISTINCT CASE WHEN converted THEN user_id END) AS n_converted
+        |FROM j GROUP BY 1 ORDER BY signup_day""".stripMargin,
     "q73_new_vs_returning" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
