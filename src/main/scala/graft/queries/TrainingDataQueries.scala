@@ -137,10 +137,15 @@ object TrainingDataQueries extends graft.QueryModule {
     * ApproxQuantileSpec pins the error against the exact order statistics. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Scalar columns (not one array column): the driver's rows-only
+    // comparator sorts cell values, which arrays break.
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.9)), lit(10000))
-        .as("approx_p50_p90"))
+        .as("qs"))
+      .select($"l_returnflag",
+        element_at($"qs", 1).as("approx_p50"),
+        element_at($"qs", 2).as("approx_p90"))
       .orderBy($"l_returnflag")
   }
 

@@ -15,10 +15,10 @@ class ApproxQuantileSpec extends AnyFunSuite with SparkTestSession {
       .select($"l_returnflag", $"p50", $"p90")
       .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val approx = TrainingDataQueries.approxQuantiles(spark, dir)
-      .select($"l_returnflag", $"approx_p50_p90")
-      .as[(String, Seq[Double])].collect()
+      .select($"l_returnflag", $"approx_p50", $"approx_p90")
+      .as[(String, Double, Double)].collect()
     assert(approx.nonEmpty && approx.length == exact.size)
-    approx.foreach { case (flag, Seq(a50, a90)) =>
+    approx.foreach { case (flag, a50, a90) =>
       val (e50, e90) = exact(flag)
       assert(math.abs(a50 - e50) / e50 < 0.01, s"$flag p50: $a50 vs $e50")
       assert(math.abs(a90 - e90) / e90 < 0.01, s"$flag p90: $a90 vs $e90")
