@@ -70,4 +70,47 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(scan.contains("PartitionFilters") && scan.contains("PENDING"))
     assert(due.count() == 2)
   }
+
+  private def queueRow(id: String, status: String, dueAt: Long) =
+    graft.queue.EventLog.QueueRow(
+      id = id, trigger_schema = "public", trigger_table = "t",
+      trigger_name = "tr", webhook_url = "http://127.0.0.1:1/hook",
+      headers = "{}", payload = "{}", timeout = 10, status = status,
+      attempt_count = 0, attempts_time = Seq.empty, attempts_status = Seq.empty,
+      attempts_response = Seq.empty,
+      next_attempt = new java.sql.Timestamp(dueAt), retry_number = 2,
+      retry_interval = 2, retry_backoff = "EXPONENTIAL",
+      created_at = new java.sql.Timestamp(dueAt))
+
+  test("dispatcher cycle scan partition-prunes to status=PENDING and pushes next_attempt") {
+    val dir = tmp("graft_queue_prune") + "/q"
+    val t0 = 1700000000000L
+    Seq(queueRow("e1", "PENDING", t0), queueRow("e2", "DELIVERED", t0),
+      queueRow("e3", "FAILED", t0), queueRow("e4", "PENDING", t0 + 60000))
+      .toDS().write.partitionBy("status").parquet(dir)
+    val due = graft.queue.Dispatcher.dueScan(spark, dir, new java.sql.Timestamp(t0))
+    val scan = due.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("PENDING"),
+      s"due scan must prune on the status partition:\n$scan")
+    assert(scan.contains("PushedFilters") && scan.contains("next_attempt"),
+      s"next_attempt predicate must push to the parquet reader:\n$scan")
+    assert(due.count() == 1)
+  }
+
+  test("dispatcher cycle never reads terminal partitions (poisoned DELIVERED ignored)") {
+    val dir = tmp("graft_queue_poison") + "/q"
+    val t0 = 1700000000000L
+    // A delivered row, then its file replaced by garbage: any scan touching
+    // status=DELIVERED would throw. The cycle must not.
+    Seq(queueRow("e1", "DELIVERED", t0), queueRow("e2", "PENDING", t0 + 60000))
+      .toDS().write.partitionBy("status").parquet(dir)
+    val deliveredDir = java.nio.file.Paths.get(dir, "status=DELIVERED")
+    Files.list(deliveredDir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .forEach(p => Files.write(p, "not parquet".getBytes))
+    val stats = graft.queue.Dispatcher.runOnce(spark, dir,
+      now = new java.sql.Timestamp(t0)) // nothing due → no HTTP attempted
+    assert(stats.due == 0)
+    assert(graft.queue.Dispatcher.hasPending(spark, dir))
+    assert(graft.queue.Dispatcher.pendingScan(spark, dir).count() == 1)
+  }
 }
