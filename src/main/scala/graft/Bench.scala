@@ -10,12 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Noop sink, not count(): a count lets Catalyst drop unused projections
+    // and sorts, so projection-heavy queries would be timed as bare scans.
+    // The noop writer consumes every row of the full result instead.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JVM + whole-stage-codegen warmup on the tiny SF (excluded from timings)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // min of two runs: steady-state per-query cost, not JIT/GC noise
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // dev knob: SPARK_GRAFT_ONLY=q32,q33 times a subset (driver leaves it unset)
