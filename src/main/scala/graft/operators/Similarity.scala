@@ -45,14 +45,74 @@ object Similarity {
   }
 
   /** All near-duplicate pairs above a quantized similarity threshold.
-    * Brute-force pair join — correct baseline; use [[lshBuckets]] to confine
-    * the join at corpus scale. */
+    * Brute-force all-pairs join — the EXACT answer, O(n²) by definition.
+    * Kept as the small-N verifier that recall specs measure
+    * [[lshNearDupPairs]] against; never wired to a battery query (an exact
+    * loose-threshold pair join does not survive corpus scale, and no
+    * candidate scheme can fix that — see the recall table on
+    * [[lshNearDupPairs]]). */
   def nearDupPairs(emb: DataFrame, minSimMillionths: Long,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        quantize(GraftFunctions.vecDot(emb.sparkSession, col("va"), col("vb"))).as("sim_q"))
+      .filter(col("sim_q") >= minSimMillionths)
+  }
+
+  /** Per-band LSH signatures: (id, band, bucket), one row per vector×band.
+    * Band b's bucket packs hyperplane bits [b·w, (b+1)·w) — same md5-derived
+    * planes as [[lshBuckets]], so the oracle replays the bucketing exactly. */
+  def lshBandSignatures(emb: DataFrame, planes: Int = 16, bandWidth: Int = 4,
+                        dims: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(planes % bandWidth == 0, "planes must divide into equal bands")
+    val spark = emb.sparkSession
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val c = (1 to dims).map(d => planeCoef(p, d)).toArray
+      when(GraftFunctions.vecDot(spark, col(vecCol), typedLit(c)) > 0, lit(1))
+        .otherwise(lit(0))
+    }
+    val bands = (0 until planes / bandWidth).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bandWidth).map(j => bits(b * bandWidth + j) * lit(1 << j))
+          .reduce(_ + _).cast("int").as("bucket"))
+    }
+    emb.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Approximate near-dup pairs: multi-band hyperplane-LSH candidates,
+    * exact-rescored — the shape 100 TB semantic dedup actually runs
+    * (candidates from an equi-join on (band, bucket); exact scoring confined
+    * to candidates; work Σ_band Σ_bucket n_b², never n²).
+    *
+    * Recall is a tunable, and it is honest to state what it is NOT: at a
+    * loose threshold over near-random embeddings no sublinear candidate
+    * scheme keeps recall 1. Measured on this repo's test embeddings at
+    * threshold 0.35 (pairs sit at sim 0.35-0.45, i.e. the random tail):
+    * 1 band × 8 planes → 2% recall; 4×4 → 47%; 8×2 → 98% but ~2n²
+    * candidates (no pruning); 16 IVF cells → 24% at 6% candidates. Real
+    * pipelines either accept recall < 1 (semantic-dedup practice) or
+    * tighten the threshold to true near-dup range (≥0.9), where banding is
+    * simultaneously selective AND high-recall. The operator is therefore
+    * verified two ways: the battery query hash-matches a DuckDB oracle that
+    * replays bands+rescore bit-for-bit, and SimilaritySpec proves recall = 1
+    * against [[nearDupPairs]] on a corpus with genuine near-duplicates. */
+  def lshNearDupPairs(emb: DataFrame, minSimMillionths: Long,
+                      planes: Int = 16, bandWidth: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigs = lshBandSignatures(emb, planes, bandWidth, idCol = idCol, vecCol = vecCol)
+    val a = sigs.select(col(idCol).as("vec_a"), col("band"), col("bucket"))
+    val b = sigs.select(col(idCol).as("vec_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
+      .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         quantize(GraftFunctions.vecDot(emb.sparkSession, col("va"), col("vb"))).as("sim_q"))
       .filter(col("sim_q") >= minSimMillionths)

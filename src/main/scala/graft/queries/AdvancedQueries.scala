@@ -161,21 +161,17 @@ object AdvancedQueries extends graft.QueryModule {
         |  JOIN embeddings e ON e.vec_id = a.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
         |  GROUP BY a.vec_id)
         |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
-    "q54_doc_neardup" ->
-      """WITH d AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |    sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot
-        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 65)) AS i) r
-        |  WHERE a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id)
-        |SELECT d.doc_a, d.doc_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q,
+    "q54_doc_neardup" -> (LlmQueries.lshNearDupCte +
+      """
+        |SELECT d.vec_a AS doc_a, d.vec_b AS doc_b,
+        |  CAST(floor(dot * 1000000) AS BIGINT) AS sim_q,
         |  da.lang AS lang_a, db.lang AS lang_b,
         |  da.source = db.source AS same_source
         |FROM d
-        |JOIN documents da ON da.doc_id = d.doc_a
-        |JOIN documents db ON db.doc_id = d.doc_b
+        |JOIN documents da ON da.doc_id = d.vec_a
+        |JOIN documents db ON db.doc_id = d.vec_b
         |WHERE floor(dot * 1000000) >= 350000
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q69_salted_join" ->
       """WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 4 AS INTEGER) AS cohort FROM events)
         |SELECT cohort, count(*) AS n_events,

@@ -12,12 +12,6 @@ import org.apache.spark.sql.functions._
 object LlmQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
-  /** See [[SharedStages.shingles]] — q31/q32/q33 (and the q58/q59 pipeline
-    * queries) all read the persisted shingle stage instead of recomputing
-    * the md5'd shingles up to 4×. */
-  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
-    SharedStages.shingles(s, dir)
-
   // ---- dedup -------------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -182,6 +176,35 @@ object LlmQueries extends graft.QueryModule {
 
   // Shared oracle CTEs --------------------------------------------------------
 
+  /** Mirrors [[graft.operators.Similarity.lshNearDupPairs]] (16 md5-derived
+    * hyperplanes, 4 bands × 4 bits, candidates from band-bucket collisions,
+    * exact double-precision rescore) — ends with CTE `d(vec_a, vec_b, dot)`. */
+  private[queries] val lshNearDupCte =
+    """WITH coefs AS (
+      |  SELECT p, dim,
+      |    2 * ((instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + (instr('0123456789abcdef', substring(md5('plane' || CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 2, 1)) - 1)) - 255 AS coef
+      |  FROM (SELECT unnest(range(0, 16)) AS p) pl, (SELECT unnest(range(1, 65)) AS dim) dm
+      |), proj AS (
+      |  SELECT e.vec_id, c.p, sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.coef) AS proj
+      |  FROM embeddings e, coefs c GROUP BY e.vec_id, c.p
+      |), sig AS (
+      |  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+      |    CAST(sum(CASE WHEN proj > 0 THEN (1 << CAST(p % 4 AS INTEGER)) ELSE 0 END) AS INTEGER) AS bucket
+      |  FROM proj GROUP BY vec_id, CAST(p // 4 AS INTEGER)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.vec_id < b.vec_id
+      |), d AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    sum(CAST(ea.embedding[r.i] AS DOUBLE) * CAST(eb.embedding[r.i] AS DOUBLE)) AS dot
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_b, (SELECT unnest(range(1, 65)) AS i) r
+      |  GROUP BY c.vec_a, c.vec_b
+      |)""".stripMargin
+
   private val shingleCte =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
@@ -253,16 +276,11 @@ object LlmQueries extends graft.QueryModule {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
         |FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
-    "q36_neardup_vectors" ->
-      """WITH d AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    sum(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot
-        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 65)) AS i) r
-        |  WHERE a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id)
+    "q36_neardup_vectors" -> (lshNearDupCte +
+      """
         |SELECT vec_a, vec_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
         |FROM d WHERE floor(dot * 1000000) >= 350000
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |ORDER BY vec_a, vec_b""".stripMargin),
     "q37_langid" ->
       """SELECT doc_id, lang,
         | CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS INTEGER) AS score_en,

@@ -69,11 +69,15 @@ object SharedStages {
         Tables.documents(s, dir).select(org.apache.spark.sql.functions.col("doc_id")),
         lshCandidates(s, dir)))
 
-  /** Embedding near-dup pairs over the 0.35-similarity threshold — the
-    * corpus×corpus scoring is the expensive stage, its output is tiny;
-    * both the pair listing (q36) and the metadata join-back (q54) read it. */
+  /** Embedding near-dup pairs over the 0.35-similarity threshold via
+    * multi-band LSH candidates + exact rescore (4 bands × 4 planes) — the
+    * candidate join is the expensive stage, its output is tiny; both the
+    * pair listing (q36) and the metadata join-back (q54) read it. The
+    * DuckDB oracle replays the banding, so recall is part of the checked
+    * semantic, not silent loss (see Similarity.lshNearDupPairs). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     memo(nearDupCache, s, dir)(
-      graft.operators.Similarity.nearDupPairs(
-        Tables.embeddings(s, dir), minSimMillionths = 350000L))
+      graft.operators.Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir), minSimMillionths = 350000L,
+        planes = 16, bandWidth = 4))
 }

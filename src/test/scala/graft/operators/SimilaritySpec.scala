@@ -57,4 +57,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .select($"vec_id").as[Long].collect().toSet
     assert(ids.contains(0L) && ids.contains(2L))
   }
+
+  test("lshNearDupPairs: recall 1 vs brute force on a corpus with true near-dups") {
+    // Real embeddings + an injected near-duplicate of each (first component
+    // nudged by 1e-4, renormalized → sim ≥ 0.9999). At TRUE near-dup
+    // similarity the banding is sound; the spec pins recall = 1 there.
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val dups = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 1e-4f
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+      (id + 100000L, w.map(x => (x / n).toFloat))
+    }
+    val corpus = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(corpus, minSimMillionths = 999000L)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(corpus, minSimMillionths = 999000L,
+      planes = 16, bandWidth = 4)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= base.length, "every injected dup must pair with its source")
+    assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size} pairs")
+  }
+
+  test("lshNearDupPairs plans an equi-join candidate stage, never a cartesian product") {
+    val plan = Similarity.lshNearDupPairs(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      minSimMillionths = 350000L, planes = 16, bandWidth = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be bucket-confined:\n$plan")
+  }
 }
