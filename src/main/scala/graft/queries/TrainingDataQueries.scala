@@ -92,9 +92,14 @@ object TrainingDataQueries extends graft.QueryModule {
   /** Deterministic weighted data-mixture ordering: each source's documents
     * are ranked by content hash, then stride-interleaved so a source with
     * weight w contributes ~w docs per w+1 of anyone else's — the "mixture
-    * ratios" stage of a training-data pipeline, with no RNG. The global
-    * sort is the semantic (a training order IS a total order); at corpus
-    * scale the same key feeds `sortWithinPartitions` per output shard. */
+    * ratios" stage of a training-data pipeline, with no RNG.
+    *
+    * A training order IS a total order, but the corpus never funnels through
+    * one task to get it: `mix_bucket = floor(mix_key / step)` is a monotone
+    * prefix of the sort key, so ranking runs per bucket (distributed window)
+    * and global positions come from shard-offset arithmetic — the only
+    * single-partition work is a running sum over the per-bucket COUNTS
+    * (rows = number of shards, not documents). */
   def dataMixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val weights = Map("src0" -> 3.0, "src1" -> 2.0)
@@ -103,13 +108,27 @@ object TrainingDataQueries extends graft.QueryModule {
     }
     val perSource = Window.partitionBy($"source")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-    Tables.documents(s, dir)
+    // ~192 docs per bucket at the test weights; at corpus scale the step is
+    // tuned so a bucket is one output shard's worth of documents.
+    val bucketStep = 32.0
+    val keyed = Tables.documents(s, dir)
       .select($"doc_id", $"source",
         row_number().over(perSource).cast("double").as("rnk"))
       .withColumn("mix_key", ($"rnk" - 0.5) / weight)
-      .withColumn("mix_position",
-        row_number().over(Window.orderBy($"mix_key", $"source", $"doc_id")))
-      .select($"mix_position", $"doc_id", $"source")
+      .withColumn("mix_bucket", floor($"mix_key" / lit(bucketStep)).cast("long"))
+    val inBucket = Window.partitionBy($"mix_bucket")
+      .orderBy($"mix_key", $"source", $"doc_id")
+    val offsets = keyed.groupBy($"mix_bucket").agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("bucket_offset",
+        coalesce(sum($"n_in_bucket").over(
+          Window.orderBy($"mix_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"mix_bucket", $"bucket_offset")
+    keyed
+      .withColumn("rn_in_bucket", row_number().over(inBucket))
+      .join(broadcast(offsets), "mix_bucket")
+      .select(($"bucket_offset" + $"rn_in_bucket").cast("int").as("mix_position"),
+        $"doc_id", $"source")
       .orderBy($"mix_position")
   }
 

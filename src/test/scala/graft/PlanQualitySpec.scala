@@ -73,4 +73,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Window"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q67: corpus ranking is bucket-partitioned; only the offset table is single-partition") {
+    val p = plan("q67_data_mixture")
+    // the corpus-side window must rank within mix_bucket shards
+    assert("""windowspecdefinition\(mix_bucket#\d+L, mix_key""".r
+      .findFirstIn(p).isDefined, p)
+    // the full documents relation never funnels through one task: the sole
+    // single-partition exchange feeds the per-bucket COUNT offsets window
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+  }
 }
