@@ -33,13 +33,26 @@ case class FloatVectorDot(left: Expression, right: Expression)
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // Null on length mismatch (and on any null element) — matching what the
+  // HOF formulation computes, so the VecDotFusion rewrite is exact.
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkL = elemNullable(left)
+    val checkR = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((checkL && x.isNullAt(i)) || (checkR && y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -51,13 +64,23 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // Element null checks compile in only when the schema admits null
+      // elements; the containsNull=false hot path stays a tight loop.
+      val nullCheck =
+        (if (elemNullable(left)) s"$a.isNullAt($i) || " else "") +
+          (if (elemNullable(right)) s"$b.isNullAt($i) || " else "") + "false"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($nullCheck) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
