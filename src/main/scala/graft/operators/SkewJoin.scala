@@ -23,11 +23,14 @@ object SkewJoin {
 
   /** Inner equi-join on `key`, salted `buckets`-ways. `saltFrom` must be a
     * deterministic big-side column (e.g. its primary key) — NOT rand(),
-    * which would re-roll per retry and break task re-execution. */
+    * which would re-roll per retry and break task re-execution. A null
+    * `saltFrom` value salts to bucket 0 (pmod of null is null, which would
+    * otherwise silently drop a row the plain join keeps). */
   def salted(big: DataFrame, small: DataFrame, key: String,
              saltFrom: Column, buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val l = big.withColumn("__salt", pmod(saltFrom, lit(buckets)).cast("int"))
+    val l = big.withColumn("__salt",
+      coalesce(pmod(saltFrom, lit(buckets)).cast("int"), lit(0)))
     val r = small.withColumn("__salt", explode(lit((0 until buckets).toArray)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }

@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * scanning. Periodic compaction rewrites a dataset directory into few
   * right-sized files, preserving the partition layout (so the dispatcher's
   * status pruning keeps working). Same snapshot-swap discipline as
-  * [[Dispatcher]]: write to a sibling dir, atomically move into place —
-  * a reader sees the old or the new snapshot, never a mix. A lakehouse
-  * table format (Delta/Iceberg OPTIMIZE) replaces this in production.
+  * [[Dispatcher]]: the live directory is renamed aside before the compacted
+  * one moves into place, so a crash at any step leaves a complete snapshot
+  * restorable at a deterministic path (single maintenance writer; a
+  * lakehouse table format — Delta/Iceberg OPTIMIZE — replaces this and
+  * closes the remaining not-found window for concurrent readers).
   */
 object Maintenance {
 
@@ -41,11 +43,22 @@ object Maintenance {
 
   private def swap(tmp: String, target: String): Unit = {
     val t = Paths.get(target)
-    if (Files.exists(t)) {
-      Files.walk(t).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    val aside = t.resolveSibling("." + t.getFileName.toString + ".old")
+    deleteRec(aside)
+    val hadOld = Files.exists(t)
+    if (hadOld)
+      Files.move(t, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), t, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      if (hadOld)
+        Files.move(aside, t, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      throw e
     }
-    Files.move(Paths.get(tmp), t,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(aside)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
   }
 }
