@@ -40,6 +40,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("image decode is real: known PNG pixels give exact luminance features") {
+    // Synthesize a genuine 2×2 PNG with the JDK encoder: black, white,
+    // pure red, pure green — luminances 0, 255, 76, 149 (ITU-R 601 integer).
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val asset = Multimodal.Asset(7L, "image", png, 2, 2, 0, 0)
+
+    // distributed path: one-row Dataset through extractFeatures
+    val feats = Multimodal.extractFeatures(
+      spark.createDataset(Seq(asset))).collect().head
+    val expLums = Seq(0, 255, (255 * 299) / 1000, (255 * 587) / 1000)
+    assert(feats.brightness == expLums.sum.toDouble / 4)
+    val expHist = new Array[Long](16)
+    expLums.foreach(l => expHist(l / 16) += 1)
+    assert(feats.byte_hist.toSeq == expHist.toSeq)
+    // pixel features, not payload-byte features: mass = pixels, not bytes
+    assert(feats.byte_hist.sum == 4 && feats.n_bytes == png.length)
+  }
+
+  test("undecodable image payloads fall back to the byte-level stand-in") {
+    val junk = Multimodal.Asset(8L, "image", Array[Byte](1, 2, 3, 4), 1, 1, 0, 0)
+    val f = Multimodal.extractFeatures(spark.createDataset(Seq(junk))).collect().head
+    assert(f.byte_hist.sum == 4 && f.n_bytes == 4)
+  }
+
   test("frame sampling emits every stride-th fixed-size window, video only") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
     assert(frames.nonEmpty)
