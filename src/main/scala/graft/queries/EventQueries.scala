@@ -127,7 +127,24 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"signup_day")
   }
 
+  /** F15 RLS analog: tenant analytics compose over the SECURED view, never
+    * the raw table — here the per-owner policy (the reference's
+    * `created_by` discipline) for a non-admin principal owning user 42.
+    * The policy is an ordinary predicate, so it reaches the parquet scan;
+    * the all-or-nothing admin policy constant-folds instead
+    * (AccessControlSpec pins both plan shapes). */
+  def rlsView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tenant = graft.queue.AccessControl.Principal("user_42", Set("analyst"))
+    val secured = graft.queue.AccessControl.secured(Tables.events(s, dir),
+      graft.queue.AccessControl.ownerOrAdmin(tenant, $"user_id", lit(42L)))
+    secured.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q75_rls_view" -> rlsView,
     "q74_funnel" -> conversionFunnel,
     "q20_json_props" -> jsonProps,
     "q21_tumbling_daily" -> tumblingDaily,
@@ -137,6 +154,11 @@ object EventQueries extends graft.QueryModule {
     "q73_new_vs_returning" -> newVsReturning)
 
   def oracles: Map[String, String] = Map(
+    "q75_rls_view" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_json_props" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
