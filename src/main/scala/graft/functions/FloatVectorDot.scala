@@ -95,11 +95,22 @@ case class FloatVectorDot(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // idempotent: re-registering on every call spams "replaced a previously
-    // registered function" warnings into the bench/verify logs
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot")))
-      reg.createOrReplaceTempFunction(
-        "graft_vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+    def add(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      // idempotent: re-registering on every call spams "replaced a previously
+      // registered function" warnings into the bench/verify logs
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    add("graft_vec_dot")(exprs => FloatVectorDot(exprs(0), exprs(1)))
+    // Spark ships Bloom-filter expressions for its own runtime filters but
+    // does not register them for users; exposed here for the scan-side
+    // decontamination prefilter. Insert/test with xxhash64(value).
+    add("graft_bloom_agg")(exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)).toAggregateExpression())
+    add("graft_might_contain")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 
   /** Dot product Column over two array<float> columns. */

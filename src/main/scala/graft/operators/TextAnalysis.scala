@@ -45,6 +45,39 @@ object TextAnalysis {
       .withColumn("stopword_ratio", nStop.cast("double") / nTok)
   }
 
+  /** Repetition metrics (the Gopher-style repetition quality gate): the
+    * mass of the most frequent token and of the most frequent n-gram as a
+    * fraction of the document — boilerplate and degenerate generations
+    * score high and get filtered before training. Two grouped aggregations
+    * (token grain, n-gram grain) joined on the document key; fractions are
+    * single IEEE divisions of exact counts, so a SQL oracle replays them
+    * bit-for-bit.
+    *
+    * @param ngrams (doc_id, shingle) rows WITH multiplicity — the shared
+    *               shingle stage, so the n-gram pass reuses the persisted
+    *               corpus intermediate instead of re-deriving it. */
+  def repetitionMetrics(docs: DataFrame, ngrams: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val uni = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_n"))
+    val tri = ngrams
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_trigrams"), max(col("n")).as("top_trigram_n"))
+    uni.join(tri, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("top_token_n"),
+        (col("top_token_n").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("top_trigram_n"), lit(0L)).as("top_trigram_n"),
+        coalesce(col("top_trigram_n").cast("double") / col("n_trigrams"), lit(0.0))
+          .as("top_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("top_trigram_frac") > 0.18)
+  }
+
   /** Language-ID heuristic: marker-token scoring per candidate language,
     * argmax with deterministic tie-break (scores then fixed precedence).
     * A real pipeline would use char-n-gram profiles; the mechanism — per-row

@@ -135,6 +135,15 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition gate over the shared shingle stage (top-token
+    * and top-trigram mass fractions; see TextAnalysis.repetitionMetrics). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.repetitionMetrics(
+      Tables.documents(s, dir), SharedStages.shingles(s, dir))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF via two aggregations (tf, df) + broadcast join-back; top-5
     * terms per doc ranked by the exact tf/df rational. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
@@ -172,7 +181,8 @@ object LlmQueries extends graft.QueryModule {
     "q43_lsh_topk" -> lshTopK,
     "q45_tfidf" -> tfidfTop,
     "q65_dup_clusters" -> dupClusters,
-    "q70_edit_distance" -> editDistance)
+    "q70_edit_distance" -> editDistance,
+    "q77_repetition" -> repetition)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -395,6 +405,31 @@ object LlmQueries extends graft.QueryModule {
         |  JOIN embeddings e ON e.vec_id = b.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
         |  GROUP BY b.vec_id)
         |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q77_repetition" -> (shingleCte +
+      """, uni AS (
+        |  SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |), us AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(max(n) AS BIGINT) AS top_token_n
+        |  FROM uni GROUP BY doc_id
+        |), tg AS (
+        |  SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY doc_id, shingle
+        |), ts AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |    CAST(max(n) AS BIGINT) AS top_trigram_n
+        |  FROM tg GROUP BY doc_id
+        |)
+        |SELECT u.doc_id, u.n_tokens, u.top_token_n,
+        |  CAST(u.top_token_n AS DOUBLE) / u.n_tokens AS top_token_frac,
+        |  CAST(coalesce(t.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(t.top_trigram_n, 0) AS BIGINT) AS top_trigram_n,
+        |  coalesce(CAST(t.top_trigram_n AS DOUBLE) / t.n_trigrams, 0.0) AS top_trigram_frac,
+        |  (CAST(u.top_token_n AS DOUBLE) / u.n_tokens > 0.2 OR
+        |   coalesce(CAST(t.top_trigram_n AS DOUBLE) / t.n_trigrams, 0.0) > 0.18) AS repetitive
+        |FROM us u LEFT JOIN ts t ON t.doc_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin),
     "q45_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),

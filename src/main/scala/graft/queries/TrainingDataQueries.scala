@@ -78,6 +78,44 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — same OUTPUT as [[decontaminate]]
+    * (false positives die in the exact join), different SCALE shape: the
+    * benchmark shingle set folds into one broadcast Bloom filter (KBs), and
+    * the corpus shingle stream is prefiltered at the scan with
+    * `graft_might_contain` before anything shuffles. At 100 TB this is the
+    * difference between shuffling every corpus shingle into the overlap
+    * join and shuffling only the ~contaminated tail. Spark ships these
+    * Bloom expressions for its own runtime filters; graft registers them
+    * as user functions (see GraftFunctions). */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val dsh = SharedStages.distinctShingles(s, dir)
+    val benchSh = dsh
+      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
+      .select($"shingle").distinct()
+    // The bloom builds eagerly (one job over the small benchmark set) and
+    // injects as a literal — the same shape Spark's InjectRuntimeFilter
+    // gives its own bloom runtime filters, and what `might_contain`
+    // requires (a constant or scalar subquery, never a join column).
+    val bloomBytes = benchSh.agg(call_function("graft_bloom_agg",
+      xxhash64($"shingle"), lit(100000L), lit(800000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val evalSh = dsh
+      .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
+    val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val prefiltered = evalSh.filter(call_function("graft_might_contain",
+      lit(bloomBytes), xxhash64($"shingle")))
+    val ov = prefiltered.join(benchSh, "shingle")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    tot.join(ov, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+      .withColumn("overlap_frac", $"n_overlap".cast("double") / $"n_shingles")
+      .withColumn("contaminated", $"overlap_frac" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
   /** PII-style redaction: digit runs replaced by a placeholder; emits the
     * replacement count + a digest of the redacted text (not the text —
     * the secret-stripping discipline of SURVEY §2.2 P6 applied to data). */
@@ -174,6 +212,7 @@ object TrainingDataQueries extends graft.QueryModule {
     "q57_seq_packing" -> seqPacking,
     "q58_ngram_freq" -> ngramFreq,
     "q59_decontaminate" -> decontaminate,
+    "q76_bloom_decontaminate" -> bloomDecontaminate,
     "q60_redact" -> redact,
     "q61_percentiles" -> percentiles,
     "q67_data_mixture" -> dataMixture)
@@ -191,6 +230,24 @@ object TrainingDataQueries extends graft.QueryModule {
       |  FROM t, (SELECT unnest(range(0, 512)) AS i) r
       |  WHERE len(toks) >= 3 AND i <= len(toks) - 3
       |)""".stripMargin
+
+  private val decontOracle = shCte +
+    """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |bench AS (
+      |  SELECT DISTINCT shingle FROM dsh
+      |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+      |eval AS (
+      |  SELECT dsh.doc_id, dsh.shingle FROM dsh
+      |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap
+      |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_shingles,
+      |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
+      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS contaminated
+      |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q56_stratified_sample" ->
@@ -214,23 +271,10 @@ object TrainingDataQueries extends graft.QueryModule {
         |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "q58_ngram_freq" -> (shCte +
       "\nSELECT shingle, count(*) AS n FROM sh GROUP BY shingle ORDER BY n DESC, shingle LIMIT 50"),
-    "q59_decontaminate" -> (shCte +
-      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |bench AS (
-        |  SELECT DISTINCT shingle FROM dsh
-        |  JOIN documents USING (doc_id) WHERE source = 'src0'),
-        |eval AS (
-        |  SELECT dsh.doc_id, dsh.shingle FROM dsh
-        |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
-        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
-        |ov AS (SELECT doc_id, count(*) AS n_overlap
-        |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id)
-        |SELECT t.doc_id, t.n_shingles,
-        |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
-        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS contaminated
-        |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
-        |ORDER BY t.doc_id""".stripMargin),
+    // q76 is the bloom-prefiltered twin of q59: identical output by
+    // construction, so they share the oracle verbatim.
+    "q76_bloom_decontaminate" -> decontOracle,
+    "q59_decontaminate" -> decontOracle,
     "q60_redact" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
