@@ -64,7 +64,10 @@ object Similarity {
 
   /** Per-band LSH signatures: (id, band, bucket), one row per vector×band.
     * Band b's bucket packs hyperplane bits [b·w, (b+1)·w) — same md5-derived
-    * planes as [[lshBuckets]], so the oracle replays the bucketing exactly. */
+    * planes as [[lshBuckets]], so the oracle replays the bucketing exactly.
+    * Cross-engine sign-test margin measured on the test embeddings: the
+    * smallest |projection| over all vector×plane pairs is ~5.8e-3 at sf0.1,
+    * ten orders of magnitude above double accumulation-order noise. */
   def lshBandSignatures(emb: DataFrame, planes: Int = 16, bandWidth: Int = 4,
                         dims: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {

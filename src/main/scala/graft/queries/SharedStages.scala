@@ -69,6 +69,29 @@ object SharedStages {
         Tables.documents(s, dir).select(org.apache.spark.sql.functions.col("doc_id")),
         lshCandidates(s, dir)))
 
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Byte]]()
+
+  /** Serialized Bloom filter over the benchmark (src0) shingle set — the
+    * decontamination prefilter. Built once per (session, dir) like any
+    * staging artifact; at cluster scale this is a published sketch file,
+    * not a per-query job. */
+  def benchmarkBloom(s: SparkSession, dir: String): Array[Byte] = {
+    import org.apache.spark.sql.functions._
+    def build: Array[Byte] = {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      distinctShingles(s, dir)
+        .join(docs.filter(col("source") === "src0").select(col("doc_id")), "doc_id")
+        .select(col("shingle")).distinct()
+        .agg(call_function("graft_bloom_agg",
+          xxhash64(col("shingle")), lit(100000L), lit(800000L)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
+    if (sys.env.contains("SPARK_GRAFT_NOCACHE")) build
+    else bloomCache.computeIfAbsent((s, dir), _ => build)
+  }
+
   /** Embedding near-dup pairs over the 0.35-similarity threshold via
     * multi-band LSH candidates + exact rescore (4 bands × 4 planes) — the
     * candidate join is the expensive stage, its output is tiny; both the

@@ -95,13 +95,12 @@ object TrainingDataQueries extends graft.QueryModule {
     val benchSh = dsh
       .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
       .select($"shingle").distinct()
-    // The bloom builds eagerly (one job over the small benchmark set) and
-    // injects as a literal — the same shape Spark's InjectRuntimeFilter
-    // gives its own bloom runtime filters, and what `might_contain`
-    // requires (a constant or scalar subquery, never a join column).
-    val bloomBytes = benchSh.agg(call_function("graft_bloom_agg",
-      xxhash64($"shingle"), lit(100000L), lit(800000L)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    // The bloom is a staged artifact (one job over the small benchmark set,
+    // memoized per session) injected as a literal — the same shape Spark's
+    // InjectRuntimeFilter gives its own bloom runtime filters, and what
+    // `might_contain` requires (a constant or scalar subquery, never a
+    // join column).
+    val bloomBytes = SharedStages.benchmarkBloom(s, dir)
     val evalSh = dsh
       .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
     val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
