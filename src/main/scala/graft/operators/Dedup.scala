@@ -137,24 +137,28 @@ object Dedup {
   /** 16-bit SimHash from md5 nibbles: each token contributes ±1 per bit
     * position (bits 0..15 = first 4 hex chars of md5(token)); the signature
     * bit is 1 where the sum is positive. Integer-only arithmetic ⇒ portable
-    * across engines. */
+    * across engines.
+    *
+    * Shape: the 16 bit sums are 16 aggregate COLUMNS of one
+    * groupBy(doc) — partial aggregation reduces each task's tokens to one
+    * 16-long buffer per document before the only shuffle. (The obvious
+    * alternative, exploding a bitpos dimension, multiplies the shuffled
+    * rows ×16; measured ~2× slower at sf0.1 and strictly worse at scale.) */
   def simhash16(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("tok"))
-    val contrib = toks
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h4", substring(md5(col("tok")), 1, 4))
-      .withColumn("bitpos", explode(lit((0 until 16).toArray)))
-      .withColumn("nibble",
-        expr("instr('0123456789abcdef', substring(h4, cast(bitpos / 4 as int) + 1, 1)) - 1"))
-      .withColumn("bit",
-        expr("case when (nibble & shiftleft(1, bitpos % 4)) != 0 then 1 else 0 end"))
-      .withColumn("contrib", col("bit") * 2 - 1)
-    contrib
-      .groupBy(col(idCol), col("bitpos"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1, bitpos)")).otherwise(0))
-        .cast("int").as("simhash"))
+    val bitSums = (0 until 16).map { b =>
+      val nibble = s"(instr('0123456789abcdef', substring(h4, ${b / 4 + 1}, 1)) - 1)"
+      sum(expr(s"case when ($nibble & ${1 << (b % 4)}) != 0 then 1 else -1 end"))
+        .as(s"s$b")
+    }
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("simhash"))
   }
 }

@@ -170,7 +170,10 @@ object TrainingDataQueries extends graft.QueryModule {
   }
 
   /** Exact order statistics per group (percentile_disc-style p50/p90 via
-    * row_number selection — no interpolation, engine-portable). */
+    * row_number selection — no interpolation, engine-portable). Exact
+    * selection parallelizes only per group (the window sorts each flag's
+    * rows in one task); q62's sketch is the corpus-scale path, with this
+    * query as its verification twin (ApproxQuantileSpec pins the error). */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_returnflag")
