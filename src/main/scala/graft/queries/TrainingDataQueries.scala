@@ -208,6 +208,41 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** The end-to-end curation pipeline, composed from the battery's own
+    * operators — what a user actually runs over a raw corpus:
+    *
+    *   1. drop the benchmark source itself (never train on eval data);
+    *   2. keep one representative per duplicate cluster (connected
+    *      components over LSH candidates, q65);
+    *   3. drop benchmark-contaminated documents (shingle overlap, q59);
+    *   4. drop repetitive documents (Gopher gate, q77);
+    *   5. reproducible stratified downsample (hash fraction, q56).
+    *
+    * Every stage reads the shared persisted stages, so the composition adds
+    * joins, not recomputation; the anti-joins are small-side drops. One
+    * DuckDB oracle replays the whole flow (recursive CTE + overlap +
+    * repetition + hash sample) — the strongest compositional check in the
+    * battery. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val reps = SharedStages.dupClusters(s, dir)
+      .filter($"doc_id" === $"cluster_rep").select($"doc_id")
+    val contaminated = decontaminate(s, dir)
+      .filter($"contaminated").select($"doc_id")
+    val repetitive = TextAnalysis.repetitionMetrics(docs, SharedStages.shingles(s, dir))
+      .filter($"repetitive").select($"doc_id")
+    Sampling.stratified(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.1), defaultRate = 1.0)
+      .filter($"source" =!= "src0")
+      .join(reps, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(repetitive, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
@@ -217,7 +252,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q76_bloom_decontaminate" -> bloomDecontaminate,
     "q60_redact" -> redact,
     "q61_percentiles" -> percentiles,
-    "q67_data_mixture" -> dataMixture)
+    "q67_data_mixture" -> dataMixture,
+    "q78_curation_pipeline" -> curationPipeline)
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -252,6 +288,61 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q78_curation_pipeline" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sig AS (
+        |  SELECT doc_id, CAST(band AS INTEGER) AS band,
+        |    min(substring(md5(shingle), CAST(band * 8 + 1 AS INTEGER), 8)) AS minhash
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+        |  GROUP BY doc_id, band
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |), reps AS (
+        |  SELECT doc FROM reach GROUP BY doc HAVING doc = min(label)
+        |), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM dsh
+        |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+        |eval AS (
+        |  SELECT dsh.doc_id, dsh.shingle FROM dsh
+        |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id),
+        |contam AS (
+        |  SELECT o.doc_id FROM ov o JOIN tot t2 ON t2.doc_id = o.doc_id
+        |  WHERE CAST(o.n_overlap AS DOUBLE) / t2.n_shingles >= 0.5),
+        |uni AS (
+        |  SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |us AS (SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_token_n
+        |       FROM uni GROUP BY doc_id),
+        |tg AS (SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY doc_id, shingle),
+        |ts AS (SELECT doc_id, sum(n) AS n_trigrams, max(n) AS top_trigram_n
+        |       FROM tg GROUP BY doc_id),
+        |repet AS (
+        |  SELECT u.doc_id FROM us u LEFT JOIN ts t3 ON t3.doc_id = u.doc_id
+        |  WHERE CAST(u.top_token_n AS DOUBLE) / u.n_tokens > 0.2
+        |     OR coalesce(CAST(t3.top_trigram_n AS DOUBLE) / t3.n_trigrams, 0.0) > 0.18)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN reps r ON r.doc = d.doc_id
+        |WHERE d.source <> 'src0'
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM repet)
+        |  AND """.stripMargin + h16Sql +
+      """ < (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+        |                WHEN 'de' THEN 0.1 ELSE 1.0 END) * 65536.0
+        |ORDER BY d.doc_id""".stripMargin),
     "q56_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
          |SELECT doc_id, lang, h16 FROM h
