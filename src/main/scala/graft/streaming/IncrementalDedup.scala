@@ -31,14 +31,24 @@ object IncrementalDedup {
 
   /** One micro-batch step. Returns the per-document verdicts
     * `(doc_id, is_dup, dup_of)` — `dup_of` is the smallest representative
-    * across all colliding buckets, null for fresh documents. */
+    * across all colliding buckets, null for fresh documents.
+    *
+    * Shuffle discipline: the BATCH's signatures broadcast (a micro-batch is
+    * small by construction); the registry only ever streams map-side
+    * through the broadcast hash join — the corpus state is never shuffled,
+    * grouped, or rewritten per batch. The replay duplicates an append-only
+    * registry accumulates are absorbed by the doc-level min aggregate,
+    * which is O(hits), not O(registry). */
   def processBatch(batch: DataFrame, registryDir: String,
                    bands: Int = 4, idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignatures(Dedup.shingles(batch, idCol = idCol), bands, idCol)
     val registry = readRegistry(spark, registryDir)
-    val hits = sigs.join(registry, Seq("band", "minhash"))
+    val hits = registry.join(broadcast(sigs), Seq("band", "minhash"))
       .groupBy(col(idCol)).agg(min(col("rep_doc_id")).as("dup_of"))
+    // verdicts capture the PRE-batch registry: their scan's file listing is
+    // fixed here, before the append below, so a later materialization (the
+    // caller's sink write) still judges against the state this batch saw.
     val verdicts = batch.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
@@ -49,8 +59,9 @@ object IncrementalDedup {
     verdicts
   }
 
-  /** The registry read: distinct absorbs at-least-once replay duplicates;
-    * one representative per bucket (min doc id) keeps lookups unique. */
+  /** The raw append-only registry. A production deployment lays it out
+    * bucketed by (band, minhash prefix) so the per-batch probe prunes to
+    * the buckets the batch actually touches. */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
     val p = java.nio.file.Paths.get(registryDir)
     if (!java.nio.file.Files.exists(p) ||
@@ -59,10 +70,7 @@ object IncrementalDedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "band INT, minhash STRING, rep_doc_id BIGINT"))
-    else
-      spark.read.parquet(registryDir)
-        .groupBy(col("band"), col("minhash"))
-        .agg(min(col("rep_doc_id")).as("rep_doc_id"))
+    else spark.read.parquet(registryDir)
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],

@@ -30,8 +30,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
 
     // doc 10 shares almost all shingles with doc 1; doc 11 is fresh
     val b2 = Seq(Doc(10L, base + " iota"), Doc(11L, "totally different words here now ok")).toDF()
-    val v2 = IncrementalDedup.processBatch(b2, reg)
-      .as[(Long, Boolean, Option[Long])].collect()
+    val v2df = IncrementalDedup.processBatch(b2, reg)
+    // corpus state never shuffles: the registry side must not exchange on
+    // its bucket keys (the batch broadcasts instead)
+    val probePlan = v2df.queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastExchange"), probePlan)
+    assert(!probePlan.contains("hashpartitioning(band") &&
+      !probePlan.contains("hashpartitioning(minhash"), probePlan)
+    val v2 = v2df.as[(Long, Boolean, Option[Long])].collect()
       .map { case (k, b, r) => k -> (b, r) }.toMap
     assert(v2(10L) == (true, Some(1L)), s"got $v2")
     assert(v2(11L) == (false, None))
