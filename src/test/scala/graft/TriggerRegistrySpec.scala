@@ -85,6 +85,33 @@ class TriggerRegistrySpec extends AnyFunSuite with SparkTestSession with BeforeA
     assert(stats.delivered == 2 && server.bodies.length == 2)
   }
 
+  test("multiple triggers on the same table fire independently per their op filters") {
+    // reference test_multiple_triggers_on_same_table: one change feed, two
+    // triggers with different operation filters — each webhook sees only
+    // its own operations.
+    val insServer = new CaptureServer
+    val delServer = new CaptureServer
+    try {
+      val (_, changes) = feed()
+      val qi = registry.create(TriggerConfig(
+        name = "reg_multi_ins", tableName = "employees",
+        operations = Seq("INSERT"), webhookUrl = insServer.url), changes)
+      val (_, changes2) = feed()
+      val qd = registry.create(TriggerConfig(
+        name = "reg_multi_del", tableName = "employees",
+        operations = Seq("DELETE"), webhookUrl = delServer.url), changes2)
+      try {
+        qi.processAllAvailable(); qd.processAllAvailable()
+        assert(registry.list.toSet.intersect(
+          Set("reg_multi_ins", "reg_multi_del")).size == 2)
+        assert(insServer.bodies.length == 1 &&
+          insServer.bodies.head.contains("\"op\":\"INSERT\""))
+        assert(delServer.bodies.length == 1 &&
+          delServer.bodies.head.contains("\"op\":\"DELETE\""))
+      } finally { registry.drop("reg_multi_ins"); registry.drop("reg_multi_del") }
+    } finally { insServer.stop(); delServer.stop() }
+  }
+
   test("idempotent create: same name replaces the running query") {
     val (_, c1) = feed()
     val cfgT = TriggerConfig(name = "reg_dup", tableName = "employees",
