@@ -85,6 +85,10 @@ object Dispatcher {
     val delivered = attempted.filter(col("status") === "DELIVERED").count()
     val failed = attempted.filter(col("status") === "FAILED").count()
     val due = attempted.count()
+    if (due == 0) { // idle cycle: no state changed, rewrite nothing
+      deleteRec(Paths.get(attemptsDir))
+      return CycleStats(0, 0, 0, 0)
+    }
 
     // 2) The new PENDING partition (not-yet-due ∪ rescheduled) is staged
     //    beside the queue before any live write. `status` lives in the
