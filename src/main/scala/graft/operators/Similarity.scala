@@ -105,9 +105,9 @@ object Similarity {
     * replays bands+rescore bit-for-bit, and SimilaritySpec proves recall = 1
     * against [[nearDupPairs]] on a corpus with genuine near-duplicates. */
   def lshNearDupPairs(emb: DataFrame, minSimMillionths: Long,
-                      planes: Int = 16, bandWidth: Int = 4,
+                      planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = lshBandSignatures(emb, planes, bandWidth, idCol = idCol, vecCol = vecCol)
+    val sigs = lshBandSignatures(emb, planes, bandWidth, dims, idCol, vecCol)
     val a = sigs.select(col(idCol).as("vec_a"), col("band"), col("bucket"))
     val b = sigs.select(col(idCol).as("vec_b"), col("band"), col("bucket"))
     val cand = a.join(b, Seq("band", "bucket"))

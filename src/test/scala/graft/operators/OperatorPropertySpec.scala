@@ -74,4 +74,28 @@ class OperatorPropertySpec extends AnyFunSuite with SparkTestSession {
       got == model
     })
   }
+
+  test("lshNearDupPairs is a subset of exact pairs with identical scores (precision 1)") {
+    val genVecs = Gen.listOfN(30, Gen.listOfN(8, Gen.choose(-100, 100)))
+    check(Prop.forAll(genVecs) { raw =>
+      val vecs = raw.zipWithIndex.collect {
+        case (v, i) if v.exists(_ != 0) =>
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (i.toLong, v.map(x => (x / n).toFloat).toArray)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val exact = Similarity.nearDupPairs(df, 300000L, vecCol = "embedding")
+        .as[(Long, Long, Long)].collect().toMap2
+      val lsh = Similarity.lshNearDupPairs(df, 300000L,
+        planes = 16, bandWidth = 4, dims = 8, vecCol = "embedding")
+        .as[(Long, Long, Long)].collect().toMap2
+      lsh.keySet.subsetOf(exact.keySet) &&
+        lsh.forall { case (k, s) => exact(k) == s }
+    }, n = 10)
+  }
+
+  private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] =
+      rows.map { case (a, b, s) => (a, b) -> s }.toMap
+  }
 }
