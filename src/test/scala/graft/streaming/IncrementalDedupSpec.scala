@@ -52,6 +52,42 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(v2r(11L)._2.contains(11L))
   }
 
+  test("two-batch verdicts equal the batch LSH candidate semantics") {
+    // For a corpus split into two batches (first batch internally unique),
+    // a second-batch document is flagged iff it shares a (band, minhash)
+    // bucket with some first-batch document, and its representative is the
+    // smallest such partner — exactly the batch operator's candidate edge.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("red", "blue", "green", "ox", "hen", "fox", "elm",
+      "oak", "ash", "tin", "zinc", "lead")
+    val genDoc = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val gen = Gen.listOfN(10, genDoc)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5),
+      Prop.forAll(gen) { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
+        val (b1, b2) = docs.splitAt(5)
+        val reg = tmp("graft_dedup_prop")
+        val v1 = IncrementalDedup.processBatch(b1.toDF(), reg)
+          .as[(Long, Boolean, Option[Long])].collect()
+        val batch1Dups = v1.filter(_._2).map(_._1).toSet // none (empty registry)
+        val v2 = IncrementalDedup.processBatch(b2.toDF(), reg)
+          .as[(Long, Boolean, Option[Long])].collect()
+          .map { case (k, b, r) => k -> (b, r) }.toMap
+        val sigs = graft.operators.Dedup
+          .minhashSignatures(graft.operators.Dedup.shingles(docs.toDF()), bands = 4)
+          .as[(Long, Int, String)].collect()
+          .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+        val b1Ids = b1.map(_.doc_id).filterNot(batch1Dups)
+        batch1Dups.isEmpty && b2.forall { d =>
+          val partners = b1Ids.filter(o =>
+            sigs.getOrElse(o, Set.empty).intersect(
+              sigs.getOrElse(d.doc_id, Set.empty)).nonEmpty)
+          v2(d.doc_id) == (partners.nonEmpty, partners.minOption)
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming gate writes verdicts through foreachBatch") {
     val reg = tmp("graft_dedup_reg_s")
     val out = tmp("graft_dedup_out") + "/verdicts"
