@@ -30,4 +30,23 @@ object Sampling {
     df.withColumn("h16", hash16(col(idCol)))
       .filter(col("h16") < rate * lit(65536.0))
   }
+
+  /** Deterministic dataset split (train/val/test …): each row lands in the
+    * first fraction band its content hash falls into. Same guarantees as
+    * [[stratified]] — stable across runs, engines, partitionings; adding
+    * rows never moves an existing row between splits (no leakage between a
+    * v1 and v2 dataset build). A salt in the hashed key gives independent
+    * splits for independent purposes. */
+  def split(df: DataFrame, idCol: String,
+            fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = hash16(concat(col(idCol).cast("string"), lit(salt)))
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = fractions.zip(cuts).foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), acc) =>
+        when(h < lit(cut) * 65536.0, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -243,6 +243,17 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/val/test split assignment — content-hash banded,
+    * so rebuilds and corpus growth never move a document across splits
+    * (no eval leakage between dataset versions). */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.split(Tables.documents(s, dir), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select($"doc_id", $"lang", $"split")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
@@ -253,7 +264,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q60_redact" -> redact,
     "q61_percentiles" -> percentiles,
     "q67_data_mixture" -> dataMixture,
-    "q78_curation_pipeline" -> curationPipeline)
+    "q78_curation_pipeline" -> curationPipeline,
+    "q79_dataset_split" -> datasetSplit)
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -368,6 +380,13 @@ object TrainingDataQueries extends graft.QueryModule {
     // construction, so they share the oracle verbatim.
     "q76_bloom_decontaminate" -> decontOracle,
     "q59_decontaminate" -> decontOracle,
+    "q79_dataset_split" ->
+      s"""WITH h AS (SELECT doc_id, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN h16 < 0.9 * 65536.0 THEN 'train'
+         |       WHEN h16 < 0.95 * 65536.0 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     "q60_redact" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,

@@ -33,4 +33,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val k = Sampling.stratified(docs, "doc_id", "lang", Map.empty, 0.5).count().toDouble
     assert(k / n > 0.35 && k / n < 0.65) // 16-bit hash, n~500: loose CI
   }
+
+  test("split: exhaustive, near the fractions, and growth never moves a row") {
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val full = Sampling.split(docs, "doc_id", fr)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(full.size == docs.count())
+    val shares = full.groupBy(_._2).view.mapValues(_.size.toDouble / full.size)
+    assert(shares("train") > 0.8 && shares("val") < 0.15 && shares("test") < 0.15)
+    // adding documents (here: a subset standing in for an older corpus
+    // version) assigns every pre-existing row identically
+    val subset = Sampling.split(docs.filter($"doc_id" % 3 === 0), "doc_id", fr)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("split: different salts give independent assignments") {
+    val fr = Seq("a" -> 0.5, "b" -> 0.5)
+    val s1 = Sampling.split(docs, "doc_id", fr, salt = "x")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.split(docs, "doc_id", fr, salt = "y")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val agree = s1.count { case (id, s) => s2(id) == s }.toDouble / s1.size
+    assert(agree > 0.3 && agree < 0.7, s"salted splits should be independent: $agree")
+  }
 }
