@@ -106,19 +106,44 @@ object Multimodal {
     assets.mapPartitions(_.map(decode))
   }
 
-  /** STUB resize: real impl re-encodes pixels; the fake truncates the payload
-    * proportionally and rewrites metadata — the plan shape (narrow map,
-    * payload-size reduction before any shuffle) is what matters. */
+  /** REAL image resize for decodable payloads: bilinear `Graphics2D` scale
+    * + PNG re-encode through the JDK (no deps). Non-image/undecodable
+    * payloads keep the byte-level stand-in (proportional truncation) so the
+    * plan shape — a narrow map that shrinks payloads BEFORE any shuffle —
+    * holds for every kind. */
   def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       if (a.width <= maxW && a.height <= maxH) a
       else {
         val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
-        val newLen = math.max(1, (a.data.length * scale * scale).toInt)
-        a.copy(width = (a.width * scale).toInt.max(1),
-          height = (a.height * scale).toInt.max(1),
-          data = a.data.take(newLen))
+        val (w, h) = ((a.width * scale).toInt.max(1), (a.height * scale).toInt.max(1))
+        val realImage: Option[Asset] =
+          if (a.kind != "image") None
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.data))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                w.min(img.getWidth.max(1)), h.min(img.getHeight.max(1)),
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, out.getWidth, out.getHeight, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(a.copy(width = out.getWidth, height = out.getHeight,
+                data = bos.toByteArray))
+            }
+          } catch { case _: Exception => None }
+        realImage.getOrElse {
+          // STUB path (audio/video, undecodable images): proportional
+          // payload truncation stands in for a codec re-encode.
+          val newLen = math.max(1, (a.data.length * scale * scale).toInt)
+          a.copy(width = w, height = h, data = a.data.take(newLen))
+        }
       }
     })
   }

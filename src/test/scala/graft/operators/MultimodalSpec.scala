@@ -64,6 +64,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(feats.byte_hist.sum == 4 && feats.n_bytes == png.length)
   }
 
+  test("image resize decodes, scales, and re-encodes real pixels") {
+    // uniform mid-gray 8×8 → bilinear 4×4 stays uniform mid-gray
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val asset = Multimodal.Asset(9L, "image", bos.toByteArray, 8, 8, 0, 0)
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(asset)), maxW = 4, maxH = 4).collect().head
+    assert(resized.width == 4 && resized.height == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.data))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((0 until 4).forall(y => (0 until 4).forall(x =>
+      (back.getRGB(x, y) & 0xffffff) == 0x808080)))
+  }
+
   test("undecodable image payloads fall back to the byte-level stand-in") {
     val junk = Multimodal.Asset(8L, "image", Array[Byte](1, 2, 3, 4), 1, 1, 0, 0)
     val f = Multimodal.extractFeatures(spark.createDataset(Seq(junk))).collect().head
