@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * lambda tree per element (~6× slower on the similarity bench). The rule
   * lets the declarative form keep its meaning while execution gets the
   * fused tight loop — exactly how Catalyst is meant to be extended, and the
-  * rewrite is safe because both forms accumulate in double precision in
-  * index order (bit-identical results, including the null-propagation
-  * behavior: null array in → null out).
+  * rewrite is exact for EVERY array<float> input because both forms
+  * accumulate in double precision in index order and agree on all null
+  * shapes: null array → null, any null element → null (the poisoned HOF
+  * sum), unequal lengths → null (zip_with's null padding). FloatVectorDot
+  * implements those null semantics natively, so the rule needs no
+  * nullability guard (VecDotFusionSpec pins each case on the fused path).
   *
   * Registered session-wide by [[GraftExtensions]]; also usable ad hoc via
   * `spark.experimental.extraOptimizations`.

@@ -41,6 +41,33 @@ class VecDotFusionSpec extends AnyFunSuite with SparkTestSession {
     assert(fused == unfused) // exact ==: same accumulation order ⇒ same bits
   }
 
+  test("fused path matches HOF null semantics: null element, null array, length mismatch") {
+    // array<float> with containsNull=true via explicit schema
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // clean
+      org.apache.spark.sql.Row(2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)), // null elem
+      org.apache.spark.sql.Row(3L, null, Array(3.0f, 4.0f)),                // null array
+      org.apache.spark.sql.Row(4L, Array(1.0f), Array(3.0f, 4.0f)))         // mismatch
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+    // via parquet so the optimizer can't constant-fold the LocalRelation away
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdnull_").toString + "/t"
+    spark.createDataFrame(rows, schema).write.parquet(dir)
+    val df = spark.read.schema(schema).parquet(dir)
+    def values(frame: org.apache.spark.sql.DataFrame) = frame
+      .select($"id", Similarity.dot($"a", $"b").as("d"))
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val unfused = values(df)
+    val fused = withRule {
+      val out = df.select($"id", Similarity.dot($"a", $"b").as("d"))
+      assert(out.queryExecution.optimizedPlan.toString.contains("floatvectordot"),
+        "rule must fire on nullable-element arrays too")
+      values(df)
+    }
+    assert(fused == unfused)
+    assert(unfused.map(_._2) == Seq(Some(11.0), None, None, None))
+  }
+
   test("does not fire on non-float arrays or different folds") {
     withRule {
       // double arrays: FloatVectorDot's getFloat would misread — must not fuse
