@@ -74,6 +74,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("hot projection paths run inside WholeStageCodegen") {
+    // text-heavy projections (q38 quality, q60 redact) and the custom
+    // vec_dot expression (q35) must all stay inside codegen'd stages —
+    // an interpreted expression in these paths is a silent 5-10× tax.
+    // (AQE only materializes codegen in the FINAL plan, so execute first.)
+    for (q <- Seq("q38_quality", "q60_redact", "q35_cosine_topk")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark operators fused into WholeStageCodegen stages
+      assert(p.contains("*("), s"$q lost codegen:\n$p")
+      assert(!p.contains("CodegenFallback"), s"$q fell back to interpretation:\n$p")
+    }
+  }
+
   test("q67: corpus ranking is bucket-partitioned; only the offset table is single-partition") {
     val p = plan("q67_data_mixture")
     // the corpus-side window must rank within mix_bucket shards
