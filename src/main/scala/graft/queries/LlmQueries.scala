@@ -144,6 +144,31 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Token-rarity scoring (a unigram-LM perplexity proxy, integer-exact):
+    * each token's corpus frequency in parts-per-million joins back to the
+    * token stream; a document's mean token ppm and its rare-token fraction
+    * (global count ≤ 2) gate gibberish and OCR noise. Deliberately
+    * frequency-valued, not rank-valued — a global frequency RANK needs a
+    * corpus-wide sort, ppm needs only one aggregate + a vocab join
+    * (broadcast when the vocabulary fits, shuffle otherwise). All integer
+    * arithmetic until two final exact divisions. */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+    val total = freq.agg(sum($"n_tok").as("n_total"))
+    toks.join(freq, "tok").crossJoin(broadcast(total))
+      .select($"doc_id",
+        expr("n_tok * 1000000L div n_total").as("ppm"),
+        ($"n_tok" <= 2).cast("int").as("is_rare"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum($"ppm").cast("double") / count(lit(1))).as("mean_tok_ppm"),
+        (sum($"is_rare").cast("double") / count(lit(1))).as("rare_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF via two aggregations (tf, df) + broadcast join-back; top-5
     * terms per doc ranked by the exact tf/df rational. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
@@ -182,7 +207,8 @@ object LlmQueries extends graft.QueryModule {
     "q45_tfidf" -> tfidfTop,
     "q65_dup_clusters" -> dupClusters,
     "q70_edit_distance" -> editDistance,
-    "q77_repetition" -> repetition)
+    "q77_repetition" -> repetition,
+    "q80_token_rarity" -> tokenRarity)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -430,6 +456,15 @@ object LlmQueries extends graft.QueryModule {
         |   coalesce(CAST(t.top_trigram_n AS DOUBLE) / t.n_trigrams, 0.0) > 0.18) AS repetitive
         |FROM us u LEFT JOIN ts t ON t.doc_id = u.doc_id
         |ORDER BY u.doc_id""".stripMargin),
+    "q80_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+        |total AS (SELECT sum(n_tok) AS n_total FROM freq)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(f.n_tok * 1000000 // tt.n_total) AS DOUBLE) / count(*) AS mean_tok_ppm,
+        |  CAST(sum(CASE WHEN f.n_tok <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+        |FROM toks t JOIN freq f USING (tok) CROSS JOIN total tt
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q45_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
