@@ -68,4 +68,20 @@ object EventLog {
     spark.read
       .schema(org.apache.spark.sql.Encoders.product[QueueRow].schema)
       .parquet(queueDir)
+
+  /** Consumer view of the terminal (DELIVERED/FAILED) history. A dispatcher
+    * crash between the terminal append and the PENDING swap re-attempts the
+    * row, so the append-only history can hold the same delivery twice
+    * (at-least-once, T2); one row per (id, attempt_count) — highest
+    * attempt_count wins per id — restores the exactly-once view, the batch
+    * twin of StatefulDedup. */
+  def terminalHistory(spark: SparkSession, queueDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("attempt_count").desc, col("status"))
+    read(spark, queueDir)
+      .filter(col("status").isin("DELIVERED", "FAILED"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -72,4 +72,33 @@ class QueueReplaySpec extends AnyFunSuite with SparkTestSession with BeforeAndAf
       .findFirstMatchIn(b).map(_.group(1)))
     assert(ids.distinct.size == 2 && ids.size == 4)
   }
+
+  test("terminal history reader restores the exactly-once view after a partial crash") {
+    val cfg = TriggerConfig(
+      name = "replay_t2", tableName = "employees",
+      operations = Seq("INSERT"), webhookUrl = server.url, mode = "ASYNC")
+    val dir = Files.createTempDirectory("graft_replay2_").toString + "/event_log"
+    val env = ChangeCapture.capture(
+      SnapshotDiff.diff(Seq.empty[Emp].toDF("id", "name", "salary"),
+        Seq(Emp(1, "ann", 100), Emp(2, "ben", 200)).toDF(), Seq("id")), cfg)
+    EventLog.enqueue(env, cfg, dir)
+
+    val backup = Files.createTempDirectory("graft_replay2_bk_").toString
+    copyTree(s"$dir/status=PENDING", backup)
+
+    assert(Dispatcher.runOnce(spark, dir).delivered == 2)
+    // the precise worst crash: terminal rows were appended, but the PENDING
+    // swap was lost — restore only the PENDING partition and replay
+    deleteTree(s"$dir/status=PENDING")
+    copyTree(backup, s"$dir/status=PENDING")
+    assert(Dispatcher.runOnce(spark, dir).delivered == 2)
+
+    // raw history now holds each delivery twice; the reader collapses it
+    val raw = EventLog.read(spark, dir).filter($"status" === "DELIVERED")
+    assert(raw.count() == 4)
+    val deduped = EventLog.terminalHistory(spark, dir)
+    assert(deduped.count() == 2)
+    assert(deduped.select($"id").distinct().count() == 2)
+    assert(deduped.filter($"status" === "DELIVERED").count() == 2)
+  }
 }
