@@ -77,8 +77,10 @@ object EventLog {
     * twin of StatefulDedup. */
   def terminalHistory(spark: SparkSession, queueDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // replay duplicates share (attempt_count, status); the attempts_time
+    // tiebreak (earliest full history) makes the surviving row deterministic
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("attempt_count").desc, col("status"))
+      .orderBy(col("attempt_count").desc, col("status"), col("attempts_time"))
     read(spark, queueDir)
       .filter(col("status").isin("DELIVERED", "FAILED"))
       .withColumn("__rn", row_number().over(w))
