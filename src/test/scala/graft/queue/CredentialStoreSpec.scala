@@ -42,6 +42,21 @@ class CredentialStoreSpec extends AnyFunSuite with SparkTestSession with BeforeA
     assert(rows == Set(("sec_t", "http://second/hook"), ("other_t", "http://other/hook")))
   }
 
+  test("audit semantics: updated_at advances on every upsert of a key") {
+    // the reference's credentials_audit_trigger stamps NEW.updated_at :=
+    // CURRENT_TIMESTAMP on update (cdc_webhook--1.0.sql:72-86); here the
+    // upsert path is the only writer, so the stamp lives there
+    val dir = Files.createTempDirectory("graft_creds_audit_").toString + "/credentials"
+    CredentialStore.upsert(spark, dir, cfg("http://first/hook", "PRIVATE"))
+    val t1 = CredentialStore.read(spark, dir)
+      .select($"updated_at").as[java.sql.Timestamp].head()
+    Thread.sleep(5)
+    CredentialStore.upsert(spark, dir, cfg("http://second/hook", "PRIVATE"))
+    val t2 = CredentialStore.read(spark, dir)
+      .select($"updated_at").as[java.sql.Timestamp].head()
+    assert(t2.after(t1), s"updated_at must advance: $t1 -> $t2")
+  }
+
   test("resolve: broadcast lookup attaches stored url/headers to envelopes") {
     val dir = Files.createTempDirectory("graft_creds_").toString + "/credentials"
     val c = cfg(server.url, "PRIVATE")
