@@ -42,7 +42,13 @@ object Sampling {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val h = hash16(concat(col(idCol).cast("string"), lit(salt)))
-    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // Cumulative cut-offs accumulate in decimal, not binary floating point:
+    // 0.9 + 0.05 must be exactly the 0.95 another engine writes as a literal,
+    // or a hash landing within float-error of a boundary × 65536 could be
+    // assigned to different splits by the two engines.
+    val cuts = fractions
+      .scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f.toString) }
+      .tail.map(_.toDouble)
     val assign = fractions.zip(cuts).foldRight(lit(fractions.last._1)) {
       case (((name, _), cut), acc) =>
         when(h < lit(cut) * 65536.0, lit(name)).otherwise(acc)

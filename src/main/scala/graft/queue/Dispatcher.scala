@@ -160,6 +160,7 @@ object Dispatcher {
     * plan the dispatcher actually runs. */
   def pendingScan(spark: SparkSession, queueDir: String): Dataset[QueueRow] = {
     import spark.implicits._
+    healAside(Paths.get(queueDir, "status=PENDING"))
     EventLog.read(spark, queueDir).filter(col("status") === "PENDING").as[QueueRow]
   }
 
@@ -171,9 +172,24 @@ object Dispatcher {
   def hasPending(spark: SparkSession, queueDir: String): Boolean =
     pendingScan(spark, queueDir).limit(1).count() > 0
 
+  /** Crash-recovery heal for [[swapDirs]]' one non-atomic window: a crash
+    * between its two renames leaves the target missing with the aside
+    * present. Every scan entry point restores the aside first, so a
+    * restarted dispatcher never mistakes that window for an empty queue
+    * (which would silently drop not-yet-due PENDING rows). If both target
+    * and aside exist the swap completed; the stale aside is left for the
+    * next swap's cleanup. */
+  private[queue] def healAside(target: Path): Unit = {
+    val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
+    if (!Files.exists(target) && Files.exists(aside))
+      Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Swap `tmp` into place at `target` via rename-aside: the old directory
     * is moved aside first, so a crash at any point leaves either the old or
-    * the new snapshot restorable at a deterministic path — never neither. */
+    * the new snapshot restorable at a deterministic path — never neither
+    * (the between-renames window is healed by [[healAside]] on the next
+    * scan). */
   private def swapDirs(tmp: Path, target: Path): Unit = {
     // Dot-prefixed so partition discovery never sees the aside copy.
     val aside = target.resolveSibling("." + target.getFileName.toString + ".old")

@@ -26,6 +26,9 @@ object Maintenance {
                      partitionCols: Seq[String] = Nil,
                      targetFilesPerPartition: Int = 1): Long = {
     require(targetFilesPerPartition >= 1, "need at least one output file")
+    // Heal swap()'s between-renames crash window first: a prior compaction
+    // that died there left the live dir missing with the aside present.
+    Dispatcher.healAside(Paths.get(dir))
     val df = spark.read.parquet(dir)
     val n = df.count()
     val tmp = dir.stripSuffix("/") + ".compact"

@@ -1,76 +1,122 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Dedup at ingest: new documents are checked against the EXISTING corpus's
   * LSH buckets instead of re-clustering the corpus per batch — the
   * incremental form every growing training corpus needs (the batch battery's
   * q30-q34/q65 are its full-corpus twins).
   *
-  * The corpus state is a durable bucket registry `(band, minhash,
-  * rep_doc_id)` — plain parquet here, a Delta/Iceberg table in production,
-  * hive-partitionable by `band`. Per micro-batch (foreachBatch, like every
-  * other side-effecting sink in this engine):
+  * The corpus state is a durable bucket registry `(band, bucket, minhash,
+  * rep_doc_id)` — plain parquet here, a Delta/Iceberg table in production —
+  * hive-partitioned by `(band, bucket)` where `bucket` is the first byte of
+  * the minhash (256 buckets per band). Per micro-batch (foreachBatch, like
+  * every other side-effecting sink in this engine):
   *
   *   1. the batch's MinHash band signatures are computed columnar
   *      (md5-derived, identical to [[Dedup.minhashSignatures]]);
-  *   2. one equi-join against the registry flags documents whose ANY band
-  *      bucket is already occupied — suspected near-dups, reported with the
-  *      smallest colliding representative;
-  *   3. signatures of the batch's NEW representatives append to the
-  *      registry (append-only; at-least-once replay re-appends identical
-  *      rows, and reads dedupe by distinct — idempotent effect).
+  *   2. the registry scan is PRUNED to the `(band, bucket)` partitions the
+  *      batch's signatures actually touch — per-batch I/O is O(batch), not
+  *      O(registry) — then one equi-join flags documents whose ANY band
+  *      bucket is already occupied;
+  *   3. the batch's signatures self-join the same way, so two near-dups
+  *      arriving in the SAME micro-batch are caught too (reported against
+  *      the smallest colliding batch doc_id);
+  *   4. signatures of the batch's genuinely-new representatives append to
+  *      the registry (append-only; at-least-once replay re-appends identical
+  *      rows, and the doc-level min aggregate absorbs them — idempotent
+  *      effect).
   *
-  * Cost per batch is O(batch × bands) join rows against a registry lookup —
-  * never O(corpus), and the registry join key (band, minhash) is exactly
-  * its partition layout.
+  * `dup_of` is the smallest colliding partner — a registry representative
+  * or an earlier same-batch document; resolving chains (B~A while A~R) into
+  * canonical clusters is the full clustering operator's job
+  * ([[Dedup.clusterPairs]], q65). Buckets of dup-flagged documents do not
+  * register (their collision partner's buckets already cover the
+  * neighborhood), matching the batch operator's keep-one-representative
+  * semantics.
   */
 object IncrementalDedup {
 
+  private val registrySchema: StructType = StructType.fromDDL(
+    "band INT, bucket INT, minhash STRING, rep_doc_id BIGINT")
+
+  /** Partition bucket of a minhash: its first hex byte, 0..255. A function
+    * of the join key, so pruning on it can never drop a matching row. */
+  private def bucketOf(minhash: Column): Column =
+    conv(substring(minhash, 1, 2), 16, 10).cast("int")
+
   /** One micro-batch step. Returns the per-document verdicts
-    * `(doc_id, is_dup, dup_of)` — `dup_of` is the smallest representative
-    * across all colliding buckets, null for fresh documents.
+    * `(doc_id, is_dup, dup_of)` — `dup_of` is the smallest colliding partner
+    * (registry representative or earlier same-batch doc), null for fresh
+    * documents.
     *
     * Shuffle discipline: the BATCH's signatures broadcast (a micro-batch is
     * small by construction); the registry only ever streams map-side
     * through the broadcast hash join — the corpus state is never shuffled,
-    * grouped, or rewritten per batch. The replay duplicates an append-only
-    * registry accumulates are absorbed by the doc-level min aggregate,
-    * which is O(hits), not O(registry). */
+    * grouped, or rewritten per batch. And its SCAN is partition-pruned to
+    * the batch's touched `(band, bucket)` directories (the touched set is a
+    * tiny O(batch·bands) driver-side pull, like the bloom-bytes scalar in
+    * SharedStages); batches touching more than `pruneMaxBuckets` buckets
+    * fall back to the full scan rather than build a degenerate predicate —
+    * at that size the batch is no longer "small" and a full probe is the
+    * honest cost. */
   def processBatch(batch: DataFrame, registryDir: String,
-                   bands: Int = 4, idCol: String = "doc_id"): DataFrame = {
+                   bands: Int = 4, idCol: String = "doc_id",
+                   pruneMaxBuckets: Int = 1024): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignatures(Dedup.shingles(batch, idCol = idCol), bands, idCol)
-    val registry = readRegistry(spark, registryDir)
-    val hits = registry.join(broadcast(sigs), Seq("band", "minhash"))
-      .groupBy(col(idCol)).agg(min(col("rep_doc_id")).as("dup_of"))
+      .withColumn("bucket", bucketOf(col("minhash")))
+    val touched = sigs.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else if (touched.length > pruneMaxBuckets) registryAll
+      else registryAll.filter(touched.map { case (b, k) =>
+        col("band") === b && col("bucket") === k }.reduce(_ || _))
+    val regHits = registry.join(broadcast(sigs), Seq("band", "minhash"))
+      .groupBy(col(idCol)).agg(min(col("rep_doc_id")).as("dup_of_reg"))
+    // intra-batch collisions: same-bucket pairs within the batch, charged to
+    // the larger doc_id (the smaller one stays the candidate representative)
+    val intraHits = sigs.as("a")
+      .join(broadcast(sigs.as("b")),
+        col("a.band") === col("b.band") && col("a.minhash") === col("b.minhash") &&
+          col(s"a.$idCol") > col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(min(col(s"b.$idCol")).as("dup_of_intra"))
+    val hits = regHits.join(intraHits, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        least(col("dup_of_reg"), col("dup_of_intra")).as("dup_of"))
     // verdicts capture the PRE-batch registry: their scan's file listing is
     // fixed here, before the append below, so a later materialization (the
     // caller's sink write) still judges against the state this batch saw.
     val verdicts = batch.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-    // fresh documents' buckets become part of the corpus state
+    // fresh documents' buckets become part of the corpus state, laid out in
+    // the same (band, bucket) partitions the probe prunes on
     sigs.join(hits, Seq(idCol), "left_anti")
-      .select(col("band"), col("minhash"), col(idCol).as("rep_doc_id"))
-      .write.mode(SaveMode.Append).parquet(registryDir)
+      .select(col("band"), col("bucket"), col("minhash"), col(idCol).as("rep_doc_id"))
+      .write.mode(SaveMode.Append).partitionBy("band", "bucket").parquet(registryDir)
     verdicts
   }
 
-  /** The raw append-only registry. A production deployment lays it out
-    * bucketed by (band, minhash prefix) so the per-batch probe prunes to
-    * the buckets the batch actually touches. */
+  /** The raw append-only registry, schema supplied explicitly (no footer
+    * inference — only partitions a query actually filters to are ever
+    * opened; `band`/`bucket` come from the directory names). */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
     val p = java.nio.file.Paths.get(registryDir)
-    if (!java.nio.file.Files.exists(p) ||
-        !java.nio.file.Files.list(p).findFirst().isPresent)
+    val nonEmpty = java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!nonEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "band INT, minhash STRING, rep_doc_id BIGINT"))
-    else spark.read.parquet(registryDir)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+    else spark.read.schema(registrySchema).parquet(registryDir)
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],

@@ -75,4 +75,33 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestSession with BeforeAnd
     assert(postedIds.length >= expectedIds.size,
       s"expected at-least-once: ${postedIds.length} posts for ${expectedIds.size} rows")
   }
+
+  test("crash between swap renames: aside PENDING partition is healed, no rows dropped") {
+    // swapDirs' only non-atomic window: old status=PENDING already renamed
+    // to the dot-prefixed aside, replacement not yet moved in. A crash here
+    // must NOT read as an empty queue on restart — inject exactly that state.
+    val cfg = TriggerConfig(
+      name = "heal_t", tableName = "employees",
+      operations = Seq("INSERT"), webhookUrl = server.url,
+      headers = Map.empty, mode = "ASYNC",
+      retryNumber = 1, retryInterval = 1, retryBackoff = "LINEAR")
+    val dir = Files.createTempDirectory("graft_heal_").toString + "/event_log"
+    val env = ChangeCapture.capture(
+      SnapshotDiff.diff(Seq.empty[Emp].toDF(),
+        Seq(Emp(1, "h1", 100), Emp(2, "h2", 200)).toDF(), Seq("id")), cfg)
+    EventLog.enqueue(env, cfg, dir)
+
+    val pending = java.nio.file.Paths.get(dir, "status=PENDING")
+    val aside = pending.resolveSibling(".status=PENDING.old")
+    java.nio.file.Files.move(pending, aside,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the crash point
+
+    // Restarted dispatcher: scan heals the aside back before reading.
+    assert(Dispatcher.hasPending(spark, dir), "healed scan must see the aside rows")
+    assert(!java.nio.file.Files.exists(aside) && java.nio.file.Files.exists(pending))
+    server.received.clear()
+    Dispatcher.drain(spark, dir, pollMs = 10L)
+    val terminal = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
+    assert(terminal.length == 2 && terminal.forall(_.status == "DELIVERED"))
+  }
 }

@@ -37,4 +37,19 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(scan.contains("PartitionFilters") && scan.contains("PENDING"))
     assert(re.filter($"status" === "PENDING").count() == 600)
   }
+
+  test("compaction heals a crash between its swap renames (aside restored)") {
+    val dir = Files.createTempDirectory("graft_compact_heal").toString + "/q"
+    (1 to 100).map(i => (s"e$i", i)).toDF("event_id", "n")
+      .repartition(4).write.parquet(dir)
+    // inject the between-renames crash state: live dir moved aside, no
+    // replacement in place
+    val p = java.nio.file.Paths.get(dir)
+    val aside = p.resolveSibling("." + p.getFileName.toString + ".old")
+    Files.move(p, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val rows = Maintenance.compactParquet(spark, dir)
+    assert(rows == 100, "healed compaction must see all pre-crash rows")
+    assert(!Files.exists(aside) && Files.exists(p))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }

@@ -3,14 +3,17 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Doc(doc_id: Long, text: String)
 
 /** Dedup at ingest: batch-2 documents are judged against batch-1's corpus
-  * state, replay is idempotent, and verdicts agree with the batch LSH
-  * candidate semantics (same md5 band signatures). */
+  * state, same-batch near-dups are caught too, replay is idempotent, the
+  * registry probe is partition-pruned to the batch's touched buckets, and
+  * verdicts agree with the batch LSH candidate semantics (same md5 band
+  * signatures). */
 class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -20,12 +23,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
   private val base = "alpha beta gamma delta epsilon zeta eta theta"
   private val other = "one two three four five six seven eight nine ten"
 
-  test("near-dup of an earlier batch is flagged with its representative") {
-    val reg = tmp("graft_dedup_reg")
-    val b1 = Seq(Doc(1L, base), Doc(2L, other)).toDF()
-    val v1 = IncrementalDedup.processBatch(b1, reg)
+  private def run(batch: org.apache.spark.sql.DataFrame, reg: String) =
+    IncrementalDedup.processBatch(batch, reg)
       .as[(Long, Boolean, Option[Long])].collect()
       .map { case (k, b, r) => k -> (b, r) }.toMap
+
+  test("near-dup of an earlier batch is flagged with its representative") {
+    val reg = tmp("graft_dedup_reg")
+    val v1 = run(Seq(Doc(1L, base), Doc(2L, other)).toDF(), reg)
     assert(v1 == Map(1L -> (false, None), 2L -> (false, None)))
 
     // doc 10 shares almost all shingles with doc 1; doc 11 is fresh
@@ -43,20 +48,54 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(v2(11L) == (false, None))
 
     // replayed batch (at-least-once): same verdicts, registry not corrupted
-    val v2r = IncrementalDedup.processBatch(b2, reg)
-      .as[(Long, Boolean, Option[Long])].collect()
-      .map { case (k, b, r) => k -> (b, r) }.toMap
+    val v2r = run(b2, reg)
     assert(v2r(10L) == (true, Some(1L)))
     // 11 now collides with its own registered buckets from the first play —
     // the replay detects it as already-present (dup_of = itself's rep)
     assert(v2r(11L)._2.contains(11L))
   }
 
+  test("near-dups arriving in the SAME micro-batch are flagged against the smallest") {
+    val reg = tmp("graft_dedup_intra")
+    val v = run(Seq(Doc(20L, base), Doc(21L, base + " iota"), Doc(22L, other)).toDF(), reg)
+    assert(v(20L) == (false, None), s"got $v")
+    assert(v(21L) == (true, Some(20L)), s"got $v")
+    assert(v(22L) == (false, None), s"got $v")
+    // only fresh docs registered: 21's buckets stay out, so a later match
+    // on the neighborhood is charged to representative 20
+    val reps = IncrementalDedup.readRegistry(spark, reg)
+      .select($"rep_doc_id").distinct().as[Long].collect().toSet
+    assert(reps == Set(20L, 22L), s"got $reps")
+    val v2 = run(Seq(Doc(30L, base)).toDF(), reg)
+    assert(v2(30L) == (true, Some(20L)), s"got $v2")
+  }
+
+  test("registry probe never reads untouched (band, bucket) partitions") {
+    val reg = tmp("graft_dedup_prune")
+    run(Seq(Doc(1L, base), Doc(2L, other)).toDF(), reg)
+    // poison a partition no batch can touch: bucket is the first minhash
+    // byte, always in [0, 255], so bucket=999 is reachable only by a scan
+    // that failed to prune
+    val poison = java.nio.file.Paths.get(reg, "band=0", "bucket=999")
+    Files.createDirectories(poison)
+    Files.write(poison.resolve("part-junk.parquet"), "not parquet".getBytes)
+    // the poison is potent: any scan touching it throws
+    intercept[Exception] {
+      IncrementalDedup.readRegistry(spark, reg)
+        .filter(col("bucket") === 999).count()
+    }
+    // …but a batch's probe cycle (probe + verdicts + registry append) never
+    // touches it: per-batch I/O is O(touched buckets), not O(registry)
+    val v = run(Seq(Doc(10L, base + " iota"), Doc(11L, other + " eleven")).toDF(), reg)
+    assert(v(10L) == (true, Some(1L)), s"got $v")
+    assert(v(11L) == (true, Some(2L)), s"got $v")
+  }
+
   test("two-batch verdicts equal the batch LSH candidate semantics") {
-    // For a corpus split into two batches (first batch internally unique),
-    // a second-batch document is flagged iff it shares a (band, minhash)
-    // bucket with some first-batch document, and its representative is the
-    // smallest such partner — exactly the batch operator's candidate edge.
+    // A document is flagged iff it shares a (band, minhash) bucket with an
+    // earlier-registered representative OR a smaller-id document of its own
+    // batch, and its dup_of is the smallest such partner — exactly the batch
+    // operator's candidate edge, scanned in (batch, id) order.
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val vocab = Vector("red", "blue", "green", "ox", "hen", "fox", "elm",
       "oak", "ash", "tin", "zinc", "lead")
@@ -67,23 +106,25 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
         val docs = texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
         val (b1, b2) = docs.splitAt(5)
         val reg = tmp("graft_dedup_prop")
-        val v1 = IncrementalDedup.processBatch(b1.toDF(), reg)
-          .as[(Long, Boolean, Option[Long])].collect()
-        val batch1Dups = v1.filter(_._2).map(_._1).toSet // none (empty registry)
-        val v2 = IncrementalDedup.processBatch(b2.toDF(), reg)
-          .as[(Long, Boolean, Option[Long])].collect()
-          .map { case (k, b, r) => k -> (b, r) }.toMap
+        val v1 = run(b1.toDF(), reg)
+        val v2 = run(b2.toDF(), reg)
         val sigs = graft.operators.Dedup
           .minhashSignatures(graft.operators.Dedup.shingles(docs.toDF()), bands = 4)
           .as[(Long, Int, String)].collect()
           .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
-        val b1Ids = b1.map(_.doc_id).filterNot(batch1Dups)
-        batch1Dups.isEmpty && b2.forall { d =>
-          val partners = b1Ids.filter(o =>
-            sigs.getOrElse(o, Set.empty).intersect(
-              sigs.getOrElse(d.doc_id, Set.empty)).nonEmpty)
+        def share(a: Long, b: Long): Boolean =
+          sigs.getOrElse(a, Set.empty).intersect(sigs.getOrElse(b, Set.empty)).nonEmpty
+        val b1Ok = b1.forall { d =>
+          val partners = b1.map(_.doc_id).filter(o => o < d.doc_id && share(o, d.doc_id))
+          v1(d.doc_id) == (partners.nonEmpty, partners.minOption)
+        }
+        val registered = b1.map(_.doc_id).filterNot(v1(_)._1)
+        val b2Ok = b2.forall { d =>
+          val partners = registered.filter(share(_, d.doc_id)) ++
+            b2.map(_.doc_id).filter(o => o < d.doc_id && share(o, d.doc_id))
           v2(d.doc_id) == (partners.nonEmpty, partners.minOption)
         }
+        b1Ok && b2Ok
       })
     assert(res.passed, res.status.toString)
   }
