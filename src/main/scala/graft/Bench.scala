@@ -26,16 +26,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
-    }
-    // min of three runs: the first pays cache/JIT warmup, and single-run
-    // noise on a shared host is ±15% — min-of-3 reports steady-state cost
-    val results = selected.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn)).min
-    }
+    }.toSeq
+    // Three timing passes, ROUND-ROBIN over the whole battery (pass 1 all
+    // queries, then pass 2, pass 3) rather than three consecutive runs per
+    // query: a multi-second host load spike then inflates one sample of
+    // many queries instead of all three samples of one, so the per-query
+    // min stays a steady-state measurement. All samples are emitted so a
+    // reader can spot the spike instead of inferring a regression.
+    val samples = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to 3; (name, fn) <- selected)
+      samples(name) = samples(name) :+ timeOnce(fn)
+    val results = samples.map { case (name, ss) => name -> ss.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val all = samples.map { case (k, ss) => s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$all,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,10 +175,23 @@ object RelationalQueries extends graft.QueryModule {
     * per order BEFORE joining (a rewrite Catalyst does not apply itself),
     * shrinking the big shuffle from one row per lineitem to one per order —
     * the difference between shuffling 100 TB and 25 TB at the north-star
-    * scale. Result is identical to q3 (same oracle text). */
+    * scale. The pre-aggregation itself is PREFILTERED by a semi-join
+    * against the date-qualified order keys, so it rolls up one row per
+    * QUALIFYING order, not per order in the whole table (an unfiltered
+    * eager agg shuffles the full fact table and loses to the plain q3
+    * plan it is meant to beat). The key set is broadcast here; at a scale
+    * where the qualifying keys outgrow broadcast, the same shape comes
+    * from a bloom runtime filter (the q76 machinery) or a shuffle semi-join
+    * whose l_orderkey partitioning the downstream groupBy then reuses.
+    * Result is identical to q3 (same oracle text). */
   def joinMultiwayPreAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val qualifyingKeys = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey".as("l_orderkey"))
     val revPerOrder = Tables.lineitem(s, dir)
+      .join(broadcast(qualifyingKeys), Seq("l_orderkey"), "left_semi")
       .groupBy($"l_orderkey")
       .agg(
         sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))

@@ -66,6 +66,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // partial+final pre-aggregation on l_orderkey appears under the join
     assert(p.contains("hashpartitioning(l_orderkey"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 4) // pre-agg + final agg, each 2-phase
+    // the pre-agg only rolls up QUALIFYING orders: a semi-join against the
+    // date-filtered key set sits BELOW the aggregate (an unfiltered eager
+    // agg shuffles one row per order in the whole fact table)
+    val semiAt = p.indexOf("LeftSemi")
+    // plans print top-down, so "below the pre-agg" = after the DEEPEST
+    // (partial, l_orderkey) HashAggregate in the string
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(semiAt >= 0, s"pre-agg must be prefiltered by a semi-join:\n$p")
+    assert(semiAt > aggAt, s"semi-join prefilter must sit below the aggregate:\n$p")
   }
 
   test("q51: as-of join is union + one window, never a non-equi join") {
