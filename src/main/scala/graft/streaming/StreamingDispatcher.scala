@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.delivery.{HttpPoster, JdkHttpPoster}
+import graft.queue.Dispatcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The Structured-Streaming-native form of the reference's delivery worker
+  * loop (`src/cdc_webhook_worker.c:63-64` polls the queue every second):
+  * a rate-source tick drives one [[Dispatcher.runOnce]] cycle per
+  * `Trigger.ProcessingTime` interval, replacing the hand-rolled
+  * sleep/restart loop ([[Dispatcher.drain]]/[[Dispatcher.supervise]]) with
+  * the engine's own scheduler, checkpointing, and restart semantics
+  * (SURVEY §3.3's stated mapping).
+  *
+  * Division of labor: ALL queue state lives in the queue directory —
+  * PENDING/terminal partitions, attempt history, next_attempt schedules —
+  * exactly as in the batch dispatcher, so the streaming checkpoint only
+  * carries the tick offsets. A stop/restart (or crash/supervised-restart,
+  * which Structured Streaming handles natively) resumes by simply ticking
+  * again over whatever the queue says is due: the at-least-once contract is
+  * the queue's, not the checkpoint's, and rewinding ticks can never replay
+  * a delivery that already swapped to DELIVERED.
+  *
+  * The cycle body runs on the driver inside `foreachBatch` (the tick batch
+  * itself is ignored); the delivery fan-out inside `runOnce` remains
+  * distributed over executors via its `mapPartitions`.
+  */
+object StreamingDispatcher {
+
+  /** Start the dispatcher as a streaming query polling every `intervalMs`.
+    * Caller owns the returned query's lifecycle (stop/awaitTermination). */
+  def start(spark: SparkSession, queueDir: String,
+            poster: HttpPoster = JdkHttpPoster,
+            checkpointDir: String,
+            intervalMs: Long = 1000L): StreamingQuery = {
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    ticks.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .queryName("graft-dispatcher")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        Dispatcher.runOnce(spark, queueDir, poster); ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.cdc.{ChangeCapture, Emp, SnapshotDiff}
+import graft.delivery.CaptureServer
+import graft.model.TriggerConfig
+import graft.queue.{Dispatcher, EventLog}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Trigger.ProcessingTime dispatcher: a streaming query drains an
+  * enqueued batch end-to-end, and a stop/restart with the same checkpoint
+  * resumes and drains work enqueued while it was down (queue state, not
+  * checkpoint state, carries the contract). */
+class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var server: CaptureServer = _
+  override def beforeAll(): Unit = { server = new CaptureServer }
+  override def afterAll(): Unit = server.stop()
+
+  private def cfg = TriggerConfig(
+    name = "stream_disp_t", tableName = "employees",
+    operations = Seq("INSERT"), webhookUrl = server.url,
+    headers = Map("X-API-Key" -> "sdkey"), mode = "ASYNC",
+    retryNumber = 2, retryInterval = 1, retryBackoff = "LINEAR")
+
+  private def enqueue(dir: String, emps: Seq[Emp]): Unit = {
+    val env = ChangeCapture.capture(
+      SnapshotDiff.diff(Seq.empty[Emp].toDF(), emps.toDF(), Seq("id")), cfg)
+    EventLog.enqueue(env, cfg, dir)
+  }
+
+  /** stop() interrupts an in-flight (idle) cycle; the abort is the
+    * crash-model the queue already absorbs (at-least-once), so an
+    * interrupt surfacing from stop is not a failure — every correctness
+    * assertion here reads the queue state afterwards. */
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Polls CONCURRENTLY with the dispatcher's PENDING-partition swap, so a
+    * poll can read a file listing the swap just invalidated (the known
+    * plain-parquet concurrent-reader window — a lakehouse table format
+    * closes it). Like any concurrent reader of this layout, retry. */
+  private def awaitDrained(dir: String, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var drained = false
+    while (!drained) {
+      assert(System.currentTimeMillis() < deadline,
+        "streaming dispatcher did not drain the queue in time")
+      drained =
+        try !Dispatcher.hasPending(spark, dir)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!drained) Thread.sleep(200L)
+    }
+  }
+
+  test("streaming query drains the queue and a checkpoint restart resumes") {
+    val root = Files.createTempDirectory("graft_sdisp_").toString
+    val dir = root + "/event_log"
+    val ckpt = root + "/ckpt"
+    enqueue(dir, Seq(Emp(1, "s1", 100), Emp(2, "s2", 200)))
+    server.received.clear()
+
+    val q1 = StreamingDispatcher.start(spark, dir, checkpointDir = ckpt,
+      intervalMs = 200L)
+    try awaitDrained(dir) finally stopQuietly(q1)
+    val afterFirst = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
+    assert(afterFirst.length == 2 && afterFirst.forall(_.status == "DELIVERED"))
+    assert(server.bodies.length == 2)
+
+    // work arrives while the dispatcher is down; the SAME checkpoint resumes
+    enqueue(dir, Seq(Emp(3, "s3", 300)))
+    val q2 = StreamingDispatcher.start(spark, dir, checkpointDir = ckpt,
+      intervalMs = 200L)
+    try awaitDrained(dir) finally stopQuietly(q2)
+    val afterSecond = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
+    assert(afterSecond.length == 3 && afterSecond.forall(_.status == "DELIVERED"))
+    assert(server.bodies.length == 3, "restart must deliver only the new row")
+  }
+}
