@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL — the JDK ships PNG/JPEG/BMP/GIF readers in
   * `javax.imageio`, no external deps — computing pixel-level features
-  * (luminance histogram + mean brightness). Audio/video codecs do not ship
-  * with the JDK, so those decodes are STUBBED with deterministic byte-level
-  * fakes (clearly marked below); an undecodable "image" payload falls back
-  * to the same stub. Everything around the stubs is real: schema, encoders,
+  * (luminance histogram + mean brightness). AUDIO decode is REAL for WAV —
+  * the JDK ships PCM WAV/AIFF/AU readers in `javax.sound.sampled` —
+  * computing sample-level features (amplitude histogram + RMS). VIDEO codecs
+  * do not ship with the JDK, so that decode is STUBBED with a deterministic
+  * byte-level fake (clearly marked below); an undecodable image/audio
+  * payload falls back to the same stub. Everything around the stub is real: schema, encoders,
   * mapPartitions batch shape, partitioning behavior. At 100 TB the per-asset work is
   * embarrassingly parallel; the only sizing concern is
   * `spark.sql.files.maxPartitionBytes` vs. asset size, because one task
@@ -94,13 +96,72 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Sample-level audio features: per-channel-interleaved PCM samples
+    * normalized to [-1, 1]. Kept separate from [[AssetFeatures]] so the
+    * generic feature row stays kind-agnostic. */
+  final case class AudioFeatures(
+      asset_id: Long, sample_rate: Int, channels: Int, duration_ms: Double,
+      rms: Double, amp_hist: Array[Long])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (PCM WAV — no
+    * external deps): sample rate, channel count, duration, RMS amplitude,
+    * and a 16-bin |amplitude| histogram over normalized samples. Returns
+    * None when the payload is not decodable audio. */
+  private[operators] def decodeWav(a: Asset): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.data))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            (bits != 16 && bits != 8) || ais.getFrameLength <= 0) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val n = bytes.length / bytesPerSample
+          val hist = new Array[Long](16)
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            val off = i * bytesPerSample
+            // WAV is little-endian; 16-bit signed or 8-bit signed PCM
+            val raw =
+              if (bits == 16)
+                (((bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)).toShort).toInt
+              else bytes(off).toInt
+            val s = raw.toDouble / (if (bits == 16) 32768.0 else 128.0)
+            sumSq += s * s
+            hist(math.min(15, (math.abs(s) * 16).toInt)) += 1
+            i += 1
+          }
+          Some(AudioFeatures(a.asset_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            ais.getFrameLength * 1000.0 / fmt.getSampleRate,
+            math.sqrt(sumSq / math.max(1, n)), hist))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   private def decode(a: Asset): AssetFeatures =
     if (a.kind == "image") decodeImage(a).getOrElse(decodeStub(a))
+    else if (a.kind == "audio")
+      decodeWav(a).map(f => AssetFeatures(a.asset_id, a.kind,
+        a.data.length.toLong, f.amp_hist, f.rms)).getOrElse(decodeStub(a))
     else decodeStub(a)
+
+  /** Typed audio-feature extraction for `kind = "audio"` assets — same
+    * partition-wise batch shape as [[extractFeatures]]; undecodable
+    * payloads are dropped (a pipeline routes them to quarantine). */
+  def extractAudioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.filter(col("kind") === "audio").as[Asset]
+      .mapPartitions(_.flatMap(a => decodeWav(a)))
+  }
 
   /** Feature extraction: partition-wise batches over the asset Dataset —
     * the mapPartitions shape a vectorized codec (or JNI batch call) needs.
-    * Images decode for real (see [[decodeImage]]); other kinds hit the stub. */
+    * Images and WAV audio decode for real (see [[decodeImage]],
+    * [[decodeWav]]); video and undecodable payloads hit the stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decode))

@@ -88,6 +88,60 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(f.byte_hist.sum == 4 && f.n_bytes == 4)
   }
 
+  /** A genuine 16-bit mono PCM WAV through the JDK encoder. */
+  private def wavBytes(samples: Array[Short], sampleRate: Float = 16000f): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i => // little-endian
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode is real: known WAV samples give exact sample features") {
+    // 1 s of constant amplitude 16384 (= 0.5 normalized) at 16 kHz
+    val wav = wavBytes(Array.fill[Short](16000)(16384))
+    val asset = Multimodal.Asset(11L, "audio", wav, 0, 0, 16000, 1000)
+    val f = Multimodal.extractAudioFeatures(
+      spark.createDataset(Seq(asset))).collect().head
+    assert(f.sample_rate == 16000 && f.channels == 1)
+    assert(f.duration_ms == 1000.0)
+    assert(f.rms == 0.5) // sqrt(mean(0.25)) exactly
+    val expHist = new Array[Long](16)
+    expHist(8) = 16000 // |0.5| * 16 = bin 8
+    assert(f.amp_hist.toSeq == expHist.toSeq)
+  }
+
+  test("audio decode: silence and full-scale land in the extreme bins") {
+    val samples = Array.fill[Short](500)(0) ++ Array.fill[Short](500)(Short.MinValue)
+    val f = Multimodal.extractAudioFeatures(spark.createDataset(Seq(
+      Multimodal.Asset(12L, "audio", wavBytes(samples, 8000f), 0, 0, 8000, 125))))
+      .collect().head
+    assert(f.sample_rate == 8000 && f.duration_ms == 125.0)
+    assert(f.amp_hist(0) == 500 && f.amp_hist(15) == 500)
+    assert(f.rms == math.sqrt(0.5)) // half silence, half |-1.0|
+  }
+
+  test("kind=audio with a valid WAV payload does not hit the byte-level stub") {
+    val wav = wavBytes(Array.fill[Short](1000)(16384))
+    val f = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.Asset(13L, "audio", wav, 0, 0, 16000, 62)))).collect().head
+    // sample features, not payload-byte features: histogram mass = samples
+    // (not bytes) and brightness carries the RMS
+    assert(f.byte_hist.sum == 1000 && f.n_bytes == wav.length)
+    assert(f.brightness == 0.5)
+    // undecodable audio payload still falls back to the stub
+    val junk = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.Asset(14L, "audio", Array[Byte](9, 9, 9), 0, 0, 0, 0)))).collect().head
+    assert(junk.byte_hist.sum == 3 && junk.n_bytes == 3)
+  }
+
   test("frame sampling emits every stride-th fixed-size window, video only") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
     assert(frames.nonEmpty)
