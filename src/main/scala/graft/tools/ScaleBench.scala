@@ -1,0 +1,176 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkEntry
+import graft.delivery.HttpPoster
+import graft.queue.{Dispatcher, EventLog}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope evidence (dev tool, like [[graft.Plans]]): "survives 100×"
+  * should be measured, not only argued from plan shapes.
+  *
+  * Builds 1×/3×/10× `documents` corpora under a scratch root — copy `k`
+  * shifts `doc_id` by k·10⁷ and suffixes every TOKEN with `_k`, so each
+  * copy reproduces the original's internal near-dup structure without
+  * creating any cross-copy collisions: the duplicate RATE stays constant
+  * as the corpus grows, as in a real corpus (naive row duplication would
+  * instead make every document a 10-way near-dup and quadratically inflate
+  * the candidate stage — a measurement artifact, not a scale test). Other
+  * tables are symlinked from the base scale factor.
+  *
+  * Then times the flagship pipelines (MinHash → LSH → Jaccard, clustering,
+  * curation) at each scale, and one dispatcher drain cycle at growing
+  * queue depth with an in-JVM always-200 poster (so the measurement is the
+  * engine's scan/rewrite cost, not network latency). Emits one JSON line
+  * per measurement and rewrites `SCALE.md` (which `graft.Plans` embeds
+  * into PLANS.md).
+  *
+  * {{{ sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/graft-scale SCALE.md" }}}
+  */
+object ScaleBench {
+
+  private object Always200 extends HttpPoster {
+    override def post(url: String, headers: Map[String, String], body: String,
+                      timeoutMs: Long): (Int, String) = (200, "ok")
+  }
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings")
+
+  private val queries = Seq("q31_minhash_sigs", "q32_lsh_candidates",
+    "q33_jaccard_verify", "q65_dup_clusters", "q78_curation_pipeline")
+
+  private val queueDepths = Seq(2000, 6000, 20000)
+
+  private val warmupDir = "/root/testdata/sf0.01"
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val root = args.lift(1).getOrElse("/tmp/graft-scale")
+    val out = args.lift(2).getOrElse("SCALE.md")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scales = Seq(1, 3, 10)
+    scales.foreach(k => buildScaled(spark, base, s"$root/x$k", k))
+
+    def noop(q: String, dir: String): Unit =
+      SparkEntry.queries(q)(spark, dir).write
+        .format("noop").mode("overwrite").save()
+    // JIT/codegen warmup on a DIFFERENT sf dir, so each xK's first run
+    // stays cache-cold for its own dir (shared stages persist per dir;
+    // warming up on x1 would hide the stage compute that the slope is
+    // supposed to measure)
+    queries.foreach(q => noop(q, warmupDir))
+
+    val qRows = for (q <- queries; k <- scales) yield {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(q, s"$root/x$k")
+        (System.nanoTime() - t0) / 1e9
+      }
+      // cold = first run on this dir (includes shared-stage compute +
+      // persist); warm = later runs reading the persisted stages
+      val (cold, warm) = (ts.head, ts.tail.min)
+      println(f"""{"kind":"query","name":"$q","scale":$k,"cold":$cold%.3f,"warm":$warm%.3f}""")
+      (q, k, cold, warm)
+    }
+
+    val dRows = queueDepths.map { n =>
+      val sec = (1 to 3).map { _ =>
+        val qdir = s"$root/queue$n/event_log"
+        mkQueue(spark, qdir, n)
+        val t0 = System.nanoTime()
+        val stats = Dispatcher.runOnce(spark, qdir, Always200,
+          now = new Timestamp(1700000000001L))
+        require(stats.delivered == n, s"expected $n delivered, got $stats")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"kind":"dispatcher","depth":$n,"sec":$sec%.3f}""")
+      (n, sec)
+    }
+
+    writeMd(out, qRows, dRows)
+    println(s"wrote $out")
+    spark.stop()
+  }
+
+  /** Scaled corpus dir: symlinked base tables + k-times documents. */
+  private def buildScaled(spark: SparkSession, base: String, dir: String, k: Int): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d.resolve("_built"))) return
+    Files.createDirectories(d)
+    tables.foreach { t =>
+      val link = d.resolve(s"$t.parquet")
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, Paths.get(base, s"$t.parquet"))
+    }
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val copies = (0 until k).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, lit(s"_$c")))).as("text"),
+        col("lang"), col("source"),
+        length(concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, lit(s"_$c"))))).as("n_chars"))
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    Files.createFile(d.resolve("_built"))
+  }
+
+  private def mkQueue(spark: SparkSession, dir: String, n: Int): Unit = {
+    import spark.implicits._
+    val p = Paths.get(dir).getParent
+    if (Files.exists(p)) {
+      val s = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try s.forEach(f => Files.delete(f)) finally s.close()
+    }
+    val due = new Timestamp(1700000000000L)
+    spark.range(n.toLong).map { i =>
+      EventLog.QueueRow(
+        id = s"ev$i", trigger_schema = "public", trigger_table = "t",
+        trigger_name = "scale_t", webhook_url = "http://127.0.0.1:1/hook",
+        headers = "{}", payload = s"""{"op":"INSERT","id":$i}""", timeout = 10,
+        status = "PENDING", attempt_count = 0, attempts_time = Seq.empty,
+        attempts_status = Seq.empty, attempts_response = Seq.empty,
+        next_attempt = due, retry_number = 2, retry_interval = 2,
+        retry_backoff = "EXPONENTIAL", created_at = due)
+    }.write.mode(SaveMode.Overwrite).partitionBy("status").parquet(dir)
+  }
+
+  private def writeMd(out: String,
+                      qRows: Seq[(String, Int, Double, Double)],
+                      dRows: Seq[(Int, Double)]): Unit = {
+    val sb = new StringBuilder
+    sb ++= "## Scale slopes (measured)\n\n"
+    sb ++= "Generated by `graft.tools.ScaleBench` on synthetic 1x/3x/10x corpora\n"
+    sb ++= "(token-suffixed copies: constant near-dup RATE as size grows; see the\n"
+    sb ++= "tool's scaladoc). Wall-clock seconds, local[32]. `cold` = first run\n"
+    sb ++= "on the dir — includes computing + persisting the shared stages, the\n"
+    sb ++= "number that must scale; `warm` = later runs over the persisted\n"
+    sb ++= "stages. `slope` = cold(10x)/cold(1x): linear predicts ~10, sub-10\n"
+    sb ++= "means fixed job costs still dominate at this corpus size.\n\n"
+    sb ++= "| pipeline | 1x cold/warm | 3x cold/warm | 10x cold/warm | cold slope 10x/1x |\n|---|---|---|---|---|\n"
+    queries.foreach { q =>
+      val by = qRows.filter(_._1 == q).map(r => r._2 -> (r._3, r._4)).toMap
+      def cell(k: Int) = f"${by(k)._1}%.2f / ${by(k)._2}%.2f s"
+      sb ++= f"| $q | ${cell(1)} | ${cell(3)} | ${cell(10)} | ${by(10)._1 / by(1)._1}%.1f x |\n"
+    }
+    sb ++= "\n| dispatcher cycle depth | sec | sec/1k rows |\n|---|---|---|\n"
+    dRows.foreach { case (n, s) =>
+      sb ++= f"| $n | $s%.2f s | ${s * 1000 / n}%.3f |\n"
+    }
+    Files.write(Paths.get(out),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
