@@ -67,8 +67,13 @@ object IncrementalDedup {
                    bands: Int = 4, idCol: String = "doc_id",
                    pruneMaxBuckets: Int = 1024): DataFrame = {
     val spark = batch.sparkSession
+    // localCheckpoint(eager): the signature pipeline feeds FIVE consumers
+    // (touched-set pull, registry probe, both sides of the intra-batch
+    // self-join, registration) — materialize the small batch once instead
+    // of recomputing shingle+md5 per consumer
     val sigs = Dedup.minhashSignatures(Dedup.shingles(batch, idCol = idCol), bands, idCol)
       .withColumn("bucket", bucketOf(col("minhash")))
+      .localCheckpoint(true)
     val touched = sigs.select(col("band"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     val registryAll = readRegistry(spark, registryDir)

@@ -91,6 +91,21 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(v(11L) == (true, Some(2L)), s"got $v")
   }
 
+  test("registry compaction preserves probe semantics and partition layout") {
+    // the append-only registry accrues one file set per batch; periodic
+    // Maintenance compaction must keep (band, bucket) pruning and verdicts
+    // intact (the ingest path's ops story, not just its hot path)
+    val reg = tmp("graft_dedup_compact")
+    run(Seq(Doc(1L, base), Doc(2L, other)).toDF(), reg)
+    run(Seq(Doc(3L, "unrelated fresh words in this third document")).toDF(), reg)
+    val before = IncrementalDedup.readRegistry(spark, reg).count()
+    graft.queue.Maintenance.compactParquet(spark, reg,
+      partitionCols = Seq("band", "bucket"))
+    assert(IncrementalDedup.readRegistry(spark, reg).count() == before)
+    val v = run(Seq(Doc(10L, base + " iota")).toDF(), reg)
+    assert(v(10L) == (true, Some(1L)), s"got $v")
+  }
+
   test("two-batch verdicts equal the batch LSH candidate semantics") {
     // A document is flagged iff it shares a (band, minhash) bucket with an
     // earlier-registered representative OR a smaller-id document of its own
