@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Embedding near-dup gating at ingest — the L2 twin of
+  * [[IncrementalDedup]]: new vectors are checked against the EXISTING
+  * corpus's hyperplane-LSH buckets instead of re-running the all-pairs
+  * battery per batch.
+  *
+  * The semantic difference from the minhash twin: a shared (band, bucket)
+  * is only a CANDIDATE here, not a verdict — candidates are exact-rescored
+  * (codegen'd dot product, floor-quantized like every similarity in this
+  * engine) against `minSimMillionths`, so a chance bucket collision between
+  * unrelated vectors never flags anything.
+  *
+  * The corpus state is a durable registry `(band, bucket, rep_vec_id,
+  * rep_emb)` hive-partitioned by `(band, bucket)`. The representative's
+  * embedding is stored IN the bucket row — `planes/bandWidth` copies per
+  * vector — deliberately: rescoring needs the rep's vector, and co-locating
+  * it with the signature keeps the per-batch probe's I/O O(touched buckets).
+  * The alternative (signature-only registry + one central embedding table)
+  * stores each vector once but pays an O(registry) embedding-table scan or
+  * a corpus-side shuffle per batch — exactly the cost this operator exists
+  * to avoid. Bands× space for O(batch) probe time.
+  *
+  * Per micro-batch, mirroring [[IncrementalDedup.processBatch]]:
+  * signatures computed columnar (md5-derived planes, engine-portable);
+  * registry scan pruned to the batch's touched partitions; batch broadcast
+  * (corpus state never shuffles); intra-batch collisions self-joined and
+  * rescored; verdicts report the smallest qualifying partner; fresh
+  * vectors' bucket rows append (at-least-once replay re-appends identical
+  * rows, absorbed by the min aggregate — and a replayed fresh vector finds
+  * its own registry row at similarity 1.0, so it is reported as
+  * already-present rather than re-registered).
+  */
+object IncrementalVecDedup {
+
+  private val registrySchema: StructType = StructType.fromDDL(
+    "band INT, bucket INT, rep_vec_id BIGINT, rep_emb ARRAY<FLOAT>")
+
+  /** One micro-batch step → verdicts `(vec_id, is_dup, dup_of)`;
+    * `dup_of` is the smallest partner (registry representative or earlier
+    * same-batch vector) whose EXACT quantized similarity reaches
+    * `minSimMillionths`, null for fresh vectors. */
+  def processBatch(batch: DataFrame, registryDir: String,
+                   minSimMillionths: Long,
+                   planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   pruneMaxBuckets: Int = 1024): DataFrame = {
+    val spark = batch.sparkSession
+    // signatures + the vector itself, materialized once (five consumers)
+    val sigs = Similarity
+      .lshBandSignatures(batch, planes, bandWidth, dims, idCol, vecCol)
+      .join(batch.select(col(idCol), col(vecCol)), idCol)
+      .localCheckpoint(true)
+    val touched = sigs.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else if (touched.length > pruneMaxBuckets) registryAll
+      else registryAll.filter(touched.map { case (b, k) =>
+        col("band") === b && col("bucket") === k }.reduce(_ || _))
+    def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Similarity.quantize(GraftFunctions.vecDot(spark, a, b))
+    val regHits = registry.join(broadcast(sigs), Seq("band", "bucket"))
+      .filter(sim(col(vecCol), col("rep_emb")) >= minSimMillionths)
+      .groupBy(col(idCol)).agg(min(col("rep_vec_id")).as("dup_of_reg"))
+    val intraHits = sigs.as("a")
+      .join(broadcast(sigs.as("b")),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") > col(s"b.$idCol"))
+      .filter(sim(col(s"a.$vecCol"), col(s"b.$vecCol")) >= minSimMillionths)
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(min(col(s"b.$idCol")).as("dup_of_intra"))
+    val hits = regHits.join(intraHits, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        least(col("dup_of_reg"), col("dup_of_intra")).as("dup_of"))
+    val verdicts = batch.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+    sigs.join(hits, Seq(idCol), "left_anti")
+      .select(col("band"), col("bucket"), col(idCol).as("rep_vec_id"),
+        col(vecCol).as("rep_emb"))
+      .write.mode(SaveMode.Append).partitionBy("band", "bucket").parquet(registryDir)
+    verdicts
+  }
+
+  /** The raw append-only registry, schema supplied explicitly (no footer
+    * inference; only filtered-to partitions are ever opened). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(registryDir)
+    val nonEmpty = java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (!nonEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+    else spark.read.schema(registrySchema).parquet(registryDir)
+  }
+
+  /** Streaming face: wire an embedding stream through [[processBatch]],
+    * appending verdicts to `verdictDir`. Caller starts the query. */
+  def gate(vecStream: DataFrame, registryDir: String, verdictDir: String,
+           minSimMillionths: Long, planes: Int = 16, bandWidth: Int = 4,
+           dims: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        processBatch(batch, registryDir, minSimMillionths, planes, bandWidth, dims)
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+    }
+}
