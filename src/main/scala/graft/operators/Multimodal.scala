@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * `javax.imageio`, no external deps — computing pixel-level features
   * (luminance histogram + mean brightness). AUDIO decode is REAL for WAV —
   * the JDK ships PCM WAV/AIFF/AU readers in `javax.sound.sampled` —
-  * computing sample-level features (amplitude histogram + RMS). VIDEO codecs
-  * do not ship with the JDK, so that decode is STUBBED with a deterministic
-  * byte-level fake (clearly marked below); an undecodable image/audio
-  * payload falls back to the same stub. Everything around the stub is real: schema, encoders,
+  * computing sample-level features (amplitude histogram + RMS). VIDEO demux
+  * + decode is REAL for MJPEG (concatenated JPEG frames, split on the SOI
+  * marker, each frame ImageIO-decoded); other video codecs do not ship with
+  * the JDK, so those payloads fall back to a deterministic byte-level STUB
+  * (clearly marked below), as does any undecodable image/audio/video
+  * payload. Everything around the stub is real: schema, encoders,
   * mapPartitions batch shape, partitioning behavior. At 100 TB the per-asset work is
   * embarrassingly parallel; the only sizing concern is
   * `spark.sql.files.maxPartitionBytes` vs. asset size, because one task
@@ -147,7 +149,15 @@ object Multimodal {
     else if (a.kind == "audio")
       decodeWav(a).map(f => AssetFeatures(a.asset_id, a.kind,
         a.data.length.toLong, f.amp_hist, f.rms)).getOrElse(decodeStub(a))
-    else decodeStub(a)
+    else if (a.kind == "video") {
+      // MJPEG: key-frame (first frame) luminance features over real pixels;
+      // n_bytes stays the full payload size
+      val frames = mjpegFrameOffsets(a.data)
+      frames.headOption
+        .flatMap { case (s, e) => decodeImage(a.copy(data = a.data.slice(s, e))) }
+        .map(_.copy(n_bytes = a.data.length.toLong))
+        .getOrElse(decodeStub(a))
+    } else decodeStub(a)
 
   /** Typed audio-feature extraction for `kind = "audio"` assets — same
     * partition-wise batch shape as [[extractFeatures]]; undecodable
@@ -156,6 +166,28 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.filter(col("kind") === "audio").as[Asset]
       .mapPartitions(_.flatMap(a => decodeWav(a)))
+  }
+
+  /** REAL video demux for MJPEG payloads (the one video container the JDK
+    * can fully decode: it is a concatenation of JPEG frames, and
+    * `javax.imageio` ships a JPEG reader). Split on the JPEG SOI marker
+    * `FF D8 FF` — sound for baseline JPEG because 0xFF inside
+    * entropy-coded data is byte-stuffed (`FF 00`) or a restart marker
+    * (`FF D0-D7`), so SOI can only start a frame. Returns the frame byte
+    * ranges, or Nil when the payload has no leading SOI (not MJPEG). */
+  private[operators] def mjpegFrameOffsets(data: Array[Byte]): Seq[(Int, Int)] = {
+    def soiAt(i: Int): Boolean =
+      i + 2 < data.length && data(i) == 0xff.toByte &&
+        data(i + 1) == 0xd8.toByte && data(i + 2) == 0xff.toByte
+    if (!soiAt(0)) Nil
+    else {
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      var i = 3
+      while (i < data.length - 2) {
+        if (soiAt(i)) { starts += i; i += 3 } else i += 1
+      }
+      starts.toSeq.zip(starts.toSeq.drop(1) :+ data.length)
+    }
   }
 
   /** Feature extraction: partition-wise batches over the asset Dataset —
@@ -209,13 +241,20 @@ object Multimodal {
     })
   }
 
-  /** STUB frame sampling for video assets: frames are fixed-size byte windows
-    * (a real demuxer yields codec frames); emits every `stride`-th frame.
-    * flatMap keeps it streaming — no per-asset materialization. */
+  /** Frame sampling for video assets, every `stride`-th frame. REAL for
+    * MJPEG payloads — [[mjpegFrameOffsets]] demuxes genuine codec frames
+    * (each an ImageIO-decodable JPEG). Non-MJPEG payloads keep the
+    * byte-window STUB (fixed-size chunks standing in for codec frames), so
+    * the plan shape holds for every container. flatMap keeps it
+    * streaming — no per-asset materialization. */
   def sampleFrames(assets: Dataset[Asset], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(col("kind") === "video").as[Asset].mapPartitions(_.flatMap { a =>
-      a.data.grouped(frameBytes).zipWithIndex.collect {
+      val mjpeg = mjpegFrameOffsets(a.data)
+      val chunks =
+        if (mjpeg.nonEmpty) mjpeg.iterator.map { case (s, e) => a.data.slice(s, e) }
+        else a.data.grouped(frameBytes)
+      chunks.zipWithIndex.collect {
         case (chunk, i) if i % stride == 0 => Frame(a.asset_id, i, chunk)
       }
     })

@@ -142,6 +142,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(junk.byte_hist.sum == 3 && junk.n_bytes == 3)
   }
 
+  /** A genuine MJPEG stream: `n` solid-color JPEG frames concatenated. */
+  private def mjpegBytes(dims: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    dims.foreach { d =>
+      val img = new java.awt.image.BufferedImage(d, d,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until d).foreach(y => (0 until d).foreach(x => img.setRGB(x, y, 0x808080)))
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+    }
+    bos.toByteArray
+  }
+
+  test("video demux is real: MJPEG splits into ImageIO-decodable codec frames") {
+    val mjpeg = mjpegBytes(Seq(4, 6, 8))
+    val asset = Multimodal.Asset(15L, "video", mjpeg, 8, 8, 0, 0)
+    val frames = Multimodal.sampleFrames(
+      spark.createDataset(Seq(asset)), frameBytes = 32, stride = 1).collect()
+      .sortBy(_.frame_no)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    val sizes = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.data))
+      assert(img != null, s"frame ${f.frame_no} must be a decodable JPEG")
+      img.getWidth
+    }
+    assert(sizes.toSeq == Seq(4, 6, 8))
+    // stride applies to real frames too
+    val strided = Multimodal.sampleFrames(
+      spark.createDataset(Seq(asset)), frameBytes = 32, stride = 2).collect()
+    assert(strided.map(_.frame_no).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("video features come from real key-frame pixels for MJPEG; stub otherwise") {
+    val mjpeg = mjpegBytes(Seq(4, 6))
+    val f = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.Asset(16L, "video", mjpeg, 4, 4, 0, 0)))).collect().head
+    // pixel features of the 4×4 first frame, payload-level byte count
+    assert(f.byte_hist.sum == 16, s"hist mass must be first-frame pixels: ${f.byte_hist.toSeq}")
+    assert(f.n_bytes == mjpeg.length)
+    assert(f.brightness > 0 && f.brightness < 256)
+    // non-MJPEG video payload still falls back to the byte-level stub
+    val junk = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.Asset(17L, "video", Array[Byte](1, 2, 3, 4, 5), 1, 1, 0, 0)))).collect().head
+    assert(junk.byte_hist.sum == 5 && junk.n_bytes == 5)
+  }
+
   test("frame sampling emits every stride-th fixed-size window, video only") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
     assert(frames.nonEmpty)
