@@ -172,6 +172,15 @@ object Dispatcher {
   def hasPending(spark: SparkSession, queueDir: String): Boolean =
     pendingScan(spark, queueDir).limit(1).count() > 0
 
+  /** Serializes [[healAside]] against [[swapDirs]]: a reader poll
+    * (hasPending from a monitor thread, the streaming dispatcher's caller)
+    * must not observe the between-renames window of an IN-FLIGHT swap and
+    * "heal" it back — that would make the swap's second rename collide.
+    * Queue writers are single-JVM (driver-side) by design, so a monitor
+    * suffices; crash recovery across processes still comes from the
+    * startup-time heal (the crashed process holds no lock). */
+  private[queue] val swapLock = new Object
+
   /** Crash-recovery heal for [[swapDirs]]' one non-atomic window: a crash
     * between its two renames leaves the target missing with the aside
     * present. Every scan entry point restores the aside first, so a
@@ -179,7 +188,7 @@ object Dispatcher {
     * (which would silently drop not-yet-due PENDING rows). If both target
     * and aside exist the swap completed; the stale aside is left for the
     * next swap's cleanup. */
-  private[queue] def healAside(target: Path): Unit = {
+  private[queue] def healAside(target: Path): Unit = swapLock.synchronized {
     val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
     if (!Files.exists(target) && Files.exists(aside))
       Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
@@ -190,7 +199,7 @@ object Dispatcher {
     * the new snapshot restorable at a deterministic path — never neither
     * (the between-renames window is healed by [[healAside]] on the next
     * scan). */
-  private def swapDirs(tmp: Path, target: Path): Unit = {
+  private def swapDirs(tmp: Path, target: Path): Unit = swapLock.synchronized {
     // Dot-prefixed so partition discovery never sees the aside copy.
     val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
     deleteRec(aside)

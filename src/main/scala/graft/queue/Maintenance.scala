@@ -44,7 +44,9 @@ object Maintenance {
     n
   }
 
-  private def swap(tmp: String, target: String): Unit = {
+  // Same rename-aside protocol — and the same lock — as Dispatcher.swapDirs,
+  // so a concurrent reader's healAside never un-does an in-flight swap.
+  private def swap(tmp: String, target: String): Unit = Dispatcher.swapLock.synchronized {
     val t = Paths.get(target)
     val aside = t.resolveSibling("." + t.getFileName.toString + ".old")
     deleteRec(aside)
