@@ -109,6 +109,19 @@ object IncrementalDedup {
     verdicts
   }
 
+  /** Bulk-seed the registry from an EXISTING corpus — the bootstrap step
+    * before enabling the streaming gate on a corpus that already has
+    * history: one signature pass, written straight into the probe's
+    * (band, bucket) partition layout. Every existing document registers as
+    * its own representative (run the batch dedup battery first if the
+    * corpus should be deduplicated before gating). */
+  def seedRegistry(docs: DataFrame, registryDir: String,
+                   bands: Int = 4, idCol: String = "doc_id"): Unit =
+    Dedup.minhashSignatures(Dedup.shingles(docs, idCol = idCol), bands, idCol)
+      .select(col("band"), bucketOf(col("minhash")).as("bucket"),
+        col("minhash"), col(idCol).as("rep_doc_id"))
+      .write.mode(SaveMode.Append).partitionBy("band", "bucket").parquet(registryDir)
+
   /** The raw append-only registry, schema supplied explicitly (no footer
     * inference — only partitions a query actually filters to are ever
     * opened; `band`/`bucket` come from the directory names). */

@@ -91,6 +91,15 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(v(11L) == (true, Some(2L)), s"got $v")
   }
 
+  test("bulk-seeded registry gates a batch exactly like incremental registration") {
+    val reg = tmp("graft_dedup_seed")
+    IncrementalDedup.seedRegistry(
+      Seq(Doc(1L, base), Doc(2L, other)).toDF(), reg)
+    val v = run(Seq(Doc(10L, base + " iota"), Doc(11L, "fresh unrelated words entirely")).toDF(), reg)
+    assert(v(10L) == (true, Some(1L)), s"got $v")
+    assert(v(11L) == (false, None), s"got $v")
+  }
+
   test("registry compaction preserves probe semantics and partition layout") {
     // the append-only registry accrues one file set per batch; periodic
     // Maintenance compaction must keep (band, bucket) pruning and verdicts
