@@ -192,17 +192,33 @@ object Multimodal {
 
   /** Feature extraction: partition-wise batches over the asset Dataset —
     * the mapPartitions shape a vectorized codec (or JNI batch call) needs.
-    * Images and WAV audio decode for real (see [[decodeImage]],
-    * [[decodeWav]]); video and undecodable payloads hit the stub. */
+    * Images, WAV audio, and MJPEG video decode for real (see
+    * [[decodeImage]], [[decodeWav]], [[mjpegFrameOffsets]]); other payloads
+    * hit the stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decode))
   }
 
-  /** REAL image resize for decodable payloads: bilinear `Graphics2D` scale
-    * + PNG re-encode through the JDK (no deps). Non-image/undecodable
-    * payloads keep the byte-level stand-in (proportional truncation) so the
-    * plan shape — a narrow map that shrinks payloads BEFORE any shuffle —
+  /** Bilinear `Graphics2D` scale, never upscaling past the source. */
+  private def scaleImage(img: java.awt.image.BufferedImage,
+                         w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w.min(img.getWidth.max(1)), h.min(img.getHeight.max(1)),
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, out.getWidth, out.getHeight, null)
+    g.dispose()
+    out
+  }
+
+  /** REAL resize for decodable payloads: images scale + PNG re-encode,
+    * MJPEG video scales EVERY frame and re-encodes the stream (JPEG
+    * frames back-to-back — still valid MJPEG). Other/undecodable payloads
+    * keep the byte-level stand-in (proportional truncation) so the plan
+    * shape — a narrow map that shrinks payloads BEFORE any shuffle —
     * holds for every kind. */
   def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
@@ -211,29 +227,38 @@ object Multimodal {
       else {
         val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
         val (w, h) = ((a.width * scale).toInt.max(1), (a.height * scale).toInt.max(1))
+        val realVideo: Option[Asset] =
+          if (a.kind != "video") None
+          else try {
+            val frames = mjpegFrameOffsets(a.data)
+            if (frames.isEmpty) None
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val ok = frames.forall { case (s, e) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(a.data.slice(s, e)))
+                img != null && javax.imageio.ImageIO.write(scaleImage(img, w, h), "jpg", bos)
+              }
+              if (ok) Some(a.copy(width = w, height = h, data = bos.toByteArray))
+              else None
+            }
+          } catch { case _: Exception => None }
         val realImage: Option[Asset] =
           if (a.kind != "image") None
           else try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.data))
             if (img == null) None
             else {
-              val out = new java.awt.image.BufferedImage(
-                w.min(img.getWidth.max(1)), h.min(img.getHeight.max(1)),
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val g = out.createGraphics()
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, out.getWidth, out.getHeight, null)
-              g.dispose()
+              val out = scaleImage(img, w, h)
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(out, "png", bos)
               Some(a.copy(width = out.getWidth, height = out.getHeight,
                 data = bos.toByteArray))
             }
           } catch { case _: Exception => None }
-        realImage.getOrElse {
-          // STUB path (audio/video, undecodable images): proportional
-          // payload truncation stands in for a codec re-encode.
+        realVideo.orElse(realImage).getOrElse {
+          // STUB path (audio, non-MJPEG video, undecodable payloads):
+          // proportional payload truncation stands in for a codec re-encode.
           val newLen = math.max(1, (a.data.length * scale * scale).toInt)
           a.copy(width = w, height = h, data = a.data.take(newLen))
         }

@@ -90,6 +90,19 @@ object IncrementalVecDedup {
     verdicts
   }
 
+  /** Bulk-seed the registry from an EXISTING embedding corpus — the
+    * bootstrap step before enabling the streaming gate: one signature
+    * pass written straight into the probe's (band, bucket) layout, every
+    * existing vector registering as its own representative. */
+  def seedRegistry(vecs: DataFrame, registryDir: String,
+                   planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.lshBandSignatures(vecs, planes, bandWidth, dims, idCol, vecCol)
+      .join(vecs.select(col(idCol), col(vecCol)), idCol)
+      .select(col("band"), col("bucket"), col(idCol).as("rep_vec_id"),
+        col(vecCol).as("rep_emb"))
+      .write.mode(SaveMode.Append).partitionBy("band", "bucket").parquet(registryDir)
+
   /** The raw append-only registry, schema supplied explicitly (no footer
     * inference; only filtered-to partitions are ever opened). */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {

@@ -188,6 +188,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(junk.byte_hist.sum == 5 && junk.n_bytes == 5)
   }
 
+  test("video resize scales every MJPEG frame and re-encodes a valid stream") {
+    val mjpeg = mjpegBytes(Seq(8, 8, 8))
+    val asset = Multimodal.Asset(18L, "video", mjpeg, 8, 8, 0, 0)
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(asset)), maxW = 4, maxH = 4).collect().head
+    assert(resized.width == 4 && resized.height == 4)
+    val frames = Multimodal.sampleFrames(
+      spark.createDataset(Seq(resized)), frameBytes = 32, stride = 1).collect()
+    assert(frames.length == 3, "resized stream must still demux into 3 frames")
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.data))
+      assert(img != null && img.getWidth == 4 && img.getHeight == 4)
+    }
+  }
+
+  test("WAV decode property: features equal direct computation on random samples") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+      .map(_.take(2000).toArray)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(gen) { samples =>
+        val f = Multimodal.extractAudioFeatures(spark.createDataset(Seq(
+          Multimodal.Asset(19L, "audio", wavBytes(samples), 0, 0, 16000, 0))))
+          .collect().head
+        val norm = samples.map(_.toDouble / 32768.0)
+        val expRms = math.sqrt(norm.map(s => s * s).sum / norm.length)
+        val expHist = new Array[Long](16)
+        norm.foreach(s => expHist(math.min(15, (math.abs(s) * 16).toInt)) += 1)
+        f.rms == expRms && f.amp_hist.toSeq == expHist.toSeq &&
+          f.sample_rate == 16000 && f.channels == 1
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("frame sampling emits every stride-th fixed-size window, video only") {
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
     assert(frames.nonEmpty)

@@ -87,6 +87,19 @@ class IncrementalVecDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(replay(11L)._2.contains(11L), s"got $replay")
   }
 
+  test("bulk-seeded registry gates like incremental registration; compaction preserves it") {
+    val reg = tmp("graft_vdedup_seed")
+    IncrementalVecDedup.seedRegistry(
+      Seq(Vec(1L, axis(0)), Vec(2L, axis(1))).toDF(), reg, dims = dims)
+    val before = IncrementalVecDedup.readRegistry(spark, reg).count()
+    graft.queue.Maintenance.compactParquet(spark, reg,
+      partitionCols = Seq("band", "bucket"))
+    assert(IncrementalVecDedup.readRegistry(spark, reg).count() == before)
+    val v = run(Seq(Vec(10L, nearAxis0), Vec(11L, axis(3))), reg)
+    assert(v(10L) == (true, Some(1L)), s"got $v")
+    assert(v(11L) == (false, None), s"got $v")
+  }
+
   test("registry probe never reads untouched (band, bucket) partitions") {
     val reg = tmp("graft_vdedup_prune")
     run(Seq(Vec(1L, axis(0)), Vec(2L, axis(1))), reg)
