@@ -27,6 +27,14 @@ import org.apache.spark.sql.types.StructType
   * a corpus-side shuffle per batch — exactly the cost this operator exists
   * to avoid. Bands× space for O(batch) probe time.
   *
+  * Prune granularity is the bucket space itself: `planes/bandWidth` bands
+  * × `2^bandWidth` buckets (64 partitions at the 16/4 default — each
+  * holding corpus/64). The knob that refines it is the banding: more
+  * bands, or wider bands, multiply the partitions (16 planes at width 8 →
+  * 2×256) with the usual recall/selectivity tradeoff measured on
+  * [[Similarity.lshNearDupPairs]]; the text twin's md5 bucket space is
+  * 256 per band for the same reason.
+  *
   * Per micro-batch, mirroring [[IncrementalDedup.processBatch]]:
   * signatures computed columnar (md5-derived planes, engine-portable);
   * registry scan pruned to the batch's touched partitions; batch broadcast

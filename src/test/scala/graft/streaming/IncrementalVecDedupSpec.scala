@@ -16,6 +16,7 @@ case class Vec(vec_id: Long, embedding: Array[Float])
   * (band, bucket) partitions. */
 class IncrementalVecDedupSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
   private val dims = 8
@@ -98,6 +99,26 @@ class IncrementalVecDedupSpec extends AnyFunSuite with SparkTestSession {
     val v = run(Seq(Vec(10L, nearAxis0), Vec(11L, axis(3))), reg)
     assert(v(10L) == (true, Some(1L)), s"got $v")
     assert(v(11L) == (false, None), s"got $v")
+  }
+
+  test("streaming gate writes verdicts through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reg = tmp("graft_vdedup_reg_s")
+    val out = tmp("graft_vdedup_out") + "/verdicts"
+    val ms = MemoryStream[Vec]
+    ms.addData(Vec(1L, axis(0)), Vec(2L, axis(1)))
+    val q = IncrementalVecDedup.gate(ms.toDF(), reg, out, threshold, dims = dims)
+      .option("checkpointLocation", tmp("graft_vdedup_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Vec(10L, nearAxis0))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .as[(Long, Boolean, Option[Long])].collect()
+        .map { case (k, b, r) => k -> (b, r) }.toMap
+      assert(verdicts(1L) == (false, None) && verdicts(2L) == (false, None))
+      assert(verdicts(10L) == (true, Some(1L)))
+    } finally q.stop()
   }
 
   test("registry probe never reads untouched (band, bucket) partitions") {
