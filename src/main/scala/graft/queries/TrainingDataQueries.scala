@@ -254,6 +254,35 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Overlapping token-window chunking — the standard pre-tokenization
+    * step for context-window training and retrieval pipelines: 64-token
+    * windows at stride 48 (16-token overlap), the final window truncated,
+    * sub-window documents kept whole. Pure per-row column algebra
+    * (split → sequence → explode → slice): embarrassingly parallel, no
+    * shuffle before the presentation sort, and the chunk fingerprint is
+    * md5 so any engine reproduces it. Integer arithmetic only — the chunk
+    * count is ceil((n_tok-64)/48)+1 computed as (n_tok-64+47) div 48 + 1
+    * on positives, identical across engines (float ceil and negative
+    * integer-division semantics both differ between engines). */
+  def chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (chunk, stride) = (64, 48)
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_chunks",
+        when($"n_tok" > chunk,
+          expr(s"(n_tok - $chunk + ${stride - 1}) div $stride").cast("int") + 1)
+          .otherwise(lit(1)))
+      .withColumn("chunk_id", explode(expr("sequence(0, n_chunks - 1)")))
+      .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),
+        expr(s"slice(toks, chunk_id * $stride + 1, $chunk)").as("ctoks"))
+      .select($"doc_id", $"chunk_id",
+        size($"ctoks").cast("int").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"ctoks")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
@@ -265,7 +294,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q61_percentiles" -> percentiles,
     "q67_data_mixture" -> dataMixture,
     "q78_curation_pipeline" -> curationPipeline,
-    "q79_dataset_split" -> datasetSplit)
+    "q79_dataset_split" -> datasetSplit,
+    "q81_chunking" -> chunking)
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -416,5 +446,20 @@ object TrainingDataQueries extends graft.QueryModule {
         |SELECT l_returnflag, max(n) AS n_rows,
         |  max(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN l_extendedprice END) AS p50,
         |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN l_extendedprice END) AS p90
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q81_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |        CASE WHEN n_tok > 64 THEN CAST((n_tok - 64 + 47) // 48 AS INTEGER) + 1
+        |             ELSE 1 END AS n_chunks
+        |      FROM n),
+        |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        |s AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |        toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ctoks
+        |      FROM e)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin)
 }
