@@ -283,6 +283,23 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Boilerplate chunk detection over [[chunking]]'s fingerprints: a chunk
+    * whose md5 recurs across distinct documents is shared scaffolding
+    * (headers, license text, navigation) — the corpus-cleaning companion
+    * to whole-document dedup, which cannot see PARTIAL sharing. One
+    * map-side-combined aggregation on the fingerprint; the distinct-doc
+    * count rides the same shuffle. */
+  def boilerplateChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunking(s, dir)
+      .groupBy($"chunk_md5")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"chunk_md5")
+  }
+
   def queries: Map[String, Q] = Map(
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
@@ -295,7 +312,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q67_data_mixture" -> dataMixture,
     "q78_curation_pipeline" -> curationPipeline,
     "q79_dataset_split" -> datasetSplit,
-    "q81_chunking" -> chunking)
+    "q81_chunking" -> chunking,
+    "q82_boilerplate_chunks" -> boilerplateChunks)
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -461,5 +479,20 @@ object TrainingDataQueries extends graft.QueryModule {
         |SELECT doc_id, chunk_id,
         |  CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
         |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q82_boilerplate_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |        CASE WHEN n_tok > 64 THEN CAST((n_tok - 64 + 47) // 48 AS INTEGER) + 1
+        |             ELSE 1 END AS n_chunks
+        |      FROM n),
+        |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        |s AS (SELECT doc_id, md5(array_to_string(
+        |        toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+        |      FROM e)
+        |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM s GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_md5""".stripMargin)
 }
