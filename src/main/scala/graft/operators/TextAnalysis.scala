@@ -155,4 +155,33 @@ object TextAnalysis {
     * formatting variants collapse to one fingerprint (exact-dedup key). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Overlapping token-window chunking — the pre-tokenization step for
+    * context-window training and retrieval pipelines. Windows of
+    * `chunkTokens` at `stride` (overlap = chunkTokens − stride); the final
+    * window truncates at the document end, sub-window documents stay
+    * whole. Pure per-row column algebra (split → sequence → explode →
+    * slice): embarrassingly parallel, partitioning-independent, no
+    * shuffle. Chunk counts use integer-only arithmetic —
+    * ceil((n−c)/s)+1 as (n−c+s−1) div s + 1 on positives — because float
+    * ceil and negative integer-division semantics both differ across
+    * engines. Returns (id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n_tok") > chunkTokens,
+          expr(s"(n_tok - $chunkTokens + ${stride - 1}) div $stride").cast("int") + 1)
+          .otherwise(lit(1)))
+      .withColumn("chunk_id", explode(expr("sequence(0, n_chunks - 1)")))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        expr(s"slice(toks, chunk_id * $stride + 1, $chunkTokens)").as("ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ctoks")).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
 }

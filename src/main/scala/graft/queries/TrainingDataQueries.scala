@@ -254,32 +254,14 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** Overlapping token-window chunking — the standard pre-tokenization
-    * step for context-window training and retrieval pipelines: 64-token
-    * windows at stride 48 (16-token overlap), the final window truncated,
-    * sub-window documents kept whole. Pure per-row column algebra
-    * (split → sequence → explode → slice): embarrassingly parallel, no
-    * shuffle before the presentation sort, and the chunk fingerprint is
-    * md5 so any engine reproduces it. Integer arithmetic only — the chunk
-    * count is ceil((n_tok-64)/48)+1 computed as (n_tok-64+47) div 48 + 1
-    * on positives, identical across engines (float ceil and negative
-    * integer-division semantics both differ between engines). */
+  /** Overlapping token-window chunking ([[graft.operators.TextAnalysis.chunk]]
+    * at the battery's 64/48 setting) with md5 chunk fingerprints so any
+    * engine reproduces them. */
   def chunking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (chunk, stride) = (64, 48)
-    Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .withColumn("n_tok", size($"toks"))
-      .withColumn("n_chunks",
-        when($"n_tok" > chunk,
-          expr(s"(n_tok - $chunk + ${stride - 1}) div $stride").cast("int") + 1)
-          .otherwise(lit(1)))
-      .withColumn("chunk_id", explode(expr("sequence(0, n_chunks - 1)")))
-      .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),
-        expr(s"slice(toks, chunk_id * $stride + 1, $chunk)").as("ctoks"))
-      .select($"doc_id", $"chunk_id",
-        size($"ctoks").cast("int").as("n_chunk_tokens"),
-        md5(concat_ws(" ", $"ctoks")).as("chunk_md5"))
+    graft.operators.TextAnalysis.chunk(Tables.documents(s, dir))
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens",
+        md5($"chunk_text").as("chunk_md5"))
       .orderBy($"doc_id", $"chunk_id")
   }
 

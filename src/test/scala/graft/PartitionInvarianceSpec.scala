@@ -59,4 +59,10 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkTestSession {
   test("simhash is layout-independent") {
     invariant("simhash")(d => Dedup.simhash16(d).orderBy($"doc_id"), docs)
   }
+
+  test("token-window chunking is layout-independent") {
+    import graft.operators.TextAnalysis
+    invariant("chunks")(d =>
+      TextAnalysis.chunk(d).orderBy($"doc_id", $"chunk_id"), docs)
+  }
 }
