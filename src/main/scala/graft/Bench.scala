@@ -43,7 +43,12 @@ object Bench {
     val all = samples.map { case (k, ss) => s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$all,"sf":"$sfDir"}""")
+    // Two lines, long one FIRST: the driver's fixed-size tail capture keeps
+    // the end of stdout, so the short parseable summary must be the LAST
+    // line or a long samples blob truncates the per-query mins (r4 artifact
+    // kept 33/82 queries). Samples stay available for spike forensics.
+    println(s"""{"metric":"samples","samples":$all,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,20 +70,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       (1L, toks(3)),    // shorter than the window → one whole chunk
       (2L, toks(10)),   // exactly chunkTokens → still one chunk
       (3L, toks(11)),   // one past the window → second (truncated) chunk
-      (4L, toks(26))    // 10/8: chunks at 0,8,16,24 → 4 chunks, last has 2
+      (4L, toks(26))    // 10/8: ceil((26-10)/8)+1 = 3 chunks at 0,8,16; the
+                        // window at 16 reaches the end, so no 4th at 24
     ).toDF("doc_id", "text")
     val r = TextAnalysis.chunk(df, chunkTokens = 10, stride = 8)
       .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
       .as[(Long, Int, Int, String)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
     assert(r(1L).map(c => (c._2, c._3)) == Seq((0, 3)))
     assert(r(1L).head._4 == toks(3))
     assert(r(2L).map(c => (c._2, c._3)) == Seq((0, 10)))
     assert(r(3L).map(c => (c._2, c._3)) == Seq((0, 10), (1, 3)))
     // stride 8 over 11 tokens: second chunk starts at token 9 (overlap 2)
     assert(r(3L)(1)._4 == "t9 t10 t11")
-    assert(r(4L).map(c => (c._2, c._3)) == Seq((0, 10), (1, 10), (2, 10), (3, 2)))
-    assert(r(4L)(3)._4 == "t25 t26")
+    assert(r(4L).map(c => (c._2, c._3)) == Seq((0, 10), (1, 10), (2, 10)))
+    // full coverage: the last chunk's final token is the document's last token
+    assert(r(4L).last._4.split(" ").last == "t26")
     // adjacent chunks overlap by chunkTokens - stride tokens
     assert(r(4L)(0)._4.split(" ").takeRight(2).toSeq ==
       r(4L)(1)._4.split(" ").take(2).toSeq)
