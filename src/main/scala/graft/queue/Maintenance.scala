@@ -40,13 +40,14 @@ object Maintenance {
     val writer = repartitioned.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
-    swap(tmp, dir)
+    replaceDir(tmp, dir)
     n
   }
 
   // Same rename-aside protocol — and the same lock — as Dispatcher.swapDirs,
   // so a concurrent reader's healAside never un-does an in-flight swap.
-  private def swap(tmp: String, target: String): Unit = Dispatcher.swapLock.synchronized {
+  // Public: registry migration reuses it for its swap-in step.
+  def replaceDir(tmp: String, target: String): Unit = Dispatcher.swapLock.synchronized {
     val t = Paths.get(target)
     val aside = t.resolveSibling("." + t.getFileName.toString + ".old")
     deleteRec(aside)

@@ -82,7 +82,14 @@ object IncrementalDedup {
       else if (touched.length > pruneMaxBuckets) registryAll
       else registryAll.filter(touched.map { case (b, k) =>
         col("band") === b && col("bucket") === k }.reduce(_ || _))
+    // rep_doc_id =!= idCol: on an at-least-once REPLAY a document's own
+    // first-play registry rows come back as probe hits; without the
+    // exclusion its verdict would flip fresh→dup-of-itself and a consumer
+    // filtering on is_dup would drop the corpus's sole representative.
+    // Excluded, the replay re-appends identical registry rows (absorbed by
+    // the min aggregate) and verdicts are fully idempotent.
     val regHits = registry.join(broadcast(sigs), Seq("band", "minhash"))
+      .filter(col("rep_doc_id") =!= col(idCol))
       .groupBy(col(idCol)).agg(min(col("rep_doc_id")).as("dup_of_reg"))
     // intra-batch collisions: same-bucket pairs within the batch, charged to
     // the larger doc_id (the smaller one stays the candidate representative)
@@ -124,17 +131,51 @@ object IncrementalDedup {
 
   /** The raw append-only registry, schema supplied explicitly (no footer
     * inference — only partitions a query actually filters to are ever
-    * opened; `band`/`bucket` come from the directory names). */
+    * opened; `band`/`bucket` come from the directory names).
+    *
+    * Layout guard: a registry written by the pre-(band, bucket) format
+    * (data files at the directory root, unpartitioned) would read here with
+    * `bucket = null` on every row, and the probe's partition-prune predicate
+    * would then silently drop ALL legacy rows before the join — an existing
+    * corpus registry would stop flagging anything. Fail fast instead;
+    * [[migrateLegacyRegistry]] rewrites it into the partitioned layout. */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
     val p = java.nio.file.Paths.get(registryDir)
-    val nonEmpty = java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.list(p)
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (!nonEmpty)
+    val rootFiles: Seq[String] =
+      if (!java.nio.file.Files.exists(p)) Nil
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          val it = s.iterator(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.result()
+        } finally s.close()
+      }
+    require(!rootFiles.exists(_.endsWith(".parquet")),
+      s"legacy unpartitioned registry layout at $registryDir: data files sit " +
+        "at the root instead of band=*/bucket=* partition directories, so the " +
+        "partition-pruned probe would silently skip every legacy row. Run " +
+        "IncrementalDedup.migrateLegacyRegistry(spark, dir) once to rewrite it.")
+    if (!rootFiles.exists(_.startsWith("band=")))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
     else spark.read.schema(registrySchema).parquet(registryDir)
+  }
+
+  /** One-time in-place migration of a legacy (unpartitioned, bucket-less)
+    * registry into the (band, bucket)-partitioned layout the pruned probe
+    * requires: bucket is recomputed from the minhash (it is a pure function
+    * of the join key), written to a sibling dir, then swapped in with the
+    * same rename-aside protocol as registry compaction. */
+  def migrateLegacyRegistry(spark: SparkSession, registryDir: String): Unit = {
+    val legacy = spark.read
+      .schema(StructType.fromDDL("band INT, minhash STRING, rep_doc_id BIGINT"))
+      .parquet(registryDir)
+      .select(col("band"), bucketOf(col("minhash")).as("bucket"),
+        col("minhash"), col("rep_doc_id"))
+    val tmp = registryDir.stripSuffix("/") + ".migrating"
+    legacy.write.mode(SaveMode.Overwrite).partitionBy("band", "bucket").parquet(tmp)
+    graft.queue.Maintenance.replaceDir(tmp, registryDir)
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],

@@ -40,10 +40,11 @@ import org.apache.spark.sql.types.StructType
   * registry scan pruned to the batch's touched partitions; batch broadcast
   * (corpus state never shuffles); intra-batch collisions self-joined and
   * rescored; verdicts report the smallest qualifying partner; fresh
-  * vectors' bucket rows append (at-least-once replay re-appends identical
-  * rows, absorbed by the min aggregate — and a replayed fresh vector finds
-  * its own registry row at similarity 1.0, so it is reported as
-  * already-present rather than re-registered).
+  * vectors' bucket rows append. Self-matches are excluded from the probe,
+  * so an at-least-once replay keeps a fresh vector's verdict fresh
+  * (is_dup=false) instead of flipping it to dup-of-itself — the replay
+  * re-appends identical registry rows, absorbed by the min aggregate, and
+  * verdicts are fully idempotent.
   */
 object IncrementalVecDedup {
 
@@ -75,7 +76,11 @@ object IncrementalVecDedup {
         col("band") === b && col("bucket") === k }.reduce(_ || _))
     def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       Similarity.quantize(GraftFunctions.vecDot(spark, a, b))
+    // rep_vec_id =!= idCol: see IncrementalDedup — keeps replayed verdicts
+    // idempotent instead of flipping fresh→dup-of-itself (sim 1.0 with its
+    // own first-play registry row)
     val regHits = registry.join(broadcast(sigs), Seq("band", "bucket"))
+      .filter(col("rep_vec_id") =!= col(idCol))
       .filter(sim(col(vecCol), col("rep_emb")) >= minSimMillionths)
       .groupBy(col(idCol)).agg(min(col("rep_vec_id")).as("dup_of_reg"))
     val intraHits = sigs.as("a")

@@ -47,12 +47,17 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(v2(10L) == (true, Some(1L)), s"got $v2")
     assert(v2(11L) == (false, None))
 
-    // replayed batch (at-least-once): same verdicts, registry not corrupted
+    // replayed batch (at-least-once): verdicts are IDEMPOTENT — 11's own
+    // first-play registry rows are excluded from its probe, so it stays
+    // fresh rather than flipping to dup-of-itself (a consumer filtering on
+    // is_dup must never lose a corpus's sole representative)
     val v2r = run(b2, reg)
     assert(v2r(10L) == (true, Some(1L)))
-    // 11 now collides with its own registered buckets from the first play —
-    // the replay detects it as already-present (dup_of = itself's rep)
-    assert(v2r(11L)._2.contains(11L))
+    assert(v2r(11L) == (false, None), s"got $v2r")
+    // the replay re-appended identical rows; the min aggregate absorbs them,
+    // so a LATER near-dup of 11 still resolves to representative 11
+    val v3 = run(Seq(Doc(12L, "totally different words here now yes")).toDF(), reg)
+    assert(v3(12L) == (true, Some(11L)), s"got $v3")
   }
 
   test("near-dups arriving in the SAME micro-batch are flagged against the smallest") {
@@ -151,6 +156,37 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
         b1Ok && b2Ok
       })
     assert(res.passed, res.status.toString)
+  }
+
+  test("legacy unpartitioned registry fails fast and migrates in place") {
+    // A registry written by the pre-(band, bucket) format has data files at
+    // the directory root. Read with the current explicit schema, every row
+    // would get bucket = null and the (band, bucket) prune predicate would
+    // silently drop ALL legacy rows — near-dups admitted with no error. The
+    // reader must refuse it, and the one-time migration must restore exact
+    // probe behavior.
+    val reg = tmp("graft_dedup_legacy")
+    graft.operators.Dedup
+      .minhashSignatures(graft.operators.Dedup.shingles(
+        Seq(Doc(1L, base), Doc(2L, other)).toDF()), bands = 4)
+      .select($"band", $"minhash", $"doc_id".as("rep_doc_id"))
+      .write.mode("overwrite").parquet(reg) // unpartitioned = legacy layout
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.readRegistry(spark, reg)
+    }
+    assert(e.getMessage.contains("migrateLegacyRegistry"), e.getMessage)
+    // processBatch goes through readRegistry, so the gate refuses too rather
+    // than silently admitting near-dups
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(Seq(Doc(10L, base + " iota")).toDF(), reg)
+    }
+    IncrementalDedup.migrateLegacyRegistry(spark, reg)
+    // post-migration: partitioned layout, same rows, probe flags as before
+    assert(IncrementalDedup.readRegistry(spark, reg)
+      .filter($"bucket".isNull).count() == 0)
+    val v = run(Seq(Doc(10L, base + " iota"), Doc(11L, "fresh unrelated words entirely")).toDF(), reg)
+    assert(v(10L) == (true, Some(1L)), s"got $v")
+    assert(v(11L) == (false, None), s"got $v")
   }
 
   test("streaming gate writes verdicts through foreachBatch") {

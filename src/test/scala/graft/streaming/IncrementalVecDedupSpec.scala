@@ -76,16 +76,21 @@ class IncrementalVecDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(reps == Set(20L, 22L), s"got $reps")
   }
 
-  test("replay is absorbed: dup stays flagged, fresh vector reads as already-present") {
+  test("replay is idempotent: dup stays flagged, fresh vector stays fresh") {
     val reg = tmp("graft_vdedup_replay")
     run(Seq(Vec(1L, axis(0))), reg)
     val b2 = Seq(Vec(10L, nearAxis0), Vec(11L, axis(3)))
     val first = run(b2, reg)
     assert(first(10L) == (true, Some(1L)) && first(11L) == (false, None))
+    // self-matches are excluded from the probe: 11's own first-play registry
+    // row (similarity 1.0) must NOT flip its verdict to dup-of-itself
     val replay = run(b2, reg)
     assert(replay(10L) == (true, Some(1L)))
-    // 11's own registry row matches itself at similarity 1.0
-    assert(replay(11L)._2.contains(11L), s"got $replay")
+    assert(replay(11L) == (false, None), s"got $replay")
+    // the re-appended identical rows are absorbed: a later near-dup of 11
+    // still resolves to representative 11
+    val later = run(Seq(Vec(12L, axis(3).updated(0, 0.05f))), reg)
+    assert(later(12L) == (true, Some(11L)), s"got $later")
   }
 
   test("bulk-seeded registry gates like incremental registration; compaction preserves it") {
