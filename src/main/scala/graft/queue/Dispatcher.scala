@@ -1,6 +1,6 @@
 package graft.queue
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import graft.delivery.{Backoff, HttpPoster, JdkHttpPoster}
@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * README retry spec as the contract (SURVEY §3.3, T5).
   *
   * Each cycle (the reference polls at 1 s, `src/cdc_webhook_worker.c:63-64`):
-  *   1. scan due work: `status = PENDING AND next_attempt <= now` — a
-  *      partition-pruned read (queue is partitioned by status);
+  *   1. capture the PENDING set once ([[PendingStore.capture]]) and scan the
+  *      due rows: `next_attempt <= now`;
   *   2. one delivery attempt per due row, distributed via mapPartitions
   *      (the retry LOOP lives in the queue, not in process: a failed attempt
   *      reschedules by writing `next_attempt = now + Backoff.delay(n)`,
@@ -22,21 +22,26 @@ import org.apache.spark.sql.functions._
   *      in-process sleeps and exactly what its schema was designed for);
   *   3. state transitions PENDING→DELIVERED / PENDING(rescheduled) / FAILED
   *      with attempt history arrays appended (`cdc_webhook--1.0.sql:36-43`);
-  *   4. append terminal rows to their status partitions, snapshot-swap ONLY
-  *      the PENDING partition (prod: Delta/Iceberg MERGE instead).
+  *   4. append terminal rows to their status partitions, then commit the new
+  *      PENDING snapshot with ONE atomic manifest-file rename
+  *      ([[PendingStore.commit]] — the scaled-down lakehouse commit; a
+  *      Delta/Iceberg MERGE is the production form).
   *
-  * Scale model: a cycle's I/O is O(PENDING), never O(history). The due scan
-  * is a Column predicate (`status = 'PENDING' AND next_attempt <= now`), so
-  * Catalyst prunes to the `status=PENDING` partition directory — the Spark
-  * analog of the reference's btree index on (status, next_attempt)
-  * (`cdc_webhook--1.0.sql:50-52`). DELIVERED/FAILED partitions are immutable,
+  * Scale model: a cycle's I/O is O(PENDING), never O(history). The PENDING
+  * set lives in its own store (`.pending/`), physically disjoint from the
+  * `status=DELIVERED|FAILED` hive partitions, so a cycle cannot even list
+  * the terminal history — the Spark analog of the reference's btree index
+  * on (status, next_attempt) (`cdc_webhook--1.0.sql:50-52`); `next_attempt`
+  * still pushes down to the parquet scan. Terminal partitions are immutable,
   * append-only history that a cycle never reads or rewrites.
   *
-  * Crash-safety model: terminal rows are appended BEFORE the PENDING swap, so
-  * a crash between the two leaves a row visible as both DELIVERED and
+  * Crash-safety model: terminal rows are appended BEFORE the manifest flip,
+  * so a crash between the two leaves a row visible as both DELIVERED and
   * PENDING; the next cycle re-attempts it ⇒ at-least-once with duplicate
   * envelope ids, same as the reference (T2) — readers dedup terminal history
-  * by (id, attempt_count), the streaming twin of StatefulDedup.
+  * by (id, attempt_count), the streaming twin of StatefulDedup. Every other
+  * crash point leaves only unreferenced dirs that GC sweeps
+  * ([[PendingStore]]); concurrent readers never need to retry.
   */
 object Dispatcher {
 
@@ -47,7 +52,13 @@ object Dispatcher {
               poster: HttpPoster = JdkHttpPoster,
               now: Timestamp = new Timestamp(System.currentTimeMillis())): CycleStats = {
     import spark.implicits._
-    val posted = dueScan(spark, queueDir, now).mapPartitions(_.map { r =>
+    // ONE capture feeds the whole cycle: due scan, not-due carryover, and
+    // commit all agree on exactly which snapshot + inbox spools are "the
+    // batch"; a spool landing mid-cycle is next cycle's work, never lost.
+    val snap = PendingStore.capture(queueDir)
+    def pendingRows: Dataset[QueueRow] =
+      PendingStore.readAt(spark, queueDir, snap).as[QueueRow]
+    val posted = pendingRows.filter(col("next_attempt") <= lit(now)).mapPartitions(_.map { r =>
       // IN_PROGRESS → terminal transition happens within the cycle; only
       // terminal states are persisted (single-writer dispatcher).
       val (status, resp) = poster.post(r.webhook_url,
@@ -90,24 +101,19 @@ object Dispatcher {
       return CycleStats(0, 0, 0, 0)
     }
 
-    // 2) The new PENDING partition (not-yet-due ∪ rescheduled) is staged
-    //    beside the queue before any live write. `status` lives in the
-    //    directory name, not the files, matching the hive layout enqueue uses.
-    val notDue = pendingScan(spark, queueDir)
-      .filter(col("next_attempt") > lit(now))
-    val newPending = notDue.toDF().unionByName(
-      attempted.filter(col("status") === "PENDING").toDF()).drop("status")
-    val tmp = queueDir.stripSuffix("/") + ".pending-next"
-    newPending.write.mode("overwrite").parquet(tmp)
-
-    // 3) Terminal rows append to their own status partitions — DELIVERED and
+    // 2) Terminal rows append to their own status partitions — DELIVERED and
     //    FAILED history is write-once, never rewritten (O(due), not O(history)).
     attempted.filter(col("status") =!= "PENDING").toDF()
       .write.mode("append").partitionBy("status").parquet(queueDir)
 
-    // 4) Swap the PENDING partition last: a crash before this point leaves
-    //    the due rows PENDING and re-attempted next cycle (at-least-once).
-    swapDirs(Paths.get(tmp), Paths.get(queueDir, "status=PENDING"))
+    // 3) Commit the next PENDING snapshot (not-yet-due ∪ rescheduled,
+    //    absorbing the captured inbox spools) LAST: a crash before the
+    //    manifest flip leaves the due rows PENDING and re-attempted next
+    //    cycle (at-least-once).
+    val notDue = pendingRows.filter(col("next_attempt") > lit(now))
+    val newPending = notDue.toDF().unionByName(
+      attempted.filter(col("status") === "PENDING").toDF())
+    PendingStore.commit(newPending, queueDir, snap)
     deleteRec(Paths.get(attemptsDir))
     CycleStats(due, delivered, due - delivered - failed, failed)
   }
@@ -154,66 +160,26 @@ object Dispatcher {
     restarts
   }
 
-  /** Column predicates (not typed lambdas): `status` is the hive partition
-    * column, so these scans list and read ONLY status=PENDING files —
-    * exposed so StorageLayoutSpec can assert the pruning on the executed
-    * plan the dispatcher actually runs. */
+  /** The live PENDING set, read through the manifest ([[PendingStore]]) —
+    * the terminal `status=*` partitions are physically outside every path
+    * this scan can touch, and `next_attempt` predicates push down to the
+    * parquet reader (StorageLayoutSpec asserts both on the executed plan). */
   def pendingScan(spark: SparkSession, queueDir: String): Dataset[QueueRow] = {
     import spark.implicits._
-    healAside(Paths.get(queueDir, "status=PENDING"))
-    EventLog.read(spark, queueDir).filter(col("status") === "PENDING").as[QueueRow]
+    PendingStore.read(spark, queueDir).as[QueueRow]
   }
 
   /** The cycle's due-work scan: PENDING ∧ next_attempt ≤ now. */
   def dueScan(spark: SparkSession, queueDir: String, now: Timestamp): Dataset[QueueRow] =
     pendingScan(spark, queueDir).filter(col("next_attempt") <= lit(now))
 
-  /** Partition-pruned existence check (reads only status=PENDING files). */
+  /** Existence check over the PENDING store only (never lists terminal
+    * history). Safe to poll concurrently with a dispatcher commit — the
+    * manifest read is atomic, so no retry loop is needed. */
   def hasPending(spark: SparkSession, queueDir: String): Boolean =
     pendingScan(spark, queueDir).limit(1).count() > 0
 
-  /** Serializes [[healAside]] against [[swapDirs]]: a reader poll
-    * (hasPending from a monitor thread, the streaming dispatcher's caller)
-    * must not observe the between-renames window of an IN-FLIGHT swap and
-    * "heal" it back — that would make the swap's second rename collide.
-    * Queue writers are single-JVM (driver-side) by design, so a monitor
-    * suffices; crash recovery across processes still comes from the
-    * startup-time heal (the crashed process holds no lock). */
-  private[queue] val swapLock = new Object
-
-  /** Crash-recovery heal for [[swapDirs]]' one non-atomic window: a crash
-    * between its two renames leaves the target missing with the aside
-    * present. Every scan entry point restores the aside first, so a
-    * restarted dispatcher never mistakes that window for an empty queue
-    * (which would silently drop not-yet-due PENDING rows). If both target
-    * and aside exist the swap completed; the stale aside is left for the
-    * next swap's cleanup. */
-  private[queue] def healAside(target: Path): Unit = swapLock.synchronized {
-    val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
-    if (!Files.exists(target) && Files.exists(aside))
-      Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  /** Swap `tmp` into place at `target` via rename-aside: the old directory
-    * is moved aside first, so a crash at any point leaves either the old or
-    * the new snapshot restorable at a deterministic path — never neither
-    * (the between-renames window is healed by [[healAside]] on the next
-    * scan). */
-  private def swapDirs(tmp: Path, target: Path): Unit = swapLock.synchronized {
-    // Dot-prefixed so partition discovery never sees the aside copy.
-    val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
-    deleteRec(aside)
-    val hadOld = Files.exists(target)
-    if (hadOld) Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: Throwable =>
-      if (hadOld) Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
-      throw e
-    }
-    deleteRec(aside)
-  }
-
-  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+  private def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.delete(f))
   }

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * state, retry config, attempt-history arrays, and `next_attempt`
   * scheduling.
   *
-  * Layout for scale: partitioned by `status`, so the dispatcher's
-  * due-PENDING scan prunes to the PENDING partition only — the Spark analog
-  * of the reference's btree indexes on (status, next_attempt)
-  * (`cdc_webhook--1.0.sql:50-52`). In production this dataset would be a
-  * Delta/Iceberg table with MERGE-based transitions; plain parquet +
-  * snapshot-swap keeps v1 dependency-free with identical semantics for a
-  * single dispatcher writer.
+  * Layout for scale: terminal (DELIVERED/FAILED) history is hive-partitioned
+  * by `status` — immutable, append-only. The live PENDING set is a
+  * [[PendingStore]]: versioned snapshots + an enqueue inbox behind a
+  * single-file manifest, so the dispatcher's due scan reads O(PENDING) only
+  * — the Spark analog of the reference's btree indexes on
+  * (status, next_attempt) (`cdc_webhook--1.0.sql:50-52`) — and concurrent
+  * readers resolve one atomic manifest instead of racing directory renames.
+  * In production this dataset would be a Delta/Iceberg table with
+  * MERGE-based transitions; the manifest commit is the same idea with one
+  * moving part, dependency-free for a single dispatcher writer.
   */
 object EventLog {
 
@@ -32,7 +35,10 @@ object EventLog {
       created_at: java.sql.Timestamp)
 
   /** ASYNC enqueue (S2, reference `cdc_webhook--1.0.sql:296-324`): envelope
-    * rows + the trigger's retry config → PENDING queue rows due immediately. */
+    * rows + the trigger's retry config → PENDING queue rows due immediately.
+    * Spooled atomically into the PENDING store's inbox — like the
+    * reference's transactional enqueue, a batch is either fully visible or
+    * not yet there, and it can never race a dispatcher cycle's commit. */
   def enqueue(envelopes: DataFrame, cfg: TriggerConfig, queueDir: String): Unit = {
     val headersJson = graft.delivery.HeadersCodec.toJson(cfg.headers)
     // PRIVATE-resolved batches carry per-row url/headers; NONE uses the
@@ -41,7 +47,7 @@ object EventLog {
       col("resolved_url") else lit(cfg.webhookUrl)
     val hdrCol = if (envelopes.columns.contains("resolved_headers"))
       col("resolved_headers") else lit(headersJson)
-    envelopes.select(
+    val rows = envelopes.select(
         col("id"),
         lit(cfg.schemaName).as("trigger_schema"),
         lit(cfg.tableName).as("trigger_table"),
@@ -61,13 +67,33 @@ object EventLog {
         lit(cfg.retryInterval).as("retry_interval"),
         lit(cfg.retryBackoff).as("retry_backoff"),
         current_timestamp().as("created_at"))
-      .write.mode("append").partitionBy("status").parquet(queueDir)
+    PendingStore.spool(rows, queueDir)
   }
 
+  /** The full queue view: immutable terminal partitions ∪ the live PENDING
+    * set (resolved through the manifest — see [[PendingStore]]). */
   def read(spark: SparkSession, queueDir: String): DataFrame =
-    spark.read
-      .schema(org.apache.spark.sql.Encoders.product[QueueRow].schema)
-      .parquet(queueDir)
+    terminalRead(spark, queueDir).unionByName(PendingStore.read(spark, queueDir))
+
+  /** The hive-partitioned terminal history only. Spark's file listing skips
+    * the dot-prefixed `.pending` store, so this never touches live state. */
+  private def terminalRead(spark: SparkSession, queueDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.Encoders.product[QueueRow].schema
+    val p = java.nio.file.Paths.get(queueDir)
+    val hasStatusDirs = java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator(); var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.startsWith("status=")
+        found
+      } finally s.close()
+    }
+    if (!hasStatusDirs)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(queueDir)
+  }
 
   /** Consumer view of the terminal (DELIVERED/FAILED) history. A dispatcher
     * crash between the terminal append and the PENDING swap re-attempts the
@@ -81,7 +107,7 @@ object EventLog {
     // tiebreak (earliest full history) makes the surviving row deterministic
     val w = Window.partitionBy(col("id"))
       .orderBy(col("attempt_count").desc, col("status"), col("attempts_time"))
-    read(spark, queueDir)
+    terminalRead(spark, queueDir)
       .filter(col("status").isin("DELIVERED", "FAILED"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

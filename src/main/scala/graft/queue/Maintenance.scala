@@ -10,15 +10,34 @@ import org.apache.spark.sql.SparkSession
   * per partition (S2's `mode("append")` write) — after a day of 1-second
   * triggers that is ~86k files, and scan planning starts to cost more than
   * scanning. Periodic compaction rewrites a dataset directory into few
-  * right-sized files, preserving the partition layout (so the dispatcher's
-  * status pruning keeps working). Same snapshot-swap discipline as
-  * [[Dispatcher]]: the live directory is renamed aside before the compacted
-  * one moves into place, so a crash at any step leaves a complete snapshot
-  * restorable at a deterministic path (single maintenance writer; a
-  * lakehouse table format — Delta/Iceberg OPTIMIZE — replaces this and
-  * closes the remaining not-found window for concurrent readers).
+  * right-sized files, preserving the partition layout (so status/bucket
+  * pruning keeps working). Snapshot-swap discipline: the live directory is
+  * renamed aside before the compacted one moves into place, so a crash at
+  * any step leaves a complete snapshot restorable at a deterministic path
+  * (single maintenance writer; a lakehouse table format — Delta/Iceberg
+  * OPTIMIZE — replaces this and closes the remaining not-found window for
+  * concurrent readers of THESE datasets; the queue's PENDING set has no
+  * such window — [[PendingStore]] readers resolve a manifest).
   */
 object Maintenance {
+
+  /** Serializes [[healAside]] against [[replaceDir]]: a concurrent reader's
+    * heal must not observe the between-renames window of an IN-FLIGHT swap
+    * and "heal" it back — that would make the swap's second rename collide.
+    * Maintenance writers are single-JVM (driver-side) by design. */
+  private[queue] val swapLock = new Object
+
+  /** Crash-recovery heal for [[replaceDir]]'s one non-atomic window: a crash
+    * between its two renames leaves the target missing with the aside
+    * present. Compaction restores the aside first, so a restart never
+    * mistakes that window for an empty dataset. If both target and aside
+    * exist the swap completed; the stale aside is left for the next swap's
+    * cleanup. */
+  private[queue] def healAside(target: java.nio.file.Path): Unit = swapLock.synchronized {
+    val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
+    if (!Files.exists(target) && Files.exists(aside))
+      Files.move(aside, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Rewrite `dir` into `targetFilesPerPartition` files (per partition dir
     * when `partitionCols` is non-empty). Returns the row count rewritten. */
@@ -26,9 +45,9 @@ object Maintenance {
                      partitionCols: Seq[String] = Nil,
                      targetFilesPerPartition: Int = 1): Long = {
     require(targetFilesPerPartition >= 1, "need at least one output file")
-    // Heal swap()'s between-renames crash window first: a prior compaction
-    // that died there left the live dir missing with the aside present.
-    Dispatcher.healAside(Paths.get(dir))
+    // Heal replaceDir's between-renames crash window first: a prior
+    // compaction that died there left the live dir missing, aside present.
+    healAside(Paths.get(dir))
     val df = spark.read.parquet(dir)
     val n = df.count()
     val tmp = dir.stripSuffix("/") + ".compact"
@@ -44,10 +63,12 @@ object Maintenance {
     n
   }
 
-  // Same rename-aside protocol — and the same lock — as Dispatcher.swapDirs,
-  // so a concurrent reader's healAside never un-does an in-flight swap.
-  // Public: registry migration reuses it for its swap-in step.
-  def replaceDir(tmp: String, target: String): Unit = Dispatcher.swapLock.synchronized {
+  /** Swap `tmp` into place at `target` via rename-aside: the old directory
+    * moves aside first, so a crash at any point leaves either the old or the
+    * new snapshot restorable at a deterministic path — never neither (the
+    * between-renames window is healed by [[healAside]] on the next run).
+    * Public: registry migration reuses it for its swap-in step. */
+  def replaceDir(tmp: String, target: String): Unit = swapLock.synchronized {
     val t = Paths.get(target)
     val aside = t.resolveSibling("." + t.getFileName.toString + ".old")
     deleteRec(aside)

@@ -34,8 +34,13 @@ object StreamingDispatcher {
             poster: HttpPoster = JdkHttpPoster,
             checkpointDir: String,
             intervalMs: Long = 1000L): StreamingQuery = {
+    // rowsPerSecond must keep pace with the trigger interval: a micro-batch
+    // with zero new rows is skipped by Structured Streaming (foreachBatch
+    // never fires), so a 1-row/s source under a sub-second trigger would
+    // silently floor the poll cadence at ~1 s.
+    val rowsPerSecond = math.max(1L, 1000L / math.max(1L, intervalMs))
     val ticks = spark.readStream.format("rate")
-      .option("rowsPerSecond", 1).load()
+      .option("rowsPerSecond", rowsPerSecond).load()
     ticks.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))

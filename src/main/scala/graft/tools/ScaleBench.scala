@@ -194,7 +194,7 @@ object ScaleBench {
       try s.forEach(f => Files.delete(f)) finally s.close()
     }
     val due = new Timestamp(1700000000000L)
-    spark.range(n.toLong).map { i =>
+    val rows = spark.range(n.toLong).map { i =>
       EventLog.QueueRow(
         id = s"ev$i", trigger_schema = "public", trigger_table = "t",
         trigger_name = "scale_t", webhook_url = "http://127.0.0.1:1/hook",
@@ -203,7 +203,8 @@ object ScaleBench {
         attempts_status = Seq.empty, attempts_response = Seq.empty,
         next_attempt = due, retry_number = 2, retry_interval = 2,
         retry_backoff = "EXPONENTIAL", created_at = due)
-    }.write.mode(SaveMode.Overwrite).partitionBy("status").parquet(dir)
+    }
+    graft.queue.PendingStore.spool(rows.toDF(), dir)
   }
 
   private def writeMd(out: String,

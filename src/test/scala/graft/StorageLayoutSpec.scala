@@ -82,16 +82,22 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestSession {
       retry_interval = 2, retry_backoff = "EXPONENTIAL",
       created_at = new java.sql.Timestamp(dueAt))
 
-  test("dispatcher cycle scan partition-prunes to status=PENDING and pushes next_attempt") {
+  test("dispatcher due scan reads only the PENDING store and pushes next_attempt") {
     val dir = tmp("graft_queue_prune") + "/q"
     val t0 = 1700000000000L
-    Seq(queueRow("e1", "PENDING", t0), queueRow("e2", "DELIVERED", t0),
-      queueRow("e3", "FAILED", t0), queueRow("e4", "PENDING", t0 + 60000))
+    // terminal history in hive partitions; live PENDING rows via the store
+    Seq(queueRow("e2", "DELIVERED", t0), queueRow("e3", "FAILED", t0))
       .toDS().write.partitionBy("status").parquet(dir)
+    graft.queue.PendingStore.spool(
+      Seq(queueRow("e1", "PENDING", t0), queueRow("e4", "PENDING", t0 + 60000)).toDF(), dir)
     val due = graft.queue.Dispatcher.dueScan(spark, dir, new java.sql.Timestamp(t0))
     val scan = due.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("PENDING"),
-      s"due scan must prune on the status partition:\n$scan")
+    // the scan's file paths live under the .pending store — the terminal
+    // status=* partitions are physically outside every path it can touch
+    assert(scan.contains(".pending"),
+      s"due scan must read through the PENDING store:\n$scan")
+    assert(!scan.contains("status=DELIVERED") && !scan.contains("status=FAILED"),
+      s"due scan must not reference terminal partitions:\n$scan")
     assert(scan.contains("PushedFilters") && scan.contains("next_attempt"),
       s"next_attempt predicate must push to the parquet reader:\n$scan")
     assert(due.count() == 1)
@@ -102,11 +108,18 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestSession {
     val t0 = 1700000000000L
     // A delivered row, then its file replaced by garbage: any scan touching
     // status=DELIVERED would throw. The cycle must not.
-    Seq(queueRow("e1", "DELIVERED", t0), queueRow("e2", "PENDING", t0 + 60000))
+    Seq(queueRow("e1", "DELIVERED", t0))
       .toDS().write.partitionBy("status").parquet(dir)
+    graft.queue.PendingStore.spool(
+      Seq(queueRow("e2", "PENDING", t0 + 60000)).toDF(), dir)
     val deliveredDir = java.nio.file.Paths.get(dir, "status=DELIVERED")
     Files.list(deliveredDir).filter(_.getFileName.toString.endsWith(".parquet"))
       .forEach(p => Files.write(p, "not parquet".getBytes))
+    // the poison is potent: the full-history reader throws on it
+    intercept[Exception] {
+      graft.queue.EventLog.read(spark, dir)
+        .filter($"status" === "DELIVERED").count()
+    }
     val stats = graft.queue.Dispatcher.runOnce(spark, dir,
       now = new java.sql.Timestamp(t0)) // nothing due → no HTTP attempted
     assert(stats.due == 0)

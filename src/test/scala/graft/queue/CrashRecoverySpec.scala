@@ -76,10 +76,13 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestSession with BeforeAnd
       s"expected at-least-once: ${postedIds.length} posts for ${expectedIds.size} rows")
   }
 
-  test("crash between swap renames: aside PENDING partition is healed, no rows dropped") {
-    // swapDirs' only non-atomic window: old status=PENDING already renamed
-    // to the dot-prefixed aside, replacement not yet moved in. A crash here
-    // must NOT read as an empty queue on restart — inject exactly that state.
+  test("commit crash leaves only unreferenced dirs: restart drains with no repair step") {
+    // The manifest commit's crash surface is "orphan dirs the manifest never
+    // references" (PendingStoreSpec kills the writer between every pair of
+    // steps). Here the dispatcher-level restart story: a crashed cycle left
+    // an orphan snapshot AND a garbage spool temp; a restarted dispatcher
+    // must read the intact manifest state, drain, and sweep the orphans —
+    // no heal/repair step exists or is needed.
     val cfg = TriggerConfig(
       name = "heal_t", tableName = "employees",
       operations = Seq("INSERT"), webhookUrl = server.url,
@@ -91,17 +94,25 @@ class CrashRecoverySpec extends AnyFunSuite with SparkTestSession with BeforeAnd
         Seq(Emp(1, "h1", 100), Emp(2, "h2", 200)).toDF(), Seq("id")), cfg)
     EventLog.enqueue(env, cfg, dir)
 
-    val pending = java.nio.file.Paths.get(dir, "status=PENDING")
-    val aside = pending.resolveSibling(".status=PENDING.old")
-    java.nio.file.Files.move(pending, aside,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // ← the crash point
+    // ← the crash points: a snapshot written but never flipped to, and a
+    //   spool that never completed its rename (both dot-/unreferenced)
+    val orphanSnap = java.nio.file.Paths.get(dir, ".pending", "v1")
+    java.nio.file.Files.createDirectories(orphanSnap)
+    java.nio.file.Files.write(orphanSnap.resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val halfSpool = java.nio.file.Paths.get(dir, ".pending", ".spool-crashed")
+    java.nio.file.Files.createDirectories(halfSpool)
+    java.nio.file.Files.write(halfSpool.resolve("part-0.parquet"),
+      "not parquet".getBytes)
 
-    // Restarted dispatcher: scan heals the aside back before reading.
-    assert(Dispatcher.hasPending(spark, dir), "healed scan must see the aside rows")
-    assert(!java.nio.file.Files.exists(aside) && java.nio.file.Files.exists(pending))
+    assert(Dispatcher.hasPending(spark, dir),
+      "restarted scan must see the enqueued rows despite crash leftovers")
     server.received.clear()
     Dispatcher.drain(spark, dir, pollMs = 10L)
     val terminal = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
     assert(terminal.length == 2 && terminal.forall(_.status == "DELIVERED"))
+    assert(server.bodies.length == 2)
+    // the real commit at v1 overwrote the orphan garbage
+    assert(graft.queue.PendingStore.manifest(dir).version >= 1L)
   }
 }

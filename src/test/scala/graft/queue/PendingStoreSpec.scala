@@ -1,0 +1,152 @@
+package graft.queue
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manifest-committed PENDING store: the queue's reader-visible state
+  * must change only at the single-file manifest rename. The core proof kills
+  * the writer between every pair of commit steps and asserts a reader never
+  * observes a missing or doubled row — the atomicity the reference inherits
+  * from Postgres MVCC, which the round-4 directory-rename swap could not
+  * give a concurrent reader (it had to retry). */
+class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_pstore_").toString + "/q"
+
+  private def row(id: String, dueAt: Long = 0L): EventLog.QueueRow =
+    EventLog.QueueRow(
+      id = id, trigger_schema = "public", trigger_table = "t",
+      trigger_name = "tr", webhook_url = "http://127.0.0.1:1/hook",
+      headers = "{}", payload = "{}", timeout = 10, status = "PENDING",
+      attempt_count = 0, attempts_time = Seq.empty, attempts_status = Seq.empty,
+      attempts_response = Seq.empty, next_attempt = new Timestamp(dueAt),
+      retry_number = 2, retry_interval = 2, retry_backoff = "EXPONENTIAL",
+      created_at = new Timestamp(dueAt))
+
+  private def df(ids: String*): DataFrame = ids.map(row(_)).toDF()
+
+  private def readIds(dir: String): Seq[String] =
+    PendingStore.read(spark, dir).select($"id").as[String].collect().toSeq.sorted
+
+  test("spool is visible immediately; commit absorbs it exactly once") {
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2"), dir)
+    assert(readIds(dir) == Seq("a1", "a2"))
+    val snap = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap)
+    // absorbed into v1, spool marked consumed — same rows, no doubling
+    assert(readIds(dir) == Seq("a1", "a2"))
+    assert(PendingStore.manifest(dir).version == 1L)
+    assert(PendingStore.capture(dir).inbox.isEmpty, "spool must be consumed")
+  }
+
+  test("a spool landing mid-cycle is not consumed by that cycle's commit") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val snap = PendingStore.capture(dir) // cycle captured only a1's spool
+    PendingStore.spool(df("b1"), dir)    // lands mid-cycle
+    PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap)
+    // b1 survived in the inbox (the rename-swap layout would have lost it)
+    assert(readIds(dir) == Seq("a1", "b1"))
+    assert(PendingStore.capture(dir).inbox.size == 1)
+  }
+
+  test("writer killed between any two commit steps: readers see the old or new set, never partial") {
+    val steps = Seq("snapshot-written", "inbox-gc", "manifest-flipped", "versions-gc")
+    for (killAt <- steps) {
+      val dir = tmp()
+      // state S1: snapshot v1 = {a1, a2, a3} + one fresh spool {b1, b2}
+      PendingStore.spool(df("a1", "a2", "a3"), dir)
+      val s0 = PendingStore.capture(dir)
+      PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0)
+      PendingStore.spool(df("b1", "b2"), dir)
+      val before = Seq("a1", "a2", "a3", "b1", "b2")
+      assert(readIds(dir) == before)
+
+      // the transition under test: a1/a2 delivered, b's absorbed → {a3, b1, b2}
+      val snap = PendingStore.capture(dir)
+      val after = Seq("a3", "b1", "b2")
+      val newPending = PendingStore.readAt(spark, dir, snap)
+        .filter(!$"id".isin("a1", "a2"))
+      intercept[RuntimeException] {
+        PendingStore.commit(newPending, dir, snap,
+          onStep = s => if (s == killAt) throw new RuntimeException(s"kill@$s"))
+      }
+      val seen = readIds(dir)
+      assert(seen == before || seen == after,
+        s"kill@$killAt: reader saw a partial state $seen")
+      // flip IS the commit point: killed before it → old state; after → new
+      val flipped = steps.indexOf(killAt) >= steps.indexOf("manifest-flipped")
+      assert(seen == (if (flipped) after else before), s"kill@$killAt")
+
+      // a restarted writer converges with no repair step: re-run the cycle
+      val snap2 = PendingStore.capture(dir)
+      val retryPending = PendingStore.readAt(spark, dir, snap2)
+        .filter(!$"id".isin("a1", "a2"))
+      PendingStore.commit(retryPending, dir, snap2)
+      assert(readIds(dir) == after, s"kill@$killAt: retry did not converge")
+      // and the store is tidy again: next commit GCs any crash leftovers
+      val snap3 = PendingStore.capture(dir)
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap3), dir, snap3)
+      assert(readIds(dir) == after)
+    }
+  }
+
+  test("concurrent reader during live commits never errors and never sees a partial set") {
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2", "a3", "a4", "a5"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      // every poll must see one of the committed states, with no retry logic
+      val legal = Set(
+        Seq("a1", "a2", "a3", "a4", "a5"),
+        Seq("a2", "a3", "a4", "a5"),
+        Seq("a3", "a4", "a5"),
+        Seq("a4", "a5"),
+        Seq("a5"),
+        Seq.empty[String])
+      try while (!stop.get()) {
+        val ids = readIds(dir)
+        if (!legal(ids)) { bad.set(s"illegal state $ids"); stop.set(true) }
+      } catch { case e: Throwable => bad.set(e.toString); stop.set(true) }
+    })
+    reader.start()
+    try {
+      // five commits, each retiring one row — flips race the reader loop
+      for (k <- 1 to 5) {
+        val snap = PendingStore.capture(dir)
+        val np = PendingStore.readAt(spark, dir, snap)
+          .filter($"id" > s"a$k")
+        PendingStore.commit(np, dir, snap)
+      }
+    } finally { stop.set(true); reader.join(10000) }
+    assert(bad.get() == null, s"concurrent reader failed: ${bad.get()}")
+    assert(readIds(dir).isEmpty)
+  }
+
+  test("crashed commit's orphan snapshot is invisible and swept by the next commit") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0) // v1 live
+    // a commit that died before its flip: orphan v2 with garbage content
+    val orphan = Paths.get(dir, ".pending", "v2")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), "not parquet".getBytes)
+    assert(readIds(dir) == Seq("a1"), "orphan must be invisible to readers")
+    // next cycle commits v2 for real: overwrite sweeps the orphan
+    val snap = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap)
+    assert(PendingStore.manifest(dir).version == 2L)
+    assert(readIds(dir) == Seq("a1"))
+  }
+}

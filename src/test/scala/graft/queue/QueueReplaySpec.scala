@@ -84,13 +84,13 @@ class QueueReplaySpec extends AnyFunSuite with SparkTestSession with BeforeAndAf
     EventLog.enqueue(env, cfg, dir)
 
     val backup = Files.createTempDirectory("graft_replay2_bk_").toString
-    copyTree(s"$dir/status=PENDING", backup)
+    copyTree(s"$dir/.pending", backup)
 
     assert(Dispatcher.runOnce(spark, dir).delivered == 2)
     // the precise worst crash: terminal rows were appended, but the PENDING
-    // swap was lost — restore only the PENDING partition and replay
-    deleteTree(s"$dir/status=PENDING")
-    copyTree(backup, s"$dir/status=PENDING")
+    // store's manifest flip was lost — restore the pre-cycle store and replay
+    deleteTree(s"$dir/.pending")
+    copyTree(backup, s"$dir/.pending")
     assert(Dispatcher.runOnce(spark, dir).delivered == 2)
 
     // raw history now holds each delivery twice; the reader collapses it

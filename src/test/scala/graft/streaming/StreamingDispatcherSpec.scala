@@ -40,20 +40,16 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
   private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.stop() catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Polls CONCURRENTLY with the dispatcher's PENDING-partition swap, so a
-    * poll can read a file listing the swap just invalidated (the known
-    * plain-parquet concurrent-reader window — a lakehouse table format
-    * closes it). Like any concurrent reader of this layout, retry. */
+  /** Polls CONCURRENTLY with the dispatcher's PENDING commits. The manifest
+    * store makes every poll read a consistent snapshot — no catch/retry, a
+    * poll that throws IS a failure (round 4's rename-swap layout needed a
+    * retry loop here; the manifest commit is what removed it). */
   private def awaitDrained(dir: String, timeoutMs: Long = 30000L): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    var drained = false
-    while (!drained) {
+    while (Dispatcher.hasPending(spark, dir)) {
       assert(System.currentTimeMillis() < deadline,
         "streaming dispatcher did not drain the queue in time")
-      drained =
-        try !Dispatcher.hasPending(spark, dir)
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (!drained) Thread.sleep(200L)
+      Thread.sleep(200L)
     }
   }
 
