@@ -170,24 +170,66 @@ object Multimodal {
 
   /** REAL video demux for MJPEG payloads (the one video container the JDK
     * can fully decode: it is a concatenation of JPEG frames, and
-    * `javax.imageio` ships a JPEG reader). Split on the JPEG SOI marker
-    * `FF D8 FF` — sound for baseline JPEG because 0xFF inside
-    * entropy-coded data is byte-stuffed (`FF 00`) or a restart marker
-    * (`FF D0-D7`), so SOI can only start a frame. Returns the frame byte
-    * ranges, or Nil when the payload has no leading SOI (not MJPEG). */
+    * `javax.imageio` ships a JPEG reader). Frames are found by WALKING the
+    * marker segments, not by scanning raw bytes for `FF D8 FF`: APPn/COM
+    * marker payloads are raw bytes that may embed a complete JPEG of their
+    * own (an EXIF thumbnail carries its own SOI), so a raw scan would
+    * false-split mid-frame. The walk skips every length-bearing segment by
+    * its 2-byte length field, and inside entropy-coded scan data treats
+    * `FF 00` (stuffing) and `FF D0-D7` (restart) as data — a frame ends at
+    * its EOI (or at the next frame's SOI for encoders that omit EOI). A
+    * frame whose structure cannot be parsed is returned as one conservative
+    * range to the payload end rather than guessed at. Returns Nil when the
+    * payload has no leading SOI (not MJPEG). */
   private[operators] def mjpegFrameOffsets(data: Array[Byte]): Seq[(Int, Int)] = {
-    def soiAt(i: Int): Boolean =
-      i + 2 < data.length && data(i) == 0xff.toByte &&
-        data(i + 1) == 0xd8.toByte && data(i + 2) == 0xff.toByte
-    if (!soiAt(0)) Nil
-    else {
-      val starts = scala.collection.mutable.ArrayBuffer(0)
-      var i = 3
-      while (i < data.length - 2) {
-        if (soiAt(i)) { starts += i; i += 3 } else i += 1
+    val n = data.length
+    def u8(i: Int): Int = data(i) & 0xff
+    def isSoi(i: Int): Boolean = i + 1 < n && u8(i) == 0xff && u8(i + 1) == 0xd8
+    if (n < 4 || !isSoi(0) || u8(2) != 0xff) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < n && isSoi(pos)) {
+      val start = pos
+      var i = pos + 2 // first marker after SOI
+      var end = -1
+      var ok = true
+      while (ok && end < 0 && i < n) {
+        if (u8(i) != 0xff) ok = false
+        else {
+          var j = i + 1
+          while (j < n && u8(j) == 0xff) j += 1 // fill bytes
+          if (j >= n) ok = false
+          else u8(j) match {
+            case 0xd9 => end = j + 1 // EOI
+            case 0xd8 => end = i     // bare SOI: previous frame had no EOI
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => i = j + 1 // standalone
+            case 0xda => // SOS: skip its header, then the entropy-coded data
+              if (j + 2 >= n) ok = false
+              else {
+                var k = j + 1 + ((u8(j + 1) << 8) | u8(j + 2))
+                var done = false
+                while (!done && k < n - 1) {
+                  if (u8(k) == 0xff) {
+                    val m2 = u8(k + 1)
+                    if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) k += 2
+                    else { i = k; done = true } // a real marker (EOI, next SOS…)
+                  } else k += 1
+                }
+                if (!done) ok = false
+              }
+            case _ => // length-bearing segment: APPn, COM, DQT, DHT, SOF…
+              if (j + 2 >= n) ok = false
+              else {
+                val len = (u8(j + 1) << 8) | u8(j + 2)
+                if (len < 2) ok = false else i = j + 1 + len
+              }
+          }
+        }
       }
-      starts.toSeq.zip(starts.toSeq.drop(1) :+ data.length)
+      if (!ok || end < 0) { out += ((start, n)); pos = n }
+      else { out += ((start, end)); pos = end }
     }
+    out.toSeq
   }
 
   /** Feature extraction: partition-wise batches over the asset Dataset —

@@ -100,10 +100,15 @@ object Similarity {
     * candidates (no pruning); 16 IVF cells → 24% at 6% candidates. Real
     * pipelines either accept recall < 1 (semantic-dedup practice) or
     * tighten the threshold to true near-dup range (≥0.9), where banding is
-    * simultaneously selective AND high-recall. The operator is therefore
-    * verified two ways: the battery query hash-matches a DuckDB oracle that
-    * replays bands+rescore bit-for-bit, and SimilaritySpec proves recall = 1
-    * against [[nearDupPairs]] on a corpus with genuine near-duplicates. */
+    * simultaneously selective AND high-recall — measured, not just claimed:
+    * at threshold 0.9 over pairs injected at cosine 0.95, 4×4 banding gives
+    * recall 0.982 (theory: 1−(1−p_bit⁴)⁴ ≈ 0.985 at p_bit = 1−acos(.95)/π)
+    * with candidates at 23% of all pairs — the 1−(15/16)⁴ random-collision
+    * floor of this band geometry (SimilaritySpec's regime test records
+    * both). The operator is therefore verified two ways: the battery query
+    * hash-matches a DuckDB oracle that replays bands+rescore bit-for-bit,
+    * and SimilaritySpec proves recall = 1 against [[nearDupPairs]] on a
+    * corpus with genuine near-duplicates. */
   def lshNearDupPairs(emb: DataFrame, minSimMillionths: Long,
                       planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -179,12 +179,26 @@ object IncrementalDedup {
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],
-    * appending verdicts to `verdictDir`. Caller starts the query. */
+    * appending verdicts to `verdictDir`. Caller starts the query.
+    *
+    * `compactEvery` schedules registry compaction INSIDE the gate — the
+    * append-only registry otherwise accrues one file per touched partition
+    * per micro-batch (~86k/partition/day at a 1 s cadence), and probe time
+    * grows with FILE count even while it stays flat in registry ROWS
+    * (SCALE.md measures both). Every N batches the registry rewrites to one
+    * file per (band, bucket) partition via the crash-safe rename-aside swap;
+    * single-writer, same as the probe/append cycle it interleaves with. */
   def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
-           bands: Int = 4, idCol: String = "doc_id"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+           bands: Int = 4, idCol: String = "doc_id",
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, bands, idCol)
           .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("band", "bucket"))
+          ()
+        }
     }
 }

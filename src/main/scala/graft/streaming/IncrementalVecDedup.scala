@@ -131,13 +131,21 @@ object IncrementalVecDedup {
   }
 
   /** Streaming face: wire an embedding stream through [[processBatch]],
-    * appending verdicts to `verdictDir`. Caller starts the query. */
+    * appending verdicts to `verdictDir`. Caller starts the query.
+    * `compactEvery` schedules in-gate registry compaction every N batches —
+    * see [[IncrementalDedup.gate]] for the file-growth rationale. */
   def gate(vecStream: DataFrame, registryDir: String, verdictDir: String,
            minSimMillionths: Long, planes: Int = 16, bandWidth: Int = 4,
-           dims: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+           dims: Int = 64,
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecStream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, minSimMillionths, planes, bandWidth, dims)
           .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("band", "bucket"))
+          ()
+        }
     }
 }

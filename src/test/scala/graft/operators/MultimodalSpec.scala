@@ -174,6 +174,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(strided.map(_.frame_no).sorted.toSeq == Seq(0, 2))
   }
 
+  test("demux walks marker segments: an embedded EXIF-thumbnail JPEG never splits a frame") {
+    // Frame 1 carries an APP1 segment whose PAYLOAD is a complete JPEG (its
+    // own SOI and all) — the EXIF-thumbnail shape. A raw FF D8 FF byte scan
+    // would split inside the segment and emit an undecodable garbage frame;
+    // the marker walk skips the segment by its length field.
+    def jpeg(d: Int): Array[Byte] = mjpegBytes(Seq(d))
+    val thumb = jpeg(4)
+    val host = jpeg(8)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((thumb.length + 2) >> 8) & 0xff).toByte, ((thumb.length + 2) & 0xff).toByte) ++ thumb
+    // SOI | APP1(thumbnail) | rest of the host frame | plain second frame
+    val frame1 = host.take(2) ++ app1 ++ host.drop(2)
+    val frame2 = jpeg(6)
+    val stream = frame1 ++ frame2
+    val offs = Multimodal.mjpegFrameOffsets(stream)
+    assert(offs == Seq((0, frame1.length), (frame1.length, stream.length)),
+      s"expected 2 frames at exact boundaries, got $offs")
+    // both demuxed frames decode, at the HOST dimensions (4 would mean the
+    // thumbnail was mistaken for a frame)
+    val dims = offs.map { case (s, e) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(stream.slice(s, e)))
+      assert(img != null, s"frame at ($s,$e) must decode")
+      img.getWidth
+    }
+    assert(dims == Seq(8, 6))
+  }
+
   test("video features come from real key-frame pixels for MJPEG; stub otherwise") {
     val mjpeg = mjpegBytes(Seq(4, 6))
     val f = Multimodal.extractFeatures(spark.createDataset(Seq(

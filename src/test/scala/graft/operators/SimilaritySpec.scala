@@ -79,6 +79,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("lshNearDupPairs at the 0.9 threshold regime: recall ~1 AND real pruning") {
+    // The 'tighten or accept' claim made empirical: at TRUE near-dup
+    // thresholds (>=0.9) the 4x4 banding is simultaneously high-recall and
+    // selective. Corpus = normalized base embeddings + for each a partner at
+    // EXACTLY cosine 0.95 (w = 0.95 v + sqrt(1-0.95^2) u with u ⊥ v, both
+    // unit — the dot product is 0.95 by construction, deterministic).
+    val c = 0.95f
+    val s = math.sqrt(1 - c.toDouble * c).toFloat
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, v.map(x => (x / n).toFloat))
+      }
+    val partners = base.map { case (id, v) =>
+      val r = Array.tabulate(v.length)(i => (((id * 31 + i * 17) % 7) - 3).toFloat)
+      val proj = r.zip(v).map { case (a, b) => a * b }.sum
+      val u0 = r.zip(v).map { case (a, b) => a - proj * b }
+      val un = math.sqrt(u0.map(x => x.toDouble * x).sum)
+      val u = u0.map(x => (x / un).toFloat)
+      (id + 100000L, v.zip(u).map { case (a, b) => c * a + s * b })
+    }
+    val corpus = spark.createDataFrame(base ++ partners).toDF("vec_id", "embedding")
+    val threshold = 900000L
+    val exact = Similarity.nearDupPairs(corpus, threshold)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= base.length, "every injected 0.95 partner must qualify at 0.9")
+    val lsh = Similarity.lshNearDupPairs(corpus, threshold, planes = 16, bandWidth = 4)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "rescore must kill every sub-threshold candidate")
+    val recall = lsh.size.toDouble / exact.size
+    // 16 planes / 4-band expectation at sim 0.95: p_bit = 1 - acos(.95)/pi
+    // = 0.899, band hit = p^4 = 0.653, miss all 4 bands = 0.347^4 = 1.5%
+    assert(recall >= 0.95, f"recall $recall%.3f at threshold 0.9 (expected ~0.985)")
+    // pruning factor: candidate pairs (threshold disabled) vs all pairs
+    val n = 2L * base.length
+    val candidates = Similarity.lshNearDupPairs(corpus, Long.MinValue,
+      planes = 16, bandWidth = 4).count()
+    val pruning = candidates.toDouble / (n * (n - 1) / 2)
+    assert(pruning < 0.25,
+      f"banding must prune the candidate space, got $pruning%.3f of all pairs")
+    info(f"threshold 0.9 regime: recall = $recall%.3f, candidates = $pruning%.3f of all pairs")
+  }
+
   test("lshNearDupPairs plans an equi-join candidate stage, never a cartesian product") {
     val plan = Similarity.lshNearDupPairs(
       graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),

@@ -207,4 +207,49 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
       assert(verdicts(10L) == (true, Some(1L)))
     } finally q.stop()
   }
+
+  test("in-gate compaction cadence bounds registry file count without changing verdicts") {
+    def countFiles(dir: String): Int = {
+      val it = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    def drive(compactEvery: Int): (Map[Long, (Boolean, Option[Long])], Int) = {
+      val reg = tmp(s"graft_dedup_cpt$compactEvery")
+      val out = tmp(s"graft_dedup_cpt_out$compactEvery") + "/v"
+      val ms = MemoryStream[Doc]
+      val q = IncrementalDedup.gate(ms.toDF(), reg, out, compactEvery = compactEvery)
+        .option("checkpointLocation", tmp("graft_dedup_cpt_ck")).start()
+      try {
+        // 4 micro-batches of fresh docs — 25 per batch, so (band, bucket)
+        // partitions overlap across batches (256 buckets/band, 100 keys per
+        // band by batch 4) and the append-only layout accrues multiple
+        // files per partition; then one batch with a known near-dup
+        for (b <- 0 until 4) {
+          ms.addData((0 until 25).map { i =>
+            val id = 100L + b * 25 + i
+            // per-doc vocabulary: no shared shingles, every doc registers
+            Doc(id, (1 to 8).map(w => s"tok${id}w$w").mkString(" "))
+          }: _*)
+          q.processAllAvailable()
+        }
+        ms.addData(Doc(200L, base), Doc(201L, base + " iota"))
+        q.processAllAvailable()
+        val v = spark.read.parquet(out)
+          .as[(Long, Boolean, Option[Long])].collect()
+          .map { case (k, bb, r) => k -> (bb, r) }.toMap
+        (v, countFiles(reg))
+      } finally q.stop()
+    }
+    val (vPlain, filesPlain) = drive(compactEvery = 0)
+    val (vCompact, filesCompact) = drive(compactEvery = 2)
+    assert(vPlain == vCompact, "compaction must not change verdicts")
+    assert(vCompact(200L) == (false, None) && vCompact(201L) == (true, Some(200L)))
+    // every batch appends one file per touched partition; the cadence
+    // rewrites to one file per partition, so the compacted registry holds
+    // strictly fewer files after the same ingest
+    assert(filesCompact < filesPlain,
+      s"expected compaction to bound files: plain=$filesPlain compacted=$filesCompact")
+  }
 }
