@@ -44,6 +44,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact k-NN retrieval (semantic search over a query batch, eval
+    * -set neighbor labeling): every query vector gets its top-k corpus
+    * neighbors in ONE corpus pass. The corpus side is never shuffled:
+    * scoring is a map-side crossJoin against the BROADCAST query batch
+    * (codegen'd dot product), and the per-query top-k runs through the
+    * bounded typed [[TopKAggregator]] — partial buffers keep k rows per
+    * query per task, so the only shuffle carries O(queries·k·tasks) rows.
+    * A window (`row_number` over query_id) would instead shuffle
+    * corpus × queries rows: the difference between exabytes and kilobytes
+    * at the 100 TB corpus / 1k-query batch point. [[topK]] stays as the
+    * one-query special case (orderBy+limit, no shuffle at all). */
+  def knnJoin(emb: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id",
+              queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scored = emb
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .select(col(queryIdCol), col(idCol),
+        quantize(GraftFunctions.vecDot(spark, col(vecCol), col(queryVecCol)))
+          .as("sim_q"))
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      // sim_q is integer millionths (|v| ≤ 1e6 · dims) — exact in Double
+      .mapValues(t => ScoredId(t._3.toDouble, t._2))
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score.toLong) }
+      }
+      .toDF(queryIdCol, "rn", idCol, "sim_q")
+  }
+
   /** All near-duplicate pairs above a quantized similarity threshold.
     * Brute-force all-pairs join — the EXACT answer, O(n²) by definition.
     * Kept as the small-N verifier that recall specs measure

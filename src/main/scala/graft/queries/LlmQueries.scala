@@ -98,6 +98,21 @@ object LlmQueries extends graft.QueryModule {
   def lshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** Batched retrieval (q83): the realistic form of semantic search — a
+    * BATCH of query vectors, each answered with its exact top-k corpus
+    * neighbors in one corpus pass. Corpus side never shuffles (broadcast
+    * query batch, codegen'd scoring); the per-query top-k is the bounded
+    * typed aggregator, so the shuffle carries O(queries·k) partial buffers
+    * per task instead of corpus×queries window rows. */
+  def knnJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    Similarity.knnJoin(emb, queries, k = 10)
+      .orderBy($"query_id", $"rn")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   def langId(s: SparkSession, dir: String): DataFrame = {
@@ -204,6 +219,7 @@ object LlmQueries extends graft.QueryModule {
     "q41_lsh_buckets" -> lshBucketHistogram,
     "q42_multimodal_bytes" -> multimodalBytes,
     "q43_lsh_topk" -> lshTopK,
+    "q83_knn_join" -> knnJoinBatch,
     "q45_tfidf" -> tfidfTop,
     "q65_dup_clusters" -> dupClusters,
     "q70_edit_distance" -> editDistance,
@@ -312,6 +328,21 @@ object LlmQueries extends graft.QueryModule {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
         |FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q83_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |d AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY q.query_id, e.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY floor(dot * 1000000) DESC, vec_id) AS rn
+        |  FROM d)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, sim_q
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
     "q36_neardup_vectors" -> (lshNearDupCte +
       """
         |SELECT vec_a, vec_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q

@@ -29,11 +29,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingDispatcher {
 
   /** Start the dispatcher as a streaming query polling every `intervalMs`.
-    * Caller owns the returned query's lifecycle (stop/awaitTermination). */
+    * Caller owns the returned query's lifecycle (stop/awaitTermination).
+    *
+    * `compactTerminalEvery` schedules terminal-history compaction inside
+    * the worker loop: each cycle with deliveries appends one file set to
+    * `status=DELIVERED|FAILED`, which at the reference's 1 s cadence is
+    * ~86k file sets/day — scan planning for history readers starts to cost
+    * more than scanning. Every N ticks each terminal partition rewrites to
+    * one file via the crash-safe rename-aside swap; it runs between cycles
+    * on the query's own thread, so it never races the dispatcher itself
+    * (history readers see the documented rename-aside window — these are
+    * offline/analytical scans, unlike the PENDING store's manifest reads). */
   def start(spark: SparkSession, queueDir: String,
             poster: HttpPoster = JdkHttpPoster,
             checkpointDir: String,
-            intervalMs: Long = 1000L): StreamingQuery = {
+            intervalMs: Long = 1000L,
+            compactTerminalEvery: Int = 0): StreamingQuery = {
     // rowsPerSecond must keep pace with the trigger interval: a micro-batch
     // with zero new rows is skipped by Structured Streaming (foreachBatch
     // never fires), so a 1-row/s source under a sub-second trigger would
@@ -46,8 +57,15 @@ object StreamingDispatcher {
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
       .option("checkpointLocation", checkpointDir)
       .queryName("graft-dispatcher")
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        Dispatcher.runOnce(spark, queueDir, poster); ()
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        Dispatcher.runOnce(spark, queueDir, poster)
+        if (compactTerminalEvery > 0 && (batchId + 1) % compactTerminalEvery == 0)
+          Seq("status=DELIVERED", "status=FAILED").foreach { p =>
+            val dir = java.nio.file.Paths.get(queueDir, p)
+            if (java.nio.file.Files.exists(dir))
+              graft.queue.Maintenance.compactParquet(spark, dir.toString)
+          }
+        ()
       }
       .start()
   }

@@ -79,6 +79,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("knnJoin: per query-batch results equal the single-query topK; no window shuffle") {
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = real.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val batched = Similarity.knnJoin(real, queries, k = 5)
+    val got = batched.select($"query_id", $"rn", $"vec_id", $"sim_q")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.topK(real, queryId = qid, k = 5)
+        .as[(Long, Long)].collect().toSeq
+      assert(got(qid) == single, s"query $qid: batched != single-query topK")
+    }
+    // scale shape: the corpus is scored map-side against the broadcast query
+    // batch and reduced by the bounded aggregator — no Window operator, no
+    // exchange keyed on the corpus id; the only hash exchange is per-query
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"knnJoin must not window-sort the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus rows must never shuffle on vec_id:\n$plan")
+  }
+
   test("lshNearDupPairs at the 0.9 threshold regime: recall ~1 AND real pruning") {
     // The 'tighten or accept' claim made empirical: at TRUE near-dup
     // thresholds (>=0.9) the 4x4 banding is simultaneously high-recall and

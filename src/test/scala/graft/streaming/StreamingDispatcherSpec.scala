@@ -53,6 +53,42 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
     }
   }
 
+  test("terminal compaction cadence bounds history file count, rows intact") {
+    val root = Files.createTempDirectory("graft_sdisp_cpt_").toString
+    val dir = root + "/event_log"
+    enqueue(dir, (1 to 6).map(i => Emp(i, s"c$i", i * 100)))
+    server.received.clear()
+    def deliveredFiles(): Int = {
+      val d = java.nio.file.Paths.get(dir, "status=DELIVERED")
+      if (!Files.exists(d)) return -1
+      val it = Files.walk(d).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    val q = StreamingDispatcher.start(spark, dir, checkpointDir = root + "/ckpt",
+      intervalMs = 100L, compactTerminalEvery = 1)
+    try {
+      // Poll WHILE the query runs, until the post-compaction steady state:
+      // drained, exactly one DELIVERED file, all six rows terminal. Terminal
+      // readers keep the documented rename-aside window (offline scans, not
+      // the PENDING store's manifest reads), so a poll racing the swap may
+      // throw or see a transient count — that is this dataset's contract.
+      val deadline = System.currentTimeMillis() + 30000
+      var settled = false
+      while (!settled) {
+        assert(System.currentTimeMillis() < deadline,
+          s"never reached compacted steady state; files=${deliveredFiles()}")
+        settled =
+          try !Dispatcher.hasPending(spark, dir) && deliveredFiles() == 1 && {
+            val rows = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
+            rows.length == 6 && rows.forall(_.status == "DELIVERED")
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!settled) Thread.sleep(100L)
+      }
+    } finally stopQuietly(q)
+  }
+
   test("streaming query drains the queue and a checkpoint restart resumes") {
     val root = Files.createTempDirectory("graft_sdisp_").toString
     val dir = root + "/event_log"
