@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Sampling
+import graft.operators.{Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -76,6 +76,31 @@ object TrainingDataQueries extends graft.QueryModule {
       .withColumn("overlap_frac", $"n_overlap".cast("double") / $"n_shingles")
       .withColumn("contaminated", $"overlap_frac" >= 0.5)
       .orderBy($"doc_id")
+  }
+
+  /** SEMANTIC decontamination (q84): the embedding-space twin of the
+    * shingle-overlap gate — paraphrased benchmark contamination shares no
+    * trigrams, but its embedding sits next to the benchmark's. Every corpus
+    * vector scores against the full benchmark set EXACTLY: the benchmark is
+    * small by construction (an eval set), so it broadcasts whole and the
+    * corpus side is one map-side codegen'd scoring pass — at 100 TB the
+    * corpus never shuffles and no LSH recall caveat applies. Emits max
+    * benchmark similarity + the verdict per corpus vector (the curation
+    * pipeline consumes `clean`). */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter($"vec_id" < 25)
+      .select($"vec_id".as("bench_id"), $"embedding".as("bench_vec"))
+    val corpus = emb.filter($"vec_id" >= 25)
+    corpus.crossJoin(broadcast(bench))
+      .select($"vec_id",
+        Similarity.quantize(graft.functions.GraftFunctions
+          .vecDot(s, $"embedding", $"bench_vec")).as("sim_q"))
+      .groupBy($"vec_id")
+      .agg(max($"sim_q").as("max_bench_sim"))
+      .withColumn("clean", $"max_bench_sim" < 350000L)
+      .orderBy($"vec_id")
   }
 
   /** Bloom-prefiltered decontamination — same OUTPUT as [[decontaminate]]
@@ -289,6 +314,7 @@ object TrainingDataQueries extends graft.QueryModule {
     "q58_ngram_freq" -> ngramFreq,
     "q59_decontaminate" -> decontaminate,
     "q76_bloom_decontaminate" -> bloomDecontaminate,
+    "q84_semantic_decontaminate" -> semanticDecontaminate,
     "q60_redact" -> redact,
     "q61_percentiles" -> percentiles,
     "q67_data_mixture" -> dataMixture,
@@ -410,6 +436,19 @@ object TrainingDataQueries extends graft.QueryModule {
     // construction, so they share the oracle verbatim.
     "q76_bloom_decontaminate" -> decontOracle,
     "q59_decontaminate" -> decontOracle,
+    "q84_semantic_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id < 25),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(b.bv[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings e, bench b, (SELECT unnest(range(1, 65)) AS i) r
+        |  WHERE e.vec_id >= 25
+        |  GROUP BY e.vec_id, b.bench_id)
+        |SELECT vec_id,
+        |  CAST(max(floor(dot * 1000000)) AS BIGINT) AS max_bench_sim,
+        |  max(floor(dot * 1000000)) < 350000 AS clean
+        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q79_dataset_split" ->
       s"""WITH h AS (SELECT doc_id, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
          |SELECT doc_id, lang,
