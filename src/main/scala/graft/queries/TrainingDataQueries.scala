@@ -103,6 +103,23 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Full curation with the semantic gate composed in (q85): q78's flow —
+    * dedup representatives, shingle decontamination, repetition gate,
+    * stratified sample — further gated by [[semanticDecontaminate]]'s
+    * verdict. Documents without an embedding pass through (LEFT anti-join
+    * on the flagged set): at corpus scale only a subset is embedded, and
+    * the lexical gates still cover the rest. One declarative plan; the
+    * embedding stage adds zero corpus-side shuffles (broadcast benchmark,
+    * map-side scoring). */
+  def curationSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val semFlagged = semanticDecontaminate(s, dir)
+      .filter(!$"clean").select($"vec_id".as("doc_id"))
+    curationPipeline(s, dir)
+      .join(semFlagged, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same OUTPUT as [[decontaminate]]
     * (false positives die in the exact join), different SCALE shape: the
     * benchmark shingle set folds into one broadcast Bloom filter (KBs), and
@@ -319,6 +336,7 @@ object TrainingDataQueries extends graft.QueryModule {
     "q61_percentiles" -> percentiles,
     "q67_data_mixture" -> dataMixture,
     "q78_curation_pipeline" -> curationPipeline,
+    "q85_curation_semantic" -> curationSemantic,
     "q79_dataset_split" -> datasetSplit,
     "q81_chunking" -> chunking,
     "q82_boilerplate_chunks" -> boilerplateChunks)
@@ -337,26 +355,11 @@ object TrainingDataQueries extends graft.QueryModule {
       |  WHERE len(toks) >= 3 AND i <= len(toks) - 3
       |)""".stripMargin
 
-  private val decontOracle = shCte +
-    """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-      |bench AS (
-      |  SELECT DISTINCT shingle FROM dsh
-      |  JOIN documents USING (doc_id) WHERE source = 'src0'),
-      |eval AS (
-      |  SELECT dsh.doc_id, dsh.shingle FROM dsh
-      |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
-      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
-      |ov AS (SELECT doc_id, count(*) AS n_overlap
-      |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id)
-      |SELECT t.doc_id, t.n_shingles,
-      |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
-      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS contaminated
-      |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
-      |ORDER BY t.doc_id""".stripMargin
-
-  def oracles: Map[String, String] = Map(
-    "q78_curation_pipeline" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+  /** q78's oracle, parameterized so composed variants share the CTE chain
+    * verbatim: `extraCte` appends CTEs after `repet` (must start with ","),
+    * `extraPred` appends one more WHERE conjunct before the ORDER BY. */
+  private def curationOracle(extraCte: String, extraPred: String): String =
+    shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (
         |  SELECT doc_id, CAST(band AS INTEGER) AS band,
         |    min(substring(md5(shingle), CAST(band * 8 + 1 AS INTEGER), 8)) AS minhash
@@ -400,8 +403,9 @@ object TrainingDataQueries extends graft.QueryModule {
         |repet AS (
         |  SELECT u.doc_id FROM us u LEFT JOIN ts t3 ON t3.doc_id = u.doc_id
         |  WHERE CAST(u.top_token_n AS DOUBLE) / u.n_tokens > 0.2
-        |     OR coalesce(CAST(t3.top_trigram_n AS DOUBLE) / t3.n_trigrams, 0.0) > 0.18)
-        |SELECT d.doc_id, d.lang, d.source
+        |     OR coalesce(CAST(t3.top_trigram_n AS DOUBLE) / t3.n_trigrams, 0.0) > 0.18)""".stripMargin +
+      extraCte + "\n" +
+      """SELECT d.doc_id, d.lang, d.source
         |FROM documents d
         |JOIN reps r ON r.doc = d.doc_id
         |WHERE d.source <> 'src0'
@@ -409,8 +413,43 @@ object TrainingDataQueries extends graft.QueryModule {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM repet)
         |  AND """.stripMargin + h16Sql +
       """ < (CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
-        |                WHEN 'de' THEN 0.1 ELSE 1.0 END) * 65536.0
-        |ORDER BY d.doc_id""".stripMargin),
+        |                WHEN 'de' THEN 0.1 ELSE 1.0 END) * 65536.0""".stripMargin +
+      extraPred + "\nORDER BY d.doc_id"
+
+  private val decontOracle = shCte +
+    """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |bench AS (
+      |  SELECT DISTINCT shingle FROM dsh
+      |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+      |eval AS (
+      |  SELECT dsh.doc_id, dsh.shingle FROM dsh
+      |  JOIN documents USING (doc_id) WHERE source <> 'src0'),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap
+      |       FROM eval JOIN bench USING (shingle) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_shingles,
+      |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_frac,
+      |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS contaminated
+      |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q78_curation_pipeline" -> curationOracle("", ""),
+    // q85 = q78 + the semantic gate: same CTE chain plus the embedding
+    // scoring CTE, and one more NOT IN on the flagged vec_ids (documents
+    // without an embedding row pass through, matching the LEFT anti-join)
+    "q85_curation_semantic" -> curationOracle(
+      """, semsc AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot
+        |  FROM embeddings e, embeddings b, (SELECT unnest(range(1, 65)) AS i) r
+        |  WHERE e.vec_id >= 25 AND b.vec_id < 25
+        |  GROUP BY e.vec_id, b.vec_id),
+        |semcontam AS (
+        |  SELECT vec_id FROM semsc GROUP BY vec_id
+        |  HAVING max(floor(dot * 1000000)) >= 350000)""".stripMargin,
+      "\n  AND d.doc_id NOT IN (SELECT vec_id FROM semcontam)"),
     "q56_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
          |SELECT doc_id, lang, h16 FROM h
