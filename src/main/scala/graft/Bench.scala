@@ -17,9 +17,19 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM + whole-stage-codegen warmup on the tiny SF (excluded from timings)
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must NOT bench as a near-0 s success (a regression
+    // would then make the bench look *faster*). Failures are recorded per
+    // query, reported in their own line AND counted in the summary line,
+    // and the process exits nonzero so the run is visibly broken.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { run(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(120)).replaceAll("[\"\\\\\n\r]", " ")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // dev knob: SPARK_GRAFT_ONLY=q32,q33 times a subset (driver leaves it unset)
@@ -36,19 +46,28 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       selected.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     for (_ <- 1 to 3; (name, fn) <- selected)
-      samples(name) = samples(name) :+ timeOnce(fn)
+      samples(name) = samples(name) :+ timeOnce(name, fn)
     val results = samples.map { case (name, ss) => name -> ss.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val all = samples.map { case (k, ss) => s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Two lines, long one FIRST: the driver's fixed-size tail capture keeps
-    // the end of stdout, so the short parseable summary must be the LAST
-    // line or a long samples blob truncates the per-query mins (r4 artifact
-    // kept 33/82 queries). Samples stay available for spike forensics.
+    // Line order matters: the driver's fixed-size tail capture keeps the END
+    // of stdout, so the LAST line must be short enough to always survive the
+    // window whole. Rounds 4-5 proved a multi-KB final line gets its head
+    // clipped (r5: 85 per-query mins ~4.7 KB, parsed=null). So: samples and
+    // per-query mins print as their own EARLIER lines (forensics when the
+    // window is generous), and the final line is a fixed ~100-byte summary.
     println(s"""{"metric":"samples","samples":$all,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"errors","errors":$es}""")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
