@@ -54,16 +54,31 @@ object Similarity {
     * A window (`row_number` over query_id) would instead shuffle
     * corpus × queries rows: the difference between exabytes and kilobytes
     * at the 100 TB corpus / 1k-query batch point. [[topK]] stays as the
-    * one-query special case (orderBy+limit, no shuffle at all). */
+    * one-query special case (orderBy+limit, no shuffle at all).
+    *
+    * Id columns must be integral (byte/short/int/long — widened to long in
+    * the output): the bounded aggregation runs through the typed
+    * [[TopKAggregator]], whose buffer encoder carries long ids. Non-integral
+    * ids (strings, uuids) fail fast here with a clear error — map them
+    * through `zipWithUniqueId`-style surrogates first. */
   def knnJoin(emb: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id",
               queryVecCol: String = "query_vec"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val t = df.schema(c).dataType
+      require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(t.simpleString),
+        s"knnJoin id column '$c' must be an integral type (got ${t.simpleString}); " +
+          "map string/uuid ids to long surrogates first")
+    }
+    requireIntegral(emb, idCol); requireIntegral(queries, queryIdCol)
     val scored = emb
       .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
-      .select(col(queryIdCol), col(idCol),
+      .select(col(queryIdCol).cast("long").as(queryIdCol),
+        col(idCol).cast("long").as(idCol),
         quantize(GraftFunctions.vecDot(spark, col(vecCol), col(queryVecCol)))
           .as("sim_q"))
     scored.as[(Long, Long, Long)]

@@ -50,7 +50,16 @@ object Maintenance {
     healAside(Paths.get(dir))
     val df = spark.read.parquet(dir)
     val n = df.count()
-    val tmp = dir.stripSuffix("/") + ".compact"
+    // Dot-prefixed staging dir: a bare '<dir>.compact' sibling would sit
+    // inside the parent dataset dir, and when `dir` is one hive partition of
+    // a larger dataset (status=DELIVERED under a queueDir) partition
+    // discovery would list the half-written rewrite as a bogus partition —
+    // concurrent readers would see doubled rows until the swap. Spark's file
+    // listing skips dot-prefixed names entirely (same convention as the
+    // '.old' aside).
+    val dirPath = Paths.get(dir.stripSuffix("/"))
+    val tmp = dirPath
+      .resolveSibling("." + dirPath.getFileName.toString + ".compact").toString
     val repartitioned =
       if (partitionCols.nonEmpty)
         df.repartition(targetFilesPerPartition,

@@ -43,17 +43,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Crash heal is "ignore unreferenced dirs + GC": a commit that dies before
   * its manifest flip leaves an orphan `v<N>` the manifest never points to
   * (the next commit overwrites it); one that dies after the flip leaves
-  * stale dirs the next commit's GC sweeps. There is no state a restart must
-  * repair before reading — the manifest is always either the old or the new
-  * one.
+  * stale dirs the next commit's GC sweeps; an enqueue that dies mid-write
+  * leaves a dot-prefixed `.spool-*` temp that the stale sweep removes once
+  * it is demonstrably dead (no mtime progress past the grace). There is no
+  * state a restart must repair before reading — the manifest is always
+  * either the old or the new one.
   *
-  * Retention grace: a commit keeps its predecessor snapshot and defers
-  * deleting newly-consumed inbox dirs to the NEXT commit, so any reader
-  * holding the previous manifest can still materialize. Readers more than
-  * one flip stale read with `ignoreMissingFiles` and may observe an
-  * older-but-consistent state — they are polls by construction. Single
-  * dispatcher writer per queue, as before (a lakehouse table format with
-  * optimistic concurrency is the multi-writer upgrade path).
+  * Retention grace: a commit keeps its predecessor snapshot, and inbox GC
+  * runs only AFTER the manifest flip — so the dirs being deleted were
+  * absorbed by the PREVIOUS snapshot and only a reader two or more flips
+  * stale could still reference them. Deletion is tombstone-renamed first
+  * (one atomic rename removes the dir from every listing) so even such a
+  * reader sees the whole spool or none of it, never a partial file set.
+  * Readers more than one flip stale read with `ignoreMissingFiles` and may
+  * observe an older-but-consistent state — they are polls by construction.
+  * Single dispatcher writer per queue, as before (a lakehouse table format
+  * with optimistic concurrency is the multi-writer upgrade path).
+  *
+  * Durability model: the manifest temp file is fsynced and the `.pending`
+  * directory is fsynced after the commit rename, so the flip itself survives
+  * power loss, not just process kills. The parquet data files beneath it are
+  * as durable as Spark's committer + the filesystem make them — on a
+  * power-fail-strict deployment the store belongs on a filesystem ordering
+  * data writes before the rename (ext4 default), same as every lakehouse
+  * manifest design.
   */
 object PendingStore {
 
@@ -136,49 +149,131 @@ object PendingStore {
   }
 
   /** Commit `newPending` as the next snapshot and retire the capture's inbox
-    * dirs. The only reader-visible instant is step 3's single-file rename;
-    * every other step touches dirs no current manifest references.
+    * dirs. The only reader-visible instant is step 2's single-file rename;
+    * every other step touches dirs no live manifest references.
     *
     * `onStep` is a test seam: PendingStoreSpec kills the writer after each
     * step and asserts readers never observe a missing or doubled row.
     *
     *   1. write `v<N+1>` beside the live snapshot (mode=overwrite sweeps the
     *      orphan a predecessor's crash may have left at the same number);
-    *   2. GC the PREVIOUS manifest's consumed inbox dirs — excluded by both
-    *      the previous and the next manifest, and their rows live in the
-    *      previous snapshot, so no reader can need them;
-    *   3. flip `_current` — THE commit point, one atomic rename; the new
-    *      manifest consumes this capture's inbox (plus any step-2 leftovers
-    *      a deletion failure kept alive);
+    *   2. flip `_current` — THE commit point, one atomic rename; the new
+    *      manifest consumes this capture's inbox plus every previously
+    *      consumed dir that still exists (a failed GC keeps its name alive
+    *      so it stays excluded until it is actually gone);
+    *   3. GC the previous manifest's consumed inbox dirs — post-flip, they
+    *      are referenced only by manifests two or more flips stale, outside
+    *      the retention grace. Each dir is tombstone-renamed (atomic
+    *      disappearance from listings) before its contents are deleted, so
+    *      no lister can observe a partially-deleted spool;
     *   4. GC snapshots, keeping the new one and its predecessor (the
-    *      one-flip reader grace).
+    *      one-flip reader grace), then sweep demonstrably-dead enqueue
+    *      temps (`.spool-*` / `._current.tmp` with no mtime progress past
+    *      `staleGraceMs` — a live spool writer touches its files constantly).
     */
   def commit(newPending: DataFrame, queueDir: String, snap: Capture,
-             onStep: String => Unit = _ => ()): Unit = {
+             onStep: String => Unit = _ => (),
+             staleGraceMs: Long = 15 * 60 * 1000L): Unit = {
     val prev = snap.manifest
     val vNew = prev.version + 1
     newPending.write.mode("overwrite").parquet(versionDir(queueDir, vNew).toString)
     onStep("snapshot-written")
-    val leftovers = prev.consumed.filter { name =>
-      val d = inboxRoot(queueDir).resolve(name)
-      try deleteRec(d) catch { case _: java.io.IOException => () }
-      Files.exists(d)
-    }
-    onStep("inbox-gc")
-    writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ leftovers).distinct))
+    val carried = prev.consumed.filter(n => Files.exists(inboxRoot(queueDir).resolve(n)))
+    writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct))
     onStep("manifest-flipped")
+    sweepTombstones(queueDir) // a crashed step-3 leaves '.<name>.gc' dirs; clear first
+    carried.foreach(gcInboxDir(queueDir, _))
+    onStep("inbox-gc")
     val keep = Set(s"v$vNew", s"v${prev.version}")
     listVersionDirs(queueDir).filterNot(keep).foreach { n =>
       try deleteRec(root(queueDir).resolve(n))
       catch { case _: java.io.IOException => () }
     }
     onStep("versions-gc")
+    sweepStaleTemps(queueDir, staleGraceMs)
   }
 
+  /** Tombstone-then-delete an inbox dir: the rename removes it from every
+    * directory listing in one atomic step, so a reader that lists the inbox
+    * mid-GC sees the whole spool or none of it — never the partial file set
+    * a file-by-file delete exposes. Contents are deleted from the hidden
+    * tombstone afterwards. */
+  private def gcInboxDir(queueDir: String, name: String): Unit = {
+    val d = inboxRoot(queueDir).resolve(name)
+    if (Files.exists(d)) {
+      val tomb = inboxRoot(queueDir).resolve("." + name + ".gc")
+      try {
+        Files.move(d, tomb, StandardCopyOption.ATOMIC_MOVE)
+        deleteRec(tomb)
+      } catch { case _: java.io.IOException => () } // stays carried; retried next commit
+    }
+  }
+
+  /** Remove tombstones a crashed GC left behind (dot-prefixed, so they were
+    * never reader-visible). */
+  private def sweepTombstones(queueDir: String): Unit = {
+    val d = inboxRoot(queueDir)
+    if (Files.exists(d)) {
+      val s = Files.list(d)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(".") && n.endsWith(".gc"))
+            try deleteRec(p) catch { case _: java.io.IOException => () }
+        }
+      } finally s.close()
+    }
+  }
+
+  /** Sweep enqueue temps whose writer is demonstrably dead: a `.spool-*`
+    * dir (crash between parquet write and the visibility rename) or a
+    * `._current.tmp` (crash between manifest write and flip) with no mtime
+    * progress anywhere in its tree for `graceMs`. A live spool writer
+    * touches its task files continuously, so mtime staleness — not mere
+    * existence — is the death signal; without this sweep a crashed enqueue
+    * leaks its temp dir forever. */
+  private def sweepStaleTemps(queueDir: String, graceMs: Long): Unit = {
+    val r = root(queueDir)
+    if (!Files.exists(r)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    val s = Files.list(r)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(".spool-") || n == "._current.tmp") {
+          val newest =
+            try {
+              val w = Files.walk(p)
+              try w.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+              finally w.close()
+            } catch { case _: java.io.IOException => Long.MaxValue } // racing writer: skip
+          if (newest < cutoff)
+            try deleteRec(p) catch { case _: java.io.IOException => () }
+        }
+      }
+    } finally s.close()
+  }
+
+  /** Write-then-rename with real durability: the temp file's channel is
+    * forced before the rename and the `.pending` directory is forced after
+    * it, so the flip survives power loss, not just process kills. The
+    * directory force is best-effort (some filesystems refuse directory
+    * handles); on the tested platform it maps to fsync(2) of the dirent. */
   private def writeManifest(queueDir: String, m: Manifest): Unit = {
+    import java.nio.file.StandardOpenOption._
     val tmp = root(queueDir).resolve("._current.tmp")
-    Files.write(tmp, (m.version.toString +: m.consumed).mkString("\n").getBytes)
+    val bytes = (m.version.toString +: m.consumed).mkString("\n").getBytes
+    val ch = java.nio.channels.FileChannel.open(tmp, CREATE, WRITE, TRUNCATE_EXISTING)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) } finally ch.close()
     Files.move(tmp, manifestPath(queueDir), StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val dch = java.nio.channels.FileChannel.open(root(queueDir), READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   private def listVersionDirs(queueDir: String): Seq[String] = {

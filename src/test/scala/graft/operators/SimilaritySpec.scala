@@ -102,6 +102,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"corpus rows must never shuffle on vec_id:\n$plan")
   }
 
+  test("knnJoin: integral ids widen to long; non-integral ids fail fast") {
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val intCorpus = real.select($"vec_id".cast("int").as("vec_id"), $"embedding")
+    val queries = real.filter($"vec_id" < 2)
+      .select($"vec_id".cast("int").as("query_id"), $"embedding".as("query_vec"))
+    val got = Similarity.knnJoin(intCorpus, queries, k = 3)
+    assert(got.schema("vec_id").dataType.simpleString == "bigint")
+    assert(got.count() == 6)
+    val strCorpus = real.select(concat(lit("d"), $"vec_id").as("vec_id"), $"embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(strCorpus, queries, k = 3)
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+  }
+
   test("lshNearDupPairs at the 0.9 threshold regime: recall ~1 AND real pruning") {
     // The 'tighten or accept' claim made empirical: at TRUE near-dup
     // thresholds (>=0.9) the 4x4 banding is simultaneously high-recall and

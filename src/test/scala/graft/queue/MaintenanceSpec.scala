@@ -38,6 +38,32 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(re.filter($"status" === "PENDING").count() == 600)
   }
 
+  test("compacting one hive partition never exposes its staging dir to the parent scan") {
+    // StreamingDispatcher compacts terminal partitions IN PLACE under the
+    // queueDir: the staging rewrite must be invisible to hive partition
+    // discovery over queueDir, or concurrent EventLog reads see doubled
+    // history rows under a bogus 'status=DELIVERED.compact' partition.
+    val qdir = Files.createTempDirectory("graft_compact_part").toString + "/q"
+    Seq(("e1", "ok"), ("e2", "ok")).toDF("event_id", "body")
+      .write.parquet(qdir + "/status=DELIVERED")
+    Seq(("e3", "ok")).toDF("event_id", "body")
+      .write.parquet(qdir + "/status=PENDING")
+    // crashed-compaction leftover at the staging path (worst case: doubled rows)
+    val p = java.nio.file.Paths.get(qdir + "/status=DELIVERED")
+    val staging = p.resolveSibling("." + p.getFileName.toString + ".compact")
+    Seq(("e1", "ok"), ("e1", "ok"), ("e2", "ok"), ("e2", "ok"))
+      .toDF("event_id", "body").write.parquet(staging.toString)
+    val seen = spark.read.parquet(qdir)
+    assert(seen.count() == 3, "dot-prefixed staging dir must be invisible")
+    assert(seen.select("status").distinct().as[String].collect().toSet ==
+      Set("DELIVERED", "PENDING"))
+    // a re-run compaction overwrites the leftover and swaps in cleanly
+    val rows = Maintenance.compactParquet(spark, qdir + "/status=DELIVERED")
+    assert(rows == 2)
+    assert(spark.read.parquet(qdir).count() == 3)
+    assert(!Files.exists(staging), "staging dir must be consumed by the swap")
+  }
+
   test("compaction heals a crash between its swap renames (aside restored)") {
     val dir = Files.createTempDirectory("graft_compact_heal").toString + "/q"
     (1 to 100).map(i => (s"e$i", i)).toDF("event_id", "n")

@@ -57,7 +57,7 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("writer killed between any two commit steps: readers see the old or new set, never partial") {
-    val steps = Seq("snapshot-written", "inbox-gc", "manifest-flipped", "versions-gc")
+    val steps = Seq("snapshot-written", "manifest-flipped", "inbox-gc", "versions-gc")
     for (killAt <- steps) {
       val dir = tmp()
       // state S1: snapshot v1 = {a1, a2, a3} + one fresh spool {b1, b2}
@@ -131,6 +131,43 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     } finally { stop.set(true); reader.join(10000) }
     assert(bad.get() == null, s"concurrent reader failed: ${bad.get()}")
     assert(readIds(dir).isEmpty)
+  }
+
+  test("crashed enqueue's .spool-* temp is swept once stale, never while fresh") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    // simulate an enqueue that died between parquet write and rename
+    val dead = Paths.get(dir, ".pending", ".spool-deadbeef")
+    Files.createDirectories(dead)
+    Files.write(dead.resolve("part-0.parquet"), "bytes".getBytes)
+    val s0 = PendingStore.capture(dir)
+    // fresh temp (mtime now): must survive — could be a live writer
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0)
+    assert(Files.exists(dead), "fresh temp must not be swept")
+    // age it past the grace: demonstrably dead, swept by the next commit
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    Files.walk(dead).forEach(p => Files.setLastModifiedTime(p, old))
+    val s1 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s1), dir, s1)
+    assert(!Files.exists(dead), "stale temp must be swept")
+    assert(readIds(dir) == Seq("a1"))
+  }
+
+  test("crashed inbox GC's tombstone is invisible and swept by the next commit") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0)
+    // a GC that died between tombstone-rename and content delete
+    val tomb = Paths.get(dir, ".pending", "inbox", ".x.gc")
+    Files.createDirectories(tomb)
+    Files.write(tomb.resolve("part-0.parquet"), "bytes".getBytes)
+    assert(readIds(dir) == Seq("a1"), "tombstone must be invisible to readers")
+    assert(PendingStore.capture(dir).inbox.isEmpty)
+    val s1 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s1), dir, s1)
+    assert(!Files.exists(tomb), "tombstone must be swept")
   }
 
   test("crashed commit's orphan snapshot is invisible and swept by the next commit") {
