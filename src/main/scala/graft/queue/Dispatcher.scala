@@ -47,10 +47,15 @@ object Dispatcher {
 
   final case class CycleStats(due: Long, delivered: Long, rescheduled: Long, failed: Long)
 
-  /** One poll cycle. `now` is injectable for tests. */
+  /** One poll cycle. `now` is injectable for tests. `lease` is the writer
+    * lease a long-running dispatcher holds ([[PendingStore.acquireLease]]);
+    * the commit verifies it before the manifest flip and idle cycles renew
+    * it. None = unmanaged single-shot mode (still refused if another
+    * dispatcher's live lease exists). */
   def runOnce(spark: SparkSession, queueDir: String,
               poster: HttpPoster = JdkHttpPoster,
-              now: Timestamp = new Timestamp(System.currentTimeMillis())): CycleStats = {
+              now: Timestamp = new Timestamp(System.currentTimeMillis()),
+              lease: Option[PendingStore.Lease] = None): CycleStats = {
     import spark.implicits._
     // ONE capture feeds the whole cycle: due scan, not-due carryover, and
     // commit all agree on exactly which snapshot + inbox spools are "the
@@ -98,6 +103,8 @@ object Dispatcher {
     val due = attempted.count()
     if (due == 0) { // idle cycle: no state changed, rewrite nothing
       deleteRec(Paths.get(attemptsDir))
+      // still alive: renew so an idle holder is never mistaken for crashed
+      lease.foreach(PendingStore.renewLease(queueDir, _))
       return CycleStats(0, 0, 0, 0)
     }
 
@@ -113,26 +120,31 @@ object Dispatcher {
     val notDue = pendingRows.filter(col("next_attempt") > lit(now))
     val newPending = notDue.toDF().unionByName(
       attempted.filter(col("status") === "PENDING").toDF())
-    PendingStore.commit(newPending, queueDir, snap)
+    PendingStore.commit(newPending, queueDir, snap, lease = lease)
     deleteRec(Paths.get(attemptsDir))
     CycleStats(due, delivered, due - delivered - failed, failed)
   }
 
   /** Run cycles until no PENDING work remains or `maxCycles` hit, sleeping
-    * `pollMs` between cycles (reference cadence: 1000 ms). */
+    * `pollMs` between cycles (reference cadence: 1000 ms). Holds the writer
+    * lease for the duration: a second drain on the same queueDir refuses
+    * cleanly instead of interleaving commits with this one. */
   def drain(spark: SparkSession, queueDir: String, poster: HttpPoster = JdkHttpPoster,
             pollMs: Long = 1000L, maxCycles: Int = 60): Seq[CycleStats] = {
     import spark.implicits._
-    val out = scala.collection.mutable.ArrayBuffer.empty[CycleStats]
-    var cycle = 0
-    var pending = true
-    while (pending && cycle < maxCycles) {
-      out += runOnce(spark, queueDir, poster)
-      pending = hasPending(spark, queueDir)
-      cycle += 1
-      if (pending) Thread.sleep(pollMs)
-    }
-    out.toSeq
+    val lease = PendingStore.acquireLease(queueDir, "drain")
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CycleStats]
+      var cycle = 0
+      var pending = true
+      while (pending && cycle < maxCycles) {
+        out += runOnce(spark, queueDir, poster, lease = Some(lease))
+        pending = hasPending(spark, queueDir)
+        cycle += 1
+        if (pending) Thread.sleep(pollMs)
+      }
+      out.toSeq
+    } finally PendingStore.releaseLease(queueDir, lease)
   }
 
   /** Supervised drain — the reference worker deliberately crashes ~10% of

@@ -57,8 +57,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader sees the whole spool or none of it, never a partial file set.
   * Readers more than one flip stale read with `ignoreMissingFiles` and may
   * observe an older-but-consistent state — they are polls by construction.
-  * Single dispatcher writer per queue, as before (a lakehouse table format
-  * with optimistic concurrency is the multi-writer upgrade path).
+  *
+  * Single dispatcher writer per queue — ENFORCED, not assumed: a writer
+  * holds a ttl-renewed [[Lease]] (`_owner` file, atomic CREATE_NEW
+  * acquisition) and [[commit]] verifies it immediately before the manifest
+  * flip, so a second dispatcher pointed at the same queueDir gets a clean
+  * [[ConcurrentWriterException]] instead of silently flipping manifests
+  * over the first (a lakehouse table format with optimistic concurrency
+  * remains the true multi-writer upgrade path; the lease implements the
+  * same "no blind overwrite of the commit pointer" rule at this store's
+  * one moving part).
   *
   * Durability model: the manifest temp file is fsynced and the `.pending`
   * directory is fsynced after the commit rename, so the flip itself survives
@@ -74,6 +82,21 @@ object PendingStore {
     * dirs whose rows snapshot `version` already absorbed. */
   final case class Manifest(version: Long, consumed: Seq[String])
 
+  /** A writer lease on one queue's PENDING store. Holding it is the ONLY
+    * sanctioned way to [[commit]]: the store is single-writer by design
+    * (the reference gets multi-backend enqueue from Postgres MVCC; a
+    * lakehouse format with optimistic concurrency is the multi-writer
+    * upgrade path), and before this lease nothing *enforced* that — a
+    * second dispatcher pointed at the same queueDir would silently flip
+    * manifests over the first (lost updates). `token` is the unforgeable
+    * proof of ownership; `ttlMs` bounds how long a crashed holder blocks
+    * takeover (every commit and idle cycle renews). */
+  final case class Lease(owner: String, token: String, ttlMs: Long)
+
+  /** Thrown when a second writer tries to own a queue: lease acquisition
+    * against a live foreign lease, or a commit without the live lease. */
+  final class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
+
   /** A point-in-time view: the manifest plus the non-consumed inbox dirs
     * captured by name. One capture feeds a whole dispatcher cycle — scan,
     * rewrite, and commit all agree on exactly which files are "the batch". */
@@ -84,6 +107,122 @@ object PendingStore {
   private def versionDir(queueDir: String, v: Long): Path =
     root(queueDir).resolve(s"v$v")
   private def manifestPath(queueDir: String): Path = root(queueDir).resolve("_current")
+  private def ownerPath(queueDir: String): Path = root(queueDir).resolve("_owner")
+
+  /** (token, expiryMillis) of the current lease file, if any. */
+  private def readLeaseFile(queueDir: String): Option[(String, Long)] = {
+    val p = ownerPath(queueDir)
+    if (!Files.exists(p)) None
+    else
+      try {
+        val lines = Files.readAllLines(p)
+        if (lines.size() < 2) None
+        else Some((lines.get(0).trim, lines.get(1).trim.toLong))
+      } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** Lease files are only ever published COMPLETE: content goes to a hidden
+    * temp first, then one atomic step (link or rename) makes it visible.
+    * A reader can never observe a half-written lease — that gap is exactly
+    * what would let two racing acquirers both "win" a fresh queue. */
+  private def writeLeaseTemp(queueDir: String, token: String, ttlMs: Long): Path = {
+    val tmp = root(queueDir).resolve(
+      "._owner." + java.util.UUID.randomUUID().toString + ".tmp")
+    Files.write(tmp, s"$token\n${System.currentTimeMillis() + ttlMs}".getBytes)
+    tmp
+  }
+
+  private def writeLeaseFile(queueDir: String, token: String, ttlMs: Long): Unit =
+    Files.move(writeLeaseTemp(queueDir, token, ttlMs), ownerPath(queueDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
+  /** The owner id of the live (unexpired) lease, if any — ops/tests view. */
+  def leaseHolder(queueDir: String): Option[String] =
+    readLeaseFile(queueDir).collect {
+      case (tok, exp) if exp > System.currentTimeMillis() =>
+        tok.takeWhile(_ != '#')
+    }
+
+  /** Acquire the writer lease for `queueDir`, failing fast with
+    * [[ConcurrentWriterException]] if another owner's lease is live.
+    * An EXPIRED lease (holder crashed and never renewed) may be taken over.
+    * Acquisition on a fresh queue is atomic (CREATE_NEW): two dispatchers
+    * racing see exactly one winner and one clean refusal. Takeover of an
+    * expired lease is last-writer-wins among racers, and [[commit]]'s
+    * pre-flip verification catches any loser before it can flip a manifest. */
+  def acquireLease(queueDir: String, owner: String,
+                   ttlMs: Long = 30000L): Lease = {
+    require(!owner.contains('#') && !owner.contains('\n'), "owner must be a plain name")
+    Files.createDirectories(root(queueDir))
+    val token = owner + "#" + java.util.UUID.randomUUID().toString
+    def refuse(tok: String): Nothing =
+      throw new ConcurrentWriterException(
+        s"queue '$queueDir' is owned by '${tok.takeWhile(_ != '#')}' (live lease); " +
+          "exactly one dispatcher may own a queue — stop it or wait for its " +
+          "lease to expire")
+    readLeaseFile(queueDir) match {
+      case Some((tok, exp)) if exp > System.currentTimeMillis() => refuse(tok)
+      case _ =>
+        // Fresh create: hard-link the COMPLETE temp into place —
+        // createLink is atomic-exclusive (fails if `_owner` exists) and
+        // publishes full content in that one step, so of two racers on a
+        // fresh queue exactly one wins and the other reads the winner's
+        // finished lease. Expired/malformed leases fall through to a
+        // replace-rename takeover (last racer wins; the pre-flip commit
+        // check catches any loser before it can do damage).
+        val tmp = writeLeaseTemp(queueDir, token, ttlMs)
+        try { Files.createLink(ownerPath(queueDir), tmp); Files.delete(tmp) }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            readLeaseFile(queueDir) match {
+              case Some((tok, exp)) if exp > System.currentTimeMillis() && tok != token =>
+                refuse(tok)
+              case _ => writeLeaseFile(queueDir, token, ttlMs)
+            }
+        }
+    }
+    Lease(owner, token, ttlMs)
+  }
+
+  /** Renew `lease` (verifying it is still ours). Dispatchers call this on
+    * idle cycles so a live-but-idle holder is never mistaken for crashed. */
+  def renewLease(queueDir: String, lease: Lease): Unit = {
+    verifyLease(queueDir, Some(lease))
+    writeLeaseFile(queueDir, lease.token, lease.ttlMs)
+  }
+
+  /** Release `lease` if still held (no-op if it was already taken over). */
+  def releaseLease(queueDir: String, lease: Lease): Unit =
+    readLeaseFile(queueDir) match {
+      case Some((tok, _)) if tok == lease.token =>
+        try Files.deleteIfExists(ownerPath(queueDir))
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+
+  /** Fail-fast ownership check, called immediately before the manifest
+    * flip. With a lease: the `_owner` file must still carry OUR token (a
+    * takeover after our expiry, or a release, fails us — never a silent
+    * lost update). Without a lease: commits are refused while any live
+    * lease exists — an unmanaged commit must not race a managed dispatcher. */
+  private def verifyLease(queueDir: String, lease: Option[Lease]): Unit =
+    (lease, readLeaseFile(queueDir)) match {
+      case (Some(l), Some((tok, _))) =>
+        if (tok != l.token)
+          throw new ConcurrentWriterException(
+            s"queue '$queueDir' lease lost: now owned by '${tok.takeWhile(_ != '#')}' " +
+              s"(we are '${l.owner}'); refusing to flip the manifest over theirs")
+      case (Some(l), None) =>
+        throw new ConcurrentWriterException(
+          s"queue '$queueDir' lease lost: our lease ('${l.owner}') was released " +
+            "or swept; refusing to commit without ownership")
+      case (None, Some((tok, exp))) if exp > System.currentTimeMillis() =>
+        throw new ConcurrentWriterException(
+          s"queue '$queueDir' is owned by '${tok.takeWhile(_ != '#')}'; " +
+            "un-leased commits are refused while a dispatcher owns the queue")
+      case _ => () // no lease anywhere: unmanaged single-writer mode
+    }
 
   def manifest(queueDir: String): Manifest = {
     val p = manifestPath(queueDir)
@@ -173,13 +312,19 @@ object PendingStore {
     */
   def commit(newPending: DataFrame, queueDir: String, snap: Capture,
              onStep: String => Unit = _ => (),
-             staleGraceMs: Long = 15 * 60 * 1000L): Unit = {
+             staleGraceMs: Long = 15 * 60 * 1000L,
+             lease: Option[Lease] = None): Unit = {
     val prev = snap.manifest
     val vNew = prev.version + 1
     newPending.write.mode("overwrite").parquet(versionDir(queueDir, vNew).toString)
     onStep("snapshot-written")
     val carried = prev.consumed.filter(n => Files.exists(inboxRoot(queueDir).resolve(n)))
+    // Ownership gate immediately before the flip: a lost lease (takeover
+    // after expiry, or release) aborts here with a clear error instead of
+    // silently flipping the manifest over another writer's.
+    verifyLease(queueDir, lease)
     writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct))
+    lease.foreach(l => writeLeaseFile(queueDir, l.token, l.ttlMs)) // renew
     onStep("manifest-flipped")
     sweepTombstones(queueDir) // a crashed step-3 leaves '.<name>.gc' dirs; clear first
     carried.foreach(gcInboxDir(queueDir, _))
@@ -244,7 +389,8 @@ object PendingStore {
       while (it.hasNext) {
         val p = it.next()
         val n = p.getFileName.toString
-        if (n.startsWith(".spool-") || n == "._current.tmp") {
+        if (n.startsWith(".spool-") || n == "._current.tmp" ||
+          (n.startsWith("._owner.") && n.endsWith(".tmp"))) {
           val newest =
             try {
               val w = Files.walk(p)

@@ -45,6 +45,13 @@ object StreamingDispatcher {
             checkpointDir: String,
             intervalMs: Long = 1000L,
             compactTerminalEvery: Int = 0): StreamingQuery = {
+    // Writer lease for the query's lifetime: a second dispatcher (streaming
+    // or batch) on the same queueDir refuses cleanly at acquisition instead
+    // of interleaving manifest flips with this one. Released on the query's
+    // termination event (async, typically <100 ms after stop); a crashed
+    // driver's lease simply expires after its ttl.
+    val lease = graft.queue.PendingStore.acquireLease(
+      queueDir, "streaming-dispatcher", ttlMs = math.max(30000L, intervalMs * 30))
     // rowsPerSecond must keep pace with the trigger interval: a micro-batch
     // with zero new rows is skipped by Structured Streaming (foreachBatch
     // never fires), so a 1-row/s source under a sub-second trigger would
@@ -52,21 +59,39 @@ object StreamingDispatcher {
     val rowsPerSecond = math.max(1L, 1000L / math.max(1L, intervalMs))
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
-    ticks.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
-      .option("checkpointLocation", checkpointDir)
-      .queryName("graft-dispatcher")
-      .foreachBatch { (_: DataFrame, batchId: Long) =>
-        Dispatcher.runOnce(spark, queueDir, poster)
-        if (compactTerminalEvery > 0 && (batchId + 1) % compactTerminalEvery == 0)
-          Seq("status=DELIVERED", "status=FAILED").foreach { p =>
-            val dir = java.nio.file.Paths.get(queueDir, p)
-            if (java.nio.file.Files.exists(dir))
-              graft.queue.Maintenance.compactParquet(spark, dir.toString)
-          }
-        ()
+    val query =
+      try ticks.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .option("checkpointLocation", checkpointDir)
+        .queryName("graft-dispatcher")
+        .foreachBatch { (_: DataFrame, batchId: Long) =>
+          Dispatcher.runOnce(spark, queueDir, poster, lease = Some(lease))
+          if (compactTerminalEvery > 0 && (batchId + 1) % compactTerminalEvery == 0)
+            Seq("status=DELIVERED", "status=FAILED").foreach { p =>
+              val dir = java.nio.file.Paths.get(queueDir, p)
+              if (java.nio.file.Files.exists(dir))
+                graft.queue.Maintenance.compactParquet(spark, dir.toString)
+            }
+          ()
+        }
+        .start()
+      catch { case e: Throwable =>
+        graft.queue.PendingStore.releaseLease(queueDir, lease); throw e
       }
-      .start()
+    val qid = query.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          graft.queue.PendingStore.releaseLease(queueDir, lease)
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 }

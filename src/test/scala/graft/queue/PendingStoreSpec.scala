@@ -133,6 +133,60 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(readIds(dir).isEmpty)
   }
 
+  test("writer lease: two dispatchers on one queue — one wins, one refuses cleanly") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    // concurrent acquisition: exactly one winner even when racing
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, PendingStore.Lease]]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() =>
+        try results.add(Right(PendingStore.acquireLease(dir, s"d$i")))
+        catch { case e: PendingStore.ConcurrentWriterException => results.add(Left(e.getMessage)) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(10000))
+    val (refused, won) = results.toArray(Array.empty[Either[String, PendingStore.Lease]])
+      .partition(_.isLeft)
+    assert(won.length == 1 && refused.length == 1,
+      s"expected one winner, one refusal; got $results")
+    val lease = won.head.toOption.get
+    assert(refused.head.swap.toOption.get.contains("owned by"))
+
+    // an un-leased commit is refused while the lease is live
+    val snap = PendingStore.capture(dir)
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap)
+    }
+    assert(err.getMessage.contains("owned by"))
+    // ... and the holder commits fine
+    PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+      lease = Some(lease))
+    assert(readIds(dir) == Seq("a1"))
+    // release frees the queue for the next owner
+    PendingStore.releaseLease(dir, lease)
+    assert(PendingStore.leaseHolder(dir).isEmpty)
+  }
+
+  test("writer lease: expired lease is taken over; the stale holder cannot flip") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val stale = PendingStore.acquireLease(dir, "old", ttlMs = 1L)
+    Thread.sleep(10L) // lease expires unrenewed: holder presumed crashed
+    val fresh = PendingStore.acquireLease(dir, "new")
+    assert(PendingStore.leaseHolder(dir).contains("new"))
+    // the stale holder wakes up mid-commit: the pre-flip check refuses it
+    val snap = PendingStore.capture(dir)
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+        lease = Some(stale))
+    }
+    assert(err.getMessage.contains("lease lost"), err.getMessage)
+    assert(PendingStore.manifest(dir).version == 0L, "no manifest flip happened")
+    // the new owner proceeds normally
+    PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+      lease = Some(fresh))
+    assert(readIds(dir) == Seq("a1"))
+  }
+
   test("crashed enqueue's .spool-* temp is swept once stale, never while fresh") {
     val dir = tmp()
     PendingStore.spool(df("a1"), dir)

@@ -89,6 +89,11 @@ class EndToEndPipelineSpec extends AnyFunSuite with SparkTestSession with Before
     assert(!q1.isActive, "the injected crash must terminate the first query")
     assert(q1.exception.isDefined, "query must surface the worker crash")
 
+    // the crashed query's writer lease releases on its termination event
+    // (async) — the restart waits for it, as a real supervisor would
+    val leaseDeadline = System.currentTimeMillis() + 10000
+    while (graft.queue.PendingStore.leaseHolder(queueDir).isDefined &&
+      System.currentTimeMillis() < leaseDeadline) Thread.sleep(50L)
     val q2 = StreamingDispatcher.start(spark, queueDir, new E2eCrashPoster,
       checkpointDir = dispCkpt, intervalMs = 100L)
     try {

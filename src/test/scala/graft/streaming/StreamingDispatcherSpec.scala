@@ -53,6 +53,18 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
     }
   }
 
+  /** A restarted dispatcher must wait for the previous holder's writer
+    * lease to release (on the termination event, async) or expire —
+    * operators restarting a real deployment observe the same rule. */
+  private def awaitLeaseReleased(dir: String, timeoutMs: Long = 10000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (graft.queue.PendingStore.leaseHolder(dir).isDefined) {
+      assert(System.currentTimeMillis() < deadline,
+        "previous dispatcher's lease was not released in time")
+      Thread.sleep(50L)
+    }
+  }
+
   test("terminal compaction cadence bounds history file count, rows intact") {
     val root = Files.createTempDirectory("graft_sdisp_cpt_").toString
     val dir = root + "/event_log"
@@ -105,6 +117,7 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
 
     // work arrives while the dispatcher is down; the SAME checkpoint resumes
     enqueue(dir, Seq(Emp(3, "s3", 300)))
+    awaitLeaseReleased(dir) // q1's writer lease releases on its (async) termination event
     val q2 = StreamingDispatcher.start(spark, dir, checkpointDir = ckpt,
       intervalMs = 200L)
     try awaitDrained(dir) finally stopQuietly(q2)
