@@ -1,43 +1,74 @@
 package graft.streaming
 
-import graft.operators.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.functions.GraftFunctions
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Curation AT INGEST — the streaming twin of the batch curation pipeline
   * (q78/q85): each micro-batch gets near-dup, quality, and language
-  * verdicts in one pass, so a growing corpus admits only documents that
-  * would have survived the batch gates. Composes the pieces that are each
-  * spec'd alone:
+  * verdicts — plus, for batches carrying embeddings, vector near-dup and
+  * semantic-decontamination verdicts — in one pass, so a growing corpus
+  * admits only documents that would have survived the batch gates.
+  * Composes the pieces that are each spec'd alone:
   *
   *   - near-dup vs the EXISTING corpus + same batch via
   *     [[IncrementalDedup.processBatch]] (durable pruned bucket registry);
   *   - quality from [[TextAnalysis.qualityMetrics]] (token count, distinct
   *     ratio — pure column algebra, no shuffle);
-  *   - language from [[TextAnalysis.langId]] against an allow-set.
+  *   - language from [[TextAnalysis.langId]] against an allow-set;
+  *   - vector near-dup vs the existing corpus via
+  *     [[IncrementalVecDedup.processBatch]] (its own pruned (band, bucket)
+  *     registry; candidates exact-rescored) when `vecRegistryDir` is set;
+  *   - semantic decontamination against a broadcast `benchmark` embedding
+  *     set (small by construction — an eval set), max-similarity scored
+  *     map-side exactly like the batch gate q84.
   *
-  * Registration semantics: every FRESH document registers its buckets,
-  * including ones the quality/language gates reject — dedup means "seen
-  * before", so re-ingesting previously-seen-and-rejected content is still
-  * flagged as a duplicate rather than re-evaluated forever. The per-doc
-  * verdict row records every gate separately (`is_dup`, `quality_ok`,
-  * `lang_ok`, and the composite `keep`) so a pipeline can audit WHY a
-  * document was dropped — mirroring the batch pipeline's separately
-  * checkable stages.
+  * Embedding gates follow q85's LEFT anti-join semantics: a document
+  * without an embedding (null, or no embedding column at all) passes them
+  * (`vec_is_dup = false`, `sem_clean = true`) — at corpus scale only a
+  * subset is embedded and the lexical gates still cover the rest. Only a
+  * scored-and-flagged document drops.
   *
-  * Scale shape: one registry probe (O(batch) pruned I/O), two shuffle-free
-  * column passes, and a three-way join on the batch's own doc ids — the
-  * batch is micro by construction, so the joins broadcast under AQE.
+  * Registration semantics: every FRESH document registers its buckets —
+  * in BOTH registries — including ones other gates reject; dedup means
+  * "seen before", so re-ingesting previously-seen-and-rejected content is
+  * still flagged as a duplicate rather than re-evaluated forever. The
+  * per-doc verdict row records every gate separately (`is_dup`,
+  * `quality_ok`, `lang_ok`, `vec_is_dup`, `sem_clean`, and the composite
+  * `keep`) so a pipeline can audit WHY a document was dropped — mirroring
+  * the batch pipeline's separately checkable stages.
+  *
+  * Scale shape: one pruned probe per registry (O(batch) I/O each), two
+  * shuffle-free column passes, one map-side crossJoin against the
+  * broadcast benchmark, and joins on the batch's own doc ids — the batch
+  * is micro by construction, so the joins broadcast under AQE. Nothing
+  * corpus-sized ever shuffles.
   */
 object IngestCuration {
 
   /** One micro-batch step → verdicts
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
-    *   distinct_ratio, quality_ok, keep)`. */
+    *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
+    *   sem_clean, keep)`.
+    *
+    * `vecRegistryDir` enables the vector near-dup gate (threshold
+    * `vecMinSimMillionths`, floor-quantized millionths like every
+    * similarity in this engine); `benchmark` — a `bench_vec` embedding
+    * column, one row per benchmark item — enables the semantic gate
+    * (flagging `max_bench_sim >= maxBenchSimMillionths`). Both read the
+    * batch's `vecCol` and skip docs where it is null. */
   def processBatch(batch: DataFrame, registryDir: String,
                    allowedLangs: Set[String] = Set("en", "fr", "es"),
                    minTokens: Int = 5, minDistinctRatio: Double = 0.3,
-                   bands: Int = 4, idCol: String = "doc_id"): DataFrame = {
+                   bands: Int = 4, idCol: String = "doc_id",
+                   vecCol: String = "embedding",
+                   vecRegistryDir: Option[String] = None,
+                   vecMinSimMillionths: Long = 990000L,
+                   benchmark: Option[DataFrame] = None,
+                   maxBenchSimMillionths: Long = 350000L,
+                   planes: Int = 16, bandWidth: Int = 4, dims: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
     val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
     val quality = TextAnalysis.qualityMetrics(batch)
       .select(col(idCol), col("n_tokens"), col("distinct_ratio"))
@@ -46,30 +77,74 @@ object IngestCuration {
     val lang = TextAnalysis.langId(batch)
       .select(col(idCol), col("predicted_lang"))
       .withColumn("lang_ok", col("predicted_lang").isInCollection(allowedLangs))
-    dedup.join(quality, idCol).join(lang, idCol)
-      .select(col(idCol), col("is_dup"), col("dup_of"),
-        col("predicted_lang"), col("lang_ok"),
-        col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
-        (!col("is_dup") && col("quality_ok") && col("lang_ok")).as("keep"))
+    val lexical = dedup.join(quality, idCol).join(lang, idCol)
+
+    val embedded: Option[DataFrame] =
+      if (batch.columns.contains(vecCol) &&
+        (vecRegistryDir.isDefined || benchmark.isDefined))
+        Some(batch.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)))
+      else None
+
+    val withVec = (embedded, vecRegistryDir) match {
+      case (Some(emb), Some(reg)) =>
+        val v = IncrementalVecDedup.processBatch(emb, reg, vecMinSimMillionths,
+          planes, bandWidth, dims, idCol, vecCol)
+          .select(col(idCol), col("is_dup").as("vec_is_dup"),
+            col("dup_of").as("vec_dup_of"))
+        lexical.join(v, Seq(idCol), "left")
+          .withColumn("vec_is_dup", coalesce(col("vec_is_dup"), lit(false)))
+      case _ =>
+        lexical.withColumn("vec_is_dup", lit(false))
+          .withColumn("vec_dup_of", lit(null).cast("long"))
+    }
+    val withSem = (embedded, benchmark) match {
+      case (Some(emb), Some(bench)) =>
+        def sim(a: Column, b: Column) =
+          Similarity.quantize(GraftFunctions.vecDot(spark, a, b))
+        val scored = emb
+          .crossJoin(broadcast(bench.select(col("bench_vec"))))
+          .select(col(idCol), sim(col(vecCol), col("bench_vec")).as("sim_q"))
+          .groupBy(col(idCol)).agg(max(col("sim_q")).as("max_bench_sim"))
+        withVec.join(scored, Seq(idCol), "left")
+          .withColumn("sem_clean",
+            coalesce(col("max_bench_sim") < maxBenchSimMillionths, lit(true)))
+      case _ =>
+        withVec.withColumn("max_bench_sim", lit(null).cast("long"))
+          .withColumn("sem_clean", lit(true))
+    }
+    withSem.select(col(idCol), col("is_dup"), col("dup_of"),
+      col("predicted_lang"), col("lang_ok"),
+      col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
+      col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
+      (!col("is_dup") && col("quality_ok") && col("lang_ok") &&
+        !col("vec_is_dup") && col("sem_clean")).as("keep"))
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],
     * appending full verdicts to `verdictDir`; a consumer keeps
-    * `filter($"keep")`. `compactEvery` schedules the dedup registry's
+    * `filter($"keep")`. `compactEvery` schedules BOTH registries'
     * compaction cadence exactly as [[IncrementalDedup.gate]] does. */
   def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
            allowedLangs: Set[String] = Set("en", "fr", "es"),
            minTokens: Int = 5, minDistinctRatio: Double = 0.3,
            bands: Int = 4, idCol: String = "doc_id",
+           vecCol: String = "embedding",
+           vecRegistryDir: Option[String] = None,
+           vecMinSimMillionths: Long = 990000L,
+           benchmark: Option[DataFrame] = None,
+           maxBenchSimMillionths: Long = 350000L,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, allowedLangs, minTokens,
-          minDistinctRatio, bands, idCol)
+          minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
+          vecMinSimMillionths, benchmark, maxBenchSimMillionths)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.queue.Maintenance.compactParquet(batch.sparkSession,
-            registryDir, partitionCols = Seq("band", "bucket"))
+          (registryDir +: vecRegistryDir.toSeq).foreach { reg =>
+            graft.queue.Maintenance.compactParquet(batch.sparkSession,
+              reg, partitionCols = Seq("band", "bucket"))
+          }
           ()
         }
     }

@@ -55,6 +55,65 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       s"only the dup gate should fire: ${v2(21L)}")
   }
 
+  // ── embedded batches: vector near-dup + semantic decontamination gates ──
+
+  private def unit(i: Int): Array[Float] = { val a = Array.fill(64)(0f); a(i) = 1f; a }
+
+  test("embedded batch: semantic + vector gates verdict per-doc; unembedded docs pass through") {
+    val reg = tmp("graft_icur_e")
+    val vreg = tmp("graft_icur_ev") + "/r"
+    val bench = Seq(Tuple1(unit(0))).toDF("bench_vec")
+    val t2 = "the cat sat on a mat of wool and slept all day"
+    val t3 = "a bright moon rose over the hills and the valley slept"
+    val docs = Seq(
+      (1L, good, Option(unit(0))), // embedding = benchmark → semantically contaminated
+      (2L, t2, Option(unit(1))),   // clean embedded
+      (3L, t3, Option.empty[Array[Float]])) // unembedded → embedding gates pass
+      .toDF("doc_id", "text", "embedding")
+    val v = IngestCuration.processBatch(docs, reg,
+      vecRegistryDir = Some(vreg), benchmark = Some(bench))
+      .select($"doc_id", $"vec_is_dup", $"max_bench_sim", $"sem_clean", $"keep")
+      .as[(Long, Boolean, Option[Long], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L) == (1L, false, Some(1000000L), false, false),
+      s"benchmark-equal embedding must flag semantic, got ${v(1L)}")
+    assert(v(2L) == (2L, false, Some(0L), true, true), s"got ${v(2L)}")
+    assert(v(3L) == (3L, false, None, true, true),
+      s"unembedded doc must pass embedding gates, got ${v(3L)}")
+  }
+
+  test("embedded batch: vector near-dup vs corpus fires alone; rejected vectors still register") {
+    val reg = tmp("graft_icur_e2")
+    val vreg = tmp("graft_icur_ev2") + "/r"
+    val bench = Seq(Tuple1(unit(0))).toDF("bench_vec")
+    val t2 = "the cat sat on a mat of wool and slept all day"
+    val b1 = Seq(
+      (1L, good, Option(unit(0))), // semantically flagged, still registers its vector
+      (2L, t2, Option(unit(1))))
+      .toDF("doc_id", "text", "embedding")
+    IngestCuration.processBatch(b1, reg,
+      vecRegistryDir = Some(vreg), benchmark = Some(bench)).collect()
+    // batch 2: new TEXTS (lexical gates pass), near-dup VECTORS
+    val a = 0.995f; val s = math.sqrt(1 - a.toDouble * a).toFloat
+    val near1 = unit(1).clone(); near1(1) = a; near1(2) = s // cos vs unit(1) = 0.995
+    val t4 = "the river ran east past a quiet town of stone and wood"
+    val t5 = "a train crossed the bridge and the children waved at it"
+    val b2 = Seq(
+      (11L, t4, Option(near1)),  // near-dup of admitted doc 2's vector
+      (12L, t5, Option(unit(0)))) // near-dup of REJECTED doc 1's vector
+      .toDF("doc_id", "text", "embedding")
+    val v = IngestCuration.processBatch(b2, reg,
+      vecRegistryDir = Some(vreg), benchmark = Some(bench))
+      .select($"doc_id", $"is_dup", $"vec_is_dup", $"vec_dup_of", $"sem_clean", $"keep")
+      .as[(Long, Boolean, Boolean, Option[Long], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(11L) == (11L, false, true, Some(2L), true, false),
+      s"only the vector gate should fire for 11: ${v(11L)}")
+    assert(v(12L)._3 && v(12L)._4 == Some(1L),
+      s"vector of seen-and-REJECTED doc must still flag as dup: ${v(12L)}")
+    assert(!v(12L)._5 && !v(12L)._6, s"12 also matches the benchmark: ${v(12L)}")
+  }
+
   test("streaming gate writes auditable verdicts; consumer keeps filter(keep)") {
     val reg = tmp("graft_icur_s")
     val out = tmp("graft_icur_out") + "/v"
@@ -76,6 +135,38 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
         .select($"doc_id", $"is_dup", $"quality_ok", $"lang_ok")
         .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
       assert(!why(2L)._3 && why(3L)._2 && !why(4L)._4)
+    } finally q.stop()
+  }
+
+  test("streaming gate with embeddings: all five verdicts audited across micro-batches") {
+    val reg = tmp("graft_icur_se")
+    val vreg = tmp("graft_icur_sev") + "/r"
+    val out = tmp("graft_icur_seo") + "/v"
+    val bench = Seq(Tuple1(unit(0))).toDF("bench_vec")
+    val t2 = "the cat sat on a mat of wool and slept all day"
+    val ms = MemoryStream[(Long, String, Option[Array[Float]])]
+    ms.addData((1L, good, Some(unit(0))), (2L, t2, Some(unit(1))))
+    val q = IngestCuration.gate(
+      ms.toDF().toDF("doc_id", "text", "embedding"), reg, out,
+      vecRegistryDir = Some(vreg), benchmark = Some(bench))
+      .option("checkpointLocation", tmp("graft_icur_seck")).start()
+    try {
+      q.processAllAvailable()
+      // next batch: a vector near-dup of doc 2 under fresh text
+      val t4 = "the river ran east past a quiet town of stone and wood"
+      ms.addData((11L, t4, Some(unit(1))), (12L, good + " zz", None))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select($"doc_id", $"is_dup", $"quality_ok", $"lang_ok",
+          $"vec_is_dup", $"sem_clean", $"keep")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(!rows(1L)._6 && !rows(1L)._7, s"1 is benchmark-contaminated: ${rows(1L)}")
+      assert(rows(2L)._7, s"2 passes every gate: ${rows(2L)}")
+      assert(rows(11L)._5 && !rows(11L)._7 && !rows(11L)._2,
+        s"11 drops on the vector gate alone: ${rows(11L)}")
+      assert(rows(12L)._2 && !rows(12L)._5 && rows(12L)._6,
+        s"12 is a lexical dup, unembedded: ${rows(12L)}")
     } finally q.stop()
   }
 }
