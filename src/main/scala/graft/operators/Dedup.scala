@@ -62,6 +62,41 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs with a MEGA-BUCKET CAP — the 100 TB guard on
+    * [[lshCandidates]]'s Σ bucket² cost. A (band, minhash) bucket of n docs
+    * contributes n(n-1)/2 pairs; boilerplate-heavy corpora grow a few
+    * buckets WITH the corpus (every doc sharing a license header / nav bar
+    * minhashes together), so Σ n² turns quadratic while the corpus grows
+    * linearly — the one superlinear trend in this battery's scale slopes.
+    *
+    * The cap routes, not drops: a bucket larger than `maxBucketDocs` is
+    * itself a boilerplate SIGNAL, not a near-dup verdict — pairing its
+    * members is meaningless (they share a template, not content), so they
+    * are returned separately for the boilerplate detector
+    * ([[TextAnalysis.boilerplateChunks]]-style handling) instead of the
+    * pairwise pipeline. Recall on TRUE near-dups is preserved by band
+    * redundancy: a genuine near-dup pair shares most of its `bands` buckets,
+    * and only buckets that are themselves mega get skipped — the pair
+    * survives through any under-cap shared band (measured in DedupSpec and
+    * ScaleBench's recall column).
+    *
+    * Returns (pairs from under-cap buckets, mega-bucket membership rows
+    * `(band, minhash, n_docs, idCol)`). Sizing: the bucket-size histogram is
+    * one partial-agg'd groupBy; the anti-join's mega side is tiny by
+    * construction (it lists only the outliers), so AQE broadcasts it. */
+  def lshCandidatesCapped(sigs: DataFrame, maxBucketDocs: Int,
+                          idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    require(maxBucketDocs >= 2, "a cap under 2 would drop every pair")
+    val mega = sigs.groupBy(col("band"), col("minhash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketDocs)
+    val capped = sigs.join(mega.select(col("band"), col("minhash")),
+      Seq("band", "minhash"), "left_anti")
+    val megaMembers = sigs.join(mega, Seq("band", "minhash"))
+      .select(col("band"), col("minhash"), col("n_docs"), col(idCol))
+    (lshCandidates(capped, idCol), megaMembers)
+  }
+
   /** Jaccard similarity over distinct shingle sets, for candidate pairs only.
     * Output is exact-integer intersection/union counts plus the ratio.
     * Pass `preDistincted = true` when `shingleDf` is already a set (e.g. a

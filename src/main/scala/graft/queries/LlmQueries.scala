@@ -42,6 +42,28 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q86: mega-bucket-capped candidate pairs — the scale-guarded form of
+    * q32. Buckets above the cap are boilerplate signals routed out of the
+    * pairwise path ([[Dedup.lshCandidatesCapped]]); cap 4 binds at test
+    * scale (3 mega buckets at sf0.01) so the oracle checks the routing,
+    * not just the happy path. */
+  def lshCandidatePairsCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SharedStages.lshCandidatesCapped(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q87: Jaccard verification confined to the CAPPED candidate set — the
+    * pipeline shape a boilerplate-heavy 100 TB corpus runs: Σ bucket² stays
+    * ~linear in corpus size because mega buckets never enter the pair join
+    * (ScaleBench measures the slope; DedupSpec measures recall). */
+  def jaccardVerifyCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaccardVerify(SharedStages.lshCandidatesCapped(s, dir),
+      SharedStages.shingles(s, dir))
+      .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.simhash16(Tables.documents(s, dir)).orderBy($"doc_id")
@@ -209,6 +231,8 @@ object LlmQueries extends graft.QueryModule {
     "q31_minhash_sigs" -> minhashSigs,
     "q32_lsh_candidates" -> lshCandidatePairs,
     "q33_jaccard_verify" -> jaccardVerify,
+    "q86_lsh_capped" -> lshCandidatePairsCapped,
+    "q87_jaccard_capped" -> jaccardVerifyCapped,
     "q34_simhash" -> simhash,
     "q35_cosine_topk" -> cosineTopK,
     "q36_neardup_vectors" -> nearDupVectors,
@@ -270,7 +294,40 @@ object LlmQueries extends graft.QueryModule {
       |  GROUP BY doc_id, band
       |)""".stripMargin
 
+  /** Capped candidate set (q86/q87): `sig` buckets over 4 docs are mega —
+    * excluded from pairing, exactly [[Dedup.lshCandidatesCapped]]. */
+  private val cappedCandCte = shingleCte +
+    """, bsz AS (
+      |  SELECT band, minhash, count(*) AS n_docs FROM sig GROUP BY band, minhash
+      |), smallsig AS (
+      |  SELECT s.doc_id, s.band, s.minhash FROM sig s
+      |  JOIN bsz z ON z.band = s.band AND z.minhash = s.minhash
+      |  WHERE z.n_docs <= 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM smallsig a JOIN smallsig b ON a.band = b.band AND a.minhash = b.minhash
+      |  WHERE a.doc_id < b.doc_id
+      |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q86_lsh_capped" -> (cappedCandCte +
+      "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "q87_jaccard_capped" -> (cappedCandCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh sa ON sa.doc_id = c.doc_a
+        |  JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  za.set_size + zb.set_size - i.n_inter AS n_union,
+        |  CAST(i.n_inter AS DOUBLE) / (za.set_size + zb.set_size - i.n_inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q30_dedup_exact" ->
       """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
         | min(doc_id) AS representative_id, count(*) AS n_dups

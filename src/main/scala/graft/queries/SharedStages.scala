@@ -57,6 +57,17 @@ object SharedStages {
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
     memo(candCache, s, dir)(Dedup.lshCandidates(minhashSigs(s, dir)))
 
+  private val cappedCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Mega-bucket-capped LSH candidate pairs ([[Dedup.lshCandidatesCapped]],
+    * cap 4 — binding at this test scale; a production corpus tunes it to
+    * its bucket histogram's boilerplate knee). q86 lists it and q87
+    * verifies it. */
+  def lshCandidatesCapped(s: SparkSession, dir: String): DataFrame =
+    memo(cappedCandCache, s, dir)(
+      Dedup.lshCandidatesCapped(minhashSigs(s, dir), maxBucketDocs = 4)._1)
+
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -46,6 +46,35 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("capped candidates: mega-buckets route to boilerplate, true near-dups keep full recall") {
+    // 40 template docs (shared boilerplate — the bucket that grows WITH a
+    // real corpus) + 5 true near-dup pairs with pair-local vocabulary.
+    val boiler = "terms of service apply to all pages on this site please read carefully before proceeding further thank you"
+    val boilerDocs = (100L until 140L).map(i => (i, boiler))
+    val truePairs = (0 until 5).flatMap { p =>
+      val base = (1 to 12).map(w => s"p${p}w$w").mkString(" ")
+      val twin = (1 to 12).map(w => if (w == 12) s"p${p}x" else s"p${p}w$w").mkString(" ")
+      Seq((200L + 2 * p, base), (201L + 2 * p, twin))
+    }
+    val all = (boilerDocs ++ truePairs).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(all), bands = 4)
+    val (pairs, mega) = Dedup.lshCandidatesCapped(sigs, maxBucketDocs = 8)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(p => (200L + 2 * p, 201L + 2 * p)).toSet
+    assert(expected.subsetOf(got), s"recall loss on true near-dups: ${expected -- got}")
+    assert(got.forall { case (a, b) => a >= 200L && b >= 200L },
+      s"boilerplate must never pair: ${got.filter(_._1 < 200L)}")
+    val megaDocs = mega.select($"doc_id").as[Long].collect().toSet
+    assert(megaDocs == (100L until 140L).toSet,
+      "all-and-only template docs route to the boilerplate path")
+    assert(mega.select($"n_docs").as[Long].collect().toSet == Set(40L))
+    // capped output ⊆ uncapped output (the cap only removes, never invents)
+    val uncapped = Dedup.lshCandidates(sigs).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(uncapped))
+    assert(uncapped.size - got.size >= 40 * 39 / 2,
+      "the mega bucket's quadratic pair flood must be gone")
+  }
+
   test("jaccard is 1.0 for identical docs and in (0,1) for near-dups") {
     val sh = Dedup.shingles(docs)
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
