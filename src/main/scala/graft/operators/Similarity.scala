@@ -211,26 +211,34 @@ object Similarity {
   /** IVF (inverted-file) coarse quantization: assign every vector to its
     * nearest centroid by quantized dot product (ties → lowest centroid id).
     *
-    * Centroids here are a deterministic sample (the first `nlist` vectors by
-    * id) standing in for a k-means codebook — Lloyd iterations would reuse
-    * exactly this assignment plan per step, so the scale shape is what
-    * matters: centroids broadcast (a codebook is KBs), the corpus streams
-    * through map-side scoring `nlist` dots per row inside codegen, and the
-    * argmax is a partial+final max-of-struct aggregation — one shuffle of
-    * one row per vector, never the corpus×corpus product.
+    * The default codebook is a deterministic sample (the first `nlist`
+    * vectors by id) — the [[ivfTrain]] Lloyd loop refines it and reuses
+    * exactly this assignment plan per step. The scale shape either way:
+    * centroids broadcast (a codebook is KBs), the corpus streams through
+    * map-side scoring `nlist` dots per row inside codegen, and the argmax
+    * is a partial+final max-of-struct aggregation — one shuffle of one row
+    * per vector, never the corpus×corpus product.
     */
   def ivfAssign(emb: DataFrame, nlist: Int = 16,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignWith(emb, centroids(emb, nlist, idCol, vecCol), idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+
+  /** [[ivfAssign]] against an explicit broadcast codebook
+    * `(centroid_id, cvec)`, keeping the winning quantized dot as `cdot_q`
+    * (the per-vector term of the coherence objective). */
+  def ivfAssignWith(emb: DataFrame, codebook: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
-    val cents = centroids(emb, nlist, idCol, vecCol)
-    emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(codebook))
       .select(col(idCol), col(vecCol),
         struct(
           quantize(GraftFunctions.vecDot(spark, col(vecCol), col("cvec"))).as("cdot"),
           (-col("centroid_id")).as("negc")).as("sc"))
       .groupBy(col(idCol), col(vecCol))
       .agg(max(col("sc")).as("m"))
-      .select(col(idCol), col(vecCol), (-col("m.negc")).as("centroid_id"))
+      .select(col(idCol), col(vecCol),
+        (-col("m.negc")).as("centroid_id"), col("m.cdot").as("cdot_q"))
   }
 
   private def centroids(emb: DataFrame, nlist: Int,
@@ -238,16 +246,78 @@ object Similarity {
     emb.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cvec"))
 
+  /** Deterministic Lloyd-trained IVF codebook (spherical k-means — the
+    * embeddings and the engine's similarity are cosine/dot, so the update
+    * step mean-normalizes). Seeded from the first `nlist` vectors by id
+    * (the same deterministic sample [[ivfAssign]] defaults to; `iters = 0`
+    * returns it unchanged), then each iteration:
+    *
+    *   1. assign — the [[ivfAssignWith]] plan: broadcast codebook, one
+    *      map-side codegen'd scoring pass, argmax via partial+final
+    *      max-of-struct (the corpus never shuffles);
+    *   2. update — per-centroid elementwise sums via posexplode +
+    *      partial-agg'd sum: the shuffle carries O(tasks·nlist·dims) rows,
+    *      not the corpus; the nlist×dims result (KBs) collects to the
+    *      driver, is unit-normalized, and empty clusters keep their
+    *      previous centroid.
+    *
+    * The spherical-k-means objective (mean max-dot, [[ivfCoherence]]) is
+    * non-decreasing per full step up to float summation jitter — pinned by
+    * IvfSpec. Production practice at 100 TB: train on a sample (a codebook
+    * needs thousands of points per centroid, not the corpus), then
+    * [[ivfAssignWith]] the full corpus once — both steps keep the
+    * broadcast-codebook shape. */
+  def ivfTrain(emb: DataFrame, nlist: Int = 16, iters: Int = 5, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = emb.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val sums = ivfAssignWith(emb, cents.toDF("centroid_id", "cvec"), idCol, vecCol)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"))
+        .as[(Long, Int, Double)].collect()
+      val byCent = sums.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCent.get(cid) match {
+          case Some(rows) =>
+            val acc = new Array[Double](dims)
+            rows.foreach { case (_, pos, s) => acc(pos) = s }
+            val norm = math.sqrt(acc.map(x => x * x).sum)
+            if (norm == 0.0) (cid, old)
+            else (cid, acc.map(x => (x / norm).toFloat).toSeq)
+          case None => (cid, old) // empty cluster: keep its centroid
+        }
+      }
+    }
+    cents.toDF("centroid_id", "cvec")
+  }
+
+  /** The spherical-k-means objective for a codebook: mean over the corpus
+    * of the best (max) dot product, in raw similarity units (millionths
+    * re-scaled to [-1, 1]). Higher = tighter quantization. */
+  def ivfCoherence(emb: DataFrame, codebook: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+    ivfAssignWith(emb, codebook, idCol, vecCol)
+      .agg(avg(col("cdot_q"))).head().getDouble(0) / 1e6
+
   /** IVF-probed ANN: search only the `nprobe` inverted lists whose centroids
     * score highest against the query — corpus scanned once at build time,
-    * ~nprobe/nlist of it at query time. */
+    * ~nprobe/nlist of it at query time. `codebook` overrides the default
+    * deterministic-sample centroids with a trained one ([[ivfTrain]]). */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
               nlist: Int = 16, nprobe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              codebook: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
-    val assigned = ivfAssign(emb, nlist, idCol, vecCol)
+    val cents = codebook.getOrElse(centroids(emb, nlist, idCol, vecCol))
+    val assigned = ivfAssignWith(emb, cents, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
     val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
-    val probes = centroids(emb, nlist, idCol, vecCol)
+    val probes = cents
       .crossJoin(broadcast(qvec))
       .select(col("centroid_id"),
         quantize(GraftFunctions.vecDot(spark, col("cvec"), col("query_vec"))).as("cdot"))

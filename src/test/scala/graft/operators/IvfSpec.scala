@@ -31,6 +31,32 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
     // cosine of a vector with itself quantizes to ~1.0 (embeddings are unit-normalized)
     assert(top.head._2 >= 999000L)
   }
+
+  test("Lloyd training: coherence non-decreasing per iteration and above the seed") {
+    // objective = mean max-dot (spherical k-means coherence); each full
+    // Lloyd step cannot decrease it, up to float summation jitter
+    val objs = (0 to 3).map { it =>
+      Similarity.ivfCoherence(emb, Similarity.ivfTrain(emb, nlist = 8, iters = it))
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-6, s"coherence decreased: $objs")
+    }
+    assert(objs.last > objs.head,
+      s"training must improve on the sampled seed: $objs")
+  }
+
+  test("trained codebook: full probe stays exact; assignment covers every vector") {
+    val trained = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
+    assert(trained.count() == 8)
+    val a = Similarity.ivfAssignWith(emb, trained)
+    assert(a.count() == emb.count())
+    val brute = Similarity.topK(emb, queryId = 0L, k = 5)
+      .as[(Long, Long)].collect().toSeq
+    val ivfAll = Similarity.ivfTopK(emb, queryId = 0L, k = 5, nlist = 8,
+      nprobe = 8, codebook = Some(trained))
+      .as[(Long, Long)].collect().toSeq
+    assert(ivfAll == brute, "nprobe = nlist must recover brute force under any codebook")
+  }
 }
 
 private object IvfFixture {
