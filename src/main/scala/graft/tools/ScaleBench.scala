@@ -122,6 +122,46 @@ object ScaleBench {
       (k, regRows, sec)
     }
 
+    // The COMPOSED ingest-curation gate under sustained load: dedup probe +
+    // quality + language verdicts + registration + the in-gate compaction
+    // cadence, >=50 micro-batches against registries seeded from the
+    // 1x/3x/10x corpora. O(batch) prediction: docs/sec flat in BOTH the
+    // registry size (pruned probe) and the batch count (compaction holding
+    // file counts down). Fresh registry per run so reruns measure the same
+    // thing.
+    val icRows = scales.map { k =>
+      import spark.implicits._
+      val regDir = s"$root/registry-icur-x$k"
+      val rp = Paths.get(regDir)
+      if (Files.exists(rp)) {
+        val s = Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+        try s.forEach(f => Files.delete(f)) finally s.close()
+      }
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+      graft.streaming.IncrementalDedup.seedRegistry(docs, regDir)
+      val regRows = graft.streaming.IncrementalDedup
+        .readRegistry(spark, regDir).count()
+      val batches = 50
+      val secs = (0 until batches).map { b =>
+        val batch = spark.range(25).map { i =>
+          val id = 95000000L + b * 25L + i
+          (id, (1 to 8).map(w => s"tok${id}w$w").mkString(" "))
+        }.toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.IngestCuration.processBatch(batch, regDir)
+          .write.format("noop").mode("overwrite").save()
+        if ((b + 1) % 15 == 0)
+          graft.queue.Maintenance.compactParquet(spark, regDir,
+            partitionCols = Seq("band", "bucket"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = secs.slice(5, 15).sum / 10
+      val last = secs.takeRight(10).sum / 10
+      val dps = 25.0 * batches / secs.sum
+      println(f"""{"kind":"ingest_curation","scale":$k,"registry_rows":$regRows,"batches":$batches,"gate_first10":$first%.3f,"gate_last10":$last%.3f,"docs_per_sec":$dps%.2f}""")
+      (k, regRows, first, last, dps)
+    }
+
     // Mega-bucket regime: the xK corpora deliberately avoid cross-copy
     // bucket growth (constant dup rate), so Σ bucket² stays ~linear there
     // and q33's slope only reflects candidate volume. This scenario builds
@@ -220,7 +260,7 @@ object ScaleBench {
       (cadence, first, last, files())
     }
 
-    writeMd(out, qRows, rRows, pRows, bRows, dRows, fRows)
+    writeMd(out, qRows, rRows, pRows, icRows, bRows, dRows, fRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -296,6 +336,7 @@ object ScaleBench {
                       qRows: Seq[(String, Int, Double, Double)],
                       rRows: Seq[(Int, Double, Double)],
                       pRows: Seq[(Int, Long, Double)],
+                      icRows: Seq[(Int, Long, Double, Double, Double)],
                       bRows: Seq[(Int, Int, Long, Long, Double, Double)],
                       dRows: Seq[(Int, Double)],
                       fRows: Seq[(Int, Double, Double, Int)]): Unit = {
@@ -337,6 +378,17 @@ object ScaleBench {
     sb ++= "\nFlat probe time against a 10x registry = the (band, bucket)\n"
     sb ++= "partition pruning doing its job: per-batch I/O tracks the batch,\n"
     sb ++= "not the corpus.\n"
+    sb ++= "\n| ingest-curation gate, 50 batches x 25 docs | registry rows | batches 6-15 | last 10 | docs/sec |\n|---|---|---|---|---|\n"
+    icRows.foreach { case (k, rows, first, last, dps) =>
+      sb ++= f"| vs ${k}x-corpus registry | $rows | $first%.2f s | $last%.2f s | $dps%.1f |\n"
+    }
+    sb ++= "\nThe COMPOSED gate (dedup probe + quality + language verdicts +\n"
+    sb ++= "registration) with the compaction cadence on (every 15 batches,\n"
+    sb ++= "compaction tick included in its batch's time): per-batch cost and\n"
+    sb ++= "docs/sec hold flat across a 10x registry AND across 50 sustained\n"
+    sb ++= "batches — the quality/language passes are shuffle-free column\n"
+    sb ++= "algebra on the 25-doc batch, so the probe's O(batch) bound is the\n"
+    sb ++= "gate's bound.\n"
     sb ++= "\n| mega-bucket regime | docs | uncapped pairs (would-be) | capped pairs | recall on true pairs | capped verify sec |\n|---|---|---|---|---|---|\n"
     bRows.foreach { case (k, docs, unc, cap, rec, s) =>
       sb ++= f"| ${k}x | $docs | $unc | $cap | ${rec * 100}%.1f%% | $s%.2f s |\n"
