@@ -97,6 +97,22 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q88: terminal L2 dedup — connected components over the embedding
+    * near-dup pair graph (q36's shared stage): one representative per
+    * SEMANTIC duplicate cluster, the vector twin of q65. Same BSP
+    * min-label propagation plan; the input graph is the already-verified
+    * pair list (tiny relative to the corpus), so the iterative stage costs
+    * scheduling, not data. */
+  def vecDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = SharedStages.nearDupPairs(s, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    Dedup.clusterPairs(Tables.embeddings(s, dir).select($"vec_id"),
+      pairs, idCol = "vec_id")
+      .withColumn("is_rep", $"vec_id" === $"cluster_rep")
+      .orderBy($"vec_id")
+  }
+
   // ---- similarity --------------------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -246,6 +262,7 @@ object LlmQueries extends graft.QueryModule {
     "q83_knn_join" -> knnJoinBatch,
     "q45_tfidf" -> tfidfTop,
     "q65_dup_clusters" -> dupClusters,
+    "q88_vec_dup_clusters" -> vecDupClusters,
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity)
@@ -497,6 +514,19 @@ object LlmQueries extends graft.QueryModule {
         |)
         |SELECT doc AS doc_id, min(label) AS cluster_rep, doc = min(label) AS is_rep
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q88_vec_dup_clusters" -> (lshNearDupCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cpair AS (
+        |  SELECT vec_a, vec_b FROM d WHERE floor(dot * 1000000) >= 350000
+        |), edges AS (
+        |  SELECT vec_a AS s, vec_b AS dst FROM cpair
+        |  UNION ALL SELECT vec_b, vec_a FROM cpair
+        |), reach AS (
+        |  SELECT vec_id AS v, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.s = r.v
+        |)
+        |SELECT v AS vec_id, min(label) AS cluster_rep, v = min(label) AS is_rep
+        |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin),
     "q43_lsh_topk" ->
       """WITH coefs AS (
         |  SELECT p, dim,

@@ -54,6 +54,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q86: the mega-bucket cap plans as anti-join + equi-join, never a cartesian") {
+    val p = plan("q86_lsh_capped")
+    // bucket histogram excluded via anti-join; pair stage stays an equi-join
+    // on (band, minhash); a cartesian anywhere means the cap regressed
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the histogram is partial+final aggregated (map-side combine)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q56: hash sampling is a pure scan-side filter — zero exchanges before sort") {
     val p = plan("q56_stratified_sample")
     // the only exchange allowed is the final presentation sort's range partitioning
