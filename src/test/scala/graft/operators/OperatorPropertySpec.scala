@@ -94,6 +94,23 @@ class OperatorPropertySpec extends AnyFunSuite with SparkTestSession {
     }, n = 10)
   }
 
+  test("lshCandidatesCapped: cap >= corpus equals uncapped; raising the cap only adds pairs") {
+    val genDocs = Gen.listOfN(20, for {
+      vocab <- Gen.choose(0, 3) // few vocabularies → real shared buckets
+      words <- Gen.listOfN(6, Gen.choose(0, 5))
+    } yield words.map(w => s"v${vocab}w$w").mkString(" "))
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(Dedup.shingles(docs), bands = 4)
+      def capped(k: Int): Set[(Long, Long)] =
+        Dedup.lshCandidatesCapped(sigs, k)._1.as[(Long, Long)].collect().toSet
+      val uncapped = Dedup.lshCandidates(sigs).as[(Long, Long)].collect().toSet
+      val c2 = capped(2); val c5 = capped(5); val cAll = capped(texts.length + 1)
+      cAll == uncapped && c2.subsetOf(c5) && c5.subsetOf(cAll)
+    }, n = 10)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
