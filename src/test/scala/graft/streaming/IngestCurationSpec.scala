@@ -114,6 +114,28 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!v(12L)._5 && !v(12L)._6, s"12 also matches the benchmark: ${v(12L)}")
   }
 
+  test("ingest semantic verdict equals the batch gate (q84) on the real corpus") {
+    // the streaming gate and the batch pipeline must agree: same benchmark,
+    // same threshold, same quantized scoring — sem_clean per doc == q84 clean
+    val dir = "/root/testdata/sf0.001"
+    val reg = tmp("graft_icur_eq")
+    val emb = graft.Tables.embeddings(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .join(emb, $"doc_id" === $"vec_id")
+      .select($"doc_id", $"text", $"embedding")
+    val bench = emb.filter($"vec_id" < 25).select($"embedding".as("bench_vec"))
+    val gateVerdicts = IngestCuration.processBatch(docs, reg, benchmark = Some(bench))
+      .filter($"doc_id" >= 25) // q84's corpus excludes the benchmark itself
+      .select($"doc_id", $"sem_clean").as[(Long, Boolean)].collect().toMap
+    val batchVerdicts = graft.queries.TrainingDataQueries
+      .semanticDecontaminate(spark, dir)
+      .select($"vec_id", $"clean").as[(Long, Boolean)].collect().toMap
+    assert(gateVerdicts.size == batchVerdicts.size)
+    val disagree = gateVerdicts.filter { case (id, c) => batchVerdicts(id) != c }
+    assert(disagree.isEmpty, s"gate != batch on ${disagree.take(5)}")
+    assert(gateVerdicts.values.count(!_) > 0, "threshold must bind on real data")
+  }
+
   test("streaming gate writes auditable verdicts; consumer keeps filter(keep)") {
     val reg = tmp("graft_icur_s")
     val out = tmp("graft_icur_out") + "/v"
