@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): the memory-side half of the IVF-PQ
+  * architecture large-scale ANN deployments run. A float32[64] embedding is
+  * 256 B; its PQ code is `m` small integers (8 B at the 8×16 default) — the
+  * 32× compression that decides whether a 100 TB corpus's vectors fit in
+  * cluster memory at all. Recall is traded explicitly: ADC scores are
+  * approximate, so retrieval refines the top `refine·k` ADC candidates by
+  * exact rescore (measured recall in PqSpec, never silent).
+  *
+  * Everything is deterministic — subspace k-means seeds from the first
+  * `ksub` vectors by id and iterates Lloyd exactly like
+  * [[Similarity.ivfTrain]] (same engine discipline: no RNG state anywhere).
+  *
+  * Scale shapes:
+  *   - `train`: per iteration, ONE corpus pass assigns all `m` subspaces at
+  *     once against the broadcast codebooks (argmin via partial+final
+  *     min-of-struct), and the update's elementwise sums shuffle
+  *     O(tasks·m·ksub·subDim) partial rows, never the corpus. Production
+  *     practice: train on a sample, encode the corpus once.
+  *   - `encode`: map-side only — the codebooks fold into the plan as
+  *     literals, each code is an argmin over `ksub` codegen'd dot products;
+  *     no join, no shuffle, no exchange.
+  *   - `adcTopK`: the query's `m × ksub` lookup table is computed driver-side
+  *     (it is KBs) and folded in as literals; scoring the coded corpus is one
+  *     map-side projection, the top `refine·k` survive a TakeOrdered, and
+  *     only those few rows join back to raw vectors for the exact rescore.
+  */
+object ProductQuantizer {
+
+  /** Trained PQ codebooks: `cents(s)(c)` is the `subDim`-dim centroid `c` of
+    * subspace `s`. Driver-side by design — a codebook is m·ksub·subDim
+    * floats (KBs), a plan literal, not a dataset. */
+  final case class Codebooks(m: Int, ksub: Int, subDim: Int,
+                             cents: Array[Array[Array[Float]]]) {
+    require(cents.length == m && cents.forall(_.length == ksub) &&
+      cents.forall(_.forall(_.length == subDim)))
+  }
+
+  private def subvecCol(vecCol: String, s: Int, subDim: Int): Column =
+    slice(col(vecCol), s * subDim + 1, subDim)
+
+  /** Squared Euclidean distance of a subvector column to a literal centroid,
+    * via the codegen'd dot: |a−c|² = a·a − 2·a·c + c·c (c·c folds to a
+    * literal). `aa` is the per-row a·a column, computed once per subspace. */
+  private def sqDist(spark: org.apache.spark.sql.SparkSession,
+                     aa: Column, sub: Column, cent: Array[Float]): Column = {
+    val cc = cent.map(x => x.toDouble * x).sum
+    aa - lit(2.0) * GraftFunctions.vecDot(spark, sub, typedLit(cent)) + lit(cc)
+  }
+
+  /** Deterministic per-subspace Lloyd training (plain Euclidean k-means —
+    * subvectors are not unit vectors, so the spherical update would be
+    * wrong here). Seeds from the first `ksub` vectors by id; empty clusters
+    * keep their centroid; `iters = 0` returns the seed. */
+  def train(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+            dims: Int = 64, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Codebooks = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seedRows = emb.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(seedRows.length == ksub, s"need the first $ksub vectors by id as seed")
+    var cents: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) { (s, c) =>
+      seedRows(c)._2.slice(s * subDim, (s + 1) * subDim).toArray
+    }
+    // one corpus pass per iteration: explode to (sub, subvec), assign all
+    // subspaces against the broadcast codebook rows, partial-agg the sums
+    for (_ <- 1 to iters) {
+      val cbDf = (for (s <- 0 until m; c <- 0 until ksub)
+        yield (s, c, cents(s)(c).toSeq)).toDF("sub", "code", "cvec")
+      val subs = emb.select(col(idCol),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), subvecCol(vecCol, s, subDim).as("sv"))): _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .withColumn("aa", GraftFunctions.vecDot(spark, col("sv"), col("sv")))
+      val assigned = subs.join(broadcast(cbDf), "sub")
+        .select(col("sub"), col("sv"),
+          struct(
+            (col("aa") - lit(2.0) * GraftFunctions.vecDot(spark, col("sv"), col("cvec")) +
+              GraftFunctions.vecDot(spark, col("cvec"), col("cvec"))).as("dist"),
+            col("code").as("code")).as("sc"))
+        .groupBy(col("sub"), col("sv"))
+        .agg(min(col("sc")).as("best"))
+      val sums = assigned
+        .select(col("sub"), col("best.code").as("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, Int, Double, Long)].collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.groupBy(t => (t._1, t._2)).foreach { case ((s, c), rows) =>
+        val n = rows.head._5
+        if (n > 0) rows.foreach { case (_, _, pos, sm, _) =>
+          next(s)(c)(pos) = (sm / n).toFloat
+        }
+      }
+      cents = next
+    }
+    Codebooks(m, ksub, subDim, cents)
+  }
+
+  /** The k-means objective: mean over vectors of the summed per-subspace
+    * squared reconstruction error. Non-increasing per Lloyd step. */
+  def quantizationMse(emb: DataFrame, cb: Codebooks,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val spark = emb.sparkSession
+    val errCols = (0 until cb.m).map { s =>
+      val sub = subvecCol(vecCol, s, cb.subDim)
+      val aa = GraftFunctions.vecDot(spark, sub, sub)
+      least((0 until cb.ksub).map(c => sqDist(spark, aa, sub, cb.cents(s)(c))): _*)
+    }
+    emb.select(errCols.reduce(_ + _).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
+  /** Map-side PQ encoding: `(idCol, codes array<int> of length m)`. The
+    * codebooks are plan literals; each code is an argmin over `ksub`
+    * codegen'd distances — no join, no shuffle. 32× smaller than the raw
+    * float32 vectors at the 8×16 default (and the realistic deployment
+    * persists THIS relation, not the raw embeddings). */
+  def encode(emb: DataFrame, cb: Codebooks,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val codeCols = (0 until cb.m).map { s =>
+      val sub = subvecCol(vecCol, s, cb.subDim)
+      val aa = GraftFunctions.vecDot(spark, sub, sub)
+      least((0 until cb.ksub).map { c =>
+        struct(sqDist(spark, aa, sub, cb.cents(s)(c)).as("dist"),
+          lit(c).as("code"))
+      }: _*).getField("code")
+    }
+    emb.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query stays exact,
+    * the corpus is its codes. The query's per-(subspace, code) dot table is
+    * driver-computed (KBs) and folded in as literals; scoring is one
+    * map-side projection over the coded corpus — `approx_sim = Σ_s
+    * table(s)(codes(s))`. The top `refine·k` ADC candidates join back to
+    * the raw vectors for an exact quantized rescore, so the final ordering
+    * is exact over the refined set (recall vs brute force is measured in
+    * PqSpec and tunes with `refine`). */
+  def adcTopK(emb: DataFrame, codes: DataFrame, cb: Codebooks,
+              queryId: Long, k: Int, refine: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).as[Seq[Float]].head().toArray
+    val table: Array[Array[Double]] = Array.tabulate(cb.m, cb.ksub) { (s, c) =>
+      val qs = q.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      qs.zip(cb.cents(s)(c)).map { case (a, b) => a.toDouble * b }.sum
+    }
+    val approx = (0 until cb.m).map { s =>
+      element_at(typedLit(table(s).toSeq), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val candidates = codes
+      .select(col(idCol), approx.as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(refine * k)
+      .select(col(idCol))
+    emb.join(broadcast(candidates), idCol)
+      .select(col(idCol),
+        Similarity.quantize(GraftFunctions.vecDot(spark, col(vecCol),
+          typedLit(q))).as("sim_q"))
+      .orderBy(col("sim_q").desc, col(idCol))
+      .limit(k)
+  }
+}

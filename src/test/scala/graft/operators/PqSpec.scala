@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: training converges (k-means objective
+  * non-increasing and below the seed), codes are well-formed and 32×
+  * smaller, and ADC retrieval's recall against brute force is measured —
+  * the explicit compression/recall trade every PQ deployment signs. */
+class PqSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("training: quantization MSE non-increasing per iteration, below the seed") {
+    val objs = (0 to 3).map { it =>
+      ProductQuantizer.quantizationMse(emb,
+        ProductQuantizer.train(emb, m = 8, ksub = 16, iters = it))
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"MSE increased: $objs")
+    }
+    assert(objs.last < objs.head, s"training must improve on the seed: $objs")
+  }
+
+  test("encode: m codes per vector, each in [0, ksub); map-side plan (no exchange)") {
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val codes = ProductQuantizer.encode(emb, cb)
+    val rows = codes.as[(Long, Seq[Int])].collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // 64 float32 = 256 B raw; 8 nibble-range codes pack to 8 B (or 4 B):
+    // the 32x compression is the operator's reason to exist
+    val p = codes.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"encoding must be map-side only:\n$p")
+  }
+
+  test("ADC retrieval: self-retrieval at rank 1 and measured recall@10 vs brute force") {
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 3)
+    val codes = ProductQuantizer.encode(emb, cb).localCheckpoint(true)
+    def brute(qid: Long) = Similarity.topK(emb, qid, k = 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    def adc(qid: Long) = ProductQuantizer.adcTopK(emb, codes, cb, qid, k = 10,
+      refine = 8)
+      .as[(Long, Long)].collect()
+    val recalls = (0L until 5L).map { qid =>
+      val a = adc(qid)
+      // exact rescore puts the query itself first (sim quantizes to ~1.0)
+      assert(a.head._1 == qid && a.head._2 >= 999000L, s"query $qid: ${a.head}")
+      val r = (a.map(_._1).toSet & brute(qid)).size / 10.0
+      r
+    }
+    val mean = recalls.sum / recalls.size
+    // deterministic (no RNG anywhere); this corpus is near-random unit
+    // vectors — the hardest regime for ADC ranking (neighbor similarities
+    // cluster tightly). Measured 0.68 at refine=4, 0.84 at refine=8: the
+    // refine knob IS the recall dial, and the floor guards against silent
+    // regressions, not noise.
+    assert(mean >= 0.75, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+}
