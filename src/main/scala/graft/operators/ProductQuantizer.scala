@@ -150,7 +150,43 @@ object ProductQuantizer {
     * PqSpec and tunes with `refine`). */
   def adcTopK(emb: DataFrame, codes: DataFrame, cb: Codebooks,
               queryId: Long, k: Int, refine: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    adcTopKFiltered(emb, codes, cb, queryId, k, refine, idCol, vecCol)
+
+  /** IVF-PQ: the composed 100 TB ANN shape — the coarse quantizer
+    * ([[Similarity.ivfAssignWith]], optionally [[Similarity.ivfTrain]]ed)
+    * restricts the search to the `nprobe` inverted lists nearest the query,
+    * and ADC scores only THOSE lists' codes (a `~nprobe/nlist` fraction of
+    * the corpus, each row scored against an m-entry literal table), then
+    * the refined candidates exact-rescore. Every stage keeps the
+    * broadcast-small-side/map-side discipline: centroids and probe list
+    * broadcast, the coded corpus streams, only `refine·k` rows ever touch
+    * raw vectors again. */
+  def ivfPqTopK(emb: DataFrame, codes: DataFrame, cb: Codebooks,
+                ivfCodebook: DataFrame, queryId: Long, k: Int,
+                nprobe: Int = 2, refine: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val assigned = Similarity.ivfAssignWith(emb, ivfCodebook, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+    val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
+    val probes = ivfCodebook.crossJoin(broadcast(qvec))
+      .select(col("centroid_id"),
+        Similarity.quantize(GraftFunctions.vecDot(spark, col("cvec"),
+          col("query_vec"))).as("cdot"))
+      .orderBy(col("cdot").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    val probedCodes = codes
+      .join(assigned, idCol)
+      .join(broadcast(probes), "centroid_id")
+      .select(col(idCol), col("codes"))
+    adcTopKFiltered(emb, probedCodes, cb, queryId, k, refine, idCol, vecCol)
+  }
+
+  private def adcTopKFiltered(emb: DataFrame, codes: DataFrame, cb: Codebooks,
+                              queryId: Long, k: Int, refine: Int,
+                              idCol: String, vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.filter(col(idCol) === queryId)

@@ -60,4 +60,26 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     // regressions, not noise.
     assert(mean >= 0.75, s"mean recall@10 $mean (per-query: $recalls)")
   }
+
+  test("IVF-PQ composition: full probe + full refine recovers brute force exactly") {
+    // with nprobe = nlist (no list pruned) and refine covering the corpus,
+    // the exact rescore sees every vector — the composed pipeline must
+    // reduce to brute force, proving no stage silently loses rows
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val codes = ProductQuantizer.encode(emb, cb).localCheckpoint(true)
+    val ivfCb = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
+    val n = emb.count().toInt
+    val brute = Similarity.topK(emb, queryId = 1L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val full = ProductQuantizer.ivfPqTopK(emb, codes, cb, ivfCb,
+      queryId = 1L, k = 10, nprobe = 8, refine = n)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == brute)
+    // narrow probe still self-retrieves: the query's own list is always
+    // the nearest centroid's, and its own code is its best ADC match
+    val narrow = ProductQuantizer.ivfPqTopK(emb, codes, cb, ivfCb,
+      queryId = 1L, k = 10, nprobe = 1, refine = 8)
+      .as[(Long, Long)].collect()
+    assert(narrow.head._1 == 1L && narrow.head._2 >= 999000L)
+  }
 }
