@@ -79,15 +79,20 @@ object ProductQuantizer {
       val subs = emb.select(col(idCol),
         explode(array((0 until m).map(s =>
           struct(lit(s).as("sub"), subvecCol(vecCol, s, subDim).as("sv"))): _*)).as("x"))
-        .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .select(col(idCol), col("x.sub").as("sub"), col("x.sv").as("sv"))
         .withColumn("aa", GraftFunctions.vecDot(spark, col("sv"), col("sv")))
+      // the argmin's group key is the ROW (id, sub), never the subvector
+      // value: keying on the value would collapse duplicate subvectors
+      // (zeros, repeated patterns) into one row and under-weight them in
+      // the mean update — a bias invisible on random data and real on
+      // sparse embeddings
       val assigned = subs.join(broadcast(cbDf), "sub")
-        .select(col("sub"), col("sv"),
+        .select(col(idCol), col("sub"), col("sv"),
           struct(
             (col("aa") - lit(2.0) * GraftFunctions.vecDot(spark, col("sv"), col("cvec")) +
               GraftFunctions.vecDot(spark, col("cvec"), col("cvec"))).as("dist"),
             col("code").as("code")).as("sc"))
-        .groupBy(col("sub"), col("sv"))
+        .groupBy(col(idCol), col("sub"), col("sv"))
         .agg(min(col("sc")).as("best"))
       val sums = assigned
         .select(col("sub"), col("best.code").as("code"),

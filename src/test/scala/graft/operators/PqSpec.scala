@@ -61,6 +61,27 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert(mean >= 0.75, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("training weights duplicate subvectors by multiplicity, not distinct value") {
+    // 9 exact copies of a + one nearby c in a's cluster: the one-step mean
+    // must be (9a + c)/10. A value-keyed argmin would collapse the copies
+    // and yield (a + c)/2 — the bias this test pins out.
+    val a = Array.tabulate(16)(i => 0.1f * (i % 4 + 1))
+    val b = Array.fill(16)(5f)
+    val c = a.map(_ + 0.4f)
+    val rows = Seq((0L, a.toSeq), (1L, b.toSeq)) ++
+      (2L to 9L).map(i => (i, a.toSeq)) :+ (10L, c.toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = ProductQuantizer.train(df, m = 2, ksub = 2, iters = 1, dims = 16)
+    val expected = a.zip(c).map { case (x, y) => ((9.0 * x + y) / 10.0).toFloat }
+    for (s <- 0 until 2) {
+      val got = cb.cents(s)(0)
+      val exp = expected.slice(s * 8, s * 8 + 8)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6f, s"sub $s: ${got.toSeq} vs ${exp.toSeq}")
+      }
+    }
+  }
+
   test("IVF-PQ composition: full probe + full refine recovers brute force exactly") {
     // with nprobe = nlist (no list pruned) and refine covering the corpus,
     // the exact rescore sees every vector — the composed pipeline must
