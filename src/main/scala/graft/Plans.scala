@@ -78,7 +78,17 @@ object Plans {
       ("The full curation flow with the semantic gate composed in: one " +
         "declarative plan over the shared staged intermediates plus the " +
         "broadcast-benchmark embedding stage — composing the gate adds " +
-        "zero corpus-side shuffles to q78's plan."))
+        "zero corpus-side shuffles to q78's plan."),
+    "q86_lsh_capped" ->
+      ("Mega-bucket cap: the bucket histogram is one partial+final count, " +
+        "over-cap buckets leave via a LeftAnti join (tiny right side), and " +
+        "the pair stage stays the same equi-join — Σ bucket² bounded with " +
+        "no CartesianProduct anywhere."),
+    "q88_vec_dup_clusters" ->
+      ("Semantic dup clusters: BSP min-label propagation over the verified " +
+        "near-dup pair list — per round one shuffle of the (node, label) " +
+        "relation, lineage truncated per round; the corpus-sized side never " +
+        "re-enters after the candidate stage."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
