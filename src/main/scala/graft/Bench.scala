@@ -22,15 +22,19 @@ object Bench {
     // query, reported in their own line AND counted in the summary line,
     // and the process exits nonzero so the run is visibly broken.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // None = this run failed. A failed run's fail-fast elapsed time must
+    // never enter the per-query min or the total — a flaky query would
+    // otherwise bench FASTER than a healthy one (samples record it as -1
+    // for forensics instead).
     def timeOnce(name: String,
-                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch {
+      try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(120)).replaceAll("[\"\\\\\n\r]", " ")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // dev knob: SPARK_GRAFT_ONLY=q32,q33 times a subset (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -44,14 +48,19 @@ object Bench {
     // min stays a steady-state measurement. All samples are emitted so a
     // reader can spot the spike instead of inferring a regression.
     val samples = scala.collection.mutable.LinkedHashMap(
-      selected.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+      selected.map { case (name, _) => name -> Vector.empty[Option[Double]] }: _*)
     for (_ <- 1 to 3; (name, fn) <- selected)
       samples(name) = samples(name) :+ timeOnce(name, fn)
-    val results = samples.map { case (name, ss) => name -> ss.min }
+    // per-query min over SUCCESSFUL runs only; a query with zero successes
+    // appears in the errors line and count, never in the mins
+    val results = samples.collect {
+      case (name, ss) if ss.flatten.nonEmpty => name -> ss.flatten.min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val all = samples.map { case (k, ss) => s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    val all = samples.map { case (k, ss) =>
+      s"\"" + k + "\":" + ss.map(_.getOrElse(-1.0)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Line order matters: the driver's fixed-size tail capture keeps the END
     // of stdout, so the LAST line must be short enough to always survive the

@@ -166,14 +166,21 @@ object ProductQuantizer {
     * the refined candidates exact-rescore. Every stage keeps the
     * broadcast-small-side/map-side discipline: centroids and probe list
     * broadcast, the coded corpus streams, only `refine·k` rows ever touch
-    * raw vectors again. */
+    * raw vectors again.
+    *
+    * `assigned` is the precomputed list assignment `(idCol, centroid_id)` —
+    * query-independent corpus state, built once at index time exactly like
+    * `codes`. Pass it in real deployments; the None default recomputes it
+    * (one raw-vector corpus pass) for convenience at test scale. */
   def ivfPqTopK(emb: DataFrame, codes: DataFrame, cb: Codebooks,
                 ivfCodebook: DataFrame, queryId: Long, k: Int,
                 nprobe: Int = 2, refine: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                assigned: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
-    val assigned = Similarity.ivfAssignWith(emb, ivfCodebook, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
+    val assignedDf = assigned.getOrElse(
+      Similarity.ivfAssignWith(emb, ivfCodebook, idCol, vecCol)
+        .select(col(idCol), col("centroid_id")))
     val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
     val probes = ivfCodebook.crossJoin(broadcast(qvec))
       .select(col("centroid_id"),
@@ -183,7 +190,7 @@ object ProductQuantizer {
       .limit(nprobe)
       .select(col("centroid_id"))
     val probedCodes = codes
-      .join(assigned, idCol)
+      .join(assignedDf, idCol)
       .join(broadcast(probes), "centroid_id")
       .select(col(idCol), col("codes"))
     adcTopKFiltered(emb, probedCodes, cb, queryId, k, refine, idCol, vecCol)

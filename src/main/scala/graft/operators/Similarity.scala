@@ -68,9 +68,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types._
       val t = df.schema(c).dataType
-      require(Seq("byte", "short", "int", "integer", "long", "bigint")
-        .contains(t.simpleString),
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
         s"knnJoin id column '$c' must be an integral type (got ${t.simpleString}); " +
           "map string/uuid ids to long surrogates first")
     }

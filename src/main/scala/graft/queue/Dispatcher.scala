@@ -191,8 +191,6 @@ object Dispatcher {
   def hasPending(spark: SparkSession, queueDir: String): Boolean =
     pendingScan(spark, queueDir).limit(1).count() > 0
 
-  private def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-  }
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    graft.queue.Maintenance.deleteRec(p)
 }

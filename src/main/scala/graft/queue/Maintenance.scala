@@ -93,7 +93,10 @@ object Maintenance {
     deleteRec(aside)
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+  /** Recursive delete — the ONE copy of the walk-and-delete idiom (queue
+    * stores and the scale tool share it; fixes like traversal-race handling
+    * belong at the call sites that want to swallow them). */
+  private[graft] def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.delete(f))
   }

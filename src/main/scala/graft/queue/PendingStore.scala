@@ -192,12 +192,20 @@ object PendingStore {
     writeLeaseFile(queueDir, lease.token, lease.ttlMs)
   }
 
-  /** Release `lease` if still held (no-op if it was already taken over). */
+  /** Release `lease` if still held (no-op if it was already taken over).
+    *
+    * The read-then-delete pair is not atomic: if the lease has ALREADY
+    * expired (the holder broke its own ttl contract) a takeover can land
+    * between the two steps and lose its fresh `_owner` file. The failure
+    * direction is safe — the new owner's next commit fails fast at
+    * verifyLease instead of two writers flipping manifests — and the
+    * window does not exist for a holder that releases before its ttl
+    * elapses (renewal on every cycle makes that the steady state). */
   def releaseLease(queueDir: String, lease: Lease): Unit =
     readLeaseFile(queueDir) match {
       case Some((tok, _)) if tok == lease.token =>
         try Files.deleteIfExists(ownerPath(queueDir))
-        catch { case _: java.io.IOException => () }
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
       case _ => ()
     }
 
@@ -332,7 +340,7 @@ object PendingStore {
     val keep = Set(s"v$vNew", s"v${prev.version}")
     listVersionDirs(queueDir).filterNot(keep).foreach { n =>
       try deleteRec(root(queueDir).resolve(n))
-      catch { case _: java.io.IOException => () }
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     }
     onStep("versions-gc")
     sweepStaleTemps(queueDir, staleGraceMs)
@@ -350,7 +358,7 @@ object PendingStore {
       try {
         Files.move(d, tomb, StandardCopyOption.ATOMIC_MOVE)
         deleteRec(tomb)
-      } catch { case _: java.io.IOException => () } // stays carried; retried next commit
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () } // stays carried; retried next commit
     }
   }
 
@@ -366,7 +374,7 @@ object PendingStore {
           val p = it.next()
           val n = p.getFileName.toString
           if (n.startsWith(".") && n.endsWith(".gc"))
-            try deleteRec(p) catch { case _: java.io.IOException => () }
+            try deleteRec(p) catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
         }
       } finally s.close()
     }
@@ -396,9 +404,9 @@ object PendingStore {
               val w = Files.walk(p)
               try w.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
               finally w.close()
-            } catch { case _: java.io.IOException => Long.MaxValue } // racing writer: skip
+            } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue } // racing writer: skip
           if (newest < cutoff)
-            try deleteRec(p) catch { case _: java.io.IOException => () }
+            try deleteRec(p) catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
         }
       }
     } finally s.close()
@@ -419,7 +427,7 @@ object PendingStore {
     try {
       val dch = java.nio.channels.FileChannel.open(root(queueDir), READ)
       try dch.force(true) finally dch.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
   }
 
   private def listVersionDirs(queueDir: String): Seq[String] = {
@@ -438,8 +446,5 @@ object PendingStore {
     }
   }
 
-  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-  }
+  private def deleteRec(p: Path): Unit = Maintenance.deleteRec(p)
 }

@@ -133,12 +133,14 @@ object IngestCuration {
            vecMinSimMillionths: Long = 990000L,
            benchmark: Option[DataFrame] = None,
            maxBenchSimMillionths: Long = 350000L,
+           planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, allowedLangs, minTokens,
           minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
-          vecMinSimMillionths, benchmark, maxBenchSimMillionths)
+          vecMinSimMillionths, benchmark, maxBenchSimMillionths,
+          planes, bandWidth, dims)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>

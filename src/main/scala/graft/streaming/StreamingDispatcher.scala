@@ -92,6 +92,12 @@ object StreamingDispatcher {
           spark.streams.removeListener(this)
         }
     })
+    // A query that died in its first instants may have posted its terminated
+    // event BEFORE the listener registered — the event is then never
+    // delivered to it and the lease would leak until ttl. releaseLease is
+    // idempotent (token-checked), so the direct check closes the gap.
+    if (!query.isActive)
+      graft.queue.PendingStore.releaseLease(queueDir, lease)
     query
   }
 }

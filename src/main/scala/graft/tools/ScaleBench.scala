@@ -133,10 +133,7 @@ object ScaleBench {
       import spark.implicits._
       val regDir = s"$root/registry-icur-x$k"
       val rp = Paths.get(regDir)
-      if (Files.exists(rp)) {
-        val s = Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-        try s.forEach(f => Files.delete(f)) finally s.close()
-      }
+      graft.queue.Maintenance.deleteRec(rp)
       val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
       graft.streaming.IncrementalDedup.seedRegistry(docs, regDir)
       val regRows = graft.streaming.IncrementalDedup
@@ -230,10 +227,7 @@ object ScaleBench {
     val fRows = Seq(0, 15).map { cadence =>
       val regDir = s"$root/registry-growth-c$cadence"
       val rp = Paths.get(regDir)
-      if (Files.exists(rp)) {
-        val s = Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-        try s.forEach(f => Files.delete(f)) finally s.close()
-      }
+      graft.queue.Maintenance.deleteRec(rp)
       val batches = 60
       val secs = (0 until batches).map { b =>
         import spark.implicits._
@@ -314,10 +308,7 @@ object ScaleBench {
   private def mkQueue(spark: SparkSession, dir: String, n: Int): Unit = {
     import spark.implicits._
     val p = Paths.get(dir).getParent
-    if (Files.exists(p)) {
-      val s = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      try s.forEach(f => Files.delete(f)) finally s.close()
-    }
+    graft.queue.Maintenance.deleteRec(p)
     val due = new Timestamp(1700000000000L)
     val rows = spark.range(n.toLong).map { i =>
       EventLog.QueueRow(

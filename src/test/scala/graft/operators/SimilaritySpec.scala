@@ -104,7 +104,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
 
   test("knnJoin: integral ids widen to long; non-integral ids fail fast") {
     val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val intCorpus = real.select($"vec_id".cast("int").as("vec_id"), $"embedding")
+    // smallint corpus + int queries: every integral width must widen
+    val intCorpus = real.select($"vec_id".cast("smallint").as("vec_id"), $"embedding")
     val queries = real.filter($"vec_id" < 2)
       .select($"vec_id".cast("int").as("query_id"), $"embedding".as("query_vec"))
     val got = Similarity.knnJoin(intCorpus, queries, k = 3)
