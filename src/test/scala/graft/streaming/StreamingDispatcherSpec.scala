@@ -101,6 +101,28 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
     } finally stopQuietly(q)
   }
 
+  test("a second dispatcher on a live queue refuses at start; the slot frees on stop") {
+    val root = Files.createTempDirectory("graft_sdisp_lease_").toString
+    val dir = root + "/event_log"
+    enqueue(dir, Seq(Emp(1, "s1", 100)))
+    val q1 = StreamingDispatcher.start(spark, dir, checkpointDir = root + "/ckpt1",
+      intervalMs = 200L)
+    try {
+      val err = intercept[graft.queue.PendingStore.ConcurrentWriterException] {
+        StreamingDispatcher.start(spark, dir, checkpointDir = root + "/ckpt2",
+          intervalMs = 200L)
+      }
+      assert(err.getMessage.contains("owned by"), err.getMessage)
+      awaitDrained(dir)
+    } finally stopQuietly(q1)
+    // once the first stops (lease released on its termination event), the
+    // queue is acquirable again
+    awaitLeaseReleased(dir)
+    val q2 = StreamingDispatcher.start(spark, dir, checkpointDir = root + "/ckpt3",
+      intervalMs = 200L)
+    stopQuietly(q2)
+  }
+
   test("streaming query drains the queue and a checkpoint restart resumes") {
     val root = Files.createTempDirectory("graft_sdisp_").toString
     val dir = root + "/event_log"
