@@ -31,8 +31,11 @@ object Bench {
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) } catch {
         case e: Throwable =>
+          // sweep ALL control characters (Spark messages often carry tabs and
+          // embedded newlines), not just the quoting ones — the errors line
+          // must stay parseable JSON exactly when something is broken
           errors(name) = (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(120)).replaceAll("[\"\\\\\n\r]", " ")
+            Option(e.getMessage).getOrElse("").take(120)).replaceAll("[\\p{Cntrl}\"\\\\]", " ")
           None
       }
     }
@@ -70,11 +73,17 @@ object Bench {
     // window is generous), and the final line is a fixed ~100-byte summary.
     println(s"""{"metric":"samples","samples":$all,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    if (errors.nonEmpty) {
-      val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"errors","errors":$es}""")
-    }
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    if (errors.nonEmpty) println(s"""{"metric":"errors","errors":$es}""")
+    // Lossless artifact: the driver's fixed-size stdout tail clips the ~5 KB
+    // per-query lines (r5/r6: only part of the mins survived), so the FULL
+    // summary+mins+samples is also written to a repo file every run. The
+    // stdout summary line stays the driver's signal; this file is the record.
+    val detail = f"""{"metric":"bench_detail","total":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries":$qs,"errors":$es,"samples":$all}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // bench still reports via stdout
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -85,7 +85,10 @@ object Dispatcher {
         attempts_time = r.attempts_time :+ now,
         attempts_status = r.attempts_status :+ status,
         attempts_response = r.attempts_response :+ resp,
-        next_attempt = nextAt)
+        next_attempt = nextAt,
+        // audit touch on every status transition — the reference's
+        // update_updated_at_column trigger (`cdc_webhook--1.0.sql:87-100`)
+        updated_at = now)
     })
 
     // 1) Durable attempt log: ONE action materializes every post exactly

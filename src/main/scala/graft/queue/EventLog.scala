@@ -32,7 +32,11 @@ object EventLog {
       attempts_response: Seq[String],
       next_attempt: java.sql.Timestamp,
       retry_number: Int, retry_interval: Int, retry_backoff: String,
-      created_at: java.sql.Timestamp)
+      created_at: java.sql.Timestamp,
+      // audit column: stamped on insert and touched on every status
+      // transition, mirroring the reference's update_updated_at_column
+      // triggers on event_log (`cdc_webhook--1.0.sql:87-100`)
+      updated_at: java.sql.Timestamp)
 
   /** ASYNC enqueue (S2, reference `cdc_webhook--1.0.sql:296-324`): envelope
     * rows + the trigger's retry config → PENDING queue rows due immediately.
@@ -66,7 +70,8 @@ object EventLog {
         lit(cfg.retryNumber).as("retry_number"),
         lit(cfg.retryInterval).as("retry_interval"),
         lit(cfg.retryBackoff).as("retry_backoff"),
-        current_timestamp().as("created_at"))
+        current_timestamp().as("created_at"),
+        current_timestamp().as("updated_at"))
     PendingStore.spool(rows, queueDir)
   }
 

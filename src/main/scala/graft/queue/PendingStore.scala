@@ -23,8 +23,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   inbox/<uuid>/   enqueue spools — written to a dot-prefixed temp dir and
   *                   atomically renamed in, so they are complete-on-arrival;
   *                   immutable once visible
-  *   v<N>/           snapshot N of the pending rows (not-yet-due ∪
-  *                   rescheduled), written once by the cycle that created it
+  *   v<N>-<hex>/     snapshot N of the pending rows (not-yet-due ∪
+  *                   rescheduled), written once by the cycle that created it;
+  *                   the hex suffix is writer-unique per commit, so racing
+  *                   writers at the same version never share a data path
   *   _current        the manifest: one line with the live snapshot version,
   *                   then one line per inbox dir that snapshot has already
   *                   absorbed ("consumed")
@@ -41,8 +43,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * raced the swap's rewrite.
   *
   * Crash heal is "ignore unreferenced dirs + GC": a commit that dies before
-  * its manifest flip leaves an orphan `v<N>` the manifest never points to
-  * (the next commit overwrites it); one that dies after the flip leaves
+  * its manifest flip leaves an orphan `v<N>-<hex>` the manifest never points
+  * to (the next successful commit's version GC sweeps it); one that dies after the flip leaves
   * stale dirs the next commit's GC sweeps; an enqueue that dies mid-write
   * leaves a dot-prefixed `.spool-*` temp that the stale sweep removes once
   * it is demonstrably dead (no mtime progress past the grace). There is no
@@ -79,8 +81,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PendingStore {
 
   /** `version` = live snapshot number (0 = none yet); `consumed` = inbox
-    * dirs whose rows snapshot `version` already absorbed. */
-  final case class Manifest(version: Long, consumed: Seq[String])
+    * dirs whose rows snapshot `version` already absorbed; `dir` = the
+    * snapshot's directory name. Snapshot dirs are writer-unique
+    * (`v<N>-<8 hex>`): two writers racing the same version number can never
+    * write the same path, so a refused (stale) writer's parquet write can
+    * never clobber the winner's just-written snapshot in the window between
+    * the winner's data write and its manifest flip — the one data-path race
+    * the pre-flip lease check alone does not cover. `dir` empty = legacy
+    * manifest (pre-suffix layout), resolved as `v<version>`. */
+  final case class Manifest(version: Long, consumed: Seq[String], dir: String = "") {
+    def dirName: String = if (dir.nonEmpty) dir else s"v$version"
+  }
 
   /** A writer lease on one queue's PENDING store. Holding it is the ONLY
     * sanctioned way to [[commit]]: the store is single-writer by design
@@ -104,8 +115,6 @@ object PendingStore {
 
   private def root(queueDir: String): Path = Paths.get(queueDir, ".pending")
   private def inboxRoot(queueDir: String): Path = root(queueDir).resolve("inbox")
-  private def versionDir(queueDir: String, v: Long): Path =
-    root(queueDir).resolve(s"v$v")
   private def manifestPath(queueDir: String): Path = root(queueDir).resolve("_current")
   private def ownerPath(queueDir: String): Path = root(queueDir).resolve("_owner")
 
@@ -209,18 +218,33 @@ object PendingStore {
       case _ => ()
     }
 
-  /** Fail-fast ownership check, called immediately before the manifest
-    * flip. With a lease: the `_owner` file must still carry OUR token (a
-    * takeover after our expiry, or a release, fails us — never a silent
-    * lost update). Without a lease: commits are refused while any live
-    * lease exists — an unmanaged commit must not race a managed dispatcher. */
+  /** Fail-fast ownership check, called at commit entry and again immediately
+    * before the manifest flip. With a lease: the `_owner` file must still
+    * carry OUR token AND the token must be unexpired — a holder paused past
+    * its TTL (long GC, SIGSTOP) whose `_owner` file has not yet been replaced
+    * would otherwise pass here while a takeover lands between the check and
+    * the rename. Without a lease: commits are refused while any live lease
+    * exists — an unmanaged commit must not race a managed dispatcher.
+    *
+    * Residual limitation, inherent to TTL leasing: check→flip is not atomic,
+    * so a takeover can still land INSIDE that microsecond window and both
+    * writers flip — the later flip discards the other's cycle (redelivery
+    * under at-least-once; never data loss, since snapshot dirs are
+    * writer-unique and terminal history is append-only). True fencing needs
+    * a compare-and-swap on the manifest version, i.e. a lakehouse commit
+    * protocol — the documented multi-writer upgrade path. */
   private def verifyLease(queueDir: String, lease: Option[Lease]): Unit =
     (lease, readLeaseFile(queueDir)) match {
-      case (Some(l), Some((tok, _))) =>
+      case (Some(l), Some((tok, exp))) =>
         if (tok != l.token)
           throw new ConcurrentWriterException(
             s"queue '$queueDir' lease lost: now owned by '${tok.takeWhile(_ != '#')}' " +
               s"(we are '${l.owner}'); refusing to flip the manifest over theirs")
+        if (exp <= System.currentTimeMillis())
+          throw new ConcurrentWriterException(
+            s"queue '$queueDir' lease expired un-renewed (holder '${l.owner}' paused " +
+              "past its ttl?); a takeover may be in progress — refusing to commit " +
+              "on a dead lease")
       case (Some(l), None) =>
         throw new ConcurrentWriterException(
           s"queue '$queueDir' lease lost: our lease ('${l.owner}') was released " +
@@ -237,8 +261,14 @@ object PendingStore {
     if (!Files.exists(p)) Manifest(0L, Nil)
     else {
       val lines = Files.readAllLines(p)
-      Manifest(lines.get(0).trim.toLong,
-        (1 until lines.size()).map(lines.get(_).trim).filter(_.nonEmpty).toSeq)
+      val head = lines.get(0).trim
+      val consumed =
+        (1 until lines.size()).map(lines.get(_).trim).filter(_.nonEmpty).toSeq
+      // line 1 is the snapshot dir name ("v<N>-<hex>"); a bare number is a
+      // legacy manifest whose snapshot lives at the unsuffixed "v<N>"
+      if (head.startsWith("v"))
+        Manifest(head.drop(1).takeWhile(_.isDigit).toLong, consumed, head)
+      else Manifest(head.toLong, consumed)
     }
   }
 
@@ -284,7 +314,8 @@ object PendingStore {
   def readAt(spark: SparkSession, queueDir: String, snap: Capture): DataFrame = {
     val schema = org.apache.spark.sql.Encoders.product[QueueRow].schema
     val paths =
-      (if (snap.manifest.version > 0L) Seq(versionDir(queueDir, snap.manifest.version))
+      (if (snap.manifest.version > 0L)
+         Seq(root(queueDir).resolve(snap.manifest.dirName))
        else Nil) ++ snap.inbox.map(inboxRoot(queueDir).resolve)
     val existing = paths.filter(Files.exists(_)).map(_.toString)
     if (existing.isEmpty)
@@ -302,8 +333,11 @@ object PendingStore {
     * `onStep` is a test seam: PendingStoreSpec kills the writer after each
     * step and asserts readers never observe a missing or doubled row.
     *
-    *   1. write `v<N+1>` beside the live snapshot (mode=overwrite sweeps the
-    *      orphan a predecessor's crash may have left at the same number);
+    *   1. write snapshot `v<N+1>-<8 hex>` beside the live one — the name is
+    *      writer-unique (fresh hex suffix per commit), so a stale ex-holder
+    *      racing a post-takeover owner at the same version number writes a
+    *      DIFFERENT directory and can never overwrite the winner's data
+    *      (orphans from refused/crashed commits are swept by step 4);
     *   2. flip `_current` — THE commit point, one atomic rename; the new
     *      manifest consumes this capture's inbox plus every previously
     *      consumed dir that still exists (a failed GC keeps its name alive
@@ -317,6 +351,9 @@ object PendingStore {
     *      one-flip reader grace), then sweep demonstrably-dead enqueue
     *      temps (`.spool-*` / `._current.tmp` with no mtime progress past
     *      `staleGraceMs` — a live spool writer touches its files constantly).
+    *
+    * The lease is verified at entry (cheap fail-fast before the parquet
+    * write) and again immediately before the flip (the authoritative gate).
     */
   def commit(newPending: DataFrame, queueDir: String, snap: Capture,
              onStep: String => Unit = _ => (),
@@ -324,20 +361,22 @@ object PendingStore {
              lease: Option[Lease] = None): Unit = {
     val prev = snap.manifest
     val vNew = prev.version + 1
-    newPending.write.mode("overwrite").parquet(versionDir(queueDir, vNew).toString)
+    verifyLease(queueDir, lease) // fail fast before paying for the write
+    val dirNew = s"v$vNew-" + java.util.UUID.randomUUID().toString.take(8)
+    newPending.write.mode("overwrite").parquet(root(queueDir).resolve(dirNew).toString)
     onStep("snapshot-written")
     val carried = prev.consumed.filter(n => Files.exists(inboxRoot(queueDir).resolve(n)))
     // Ownership gate immediately before the flip: a lost lease (takeover
     // after expiry, or release) aborts here with a clear error instead of
     // silently flipping the manifest over another writer's.
     verifyLease(queueDir, lease)
-    writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct))
+    writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct, dirNew))
     lease.foreach(l => writeLeaseFile(queueDir, l.token, l.ttlMs)) // renew
     onStep("manifest-flipped")
     sweepTombstones(queueDir) // a crashed step-3 leaves '.<name>.gc' dirs; clear first
     carried.foreach(gcInboxDir(queueDir, _))
     onStep("inbox-gc")
-    val keep = Set(s"v$vNew", s"v${prev.version}")
+    val keep = Set(dirNew, prev.dirName)
     listVersionDirs(queueDir).filterNot(keep).foreach { n =>
       try deleteRec(root(queueDir).resolve(n))
       catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
@@ -420,7 +459,9 @@ object PendingStore {
   private def writeManifest(queueDir: String, m: Manifest): Unit = {
     import java.nio.file.StandardOpenOption._
     val tmp = root(queueDir).resolve("._current.tmp")
-    val bytes = (m.version.toString +: m.consumed).mkString("\n").getBytes
+    // line 1 = the snapshot dir name (carries both the version and the
+    // writer-unique suffix); consumed inbox dirs follow one per line
+    val bytes = (m.dirName +: m.consumed).mkString("\n").getBytes
     val ch = java.nio.channels.FileChannel.open(tmp, CREATE, WRITE, TRUNCATE_EXISTING)
     try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) } finally ch.close()
     Files.move(tmp, manifestPath(queueDir), StandardCopyOption.ATOMIC_MOVE)
@@ -439,7 +480,7 @@ object PendingStore {
         val it = s.iterator(); val b = Seq.newBuilder[String]
         while (it.hasNext) {
           val n = it.next().getFileName.toString
-          if (n.matches("v\\d+")) b += n
+          if (n.matches("v\\d+(-[0-9a-f]{8})?")) b += n
         }
         b.result()
       } finally s.close()

@@ -347,7 +347,7 @@ object ScaleBench {
         status = "PENDING", attempt_count = 0, attempts_time = Seq.empty,
         attempts_status = Seq.empty, attempts_response = Seq.empty,
         next_attempt = due, retry_number = 2, retry_interval = 2,
-        retry_backoff = "EXPONENTIAL", created_at = due)
+        retry_backoff = "EXPONENTIAL", created_at = due, updated_at = due)
     }
     graft.queue.PendingStore.spool(rows.toDF(), dir)
   }

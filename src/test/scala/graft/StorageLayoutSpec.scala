@@ -80,7 +80,8 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestSession {
       attempts_response = Seq.empty,
       next_attempt = new java.sql.Timestamp(dueAt), retry_number = 2,
       retry_interval = 2, retry_backoff = "EXPONENTIAL",
-      created_at = new java.sql.Timestamp(dueAt))
+      created_at = new java.sql.Timestamp(dueAt),
+      updated_at = new java.sql.Timestamp(dueAt))
 
   test("dispatcher due scan reads only the PENDING store and pushes next_attempt") {
     val dir = tmp("graft_queue_prune") + "/q"

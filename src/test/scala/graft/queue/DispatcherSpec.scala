@@ -63,11 +63,18 @@ class DispatcherSpec extends AnyFunSuite with SparkTestSession with BeforeAndAft
   test("happy path: due PENDING → DELIVERED with one recorded attempt") {
     server.received.clear()
     val dir = freshQueue(asyncCfg(server.url))
-    val stats = Dispatcher.runOnce(spark, dir)
+    val enqueued = rows(dir)
+    // the cycle clock is strictly after enqueue, so the audit touch is observable
+    val cycleAt = new Timestamp(enqueued.map(_.updated_at.getTime).max + 1000L)
+    val stats = Dispatcher.runOnce(spark, dir, now = cycleAt)
     assert(stats.due == 2 && stats.delivered == 2 && stats.failed == 0)
     val rs = rows(dir)
     assert(rs.forall(r => r.status == "DELIVERED" && r.attempt_count == 1 &&
       r.attempts_status == Seq(200) && r.attempts_time.length == 1))
+    // updated_at advances on the PENDING→terminal transition (the
+    // reference's audit trigger, cdc_webhook--1.0.sql:87-100) while
+    // created_at stays the enqueue time
+    assert(rs.forall(r => r.updated_at == cycleAt && r.updated_at.after(r.created_at)))
     assert(server.bodies.length == 2)
   }
 

@@ -26,7 +26,7 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
       attempt_count = 0, attempts_time = Seq.empty, attempts_status = Seq.empty,
       attempts_response = Seq.empty, next_attempt = new Timestamp(dueAt),
       retry_number = 2, retry_interval = 2, retry_backoff = "EXPONENTIAL",
-      created_at = new Timestamp(dueAt))
+      created_at = new Timestamp(dueAt), updated_at = new Timestamp(dueAt))
 
   private def df(ids: String*): DataFrame = ids.map(row(_)).toDF()
 
@@ -185,6 +185,60 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
       lease = Some(fresh))
     assert(readIds(dir) == Seq("a1"))
+  }
+
+  test("writer lease: a holder paused past its own ttl refuses to commit even before takeover") {
+    // the wake-after-GC-pause hazard's FIRST line of defense: an expired
+    // lease whose _owner file nobody replaced yet still fails verification
+    // (a takeover could land between a stale-positive check and the flip)
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val lease = PendingStore.acquireLease(dir, "pausy", ttlMs = 1L)
+    Thread.sleep(10L) // the 'GC pause': ttl elapses, no renewal, no takeover
+    val snap = PendingStore.capture(dir)
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+        lease = Some(lease))
+    }
+    assert(err.getMessage.contains("expired un-renewed"), err.getMessage)
+    assert(PendingStore.manifest(dir).version == 0L, "no flip on a dead lease")
+  }
+
+  test("wake-after-takeover window: the old holder can neither flip nor clobber the winner's snapshot") {
+    // The full hostile interleaving: the old holder passes the commit-entry
+    // check and writes its snapshot; WHILE it is paused, its ttl expires, a
+    // new owner takes over AND commits; the old holder then wakes and
+    // resumes. The pre-flip check must refuse it, and — because snapshot dir
+    // names are writer-unique — its earlier parquet write must not have
+    // touched the winner's data path (the silent lost update the lease
+    // exists to prevent).
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2"), dir)
+    val stale = PendingStore.acquireLease(dir, "old", ttlMs = 1000L)
+    val snap = PendingStore.capture(dir)
+    val oldPending = PendingStore.readAt(spark, dir, snap) // {a1, a2}: the loser's state
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.commit(oldPending, dir, snap, lease = Some(stale),
+        onStep = {
+          case "snapshot-written" =>
+            // the 'pause': ttl expires, a new owner takes over and commits
+            // a DIFFERENT pending set ({a1} only) at the same version number
+            Thread.sleep(1200L)
+            val fresh = PendingStore.acquireLease(dir, "new")
+            val s2 = PendingStore.capture(dir)
+            PendingStore.commit(
+              PendingStore.readAt(spark, dir, s2).filter($"id" =!= "a2"),
+              dir, s2, lease = Some(fresh))
+          case _ => ()
+        })
+    }
+    assert(err.getMessage.contains("lease lost"), err.getMessage)
+    // the winner's commit survives intact: its manifest, its data
+    val m = PendingStore.manifest(dir)
+    assert(m.version == 1L && m.dirName.startsWith("v1-"), m.toString)
+    assert(readIds(dir) == Seq("a1"),
+      "winner's snapshot was clobbered or its flip was overwritten")
+    assert(PendingStore.leaseHolder(dir).contains("new"))
   }
 
   test("crashed enqueue's .spool-* temp is swept once stale, never while fresh") {
