@@ -56,11 +56,21 @@ object ProductQuantizer {
   /** Deterministic per-subspace Lloyd training (plain Euclidean k-means —
     * subvectors are not unit vectors, so the spherical update would be
     * wrong here). Seeds from the first `ksub` vectors by id; empty clusters
-    * keep their centroid; `iters = 0` returns the seed. */
+    * keep their centroid; `iters = 0` returns the seed.
+    *
+    * `trainFraction` < 1 trains on a deterministic hash-sample of the corpus
+    * (md5 of the id, [[Sampling.hash16]] — stable across runs, engines and
+    * partitionings): each Lloyd iteration then scans O(sample), not the
+    * corpus, which is THE production practice at 100 TB — a codebook needs
+    * thousands of points per centroid, not every row; [[encode]] still makes
+    * exactly one full-corpus pass afterwards. The seed stays the first
+    * `ksub` vectors by id regardless of the sample. */
   def train(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
             dims: Int = 64, idCol: String = "vec_id",
-            vecCol: String = "embedding"): Codebooks = {
+            vecCol: String = "embedding", trainFraction: Double = 1.0): Codebooks = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val subDim = dims / m
     val spark = emb.sparkSession
     import spark.implicits._
@@ -71,12 +81,15 @@ object ProductQuantizer {
     var cents: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) { (s, c) =>
       seedRows(c)._2.slice(s * subDim, (s + 1) * subDim).toArray
     }
-    // one corpus pass per iteration: explode to (sub, subvec), assign all
-    // subspaces against the broadcast codebook rows, partial-agg the sums
+    val trainSet =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(Sampling.hash16(col(idCol)) < lit(trainFraction * 65536.0))
+    // one training-set pass per iteration: explode to (sub, subvec), assign
+    // all subspaces against the broadcast codebook rows, partial-agg the sums
     for (_ <- 1 to iters) {
       val cbDf = (for (s <- 0 until m; c <- 0 until ksub)
         yield (s, c, cents(s)(c).toSeq)).toDF("sub", "code", "cvec")
-      val subs = emb.select(col(idCol),
+      val subs = trainSet.select(col(idCol),
         explode(array((0 until m).map(s =>
           struct(lit(s).as("sub"), subvecCol(vecCol, s, subDim).as("sv"))): _*)).as("x"))
         .select(col(idCol), col("x.sub").as("sub"), col("x.sv").as("sv"))
@@ -130,17 +143,26 @@ object ProductQuantizer {
     * codebooks are plan literals; each code is an argmin over `ksub`
     * codegen'd distances — no join, no shuffle. 32× smaller than the raw
     * float32 vectors at the 8×16 default (and the realistic deployment
-    * persists THIS relation, not the raw embeddings). */
+    * persists THIS relation, not the raw embeddings).
+    *
+    * Engine-portable determinism (same discipline as [[Similarity.quantize]]):
+    * since a·a is constant per (row, subspace), argmin |a−c|² = argmax
+    * (2·a·c − c·c); the score is floor-quantized to millionths and exact
+    * quantized ties break to the LOWEST code, so another engine (the DuckDB
+    * oracle, q89) reproduces every code bit-for-bit. */
   def encode(emb: DataFrame, cb: Codebooks,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val codeCols = (0 until cb.m).map { s =>
       val sub = subvecCol(vecCol, s, cb.subDim)
-      val aa = GraftFunctions.vecDot(spark, sub, sub)
-      least((0 until cb.ksub).map { c =>
-        struct(sqDist(spark, aa, sub, cb.cents(s)(c)).as("dist"),
-          lit(c).as("code"))
-      }: _*).getField("code")
+      -greatest((0 until cb.ksub).map { c =>
+        val cc = cb.cents(s)(c).map(x => x.toDouble * x).sum
+        struct(
+          Similarity.quantize(lit(2.0) *
+            GraftFunctions.vecDot(spark, sub, typedLit(cb.cents(s)(c))) - lit(cc))
+            .as("score_q"),
+          lit(-c).as("negc"))
+      }: _*).getField("negc")
     }
     emb.select(col(idCol), array(codeCols: _*).as("codes"))
   }

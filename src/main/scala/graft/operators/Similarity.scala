@@ -266,16 +266,26 @@ object Similarity {
     * IvfSpec. Production practice at 100 TB: train on a sample (a codebook
     * needs thousands of points per centroid, not the corpus), then
     * [[ivfAssignWith]] the full corpus once — both steps keep the
-    * broadcast-codebook shape. */
+    * broadcast-codebook shape. `trainFraction` < 1 IS that knob: each Lloyd
+    * iteration scans a deterministic md5 hash-sample of the corpus
+    * ([[Sampling.hash16]] — stable across runs, engines, partitionings)
+    * instead of every row; the seed stays the first `nlist` vectors by id
+    * regardless of the sample. */
   def ivfTrain(emb: DataFrame, nlist: Int = 16, iters: Int = 5, dims: Int = 64,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               trainFraction: Double = 1.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     var cents: Seq[(Long, Seq[Float])] = emb.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val trainSet =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(Sampling.hash16(col(idCol)) < lit(trainFraction * 65536.0))
     for (_ <- 1 to iters) {
-      val sums = ivfAssignWith(emb, cents.toDF("centroid_id", "cvec"), idCol, vecCol)
+      val sums = ivfAssignWith(trainSet, cents.toDF("centroid_id", "cvec"), idCol, vecCol)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(sum(col("v").cast("double")).as("s"))

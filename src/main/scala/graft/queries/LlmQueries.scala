@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, ProductQuantizer, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,23 @@ object LlmQueries extends graft.QueryModule {
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  /** q89: per-vector PQ codes under the deterministic seed codebook
+    * (`iters = 0` = the first-ksub-by-id sample — the same closed-form
+    * derivation the IVF battery queries use, so DuckDB replays the whole
+    * operator: codebook construction, quantized scores, argmax, tiebreak).
+    * The Lloyd-trained path is pinned separately by PqSpec (an iterative
+    * fixpoint is not SQL-replayable, exactly like the trained-IVF case);
+    * THIS query pins the encode algebra the trained path shares —
+    * `ProductQuantizer.encode` is one map-side projection either way. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 0)
+    ProductQuantizer.encode(emb, cb)
+      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+      .orderBy($"vec_id", $"sub")
+  }
 
   def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -251,6 +268,7 @@ object LlmQueries extends graft.QueryModule {
     "q87_jaccard_capped" -> jaccardVerifyCapped,
     "q34_simhash" -> simhash,
     "q35_cosine_topk" -> cosineTopK,
+    "q89_pq_codes" -> pqCodes,
     "q36_neardup_vectors" -> nearDupVectors,
     "q37_langid" -> langId,
     "q38_quality" -> quality,
@@ -402,6 +420,26 @@ object LlmQueries extends graft.QueryModule {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q
         |FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q89_pq_codes" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS s),
+        |jx AS (SELECT unnest(range(1, 9)) AS j),
+        |cents AS (
+        |  SELECT sub.s AS sub, CAST(e.vec_id AS INTEGER) AS code, jx.j AS j,
+        |    CAST(e.embedding[CAST(sub.s * 8 + jx.j AS INTEGER)] AS DOUBLE) AS cv
+        |  FROM embeddings e, sub, jx WHERE e.vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id, c.sub, c.code,
+        |    CAST(floor((2 * sum(CAST(v.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv)
+        |                - sum(c.cv * c.cv)) * 1000000) AS BIGINT) AS score_q
+        |  FROM embeddings v, cents c
+        |  GROUP BY v.vec_id, c.sub, c.code),
+        |best AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY score_q DESC, code) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(sub AS INTEGER) AS sub, code
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     "q83_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

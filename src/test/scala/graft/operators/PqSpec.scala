@@ -61,6 +61,22 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     assert(mean >= 0.75, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("sampled training (trainFraction): full-corpus MSE within tolerance of full training") {
+    // same knob as ivfTrain's: Lloyd over a deterministic md5 half-sample,
+    // then one full-corpus encode — the 100 TB training shape. All values
+    // deterministic (hash-sample + seeded Lloyd): measured sampled 0.588 vs
+    // full 0.575, seed 0.752
+    val seedMse = ProductQuantizer.quantizationMse(emb,
+      ProductQuantizer.train(emb, iters = 0))
+    val fullMse = ProductQuantizer.quantizationMse(emb,
+      ProductQuantizer.train(emb, iters = 2))
+    val sampledMse = ProductQuantizer.quantizationMse(emb,
+      ProductQuantizer.train(emb, iters = 2, trainFraction = 0.5))
+    assert(sampledMse < seedMse, s"sampled training must beat the seed: $sampledMse vs $seedMse")
+    assert(sampledMse <= fullMse * 1.1,
+      s"sampled training must land near full training: $sampledMse vs $fullMse")
+  }
+
   test("training weights duplicate subvectors by multiplicity, not distinct value") {
     // 9 exact copies of a + one nearby c in a's cluster: the one-step mean
     // must be (9a + c)/10. A value-keyed argmin would collapse the copies
