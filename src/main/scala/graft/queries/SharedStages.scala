@@ -114,4 +114,22 @@ object SharedStages {
       graft.operators.Similarity.lshNearDupPairs(
         Tables.embeddings(s, dir), minSimMillionths = 350000L,
         planes = 16, bandWidth = 4))
+
+  /** Drop every memoized staging artifact of `s` (all dirs): unpersist the
+    * cached plans and forget the memo entries, so the next consumer
+    * rebuilds and re-persists from the source tables. The cluster analog
+    * is dropping staging tables after a corpus refresh; ScaleBench calls
+    * it between measurement groups so one pipeline's cold run is never
+    * contaminated by (or evicted under) a neighbor's cache residue. */
+  def invalidate(s: SparkSession): Unit = {
+    Seq(shingleCache, nearDupCache, sigCache, candCache, cappedCandCache,
+        clusterCache).foreach { c =>
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { e.getValue.unpersist(blocking = true); it.remove() }
+      }
+    }
+    bloomCache.keySet().removeIf(_._1 eq s)
+  }
 }

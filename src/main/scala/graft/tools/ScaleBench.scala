@@ -80,6 +80,13 @@ object ScaleBench {
     queries.foreach(q => noop(q, warmupDir))
 
     val qRows = for (q <- queries; k <- qScales(q)) yield {
+      // isolate the group: drop ALL memoized staging artifacts first, so
+      // cold = rebuild every shared stage from parquet (uniform across
+      // queries and scales) and no group runs under a neighbor's cache
+      // residue — the earlier query-major sweep left q33's 30x stages
+      // resident while q87 measured its 1x cold, which both inflated the
+      // small-scale colds (eviction) and made "cold" order-dependent
+      graft.queries.SharedStages.invalidate(spark)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); noop(q, s"$root/x$k")
         (System.nanoTime() - t0) / 1e9
@@ -90,6 +97,10 @@ object ScaleBench {
       println(f"""{"kind":"query","name":"$q","scale":$k,"cold":$cold%.3f,"warm":$warm%.3f}""")
       (q, k, cold, warm)
     }
+
+    // the later regimes measure their own pipelines — don't run them
+    // under the last query group's persisted stages either
+    graft.queries.SharedStages.invalidate(spark)
 
     // Eager-agg regime evidence: q68's pre-agg rewrite pays one extra
     // shuffle stage, a fixed cost that loses to the plain q3 plan at 1×
@@ -220,12 +231,16 @@ object ScaleBench {
     val kRows = Seq(10, 100, 1000).map { nq =>
       import org.apache.spark.sql.functions.col
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
-      val queries = emb.filter(col("vec_id") % 17 === 0).limit(nq)
+      // spread the batch across the id range with a modulus sized to the
+      // corpus (a fixed %17 capped the batch at corpus/17 — 118 on this
+      // corpus — silently dropping the 1000-query amortization point)
+      val modulus = math.max(1L, emb.count() / nq)
+      val queries = emb.filter(col("vec_id") % modulus === 0).limit(nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         .localCheckpoint(true)
-      // the per-query math divides by the ACTUAL batch size: on a corpus
-      // with fewer than 17·nq embeddings the filter yields less than nq
-      // and silently dividing by nq would overstate the amortization
+      // the per-query math divides by the ACTUAL batch size: if the
+      // modulus stride still yields fewer than nq rows, dividing by nq
+      // would overstate the amortization
       val actualNq = queries.count()
       val batchSec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
