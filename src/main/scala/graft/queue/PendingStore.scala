@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * racing the swap could list files the swap had just invalidated (it had to
   * retry). This store closes that window the way lakehouse table formats do,
   * scaled down to one moving part: every reader-visible state transition is
-  * ONE atomic rename of ONE small manifest file.
+  * the exclusive creation of ONE small numbered manifest entry — readers
+  * resolve the highest number, writers compare-and-swap the next one.
   *
   * Layout, all under `queueDir/.pending/` (dot-prefixed, so the hive reader
   * of the terminal `status=*` partitions never lists it):
@@ -27,11 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                   rescheduled), written once by the cycle that created it;
   *                   the hex suffix is writer-unique per commit, so racing
   *                   writers at the same version never share a data path
-  *   _current        the manifest: one line with the live snapshot version,
-  *                   then one line per inbox dir that snapshot has already
-  *                   absorbed ("consumed")
+  *   _log/<N>        manifest entry N: one line with the live snapshot dir
+  *                   name, then one line per inbox dir that snapshot has
+  *                   already absorbed ("consumed"). Entries are immutable,
+  *                   published whole by one exclusive hard-link each — the
+  *                   store's commit points. The live manifest is the
+  *                   highest-numbered entry
+  *   _current        the pre-log single-file manifest — read as the seed
+  *                   when `_log` is empty (an on-disk store from before the
+  *                   CAS log), dropped once the log carries the state
   *
-  * Readers resolve `_current` once, then read snapshot ∪ (inbox ∖ consumed)
+  * Readers resolve the manifest once, then read snapshot ∪ (inbox ∖ consumed)
   * — two immutable file sets. The manifest-then-inbox order means a flip
   * racing a reader yields a CONSISTENT older state, never a doubled row
   * (the reverse order could see an inbox spool and the snapshot that
@@ -44,7 +51,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Crash heal is "ignore unreferenced dirs + GC": a commit that dies before
   * its manifest flip leaves an orphan `v<N>-<hex>` the manifest never points
-  * to (the next successful commit's version GC sweeps it); one that dies after the flip leaves
+  * to — swept by a later commit once demonstrably dead (mtime grace: a
+  * fresh same-version orphan may be a RACING writer's in-progress snapshot,
+  * which must lose at the flip's CAS, not by deletion under its running
+  * job); one that dies after the flip leaves
   * stale dirs the next commit's GC sweeps; an enqueue that dies mid-write
   * leaves a dot-prefixed `.spool-*` temp that the stale sweep removes once
   * it is demonstrably dead (no mtime progress past the grace). There is no
@@ -60,22 +70,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Readers more than one flip stale read with `ignoreMissingFiles` and may
   * observe an older-but-consistent state — they are polls by construction.
   *
-  * Single dispatcher writer per queue — ENFORCED, not assumed: a writer
-  * holds a ttl-renewed [[Lease]] (`_owner` file, atomic CREATE_NEW
-  * acquisition) and [[commit]] verifies it immediately before the manifest
-  * flip, so a second dispatcher pointed at the same queueDir gets a clean
-  * [[ConcurrentWriterException]] instead of silently flipping manifests
-  * over the first (a lakehouse table format with optimistic concurrency
-  * remains the true multi-writer upgrade path; the lease implements the
-  * same "no blind overwrite of the commit pointer" rule at this store's
-  * one moving part).
+  * Single dispatcher writer per queue — ENFORCED twice over. A writer holds
+  * a ttl-renewed [[Lease]] (`_owner` file, atomic CREATE_NEW acquisition)
+  * that [[commit]] verifies at entry and again immediately before the flip —
+  * the cooperative layer that fails a second dispatcher fast, before it pays
+  * for a snapshot write. The flip itself is then a true compare-and-swap:
+  * publishing manifest entry N+1 is one EXCLUSIVE hard-link into `_log/`,
+  * which the filesystem grants to exactly one writer per version — the same
+  * "exclusive put of the next numbered commit file" rule lakehouse table
+  * formats build optimistic concurrency on, scaled down to this store's one
+  * moving part. Every lost race, lease-level or log-level, surfaces as a
+  * clean [[ConcurrentWriterException]] with no partial effects; a silently
+  * discarded cycle (the pre-CAS rename flip was last-writer-wins) can no
+  * longer happen even across arbitrary pauses.
   *
-  * Durability model: the manifest temp file is fsynced and the `.pending`
-  * directory is fsynced after the commit rename, so the flip itself survives
+  * Durability model: a manifest entry's content is fsynced before its link
+  * and the `_log` directory is fsynced after it, so the flip itself survives
   * power loss, not just process kills. The parquet data files beneath it are
   * as durable as Spark's committer + the filesystem make them — on a
   * power-fail-strict deployment the store belongs on a filesystem ordering
-  * data writes before the rename (ext4 default), same as every lakehouse
+  * data writes before the link (ext4 default), same as every lakehouse
   * manifest design.
   */
 object PendingStore {
@@ -117,6 +131,44 @@ object PendingStore {
   private def inboxRoot(queueDir: String): Path = root(queueDir).resolve("inbox")
   private def manifestPath(queueDir: String): Path = root(queueDir).resolve("_current")
   private def ownerPath(queueDir: String): Path = root(queueDir).resolve("_owner")
+  private def logRoot(queueDir: String): Path = root(queueDir).resolve("_log")
+
+  /** How many manifest log entries retention keeps. Any capture older than
+    * the tip is refused by [[casCommitManifest]]'s tip check, so entries
+    * below the tip only serve forensic inspection; keeping several makes the
+    * "a GC'd slot could be re-created by an ancient writer" hazard require a
+    * writer `logKeep` commits stale — which the tip check refuses anyway. */
+  private val logKeep = 8
+
+  private def listLogVersions(queueDir: String): Seq[Long] = {
+    val d = logRoot(queueDir)
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.nonEmpty && n.forall(_.isDigit)) b += n.toLong
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  private def parseManifestLines(lines: java.util.List[String],
+                                 versionFromName: Long = -1L): Manifest = {
+    val head = lines.get(0).trim
+    val consumed =
+      (1 until lines.size()).map(lines.get(_).trim).filter(_.nonEmpty).toSeq
+    // head is the snapshot dir name ("v<N>-<hex>"); a bare number is a
+    // legacy manifest whose snapshot lives at the unsuffixed "v<N>"
+    if (head.startsWith("v")) {
+      val v = if (versionFromName >= 0L) versionFromName
+              else head.drop(1).takeWhile(_.isDigit).toLong
+      Manifest(v, consumed, head)
+    } else Manifest(head.toLong, consumed)
+  }
 
   /** (token, expiryMillis) of the current lease file, if any. */
   private def readLeaseFile(queueDir: String): Option[(String, Long)] = {
@@ -223,16 +275,18 @@ object PendingStore {
     * carry OUR token AND the token must be unexpired — a holder paused past
     * its TTL (long GC, SIGSTOP) whose `_owner` file has not yet been replaced
     * would otherwise pass here while a takeover lands between the check and
-    * the rename. Without a lease: commits are refused while any live lease
+    * the flip. Without a lease: commits are refused while any live lease
     * exists — an unmanaged commit must not race a managed dispatcher.
     *
-    * Residual limitation, inherent to TTL leasing: check→flip is not atomic,
-    * so a takeover can still land INSIDE that microsecond window and both
-    * writers flip — the later flip discards the other's cycle (redelivery
-    * under at-least-once; never data loss, since snapshot dirs are
-    * writer-unique and terminal history is append-only). True fencing needs
-    * a compare-and-swap on the manifest version, i.e. a lakehouse commit
-    * protocol — the documented multi-writer upgrade path. */
+    * This check is the COOPERATIVE layer: it exists to refuse the common
+    * second-dispatcher cases early, with errors that name the other owner.
+    * It is deliberately not the correctness fence — check→flip is not
+    * atomic, and a takeover can land inside that window. What makes the
+    * window harmless is the flip itself: [[casCommitManifest]] publishes
+    * the next manifest version by exclusive hard-link, so of two writers
+    * that both pass this check, exactly one commits and the other gets a
+    * [[ConcurrentWriterException]] with no partial effects (its snapshot
+    * dir is writer-unique and unreferenced, GC'd by the next commit). */
   private def verifyLease(queueDir: String, lease: Option[Lease]): Unit =
     (lease, readLeaseFile(queueDir)) match {
       case (Some(l), Some((tok, exp))) =>
@@ -256,20 +310,38 @@ object PendingStore {
       case _ => () // no lease anywhere: unmanaged single-writer mode
     }
 
-  def manifest(queueDir: String): Manifest = {
+  /** The single-file pre-log manifest, `Manifest(0, Nil)` if absent. Still
+    * read as the log's seed: a store written before the CAS log carries its
+    * state here until the first CAS commit migrates it. */
+  private def legacyManifest(queueDir: String): Manifest = {
     val p = manifestPath(queueDir)
     if (!Files.exists(p)) Manifest(0L, Nil)
-    else {
-      val lines = Files.readAllLines(p)
-      val head = lines.get(0).trim
-      val consumed =
-        (1 until lines.size()).map(lines.get(_).trim).filter(_.nonEmpty).toSeq
-      // line 1 is the snapshot dir name ("v<N>-<hex>"); a bare number is a
-      // legacy manifest whose snapshot lives at the unsuffixed "v<N>"
-      if (head.startsWith("v"))
-        Manifest(head.drop(1).takeWhile(_.isDigit).toLong, consumed, head)
-      else Manifest(head.toLong, consumed)
+    else parseManifestLines(Files.readAllLines(p))
+  }
+
+  /** The live manifest: the highest-numbered `_log` entry, else the legacy
+    * `_current` file, else an empty v0. The retry loop covers two benign
+    * races — the listed tip being GC'd under a many-commits-stale reader,
+    * and `_current` being dropped by a migration between our empty-log
+    * listing and the legacy read (`_current` is only ever deleted AFTER the
+    * log's first entry exists, so one re-list resolves it). */
+  def manifest(queueDir: String): Manifest = {
+    var i = 0
+    while (i < 3) {
+      i += 1
+      val vs = listLogVersions(queueDir)
+      if (vs.nonEmpty) {
+        val v = vs.max
+        try return parseManifestLines(
+          Files.readAllLines(logRoot(queueDir).resolve(v.toString)), v)
+        catch { case _: java.io.IOException => () } // tip swept between list and read: re-list
+      } else {
+        val legacy = legacyManifest(queueDir)
+        if (legacy.version > 0L) return legacy
+        if (listLogVersions(queueDir).isEmpty) return legacy // genuinely fresh
+      }
     }
+    legacyManifest(queueDir) // three raced attempts: fall back to the seed
   }
 
   def listInbox(queueDir: String): Seq[String] = {
@@ -338,22 +410,30 @@ object PendingStore {
     *      racing a post-takeover owner at the same version number writes a
     *      DIFFERENT directory and can never overwrite the winner's data
     *      (orphans from refused/crashed commits are swept by step 4);
-    *   2. flip `_current` — THE commit point, one atomic rename; the new
-    *      manifest consumes this capture's inbox plus every previously
-    *      consumed dir that still exists (a failed GC keeps its name alive
-    *      so it stays excluded until it is actually gone);
+    *   2. publish manifest entry `_log/<N+1>` — THE commit point, one
+    *      exclusive hard-link, i.e. a compare-and-swap on the manifest
+    *      version: of any number of racing writers the filesystem links
+    *      exactly one, and every loser gets [[ConcurrentWriterException]]
+    *      with zero partial effects. The new manifest consumes this
+    *      capture's inbox plus every previously consumed dir that still
+    *      exists (a failed GC keeps its name alive so it stays excluded
+    *      until it is actually gone);
     *   3. GC the previous manifest's consumed inbox dirs — post-flip, they
     *      are referenced only by manifests two or more flips stale, outside
     *      the retention grace. Each dir is tombstone-renamed (atomic
     *      disappearance from listings) before its contents are deleted, so
     *      no lister can observe a partially-deleted spool;
     *   4. GC snapshots, keeping the new one and its predecessor (the
-    *      one-flip reader grace), then sweep demonstrably-dead enqueue
-    *      temps (`.spool-*` / `._current.tmp` with no mtime progress past
+    *      one-flip reader grace) and manifest log entries (newest
+    *      [[logKeep]]; the superseded legacy `_current` is dropped once the
+    *      log carries the state), then sweep demonstrably-dead enqueue
+    *      temps (`.spool-*` / `._commit.*.tmp` with no mtime progress past
     *      `staleGraceMs` — a live spool writer touches its files constantly).
     *
     * The lease is verified at entry (cheap fail-fast before the parquet
-    * write) and again immediately before the flip (the authoritative gate).
+    * write) and again immediately before the flip (clear errors for the
+    * common second-dispatcher case); the flip's exclusive link is the
+    * authoritative fence.
     */
   def commit(newPending: DataFrame, queueDir: String, snap: Capture,
              onStep: String => Unit = _ => (),
@@ -370,17 +450,37 @@ object PendingStore {
     // after expiry, or release) aborts here with a clear error instead of
     // silently flipping the manifest over another writer's.
     verifyLease(queueDir, lease)
-    writeManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct, dirNew))
+    casCommitManifest(queueDir, Manifest(vNew, (snap.inbox ++ carried).distinct, dirNew))
     lease.foreach(l => writeLeaseFile(queueDir, l.token, l.ttlMs)) // renew
     onStep("manifest-flipped")
     sweepTombstones(queueDir) // a crashed step-3 leaves '.<name>.gc' dirs; clear first
     carried.foreach(gcInboxDir(queueDir, _))
     onStep("inbox-gc")
     val keep = Set(dirNew, prev.dirName)
+    // Unreferenced version dirs below the committed pair cannot be a live
+    // racer's in-progress write (a racer targets tip+1, never lower) —
+    // swept immediately, which keeps the steady-state dir count bounded.
+    // At-or-above prev's version, sweep only once demonstrably dead (same
+    // mtime grace as the temp sweep): a FRESH orphan there may be a racing
+    // writer's still-in-progress snapshot write, and that writer must lose
+    // at the flip's CAS with a clean refusal, not by having its files
+    // deleted out from under its running job.
+    val versionCutoff = System.currentTimeMillis() - staleGraceMs
     listVersionDirs(queueDir).filterNot(keep).foreach { n =>
-      try deleteRec(root(queueDir).resolve(n))
+      val p = root(queueDir).resolve(n)
+      val ver = n.drop(1).takeWhile(_.isDigit).toLong
+      if (ver < prev.version || newestMtime(p) < versionCutoff)
+        try deleteRec(p)
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    }
+    listLogVersions(queueDir).sorted.dropRight(logKeep).foreach { v =>
+      try Files.deleteIfExists(logRoot(queueDir).resolve(v.toString))
       catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     }
+    // the pre-log single-file manifest is superseded the moment the log has
+    // an entry; dropping it here (post-flip) keeps the migration one-way
+    try Files.deleteIfExists(manifestPath(queueDir))
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     onStep("versions-gc")
     sweepStaleTemps(queueDir, staleGraceMs)
   }
@@ -421,8 +521,9 @@ object PendingStore {
 
   /** Sweep enqueue temps whose writer is demonstrably dead: a `.spool-*`
     * dir (crash between parquet write and the visibility rename) or a
-    * `._current.tmp` (crash between manifest write and flip) with no mtime
-    * progress anywhere in its tree for `graceMs`. A live spool writer
+    * `._commit.*.tmp` / legacy `._current.tmp` (crash between manifest
+    * entry write and its link) with no mtime progress anywhere in its tree
+    * for `graceMs`. A live spool writer
     * touches its task files continuously, so mtime staleness — not mere
     * existence — is the death signal; without this sweep a crashed enqueue
     * leaks its temp dir forever. */
@@ -437,39 +538,82 @@ object PendingStore {
         val p = it.next()
         val n = p.getFileName.toString
         if (n.startsWith(".spool-") || n == "._current.tmp" ||
+          (n.startsWith("._commit.") && n.endsWith(".tmp")) ||
           (n.startsWith("._owner.") && n.endsWith(".tmp"))) {
-          val newest =
-            try {
-              val w = Files.walk(p)
-              try w.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
-              finally w.close()
-            } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue } // racing writer: skip
-          if (newest < cutoff)
+          if (newestMtime(p) < cutoff)
             try deleteRec(p) catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
         }
       }
     } finally s.close()
   }
 
-  /** Write-then-rename with real durability: the temp file's channel is
-    * forced before the rename and the `.pending` directory is forced after
-    * it, so the flip survives power loss, not just process kills. The
-    * directory force is best-effort (some filesystems refuse directory
-    * handles); on the tested platform it maps to fsync(2) of the dirent. */
-  private def writeManifest(queueDir: String, m: Manifest): Unit = {
+  /** The commit point: publish manifest entry `_log/<m.version>` by
+    * exclusive hard-link — a true compare-and-swap on the manifest version.
+    *
+    * The pre-link tip check is not an optimization: retention keeps only the
+    * newest [[logKeep]] log entries, so a writer MORE than `logKeep`
+    * versions stale would find its target slot already swept and its link
+    * would "succeed" onto a version no reader resolves. Refusing every
+    * non-tip capture closes that; the window between the check and the link
+    * only admits racers targeting the SAME version (settled by the exclusive
+    * link — the filesystem grants it once), because reaching version N+2
+    * requires N+1 to exist first, which makes our link fail, and re-emptying
+    * the N+1 slot takes `logKeep` further commits, not a microsecond race.
+    *
+    * Durability: the entry's content is forced to disk before the link and
+    * the `_log` directory is forced after it, so the flip survives power
+    * loss, not just process kills. The directory force is best-effort (some
+    * filesystems refuse directory handles); on the tested platform it maps
+    * to fsync(2) of the dirent. */
+  private def casCommitManifest(queueDir: String, m: Manifest): Unit = {
     import java.nio.file.StandardOpenOption._
-    val tmp = root(queueDir).resolve("._current.tmp")
+    val d = logRoot(queueDir)
+    Files.createDirectories(d)
+    val tip = listLogVersions(queueDir) match {
+      case Nil => legacyManifest(queueDir).version // pre-log store: seed from `_current`
+      case vs  => vs.max
+    }
+    if (tip != m.version - 1)
+      throw new ConcurrentWriterException(
+        s"queue '$queueDir' commit refused: our capture was at version " +
+          s"${m.version - 1} but the store is at $tip — another writer " +
+          "committed since; nothing was flipped (our snapshot dir is " +
+          "unreferenced and will be GC'd)")
+    val tmp = root(queueDir).resolve(
+      "._commit." + java.util.UUID.randomUUID().toString + ".tmp")
     // line 1 = the snapshot dir name (carries both the version and the
     // writer-unique suffix); consumed inbox dirs follow one per line
     val bytes = (m.dirName +: m.consumed).mkString("\n").getBytes
     val ch = java.nio.channels.FileChannel.open(tmp, CREATE, WRITE, TRUNCATE_EXISTING)
     try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) } finally ch.close()
-    Files.move(tmp, manifestPath(queueDir), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(d.resolve(m.version.toString), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentWriterException(
+          s"queue '$queueDir' lost the commit race for version ${m.version}: " +
+            "another writer published that log entry first; its commit " +
+            "stands whole, ours is refused whole (our snapshot dir is " +
+            "unreferenced and will be GC'd)")
+    }
+    try Files.delete(tmp)
+    catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     try {
-      val dch = java.nio.channels.FileChannel.open(root(queueDir), READ)
+      val dch = java.nio.channels.FileChannel.open(d, READ)
       try dch.force(true) finally dch.close()
     } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
   }
+
+  /** Newest mtime anywhere in `p`'s tree — the liveness signal for sweeps:
+    * a live writer touches its files constantly, so no progress past the
+    * grace means the writer is dead. `Long.MaxValue` (= never sweep) when
+    * the walk races a concurrent change. */
+  private def newestMtime(p: Path): Long =
+    try {
+      val w = Files.walk(p)
+      try w.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+      finally w.close()
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue }
 
   private def listVersionDirs(queueDir: String): Seq[String] = {
     val r = root(queueDir)

@@ -8,11 +8,15 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The manifest-committed PENDING store: the queue's reader-visible state
-  * must change only at the single-file manifest rename. The core proof kills
-  * the writer between every pair of commit steps and asserts a reader never
-  * observes a missing or doubled row — the atomicity the reference inherits
-  * from Postgres MVCC, which the round-4 directory-rename swap could not
-  * give a concurrent reader (it had to retry). */
+  * must change only at the exclusive-create of the next numbered manifest
+  * log entry. The core proof kills the writer between every pair of commit
+  * steps and asserts a reader never observes a missing or doubled row — the
+  * atomicity the reference inherits from Postgres MVCC, which the round-4
+  * directory-rename swap could not give a concurrent reader (it had to
+  * retry). The CAS cases then pin the flip itself: a stale capture and a
+  * same-version race each end with exactly one committed writer and one
+  * clean refusal — under the pre-CAS rename flip the later writer silently
+  * won and discarded the other's cycle. */
 class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
@@ -239,6 +243,86 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(readIds(dir) == Seq("a1"),
       "winner's snapshot was clobbered or its flip was overwritten")
     assert(PendingStore.leaseHolder(dir).contains("new"))
+  }
+
+  test("CAS flip: a commit from a stale capture is refused, never a silent overwrite") {
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2"), dir)
+    val s0 = PendingStore.capture(dir)
+    val sStale = PendingStore.capture(dir) // a second writer's view of the same tip
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0) // v1 commits
+    // pre-CAS, this flip would have silently WON by rename order, discarding
+    // v1's cycle; now the tip check refuses it whole
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.commit(
+        PendingStore.readAt(spark, dir, sStale).filter($"id" === "a1"), dir, sStale)
+    }
+    assert(err.getMessage.contains("another writer committed since"), err.getMessage)
+    assert(PendingStore.manifest(dir).version == 1L)
+    assert(readIds(dir) == Seq("a1", "a2"), "the first commit's state must stand")
+    // the refused writer converges the normal way: re-capture and retry
+    val s2 = PendingStore.capture(dir)
+    PendingStore.commit(
+      PendingStore.readAt(spark, dir, s2).filter($"id" === "a1"), dir, s2)
+    assert(readIds(dir) == Seq("a1"))
+    assert(PendingStore.manifest(dir).version == 2L)
+  }
+
+  test("CAS flip: two writers racing the same version — exactly one publishes, one refused") {
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0) // v1 live
+    for (round <- 1 to 3) {
+      val snap = PendingStore.capture(dir)
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Unit]]()
+      val writers = (1 to 2).map { _ =>
+        val np = PendingStore.readAt(spark, dir, snap)
+        new Thread(() =>
+          try { PendingStore.commit(np, dir, snap); outcomes.add(Right(())) }
+          catch {
+            case e: PendingStore.ConcurrentWriterException =>
+              outcomes.add(Left(e.getMessage))
+            case e: Throwable => // anything else is a FAILED refusal, not a clean one
+              outcomes.add(Left(s"UNEXPECTED ${e.getClass.getName}: ${e.getMessage}"))
+          })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join(60000))
+      val (lost, won) =
+        outcomes.toArray(Array.empty[Either[String, Unit]]).partition(_.isLeft)
+      // whichever gate settles it (tip check or the exclusive link), the
+      // invariant is the same: one commit stands whole, one is refused whole
+      assert(won.length == 1 && lost.length == 1,
+        s"round $round: expected one winner, one refusal; got $outcomes")
+      assert(lost.forall(!_.swap.toOption.get.startsWith("UNEXPECTED")),
+        s"round $round: the loser must get a CLEAN refusal; got $outcomes")
+      assert(readIds(dir) == Seq("a1", "a2"), s"round $round: data must be intact")
+      assert(PendingStore.manifest(dir).version == 1L + round)
+    }
+  }
+
+  test("legacy single-file manifest seeds the CAS log and is dropped after migration") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0) // _log/1
+    // rebuild the pre-log on-disk layout: state in `_current`, no `_log`
+    val pend = Paths.get(dir, ".pending")
+    val logDir = pend.resolve("_log")
+    Files.copy(logDir.resolve("1"), pend.resolve("_current"))
+    Files.list(logDir).forEach(Files.delete(_))
+    Files.delete(logDir)
+    // reads resolve the legacy manifest as the live state
+    assert(PendingStore.manifest(dir).version == 1L)
+    assert(readIds(dir) == Seq("a1"))
+    // the first CAS commit seeds the log at N+1 and retires `_current`
+    val s1 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s1), dir, s1)
+    assert(Files.exists(logDir.resolve("2")), "log must seed at legacy version + 1")
+    assert(!Files.exists(pend.resolve("_current")), "_current must be dropped")
+    assert(PendingStore.manifest(dir).version == 2L)
+    assert(readIds(dir) == Seq("a1"))
   }
 
   test("crashed enqueue's .spool-* temp is swept once stale, never while fresh") {

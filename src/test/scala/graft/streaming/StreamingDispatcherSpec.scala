@@ -90,7 +90,11 @@ class StreamingDispatcherSpec extends AnyFunSuite with SparkTestSession with Bef
       var settled = false
       while (!settled) {
         assert(System.currentTimeMillis() < deadline,
-          s"never reached compacted steady state; files=${deliveredFiles()}")
+          "never reached compacted steady state; files=" +
+            // the diagnostic itself races the compaction swap — it must not
+            // mask the timeout with its own NoSuchFileException
+            (try deliveredFiles().toString
+             catch { case scala.util.control.NonFatal(_) => "?" }))
         settled =
           try !Dispatcher.hasPending(spark, dir) && deliveredFiles() == 1 && {
             val rows = EventLog.read(spark, dir).as[EventLog.QueueRow].collect()
