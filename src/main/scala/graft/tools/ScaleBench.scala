@@ -407,6 +407,17 @@ object ScaleBench {
     sb ++= "\nThe 30x column (capped-vs-uncapped crossover pair only) is the\n"
     sb ++= "decade that separates a fixed-cost-dominated slope from a real\n"
     sb ++= "superlinear term: linear predicts 30x/10x = 3.\n"
+    for {
+      u10 <- qRows.find(r => r._1 == "q33_jaccard_verify" && r._2 == 10)
+      u30 <- qRows.find(r => r._1 == "q33_jaccard_verify" && r._2 == 30)
+      c10 <- qRows.find(r => r._1 == "q87_jaccard_capped" && r._2 == 10)
+      c30 <- qRows.find(r => r._1 == "q87_jaccard_capped" && r._2 == 30)
+    } sb ++= f"Crossover conclusion: at 30x/10x the capped path runs at ${c30._3 / c10._3}%.1fx\n" +
+      f"cold / ${c30._4 / c10._4}%.1fx warm — at-or-below linear, i.e. candidate-volume-bound\n" +
+      f"with no superlinear term of its own — while the uncapped contrast is\n" +
+      f"${u30._3 / u10._3}%.1fx cold / ${u30._4 / u10._4}%.1fx warm, its warm slope crossing linear as the\n" +
+      "mega-bucket quadratic outgrows the fixed stage costs. The cap is the\n" +
+      "100 TB path.\n"
     sb ++= "\nNote on the round-4 q33 anomaly (warm 10.5 s > cold 8.0 s at 10x):\n"
     sb ++= "it did not reproduce on a fresh cold rebuild — warm stays well under\n"
     sb ++= "cold here, i.e. the persisted shingle stage reads faster than it\n"
