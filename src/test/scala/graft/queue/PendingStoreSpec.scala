@@ -302,6 +302,47 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("version GC: retired snapshots sweep immediately, a fresh same-version orphan survives until stale") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    // three commits: the store must hold exactly {v3, v2} afterwards — a
+    // dispatcher at a 1 s cadence must not accrue dirs for the mtime grace
+    for (_ <- 1 to 3) {
+      val s = PendingStore.capture(dir)
+      PendingStore.commit(PendingStore.readAt(spark, dir, s), dir, s)
+    }
+    def versionDirs(): Seq[String] = {
+      val s = Files.list(Paths.get(dir, ".pending"))
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.matches("v\\d+(-[0-9a-f]{8})?")) b += n
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+    assert(versionDirs().map(_.take(2)).sorted == Seq("v2", "v3"),
+      s"steady state must keep exactly the committed pair; got ${versionDirs()}")
+    // a FRESH orphan at the next version (a racer's in-progress write)
+    // survives the commit that beats it...
+    val racer = Paths.get(dir, ".pending", "v4-deadbeef")
+    Files.createDirectories(racer)
+    Files.write(racer.resolve("part-0.parquet"), "in progress".getBytes)
+    val s4 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s4), dir, s4) // real v4
+    assert(Files.exists(racer), "fresh same-version orphan must not be deleted under a racer")
+    // ...but once BELOW the previous version it sweeps regardless of mtime
+    // (it can no longer be anyone's in-flight target): at commit v6 the
+    // pair is {v6, v5} and the v4 orphan is two flips stale
+    for (_ <- 5 to 6) {
+      val s = PendingStore.capture(dir)
+      PendingStore.commit(PendingStore.readAt(spark, dir, s), dir, s)
+    }
+    assert(!Files.exists(racer), "below-previous orphan must sweep immediately")
+    assert(readIds(dir) == Seq("a1"))
+  }
+
   test("legacy single-file manifest seeds the CAS log and is dropped after migration") {
     val dir = tmp()
     PendingStore.spool(df("a1"), dir)
