@@ -88,7 +88,14 @@ object Plans {
       ("Semantic dup clusters: BSP min-label propagation over the verified " +
         "near-dup pair list — per round one shuffle of the (node, label) " +
         "relation, lineage truncated per round; the corpus-sized side never " +
-        "re-enters after the candidate stage."))
+        "re-enters after the candidate stage."),
+    "q89_pq_codes" ->
+      ("PQ encoding: the codebooks are plan literals, each code an argmax " +
+        "over ksub codegen'd quantized dots — the encode itself is one " +
+        "map-side projection with zero exchanges (PqSpec pins it); the " +
+        "posexplode + global order here exist only for the DuckDB oracle's " +
+        "row identity, and a production encode persists the codes relation " +
+        "unordered."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
