@@ -81,7 +81,11 @@ object Bench {
     // summary+mins+samples is also written to a repo file every run. The
     // stdout summary line stays the driver's signal; this file is the record.
     val detail = f"""{"metric":"bench_detail","total":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries":$qs,"errors":$es,"samples":$all}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // A SPARK_GRAFT_ONLY subset run is a dev probe, not the record — it must
+    // not clobber the committed full-battery artifact with partial data
+    val detailFile =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.partial.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // bench still reports via stdout
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":${errors.size},"sf":"$sfDir"}""")

@@ -81,9 +81,15 @@ object ProductQuantizer {
     var cents: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) { (s, c) =>
       seedRows(c)._2.slice(s * subDim, (s + 1) * subDim).toArray
     }
+    // A sampled training set is PERSISTED across the Lloyd loop: the filter
+    // alone is lazy, so without this each iteration would re-scan the full
+    // corpus (and re-md5 every id) just to discard (1 − fraction) of it —
+    // the exact 5× corpus read the knob exists to avoid. Materialized once,
+    // read `iters` times, dropped before the return.
     val trainSet =
-      if (trainFraction >= 1.0) emb
+      if (trainFraction >= 1.0 || iters == 0) emb
       else emb.filter(Sampling.hash16(col(idCol)) < lit(trainFraction * 65536.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one training-set pass per iteration: explode to (sub, subvec), assign
     // all subspaces against the broadcast codebook rows, partial-agg the sums
     for (_ <- 1 to iters) {
@@ -122,6 +128,7 @@ object ProductQuantizer {
       }
       cents = next
     }
+    if (!(trainSet eq emb)) trainSet.unpersist()
     Codebooks(m, ksub, subDim, cents)
   }
 

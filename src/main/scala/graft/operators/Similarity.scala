@@ -281,9 +281,13 @@ object Similarity {
     var cents: Seq[(Long, Seq[Float])] = emb.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    // persisted across the loop — the lazy filter alone would re-scan the
+    // full corpus (and re-md5 every id) on every iteration, the exact 5×
+    // read the sampling knob exists to avoid
     val trainSet =
-      if (trainFraction >= 1.0) emb
+      if (trainFraction >= 1.0 || iters == 0) emb
       else emb.filter(Sampling.hash16(col(idCol)) < lit(trainFraction * 65536.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       val sums = ivfAssignWith(trainSet, cents.toDF("centroid_id", "cvec"), idCol, vecCol)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -303,6 +307,7 @@ object Similarity {
         }
       }
     }
+    if (!(trainSet eq emb)) trainSet.unpersist()
     cents.toDF("centroid_id", "cvec")
   }
 

@@ -130,12 +130,16 @@ object Dispatcher {
 
   /** Run cycles until no PENDING work remains or `maxCycles` hit, sleeping
     * `pollMs` between cycles (reference cadence: 1000 ms). Holds the writer
-    * lease for the duration: a second drain on the same queueDir refuses
-    * cleanly instead of interleaving commits with this one. */
+    * lease for the duration — kept alive by a [[PendingStore.heartbeat]],
+    * so a delivery pass slower than the lease ttl (slow webhooks × a deep
+    * backlog) cannot expire it mid-cycle — and a second drain on the same
+    * queueDir refuses cleanly instead of interleaving commits with this
+    * one. */
   def drain(spark: SparkSession, queueDir: String, poster: HttpPoster = JdkHttpPoster,
             pollMs: Long = 1000L, maxCycles: Int = 60): Seq[CycleStats] = {
     import spark.implicits._
     val lease = PendingStore.acquireLease(queueDir, "drain")
+    val hb = PendingStore.heartbeat(queueDir, lease)
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[CycleStats]
       var cycle = 0
@@ -147,7 +151,7 @@ object Dispatcher {
         if (pending) Thread.sleep(pollMs)
       }
       out.toSeq
-    } finally PendingStore.releaseLease(queueDir, lease)
+    } finally { hb.close(); PendingStore.releaseLease(queueDir, lease) }
   }
 
   /** Supervised drain — the reference worker deliberately crashes ~10% of

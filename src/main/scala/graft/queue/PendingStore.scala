@@ -49,12 +49,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * next cycle's work — the rename-swap layout could lose an enqueue that
   * raced the swap's rewrite.
   *
-  * Crash heal is "ignore unreferenced dirs + GC": a commit that dies before
-  * its manifest flip leaves an orphan `v<N>-<hex>` the manifest never points
-  * to — swept by a later commit once demonstrably dead (mtime grace: a
-  * fresh same-version orphan may be a RACING writer's in-progress snapshot,
-  * which must lose at the flip's CAS, not by deletion under its running
-  * job); one that dies after the flip leaves
+  * Crash heal is "ignore unreferenced dirs + GC": snapshots are
+  * complete-on-arrival (the parquet job writes a dot-prefixed `.snap-*`
+  * temp, one rename publishes it), so a commit that dies mid-write leaves
+  * only a temp the stale sweep reclaims, one that dies before its flip
+  * leaves a complete orphan `v<N>-<hex>` the next commit sweeps
+  * immediately (visible ⇒ no job is still writing it), and a racing
+  * writer always loses at the flip's CAS — never by having files deleted
+  * under its running job; one that dies after the flip leaves
   * stale dirs the next commit's GC sweeps; an enqueue that dies mid-write
   * leaves a dot-prefixed `.spool-*` temp that the stale sweep removes once
   * it is demonstrably dead (no mtime progress past the grace). There is no
@@ -246,11 +248,39 @@ object PendingStore {
     Lease(owner, token, ttlMs)
   }
 
-  /** Renew `lease` (verifying it is still ours). Dispatchers call this on
-    * idle cycles so a live-but-idle holder is never mistaken for crashed. */
+  /** Renew `lease`. Refuses if the `_owner` file carries a FOREIGN token or
+    * is gone (superseded/released — renewing would evict the rightful
+    * owner), but re-claims our own lease even if EXPIRED: an expired lease
+    * is takeover-able by anyone, including its old holder, and the file
+    * still carrying our token proves nobody else has. This is what lets a
+    * [[heartbeat]] (or an idle-cycle renewal) self-heal after a pause
+    * longer than the ttl instead of livelocking — while [[commit]]'s own
+    * verification stays strict (an expired token refuses there; the
+    * recovery path is the next renewal, not a commit on a dead lease). */
   def renewLease(queueDir: String, lease: Lease): Unit = {
-    verifyLease(queueDir, Some(lease))
+    readLeaseFile(queueDir) match {
+      case Some((tok, _)) if tok == lease.token => () // ours, live or expired
+      case _ => verifyLease(queueDir, Some(lease)) // foreign/missing: refuse with the standard error
+    }
     writeLeaseFile(queueDir, lease.token, lease.ttlMs)
+  }
+
+  /** Keep `lease` alive across long busy cycles: a daemon thread renews it
+    * every ttl/3 until closed (or until the lease is lost to a takeover, at
+    * which point renewing stops and the holder's next commit gets the
+    * refusal). Without this, a delivery pass longer than the ttl — slow
+    * webhooks × a deep backlog — expires the lease mid-cycle and the
+    * commit-time check refuses a cycle that then retries just as slowly:
+    * a livelock, the standard failure mode of TTL leases without keepers. */
+  def heartbeat(queueDir: String, lease: Lease): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t })
+    val period = math.max(1L, lease.ttlMs / 3)
+    exec.scheduleAtFixedRate(
+      () => try renewLease(queueDir, lease)
+            catch { case _: ConcurrentWriterException => exec.shutdown() },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => exec.shutdownNow()
   }
 
   /** Release `lease` if still held (no-op if it was already taken over).
@@ -327,10 +357,12 @@ object PendingStore {
     * log's first entry exists, so one re-list resolves it). */
   def manifest(queueDir: String): Manifest = {
     var i = 0
+    var sawLog = false
     while (i < 3) {
       i += 1
       val vs = listLogVersions(queueDir)
       if (vs.nonEmpty) {
+        sawLog = true
         val v = vs.max
         try return parseManifestLines(
           Files.readAllLines(logRoot(queueDir).resolve(v.toString)), v)
@@ -339,9 +371,18 @@ object PendingStore {
         val legacy = legacyManifest(queueDir)
         if (legacy.version > 0L) return legacy
         if (listLogVersions(queueDir).isEmpty) return legacy // genuinely fresh
+        sawLog = true
       }
     }
-    legacyManifest(queueDir) // three raced attempts: fall back to the seed
+    // A log we SAW but could never read is not an empty store: answering
+    // the v0 seed here would resurface every consumed inbox spool (and an
+    // unmanaged caller could re-deliver them before any commit check
+    // refuses it). Throw instead — readers are polls and simply retry.
+    if (sawLog)
+      throw new IllegalStateException(
+        s"queue '$queueDir' manifest log unreadable after 3 raced attempts; " +
+          "a reader this far behind retention should re-poll, not see v0")
+    legacyManifest(queueDir)
   }
 
   def listInbox(queueDir: String): Seq[String] = {
@@ -405,11 +446,14 @@ object PendingStore {
     * `onStep` is a test seam: PendingStoreSpec kills the writer after each
     * step and asserts readers never observe a missing or doubled row.
     *
-    *   1. write snapshot `v<N+1>-<8 hex>` beside the live one — the name is
-    *      writer-unique (fresh hex suffix per commit), so a stale ex-holder
-    *      racing a post-takeover owner at the same version number writes a
-    *      DIFFERENT directory and can never overwrite the winner's data
-    *      (orphans from refused/crashed commits are swept by step 4);
+    *   1. write snapshot `v<N+1>-<8 hex>` beside the live one — into a
+    *      dot-prefixed `.snap-*` temp first, published complete by one
+    *      rename. The name is writer-unique (fresh hex suffix per commit),
+    *      so a stale ex-holder racing a post-takeover owner at the same
+    *      version number writes a DIFFERENT directory and can never
+    *      overwrite the winner's data (complete orphans from
+    *      refused/crashed commits are swept by step 4; in-progress temps
+    *      by the stale sweep);
     *   2. publish manifest entry `_log/<N+1>` — THE commit point, one
     *      exclusive hard-link, i.e. a compare-and-swap on the manifest
     *      version: of any number of racing writers the filesystem links
@@ -426,9 +470,9 @@ object PendingStore {
     *   4. GC snapshots, keeping the new one and its predecessor (the
     *      one-flip reader grace) and manifest log entries (newest
     *      [[logKeep]]; the superseded legacy `_current` is dropped once the
-    *      log carries the state), then sweep demonstrably-dead enqueue
-    *      temps (`.spool-*` / `._commit.*.tmp` with no mtime progress past
-    *      `staleGraceMs` — a live spool writer touches its files constantly).
+    *      log carries the state), then sweep demonstrably-dead temps
+    *      (`.spool-*` / `.snap-*` / `._commit.*.tmp` with no mtime progress
+    *      past `staleGraceMs` — a live writer touches its files constantly).
     *
     * The lease is verified at entry (cheap fail-fast before the parquet
     * write) and again immediately before the flip (clear errors for the
@@ -443,7 +487,16 @@ object PendingStore {
     val vNew = prev.version + 1
     verifyLease(queueDir, lease) // fail fast before paying for the write
     val dirNew = s"v$vNew-" + java.util.UUID.randomUUID().toString.take(8)
-    newPending.write.mode("overwrite").parquet(root(queueDir).resolve(dirNew).toString)
+    // Snapshots are complete-on-arrival, same as enqueue spools: the
+    // parquet job writes into a dot-prefixed temp (protected by the
+    // stale-temp mtime grace while in progress) and one rename publishes
+    // the finished dir. A visible `v<N>-<hex>` is therefore NEVER a
+    // running job's output, so version GC can sweep unreferenced ones
+    // immediately — no grace heuristic, no risk of deleting files under a
+    // paused racer's still-running write, bounded steady state.
+    val tmpSnap = root(queueDir).resolve(".snap-" + dirNew)
+    newPending.write.mode("overwrite").parquet(tmpSnap.toString)
+    Files.move(tmpSnap, root(queueDir).resolve(dirNew), StandardCopyOption.ATOMIC_MOVE)
     onStep("snapshot-written")
     val carried = prev.consumed.filter(n => Files.exists(inboxRoot(queueDir).resolve(n)))
     // Ownership gate immediately before the flip: a lost lease (takeover
@@ -457,21 +510,15 @@ object PendingStore {
     carried.foreach(gcInboxDir(queueDir, _))
     onStep("inbox-gc")
     val keep = Set(dirNew, prev.dirName)
-    // Unreferenced version dirs below the committed pair cannot be a live
-    // racer's in-progress write (a racer targets tip+1, never lower) —
-    // swept immediately, which keeps the steady-state dir count bounded.
-    // At-or-above prev's version, sweep only once demonstrably dead (same
-    // mtime grace as the temp sweep): a FRESH orphan there may be a racing
-    // writer's still-in-progress snapshot write, and that writer must lose
-    // at the flip's CAS with a clean refusal, not by having its files
-    // deleted out from under its running job.
-    val versionCutoff = System.currentTimeMillis() - staleGraceMs
+    // Visible version dirs are complete by construction (published by the
+    // rename above), so an unreferenced one is a finished orphan from a
+    // refused/crashed commit — swept immediately, keeping the steady state
+    // at exactly the committed pair. A racer's IN-PROGRESS write lives in
+    // its `.snap-*` temp, protected by the mtime grace below; the racer
+    // itself loses at the flip's CAS with a clean refusal.
     listVersionDirs(queueDir).filterNot(keep).foreach { n =>
-      val p = root(queueDir).resolve(n)
-      val ver = n.drop(1).takeWhile(_.isDigit).toLong
-      if (ver < prev.version || newestMtime(p) < versionCutoff)
-        try deleteRec(p)
-        catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+      try deleteRec(root(queueDir).resolve(n))
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
     }
     listLogVersions(queueDir).sorted.dropRight(logKeep).foreach { v =>
       try Files.deleteIfExists(logRoot(queueDir).resolve(v.toString))
@@ -537,7 +584,8 @@ object PendingStore {
       while (it.hasNext) {
         val p = it.next()
         val n = p.getFileName.toString
-        if (n.startsWith(".spool-") || n == "._current.tmp" ||
+        if (n.startsWith(".spool-") || n.startsWith(".snap-") ||
+          n == "._current.tmp" ||
           (n.startsWith("._commit.") && n.endsWith(".tmp")) ||
           (n.startsWith("._owner.") && n.endsWith(".tmp"))) {
           if (newestMtime(p) < cutoff)

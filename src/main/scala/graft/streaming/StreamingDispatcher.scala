@@ -52,6 +52,14 @@ object StreamingDispatcher {
     // driver's lease simply expires after its ttl.
     val lease = graft.queue.PendingStore.acquireLease(
       queueDir, "streaming-dispatcher", ttlMs = math.max(30000L, intervalMs * 30))
+    // Heartbeat for the query's lifetime: a tick whose delivery pass
+    // outlives the ttl (slow webhooks × backlog) must not expire the lease
+    // mid-cycle — the commit-time check would refuse a cycle that retries
+    // just as slowly (livelock). Closed wherever the lease is released.
+    val hb = graft.queue.PendingStore.heartbeat(queueDir, lease)
+    def releaseAll(): Unit = {
+      hb.close(); graft.queue.PendingStore.releaseLease(queueDir, lease)
+    }
     // rowsPerSecond must keep pace with the trigger interval: a micro-batch
     // with zero new rows is skipped by Structured Streaming (foreachBatch
     // never fires), so a 1-row/s source under a sub-second trigger would
@@ -76,9 +84,7 @@ object StreamingDispatcher {
           ()
         }
         .start()
-      catch { case e: Throwable =>
-        graft.queue.PendingStore.releaseLease(queueDir, lease); throw e
-      }
+      catch { case e: Throwable => releaseAll(); throw e }
     val qid = query.id
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
@@ -88,7 +94,7 @@ object StreamingDispatcher {
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          graft.queue.PendingStore.releaseLease(queueDir, lease)
+          releaseAll()
           spark.streams.removeListener(this)
         }
     })
@@ -97,7 +103,7 @@ object StreamingDispatcher {
     // delivered to it and the lease would leak until ttl. releaseLease is
     // idempotent (token-checked), so the direct check closes the gap.
     if (!query.isActive)
-      graft.queue.PendingStore.releaseLease(queueDir, lease)
+      releaseAll()
     query
   }
 }

@@ -302,11 +302,11 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("version GC: retired snapshots sweep immediately, a fresh same-version orphan survives until stale") {
+  test("version GC: bounded steady state; a racer's in-progress temp survives, its published orphan sweeps") {
     val dir = tmp()
     PendingStore.spool(df("a1"), dir)
     // three commits: the store must hold exactly {v3, v2} afterwards — a
-    // dispatcher at a 1 s cadence must not accrue dirs for the mtime grace
+    // dispatcher at a 1 s cadence must never accrue snapshot dirs
     for (_ <- 1 to 3) {
       val s = PendingStore.capture(dir)
       PendingStore.commit(PendingStore.readAt(spark, dir, s), dir, s)
@@ -324,23 +324,66 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(versionDirs().map(_.take(2)).sorted == Seq("v2", "v3"),
       s"steady state must keep exactly the committed pair; got ${versionDirs()}")
-    // a FRESH orphan at the next version (a racer's in-progress write)
-    // survives the commit that beats it...
-    val racer = Paths.get(dir, ".pending", "v4-deadbeef")
-    Files.createDirectories(racer)
-    Files.write(racer.resolve("part-0.parquet"), "in progress".getBytes)
+    // a racer's IN-PROGRESS write lives in a dot-prefixed .snap-* temp:
+    // fresh mtime = possibly-live writer, must survive any commit's sweep
+    val inProgress = Paths.get(dir, ".pending", ".snap-v4-deadbeef")
+    Files.createDirectories(inProgress)
+    Files.write(inProgress.resolve("part-0.parquet"), "in progress".getBytes)
+    // a PUBLISHED orphan (complete by construction — publication is the
+    // rename from the temp) sweeps on the next commit, fresh or not
+    val orphan = Paths.get(dir, ".pending", "v4-0badf00d")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), "complete orphan".getBytes)
     val s4 = PendingStore.capture(dir)
     PendingStore.commit(PendingStore.readAt(spark, dir, s4), dir, s4) // real v4
-    assert(Files.exists(racer), "fresh same-version orphan must not be deleted under a racer")
-    // ...but once BELOW the previous version it sweeps regardless of mtime
-    // (it can no longer be anyone's in-flight target): at commit v6 the
-    // pair is {v6, v5} and the v4 orphan is two flips stale
-    for (_ <- 5 to 6) {
-      val s = PendingStore.capture(dir)
-      PendingStore.commit(PendingStore.readAt(spark, dir, s), dir, s)
-    }
-    assert(!Files.exists(racer), "below-previous orphan must sweep immediately")
+    assert(Files.exists(inProgress), "a fresh .snap-* temp must never be swept")
+    assert(!Files.exists(orphan), "a published orphan sweeps immediately")
+    // once the temp is demonstrably dead (no mtime progress past the
+    // grace), the stale sweep reclaims it like any crashed writer's leavings
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    Files.walk(inProgress).forEach(p => Files.setLastModifiedTime(p, old))
+    val s5 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s5), dir, s5)
+    assert(!Files.exists(inProgress), "a stale .snap-* temp must be swept")
     assert(readIds(dir) == Seq("a1"))
+  }
+
+  test("lease liveness: a heartbeat carries a busy cycle past its ttl; wake-after-pause self-heals at renewal") {
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    // a 'delivery pass' longer than the ttl: without the heartbeat the
+    // commit-time expiry check would refuse a cycle that retries just as
+    // slowly — the TTL-lease livelock
+    val lease = PendingStore.acquireLease(dir, "busy", ttlMs = 300L)
+    val hb = PendingStore.heartbeat(dir, lease)
+    try {
+      val snap = PendingStore.capture(dir)
+      Thread.sleep(900L) // 3× the ttl elapses mid-cycle
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+        lease = Some(lease)) // heartbeat renewals kept the token live
+      assert(readIds(dir) == Seq("a1"))
+    } finally { hb.close(); PendingStore.releaseLease(dir, lease) }
+
+    // renewLease re-claims OUR expired-but-unreplaced lease (the wake after
+    // a pause, before any takeover)... ttl wide enough that the renewed
+    // lease is still live when asserted, sleep comfortably past it
+    val paused = PendingStore.acquireLease(dir, "pausy", ttlMs = 2000L)
+    Thread.sleep(2300L)
+    assert(PendingStore.leaseHolder(dir).isEmpty, "precondition: lease expired")
+    PendingStore.renewLease(dir, paused) // self-heal, not a refusal
+    assert(PendingStore.leaseHolder(dir).contains("pausy"))
+    PendingStore.releaseLease(dir, paused)
+    // ...but never a lease someone else took over in the meantime
+    val lost = PendingStore.acquireLease(dir, "loser", ttlMs = 1L)
+    Thread.sleep(10L)
+    val winner = PendingStore.acquireLease(dir, "winner")
+    val err = intercept[PendingStore.ConcurrentWriterException] {
+      PendingStore.renewLease(dir, lost)
+    }
+    assert(err.getMessage.contains("lease lost"), err.getMessage)
+    assert(PendingStore.leaseHolder(dir).contains("winner"))
+    PendingStore.releaseLease(dir, winner)
   }
 
   test("legacy single-file manifest seeds the CAS log and is dropped after migration") {
