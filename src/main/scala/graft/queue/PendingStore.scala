@@ -256,7 +256,15 @@ object PendingStore {
     * [[heartbeat]] (or an idle-cycle renewal) self-heal after a pause
     * longer than the ttl instead of livelocking — while [[commit]]'s own
     * verification stays strict (an expired token refuses there; the
-    * recovery path is the next renewal, not a commit on a dead lease). */
+    * recovery path is the next renewal, not a commit on a dead lease).
+    *
+    * Residual, same family as [[releaseLease]]'s: read-then-write is not
+    * atomic, so a takeover landing inside a re-claim's window can lose its
+    * fresh `_owner` file to our rename. Both holders then believe they own
+    * the queue — and the flip's CAS still settles every commit to one
+    * winner; the loser (and the clobbered owner, at its next renewal)
+    * surfaces a clean refusal. Lease accuracy can degrade in that window;
+    * commit safety cannot. */
   def renewLease(queueDir: String, lease: Lease): Unit = {
     readLeaseFile(queueDir) match {
       case Some((tok, _)) if tok == lease.token => () // ours, live or expired
