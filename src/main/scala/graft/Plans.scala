@@ -95,7 +95,14 @@ object Plans {
         "map-side projection with zero exchanges (PqSpec pins it); the " +
         "posexplode + global order here exist only for the DuckDB oracle's " +
         "row identity, and a production encode persists the codes relation " +
-        "unordered."))
+        "unordered."),
+    "q90_adc_topk" ->
+      ("ADC retrieval at refine=4: codes scored against the driver-computed " +
+        "per-(subspace, code) lookup table (plan literal, KBs) — a map-side " +
+        "projection; the quantized candidate cut is a TakeOrdered of " +
+        "O(refine·k) ids, and the exact rescore joins the corpus to the " +
+        "BROADCAST candidate list, so the full-width embedding column is " +
+        "read for only refine·k rows and the corpus never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

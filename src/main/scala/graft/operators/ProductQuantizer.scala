@@ -239,9 +239,13 @@ object ProductQuantizer {
     val approx = (0 until cb.m).map { s =>
       element_at(typedLit(table(s).toSeq), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
+    // the candidate cut is quantized (floor-millionths) with an id
+    // tiebreak — the battery's standard determinism discipline — so the
+    // refined set is identical across runs, partitionings and engines
+    // (q90's DuckDB oracle replays it), not dependent on double ulps
     val candidates = codes
-      .select(col(idCol), approx.as("approx_sim"))
-      .orderBy(col("approx_sim").desc, col(idCol))
+      .select(col(idCol), Similarity.quantize(approx).as("approx_q"))
+      .orderBy(col("approx_q").desc, col(idCol))
       .limit(refine * k)
       .select(col(idCol))
     emb.join(broadcast(candidates), idCol)

@@ -135,6 +135,24 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"vec_id", $"sub")
   }
 
+  /** q90: ADC retrieval through the REAL sub-corpus refine regime
+    * (refine = 4), end-to-end DuckDB-replayable the way q43 replays the
+    * LSH hyperplanes: the oracle reconstructs the seed codebook
+    * (first-ksub-by-id, as q89), re-derives every PQ code, builds the
+    * query's per-(subspace, code) dot table, replays the QUANTIZED
+    * candidate cut (floor-millionths + id tiebreak — the same determinism
+    * discipline as every similarity query, which is what makes the cut
+    * engine-portable rather than double-ulp-dependent), and exact-rescores
+    * the refined 40. q89 pins the codes; THIS pins the retrieval path that
+    * consumes them. Sub-quantization recall vs brute force stays
+    * PqSpec-measured (sketch-class, like HLL). */
+  def adcRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 0)
+    val codes = ProductQuantizer.encode(emb, cb)
+    ProductQuantizer.adcTopK(emb, codes, cb, queryId = 0L, k = 10, refine = 4)
+  }
+
   def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SharedStages.nearDupPairs(s, dir).orderBy($"vec_a", $"vec_b")
@@ -269,6 +287,7 @@ object LlmQueries extends graft.QueryModule {
     "q34_simhash" -> simhash,
     "q35_cosine_topk" -> cosineTopK,
     "q89_pq_codes" -> pqCodes,
+    "q90_adc_topk" -> adcRetrieval,
     "q36_neardup_vectors" -> nearDupVectors,
     "q37_langid" -> langId,
     "q38_quality" -> quality,
@@ -440,6 +459,43 @@ object LlmQueries extends graft.QueryModule {
         |  FROM scored)
         |SELECT vec_id, CAST(sub AS INTEGER) AS sub, code
         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "q90_adc_topk" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS s),
+        |jx AS (SELECT unnest(range(1, 9)) AS j),
+        |cents AS (
+        |  SELECT sub.s AS sub, CAST(e.vec_id AS INTEGER) AS code, jx.j AS j,
+        |    CAST(e.embedding[CAST(sub.s * 8 + jx.j AS INTEGER)] AS DOUBLE) AS cv
+        |  FROM embeddings e, sub, jx WHERE e.vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id, c.sub, c.code,
+        |    CAST(floor((2 * sum(CAST(v.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv)
+        |                - sum(c.cv * c.cv)) * 1000000) AS BIGINT) AS score_q
+        |  FROM embeddings v, cents c
+        |  GROUP BY v.vec_id, c.sub, c.code),
+        |best AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY score_q DESC, code) AS rn
+        |  FROM scored),
+        |codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+        |qtab AS (
+        |  SELECT c.sub, c.code,
+        |    sum(CAST(q.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv) AS t
+        |  FROM embeddings q, cents c WHERE q.vec_id = 0
+        |  GROUP BY c.sub, c.code),
+        |cand AS (
+        |  SELECT cd.vec_id
+        |  FROM codes cd JOIN qtab ON cd.sub = qtab.sub AND cd.code = qtab.code
+        |  GROUP BY cd.vec_id
+        |  ORDER BY CAST(floor(sum(qtab.t) * 1000000) AS BIGINT) DESC, cd.vec_id
+        |  LIMIT 40)
+        |SELECT e.vec_id,
+        |  CAST(floor(sum(CAST(e.embedding[dim.i] AS DOUBLE) * CAST(q.embedding[dim.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id,
+        |     embeddings q, (SELECT unnest(range(1, 65)) AS i) dim
+        |WHERE q.vec_id = 0
+        |GROUP BY e.vec_id
+        |ORDER BY sim_q DESC, e.vec_id LIMIT 10""".stripMargin,
     "q83_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Product quantization: training converges (k-means objective
@@ -59,6 +60,22 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     // refine knob IS the recall dial, and the floor guards against silent
     // regressions, not noise.
     assert(mean >= 0.75, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
+  test("ADC candidate cut is partition-invariant (quantized ordering is total)") {
+    // the cut ranks by (floor-millionths approx dot DESC, id ASC) — a TOTAL
+    // order, so the refined set and the final top-k cannot depend on which
+    // partition a row lands in (and q90's DuckDB oracle can replay the cut)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 0)
+    val base = ProductQuantizer.encode(emb, cb)
+    val layouts = Seq(base.repartition(1), base.repartition(7, col("vec_id")),
+      base.repartition(32))
+    val results = layouts.map { codes =>
+      ProductQuantizer.adcTopK(emb, codes, cb, queryId = 3L, k = 10, refine = 4)
+        .as[(Long, Long)].collect().toSeq
+    }
+    assert(results.distinct.size == 1,
+      s"partition-dependent ADC result: ${results.distinct}")
   }
 
   test("sampled training (trainFraction): full-corpus MSE within tolerance of full training") {
