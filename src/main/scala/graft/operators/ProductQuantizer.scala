@@ -155,21 +155,31 @@ object ProductQuantizer {
     * Engine-portable determinism (same discipline as [[Similarity.quantize]]):
     * since a·a is constant per (row, subspace), argmin |a−c|² = argmax
     * (2·a·c − c·c); the score is floor-quantized to millionths and exact
-    * quantized ties break to the LOWEST code, so another engine (the DuckDB
-    * oracle, q89) reproduces every code bit-for-bit. */
+    * quantized ties break to the LOWEST code (`array_position` returns the
+    * FIRST index holding the max), so another engine (the DuckDB oracle,
+    * q89) reproduces every code bit-for-bit.
+    *
+    * The argmax is `array_position(scores, array_max(scores))`, not a
+    * greatest-of-(score, code)-structs: the struct form's expression tree is
+    * large enough that janino refuses the generated method and the WHOLE
+    * stage silently falls back to interpreted evaluation — measured 10×
+    * slower on the sf0.1 battery (q89 3.2 s → 0.3 s). The array form stays
+    * inside WholeStageCodegen, and codegen's subexpression elimination
+    * evaluates the scores array once per row even though the tree names it
+    * twice. A null or wrong-length embedding yields a null code (the dots
+    * are null, so `array_max` and the position are null) rather than the
+    * struct form's silent code 0. */
   def encode(emb: DataFrame, cb: Codebooks,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val codeCols = (0 until cb.m).map { s =>
       val sub = subvecCol(vecCol, s, cb.subDim)
-      -greatest((0 until cb.ksub).map { c =>
+      val scores = array((0 until cb.ksub).map { c =>
         val cc = cb.cents(s)(c).map(x => x.toDouble * x).sum
-        struct(
-          Similarity.quantize(lit(2.0) *
-            GraftFunctions.vecDot(spark, sub, typedLit(cb.cents(s)(c))) - lit(cc))
-            .as("score_q"),
-          lit(-c).as("negc"))
-      }: _*).getField("negc")
+        Similarity.quantize(lit(2.0) *
+          GraftFunctions.vecDot(spark, sub, typedLit(cb.cents(s)(c))) - lit(cc))
+      }: _*)
+      (call_function("array_position", scores, array_max(scores)) - 1).cast("int")
     }
     emb.select(col(idCol), array(codeCols: _*).as("codes"))
   }

@@ -130,8 +130,13 @@ object LlmQueries extends graft.QueryModule {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 0)
+    // posexplode_OUTER, deliberately: plain posexplode makes Catalyst infer a
+    // `size(codes) > 0` filter whose condition inlines the entire encode
+    // expression — every code computed twice per row. codes is a fixed-length
+    // non-null array (one entry per subspace), so outer is the identity here
+    // and the inferred filter never exists (measured 2× on the sf0.1 bench).
     ProductQuantizer.encode(emb, cb)
-      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+      .select($"vec_id", posexplode_outer($"codes").as(Seq("sub", "code")))
       .orderBy($"vec_id", $"sub")
   }
 
