@@ -92,10 +92,16 @@ object Plans {
     "q89_pq_codes" ->
       ("PQ encoding: the codebooks are plan literals, each code an argmax " +
         "over ksub codegen'd quantized dots — the encode itself is one " +
-        "map-side projection with zero exchanges (PqSpec pins it); the " +
-        "posexplode + global order here exist only for the DuckDB oracle's " +
-        "row identity, and a production encode persists the codes relation " +
-        "unordered."),
+        "map-side projection with zero exchanges (PqSpec pins it), and no " +
+        "Filter appears above the scan (posexplode_outer keeps Catalyst " +
+        "from inferring a size(codes) > 0 filter that would inline the " +
+        "whole encode expression a second time). The argmax is " +
+        "array_position over a scores array, sized to stay under janino's " +
+        "method limit so the stage remains whole-stage-codegen'd — the " +
+        "struct-greatest form fell back to interpreted eval at 10× the " +
+        "cost. The posexplode + global order exist only for the DuckDB " +
+        "oracle's row identity; a production encode persists the codes " +
+        "relation unordered."),
     "q90_adc_topk" ->
       ("ADC retrieval at refine=4: codes scored against the driver-computed " +
         "per-(subspace, code) lookup table (plan literal, KBs) — a map-side " +
