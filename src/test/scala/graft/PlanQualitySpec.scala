@@ -108,6 +108,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q89: PQ encode has no inferred filter and compiles under codegen") {
+    val df = SparkEntry.queries("q89_pq_codes")(spark, dir)
+    // posexplode_outer keeps Catalyst from inferring a size(codes) > 0
+    // filter that would inline the entire encode expression a second time
+    // per row (the scan's Pushed/Partition/DataFilters metadata may
+    // mention filters; a Filter NODE never follows a letter)
+    val p = df.queryExecution.executedPlan.toString
+    assert("(?<![A-Za-z])Filter".r.findFirstIn(p).isEmpty, p)
+    // the argmax expression must stay under janino's method limit: with
+    // fallback disabled a failed whole-stage compile throws instead of
+    // silently interpreting (the struct-greatest form this replaced was
+    // refused by janino — a 10× interpreted tax the oracle cannot see)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().nonEmpty)
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("q67: corpus ranking is bucket-partitioned; only the offset table is single-partition") {
     val p = plan("q67_data_mixture")
     // the corpus-side window must rank within mix_bucket shards
