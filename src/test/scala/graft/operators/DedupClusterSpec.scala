@@ -24,6 +24,21 @@ class DedupClusterSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall { case (d, r) => d == r } && got.size == 7)
   }
 
+  test("a chain longer than maxIter converges via pointer jumping") {
+    // a 60-node path: plain neighbor propagation needs ~59 rounds — far
+    // past the 30-round backstop — so this fixture FAILS if the adaptive
+    // jumping term regresses (ids shuffled so min-labels don't ride the
+    // chain order; worst-case drift chains look exactly like this)
+    val n = 60
+    val perm = new scala.util.Random(7).shuffle((0L until n).toVector)
+    val chainDocs = perm.toDF("doc_id")
+    val chainPairs = (0 until n - 1)
+      .map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(chainDocs, chainPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.toSet == Set(0L))
+  }
+
   test("merging two clusters through a bridge edge converges") {
     // two triangles joined by one edge — all seven nodes end at label 1
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (10L, 4L),
