@@ -159,8 +159,12 @@ object Dedup {
     * is strictly decreasing until the fixed point, and the fixed point —
     * every node holding its component's min id — is the same with or
     * without the jumping term, since label(label(v)) only ever surfaces a
-    * label already reachable in v's component. maxIter is a pure backstop:
-    * 30 jumping rounds cover any diameter up to ~2^30. */
+    * label already reachable in v's component. maxIter is a pure backstop
+    * (30 jumping rounds cover any diameter up to ~2^30) and hitting it
+    * UNCONVERGED throws: truncated labels are not components, and a wrong
+    * answer must never leave this operator silently — the exact failure
+    * mode the old cap had armed. Callers clustering adversarial graphs
+    * raise maxIter; they do not get best-effort labels. */
   def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
                    idCol: String = "doc_id", maxIter: Int = 30,
                    jumpAfter: Int = 3): DataFrame = {
@@ -200,6 +204,10 @@ object Dedup {
       sum = nextSum
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge within maxIter=$maxIter rounds — " +
+          "labels would be truncated, not connected components; raise maxIter")
     labels
   }
 

@@ -39,6 +39,14 @@ class DedupClusterSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size == n && got.values.toSet == Set(0L))
   }
 
+  test("an unconverged maxIter exit throws instead of returning truncated labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterPairs(docs, pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("merging two clusters through a bridge edge converges") {
     // two triangles joined by one edge — all seven nodes end at label 1
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (10L, 4L),
