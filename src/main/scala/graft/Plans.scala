@@ -85,13 +85,13 @@ object Plans {
         "the pair stage stays the same equi-join — Σ bucket² bounded with " +
         "no CartesianProduct anywhere."),
     "q88_vec_dup_clusters" ->
-      ("Semantic dup clusters: BSP min-label propagation with adaptive " +
-        "pointer jumping (past 3 undecided rounds each node also chases its " +
-        "label's label — geometric chain compression, so rounds are " +
-        "O(log diameter), not O(diameter)) over the verified near-dup pair " +
-        "list — per round only the (node, label) relation shuffles, lineage " +
-        "truncated per round; the corpus-sized side never re-enters after " +
-        "the candidate stage."),
+      ("Semantic dup clusters: alternating large-star/small-star " +
+        "contraction (the MapReduce-literature CC algorithm — O(log²) " +
+        "rounds, where plain min-label propagation needs diameter rounds " +
+        "and this graph's organic chain needed 20) over the verified " +
+        "near-dup pair list — per round only the edge relation shuffles, " +
+        "lineage truncated per round; the corpus-sized side never " +
+        "re-enters after the candidate stage."),
     "q89_pq_codes" ->
       ("PQ encoding: the codebooks are plan literals, each code an argmax " +
         "over ksub codegen'd quantized dots — the encode itself is one " +

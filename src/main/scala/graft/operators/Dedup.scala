@@ -130,85 +130,97 @@ object Dedup {
     * representative (itself when it has no near-duplicates), so "keep one
     * per cluster" is a filter on `doc == cluster_rep`.
     *
-    * Iterative min-label propagation WITH pointer jumping (BSP): each round
-    * every node takes the minimum of (a) its own label, (b) its neighbors'
-    * labels, and (c) its LABEL'S label — the pointer-jumping join that
-    * halves every label-chase chain per round, so convergence is
-    * O(log diameter) rounds, not O(diameter). The distinction is not
-    * academic: the sf0.1 embedding pair graph contains a chain that plain
-    * neighbor-propagation needs exactly 20 rounds to walk — it reached the
-    * fixpoint AT the old maxIter=20 cap and exited without confirming it,
-    * one longer chain away from a truncated, silently-wrong answer. The
-    * jumping variant closes the same graph, confirmed converged, in 13
-    * rounds (not the ideal log₂: min-labels land on arbitrary far nodes,
-    * so each chase compounds geometrically only in expectation). Near-dup
-    * graphs grow such chains organically (A≈B≈C≈… drift), and at 100 TB a
-    * diameter-round loop over them is unbounded.
+    * Alternating large-star / small-star contraction — the standard
+    * shared-nothing CC algorithm from the MapReduce literature (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", 2014), chosen
+    * over plain BSP min-label propagation for its ROUND BOUND. Plain
+    * propagation needs diameter rounds, and near-dup graphs grow long
+    * chains organically (A≈B≈C≈… drift): the sf0.1 embedding pair graph
+    * already carries a 20-round chain, and min-label + label-chasing
+    * ("pointer jumping" on labels) does NOT repair this — the chased min
+    * lands on an arbitrary far node, so reach compounds like √diameter on
+    * shuffled-id chains, and a 10⁴-node chain still blows any sane round
+    * cap. Star contraction instead rewrites the EDGE list: each round
+    * every node hangs its larger (large-star) then its smaller
+    * (small-star) neighbors under its neighborhood minimum, provably
+    * converging to per-component stars in O(log² n) rounds (tens for any
+    * realistic graph; the ScaleBench chain regime measures it).
     *
-    * The jump join is ADAPTIVE: dense near-dup clusters (the common case —
-    * q65's lexical graph, the curation pipelines) converge in 2-3 plain
-    * rounds, where a per-round self-join is pure overhead; only when
-    * convergence drags past `jumpAfter` rounds — the signature of a chain,
-    * not a blob — does the jumping term switch on, already 2^k ahead.
-    *
-    * Each round shuffles only the (node, label) relation — there is no
-    * driver-side graph, and lineage is truncated per round by a LAZY
-    * localCheckpoint (the convergence-sum action that immediately follows
-    * materializes it, one job per round; a production run on unreliable
-    * executors would use reliable checkpoint()). Convergence test: Σ labels
-    * is strictly decreasing until the fixed point, and the fixed point —
-    * every node holding its component's min id — is the same with or
-    * without the jumping term, since label(label(v)) only ever surfaces a
-    * label already reachable in v's component. maxIter is a pure backstop
-    * (30 jumping rounds cover any diameter up to ~2^30) and hitting it
-    * UNCONVERGED throws: truncated labels are not components, and a wrong
-    * answer must never leave this operator silently — the exact failure
-    * mode the old cap had armed. Callers clustering adversarial graphs
-    * raise maxIter; they do not get best-effort labels. */
+    * Each round shuffles only the edge relation (grouped by node, joined
+    * back, distinct'd); there is no driver-side graph, and lineage is
+    * truncated per round by a lazy localCheckpoint materialized by the
+    * convergence check. Convergence = the canonical (child, parent) edge
+    * set is UNCHANGED by a full large+small alternation (an exact
+    * symmetric-difference test, not a heuristic); the fixpoint is a star
+    * per component rooted at its minimum id, so labels read directly off
+    * the final edges. All operators are min-based — the result is
+    * deterministic under any partitioning and replayable by the oracle's
+    * recursive CTE. maxIter is a pure backstop and hitting it UNCONVERGED
+    * throws: truncated edges are not components, and a wrong answer must
+    * never leave this operator silently. */
   def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id", maxIter: Int = 30,
-                   jumpAfter: Int = 3): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
-      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+                   idCol: String = "doc_id", maxIter: Int = 50): DataFrame =
+    clusterPairsWithRounds(allDocs, pairs, idCol, maxIter)._1
+
+  /** [[clusterPairs]] plus the confirmed-convergence round count — the
+    * ScaleBench cluster-chain regime reads it to evidence the O(log²)
+    * claim; production callers use [[clusterPairs]]. */
+  private[graft] def clusterPairsWithRounds(
+      allDocs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 50): (DataFrame, Int) = {
+
+    // one large- or small-star step over canonical (c=child > p=parent)
+    // edges: hang each node's larger (large) / smaller-or-equal (small)
+    // neighbors under m(u) = min(neighborhood(u) ∪ {u})
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbr = e.select(col("c").as("u"), col("p").as("v"))
+        .unionByName(e.select(col("p").as("u"), col("c").as("v")))
+      val mTab = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val joined = nbr.join(mTab, "u")
+      val emitted =
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("c"), col("m").as("p"))
+        else
+          joined.filter(col("v") < col("u"))
+            .select(col("v").as("c"), col("m").as("p"))
+            .unionByName(mTab.select(col("u").as("c"), col("m").as("p")))
+      emitted.filter(col("c") =!= col("p")).distinct()
+    }
+
+    var edges = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("c"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("p"))
+      .filter(col("c") =!= col("p")).distinct()
       .localCheckpoint(false)
-    var labels = allDocs.select(col(idCol), col(idCol).cast("long").as("cluster_rep"))
-      .localCheckpoint(false)
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_rep"))
-      .head().getLong(0)
-    var converged = false
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val offered = edges
-        .join(labels.withColumnRenamed(idCol, "s"), "s")
-        .select(col("d").as(idCol), col("cluster_rep"))
-      // pointer jumping: v's label l is itself a node id, so look up l's
-      // label and offer THAT to v — geometric chain compression, enabled
-      // only once plain propagation has failed to converge (see scaladoc)
-      val withJump =
-        if (i < jumpAfter) labels.unionByName(offered)
-        else {
-          val jumped = labels.select(col(idCol), col("cluster_rep").as("__l"))
-            .join(labels.select(col(idCol).cast("long").as("__l"),
-              col("cluster_rep").as("__l2")), "__l")
-            .select(col(idCol), col("__l2").as("cluster_rep"))
-          labels.unionByName(offered).unionByName(jumped)
-        }
-      val next = withJump
-        .groupBy(col(idCol))
-        .agg(min("cluster_rep").as("cluster_rep"))
+      val next = star(star(edges, large = true), large = false)
         .localCheckpoint(false)
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("cluster_rep"))
-        .head().getLong(0)
-      converged = nextSum == sum
-      labels = next
-      sum = nextSum
+      // exact symmetric difference: both sides are distinct sets, so a
+      // (c, p) appearing once across the union changed this round
+      converged = next.unionByName(edges)
+        .groupBy(col("c"), col("p")).count()
+        .filter(col("count") === 1)
+        .isEmpty
+      edges = next
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge within maxIter=$maxIter rounds — " +
-          "labels would be truncated, not connected components; raise maxIter")
-    labels
+          "edges would be truncated, not connected components; raise maxIter")
+    // at the star fixpoint every child carries exactly one edge, to its
+    // component root (its minimum id); the min-agg is belt and braces
+    val roots = edges.groupBy(col("c")).agg(min(col("p")).as("__root"))
+    val labels = allDocs
+      .select(col(idCol))
+      .join(roots.withColumnRenamed("c", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__root"), col(idCol).cast("long")).as("cluster_rep"))
+    (labels, i)
   }
 
   /** 16-bit SimHash from md5 nibbles: each token contributes ±1 per bit
