@@ -189,6 +189,17 @@ object Dedup {
       emitted.filter(col("c") =!= col("p")).distinct()
     }
 
+    // a superseded round's checkpoint blocks are dead weight (up to
+    // maxIter edge relations would otherwise sit in the block store for
+    // the session's lifetime) — release them once the replacing round is
+    // materialized; only the FINAL edges must stay cached, since the
+    // returned labels still read it lazily
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.optimizedPlan.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ =>
+      }
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).cast("long").as("c"),
         least(col("doc_a"), col("doc_b")).cast("long").as("p"))
@@ -197,16 +208,20 @@ object Dedup {
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
+      val prev = edges
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(false)
       // exact symmetric difference: both sides are distinct sets, so a
-      // (c, p) appearing once across the union changed this round
+      // (c, p) appearing once across the union changed this round. The
+      // aggregation computes every partition of `next`, finalizing its
+      // lazy checkpoint — after which prev's blocks are unreferenced
       converged = next.unionByName(edges)
         .groupBy(col("c"), col("p")).count()
         .filter(col("count") === 1)
         .isEmpty
       edges = next
       i += 1
+      releaseCheckpoint(prev)
     }
     if (!converged)
       throw new IllegalStateException(

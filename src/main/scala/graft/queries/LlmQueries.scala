@@ -99,9 +99,9 @@ object LlmQueries extends graft.QueryModule {
 
   /** q88: terminal L2 dedup — connected components over the embedding
     * near-dup pair graph (q36's shared stage): one representative per
-    * SEMANTIC duplicate cluster, the vector twin of q65. Same BSP
-    * min-label propagation plan; the input graph is the already-verified
-    * pair list (tiny relative to the corpus), so the iterative stage costs
+    * SEMANTIC duplicate cluster, the vector twin of q65. Same star
+    * contraction plan; the input graph is the already-verified pair list
+    * (tiny relative to the corpus), so the iterative stage costs
     * scheduling, not data. */
   def vecDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

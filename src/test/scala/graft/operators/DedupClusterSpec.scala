@@ -24,11 +24,12 @@ class DedupClusterSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall { case (d, r) => d == r } && got.size == 7)
   }
 
-  test("a chain longer than maxIter converges via pointer jumping") {
-    // a 60-node path: plain neighbor propagation needs ~59 rounds — far
-    // past the 30-round backstop — so this fixture FAILS if the adaptive
-    // jumping term regresses (ids shuffled so min-labels don't ride the
-    // chain order; worst-case drift chains look exactly like this)
+  test("a long shuffled chain contracts in far fewer rounds than its diameter") {
+    // a 60-node path: plain neighbor propagation would need ~59 rounds —
+    // past the maxIter backstop — so this fixture FAILS if star
+    // contraction's O(log²) round behavior regresses toward
+    // diameter-rounds (ids shuffled so nothing rides chain order;
+    // worst-case drift chains look exactly like this)
     val n = 60
     val perm = new scala.util.Random(7).shuffle((0L until n).toVector)
     val chainDocs = perm.toDF("doc_id")
