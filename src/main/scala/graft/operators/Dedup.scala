@@ -200,22 +200,31 @@ object Dedup {
           lr.rdd.unpersist(blocking = false)
         case _ =>
       }
+    // one cheap full-agg per round doubles as the checkpoint-materializing
+    // action AND a convergence prefilter: different (count, Σc, Σp) proves
+    // the set changed without the symmetric-difference shuffle; the exact
+    // diff runs only to CONFIRM a suspected fixpoint (sums can collide,
+    // correctness never rests on them)
+    def edgeStats(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("p")).as("sp")).head()
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).cast("long").as("c"),
         least(col("doc_a"), col("doc_b")).cast("long").as("p"))
       .filter(col("c") =!= col("p")).distinct()
       .localCheckpoint(false)
-    var converged = edges.isEmpty
+    var stats = edgeStats(edges)
+    var converged = stats.getLong(0) == 0
     var i = 0
     while (!converged && i < maxIter) {
       val prev = edges
+      val prevStats = stats
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(false)
+      stats = edgeStats(next)
       // exact symmetric difference: both sides are distinct sets, so a
-      // (c, p) appearing once across the union changed this round. The
-      // aggregation computes every partition of `next`, finalizing its
-      // lazy checkpoint — after which prev's blocks are unreferenced
-      converged = next.unionByName(edges)
+      // (c, p) appearing once across the union changed this round
+      converged = stats == prevStats && next.unionByName(edges)
         .groupBy(col("c"), col("p")).count()
         .filter(col("count") === 1)
         .isEmpty
