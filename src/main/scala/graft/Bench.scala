@@ -7,9 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Plans/tests: events.ts arrives as TIMESTAMP_NTZ and
+      // Tables.events casts it to TIMESTAMP — only value-identical under UTC.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema-drift preflight (round-8 postmortem): if the driver re-encoded
+    // the testdata, say WHICH column drifted up front — named lines beat
+    // fifteen downstream analysis exceptions. Non-fatal: adaptive loaders
+    // may still canonicalize, and partial bench data beats none.
+    SchemaContract.violations(spark, sfDir)
+      .foreach(v => System.err.println(s"[schema-drift] $v"))
     // Noop sink, not count(): a count lets Catalyst drop unused projections
     // and sorts, so projection-heavy queries would be timed as bare scans.
     // The noop writer consumes every row of the full result instead.

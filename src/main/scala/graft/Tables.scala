@@ -26,14 +26,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). We read it as nanos-since-epoch
-    * (legacy long mode) and floor-divide to micros — the exact truncation
-    * DuckDB applies when it coerces ns→µs, so oracle comparisons line up. */
+  /** Schema-adaptive `events` loader. The driver has shipped `events.ts`
+    * under more than one parquet encoding over time — TIMESTAMP(NANOS)
+    * (which Spark only reads via the legacy nanos-as-long mode) and plain
+    * TIMESTAMP(MICROS) — so we branch on what the file actually declares
+    * instead of hard-coding one historical encoding:
+    *   - TimestampType      → pass through
+    *   - TimestampNTZType   → cast to TimestampType (session TZ is UTC in
+    *                          every entry point, so the instant is unchanged)
+    *   - LongType (legacy nanos-as-long) → floor-divide ns→µs, the same
+    *                          truncation DuckDB applies coercing ns→µs
+    * All downstream queries see one canonical shape: `ts TIMESTAMP` (µs). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try load(s, d, "events")
+      catch { // TIMESTAMP(NANOS) parquet: only readable in legacy long mode
+        case _: org.apache.spark.sql.AnalysisException
+           | _: org.apache.spark.SparkException =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — extend Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

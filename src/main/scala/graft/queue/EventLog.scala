@@ -97,7 +97,12 @@ object EventLog {
     if (!hasStatusDirs)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(queueDir)
+    else
+      // same legacy-store upgrade as PendingStore.readAt: history written
+      // before `updated_at` existed reads it as null under the explicit
+      // schema; present the insert-time stamp instead of an NPE downstream
+      spark.read.schema(schema).parquet(queueDir)
+        .withColumn("updated_at", coalesce(col("updated_at"), col("created_at")))
   }
 
   /** Consumer view of the terminal (DELIVERED/FAILED) history. A dispatcher

@@ -195,9 +195,16 @@ object PendingStore {
     tmp
   }
 
-  private def writeLeaseFile(queueDir: String, token: String, ttlMs: Long): Unit =
+  /** Test seam (same spirit as commit's `onStep`): invoked before every
+    * lease-file write; PendingStoreSpec injects a one-shot IOException here
+    * to prove the heartbeat survives a transient renewal failure. */
+  @volatile private[queue] var leaseWriteFault: () => Unit = () => ()
+
+  private def writeLeaseFile(queueDir: String, token: String, ttlMs: Long): Unit = {
+    leaseWriteFault()
     Files.move(writeLeaseTemp(queueDir, token, ttlMs), ownerPath(queueDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** The owner id of the live (unexpired) lease, if any — ops/tests view. */
   def leaseHolder(queueDir: String): Option[String] =
@@ -284,9 +291,21 @@ object PendingStore {
     val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t })
     val period = math.max(1L, lease.ttlMs / 3)
+    // The task must swallow EVERYTHING except the definitive loss signal:
+    // scheduleAtFixedRate cancels all subsequent runs the moment a run
+    // throws, so an un-caught transient (NFS blip, EINTR-wrapped
+    // IOException) would silently stop renewal and reintroduce the exact
+    // mid-cycle-expiry livelock the heartbeat exists to prevent. The lease
+    // survives a missed beat by construction (renewLease re-claims our own
+    // token even if expired), so retrying next period is always safe.
+    // ConcurrentWriterException alone means the lease is genuinely gone to
+    // another writer — then renewing must stop for good.
     exec.scheduleAtFixedRate(
       () => try renewLease(queueDir, lease)
-            catch { case _: ConcurrentWriterException => exec.shutdown() },
+            catch {
+              case _: ConcurrentWriterException => exec.shutdown()
+              case scala.util.control.NonFatal(_) => () // transient: retry next beat
+            },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => exec.shutdownNow()
   }
@@ -431,7 +450,15 @@ object PendingStore {
 
   /** The PENDING set a given capture saw: snapshot ∪ captured inbox, schema
     * supplied explicitly (no footer inference). `ignoreMissingFiles` covers
-    * readers more than one flip stale whose files GC already swept. */
+    * readers more than one flip stale whose files GC already swept.
+    *
+    * Legacy-store migration: snapshots written before the `updated_at`
+    * column existed lack it in their parquet, and the explicit schema makes
+    * Spark fill null. Consumers treat `updated_at` as non-null (it is
+    * stamped on insert and every transition), so a null here would NPE far
+    * from its cause; reading it as `created_at` — the value the insert
+    * trigger would have stamped — upgrades old stores in place, and the
+    * next commit rewrites the snapshot with the column materialized. */
   def readAt(spark: SparkSession, queueDir: String, snap: Capture): DataFrame = {
     val schema = org.apache.spark.sql.Encoders.product[QueueRow].schema
     val paths =
@@ -445,6 +472,10 @@ object PendingStore {
     else
       spark.read.schema(schema).option("ignoreMissingFiles", "true")
         .parquet(existing: _*)
+        .withColumn("updated_at",
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col("updated_at"),
+            org.apache.spark.sql.functions.col("created_at")))
   }
 
   /** Commit `newPending` as the next snapshot and retire the capture's inbox

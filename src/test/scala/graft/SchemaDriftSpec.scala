@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-8 postmortem tripwire: the driver regenerating testdata with a
+  * different parquet encoding must fail HERE, with a message naming the
+  * drifted column — not as fifteen unrelated analysis exceptions. */
+class SchemaDriftSpec extends AnyFunSuite with SparkTestSession {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("all 10 tables load with accepted column types (tripwire)") {
+    val v = SchemaContract.violations(spark, sf)
+    assert(v.isEmpty, "schema drift detected:\n" + v.mkString("\n"))
+  }
+
+  test("Tables.events canonicalizes ts to TIMESTAMP regardless of encoding") {
+    assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
+  }
+
+  test("a deliberate re-encode produces a failure naming the drifted column") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toFile
+    try {
+      // copy the real tables, then overwrite events with ts re-encoded STRING
+      for (t <- Tables.all)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/$t.parquet"),
+          java.nio.file.Paths.get(s"${tmp.getAbsolutePath}/$t.parquet"))
+      val drifted = Tables.load(spark, sf, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(StringType))
+      val out = s"${tmp.getAbsolutePath}/events.rewrite"
+      drifted.coalesce(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"${tmp.getAbsolutePath}/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val v = SchemaContract.violations(spark, tmp.getAbsolutePath)
+      assert(v.exists(_.startsWith("events.ts:")),
+        s"expected a violation naming events.ts, got: $v")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("legacy nanos-as-long encoding still canonicalizes (LongType branch)") {
+    // simulate the pre-round-8 encoding: ts as raw nanos since epoch
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toFile
+    try {
+      val asLong = Tables.events(spark, sf)
+        .withColumn("ts", (unix_micros(col("ts")) * lit(1000L) + lit(789L)))
+      val out = s"${tmp.getAbsolutePath}/events.rewrite"
+      asLong.coalesce(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"${tmp.getAbsolutePath}/events.parquet"))
+      val canon = Tables.events(spark, tmp.getAbsolutePath)
+      assert(canon.schema("ts").dataType == TimestampType)
+      // ns→µs truncation drops the injected 789 ns; values match the source
+      val a = Tables.events(spark, sf).select("event_id", "ts")
+      val b = canon.select("event_id", "ts")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+}

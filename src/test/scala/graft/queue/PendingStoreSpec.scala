@@ -446,6 +446,77 @@ class PendingStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(!Files.exists(tomb), "tombstone must be swept")
   }
 
+  test("heartbeat survives a transient renewal failure (one-shot IOException)") {
+    // scheduleAtFixedRate cancels ALL future runs when a run throws — before
+    // the NonFatal catch, one NFS blip silently stopped renewal and the
+    // mid-cycle-expiry livelock came back. The beat must swallow transients
+    // and retry next period; only ConcurrentWriterException (lease genuinely
+    // lost) stops it.
+    val dir = tmp()
+    PendingStore.spool(df("a1"), dir)
+    val lease = PendingStore.acquireLease(dir, "busy", ttlMs = 300L)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    PendingStore.leaseWriteFault = () =>
+      if (fired.compareAndSet(false, true))
+        throw new java.io.IOException("injected transient renewal failure")
+    val hb = PendingStore.heartbeat(dir, lease)
+    try {
+      val snap = PendingStore.capture(dir)
+      Thread.sleep(900L) // 3x the ttl; the first beat dies on the fault
+      assert(fired.get, "the injected fault must have fired")
+      // beats after the fault kept renewing: the commit still owns the lease
+      PendingStore.commit(PendingStore.readAt(spark, dir, snap), dir, snap,
+        lease = Some(lease))
+      assert(readIds(dir) == Seq("a1"))
+    } finally {
+      PendingStore.leaseWriteFault = () => ()
+      hb.close(); PendingStore.releaseLease(dir, lease)
+    }
+  }
+
+  test("legacy store lacking updated_at reads it as created_at (in-place upgrade)") {
+    val dir = tmp()
+    PendingStore.spool(df("a1", "a2"), dir)
+    val s0 = PendingStore.capture(dir)
+    PendingStore.commit(PendingStore.readAt(spark, dir, s0), dir, s0)
+    // simulate a pre-upgrade snapshot: rewrite v1's parquet WITHOUT the column
+    val pendingRoot = Paths.get(dir, ".pending")
+    val vdir = {
+      val s = Files.list(pendingRoot)
+      try {
+        val it = s.iterator(); var found: java.nio.file.Path = null
+        while (found == null && it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("v1-")) found = p
+        }
+        found
+      } finally s.close()
+    }
+    val legacy = spark.read.parquet(vdir.toString).drop("updated_at")
+    val rewrite = pendingRoot.resolve(".legacy-rewrite")
+    legacy.write.mode("overwrite").parquet(rewrite.toString)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rmTree(_)) finally s.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rmTree(vdir)
+    Files.move(rewrite, vdir)
+    val rows = PendingStore.read(spark, dir)
+      .select($"id", $"updated_at", $"created_at").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getTimestamp(1) != null, s"updated_at null for ${r.getString(0)}")
+      assert(r.getTimestamp(1) == r.getTimestamp(2),
+        "legacy updated_at must surface as created_at")
+    }
+    // EventLog's combined view goes through the same upgrade
+    val combined = EventLog.read(spark, dir)
+    assert(combined.filter($"updated_at".isNull).count() == 0L)
+  }
+
   test("crashed commit's orphan snapshot is invisible and swept by the next commit") {
     val dir = tmp()
     PendingStore.spool(df("a1"), dir)
