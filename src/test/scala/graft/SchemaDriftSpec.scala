@@ -18,6 +18,19 @@ class SchemaDriftSpec extends AnyFunSuite with SparkTestSession {
     assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
   }
 
+  test("a ts range predicate reaches the parquet scan as a pushed filter") {
+    // the 100 TB access path: event-time range scans must prune at the
+    // source, so the canonicalized ts column has to stay scan-native — a
+    // plan that filters above a cast reads every row group
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast(TimestampType))
+      .select("event_id", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*ts[^\\]]*\\].*"),
+      s"ts predicate must be pushed to the scan:\n$plan")
+  }
+
   test("a deliberate re-encode produces a failure naming the drifted column") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toFile
