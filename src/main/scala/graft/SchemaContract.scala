@@ -15,18 +15,25 @@ import org.apache.spark.sql.types._
   * fifteen unrelated analysis exceptions.
   *
   * Acceptance sets are deliberately wider than "what the file says today":
-  * integer keys accept 32- or 64-bit, timestamps accept LTZ / NTZ / legacy
-  * nanos-as-long — widths and timestamp flavors our code already
-  * canonicalizes or Spark coerces transparently. Anything outside the set
-  * (e.g. a key re-encoded as STRING, a timestamp as DATE) is a real drift
-  * that needs a loader decision, and fails loudly here.
+  * integer keys accept 32- or 64-bit, timestamps accept LTZ / NTZ — widths
+  * and flavors our code already canonicalizes or Spark coerces
+  * transparently — and events.ts alone additionally accepts the legacy
+  * nanos-as-long surface, because only Tables.events has the ÷1000 branch.
+  * Anything outside the set (a key re-encoded as STRING, a timestamp as
+  * DATE, a raw-long date on a table with no canonicalizing loader) is a
+  * real drift that needs a loader decision, and fails loudly here.
   */
 object SchemaContract {
 
   private val int    = Set[DataType](IntegerType, LongType)
   private val dbl    = Set[DataType](DoubleType, FloatType)
   private val str    = Set[DataType](StringType)
-  private val ts     = Set[DataType](TimestampType, TimestampNTZType, LongType)
+  private val ts     = Set[DataType](TimestampType, TimestampNTZType)
+  // LongType (legacy nanos-as-long) is accepted ONLY where a loader actually
+  // canonicalizes it — events.ts. Accepting it for o_orderdate/l_shipdate
+  // would silence exactly the drift this contract exists to catch: those
+  // tables load raw, and a bigint date column would mis-compare downstream.
+  private val tsOrNanos = ts + LongType
   private val fvec   = Set[DataType](ArrayType(FloatType, containsNull = true),
                                      ArrayType(FloatType, containsNull = false),
                                      ArrayType(DoubleType, containsNull = true),
@@ -50,21 +57,30 @@ object SchemaContract {
                       "l_extendedprice" -> dbl, "l_discount" -> dbl, "l_tax" -> dbl,
                       "l_returnflag" -> str, "l_linestatus" -> str,
                       "l_shipdate" -> ts),
-    "events"   -> Map("event_id" -> int, "ts" -> ts, "user_id" -> int,
+    "events"   -> Map("event_id" -> int, "ts" -> tsOrNanos, "user_id" -> int,
                       "event_type" -> str, "value" -> dbl, "props" -> str),
     "documents" -> Map("doc_id" -> int, "text" -> str, "lang" -> str,
                        "source" -> str, "n_chars" -> int),
     "embeddings" -> Map("vec_id" -> int, "embedding" -> fvec, "label" -> int))
 
+  /** First line of the exception's message (or its class-qualified
+    * toString when the message is null/empty) — never throws itself. */
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).flatMap(_.linesIterator.find(_.nonEmpty))
+      .getOrElse(e.toString)
+
   /** One line per violation against the testdata under `dir`; empty = clean.
     * Also asserts the canonical `Tables.events` output carries `ts` as
-    * TIMESTAMP — the invariant every events query depends on. */
+    * TIMESTAMP — the invariant every events query depends on. Loads go
+    * through [[Tables.loadAdaptive]] so the legacy TIMESTAMP(NANOS)
+    * encoding (which the plain reader refuses outright) is inspected as
+    * the LongType it surfaces as, not misreported as a load failure. */
   def violations(spark: SparkSession, dir: String): Seq[String] = {
     val raw = accepted.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val loaded =
-        try Right(Tables.load(spark, dir, table).schema)
+        try Right(Tables.loadAdaptive(spark, dir, table).schema)
         catch { case e: Exception =>
-          Left(s"$table: failed to load: ${e.getMessage.linesIterator.next()}") }
+          Left(s"$table: failed to load: ${firstLine(e)}") }
       loaded match {
         case Left(err) => Seq(err)
         case Right(schema) =>
@@ -87,7 +103,7 @@ object SchemaContract {
         if (t == TimestampType) Nil
         else Seq(s"Tables.events canonical ts is ${t.sql}, expected TIMESTAMP")
       } catch { case e: Exception =>
-        Seq(s"Tables.events failed: ${e.getMessage.linesIterator.next()}") }
+        Seq(s"Tables.events failed: ${firstLine(e)}") }
     raw ++ canonical
   }
 }

@@ -26,6 +26,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
+  /** True iff `e` is Spark refusing a TIMESTAMP(NANOS) parquet column —
+    * the one failure the legacy nanos-as-long retry can actually cure. */
+  private def isNanosRefusal(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type")
+  }
+
+  /** `load`, with the TIMESTAMP(NANOS) fallback: such files are only
+    * readable with `spark.sql.legacy.parquet.nanosAsLong=true` (the column
+    * then surfaces as raw LongType nanos). The conf flip is scoped to the
+    * refusal it cures — any other failure (missing path, corrupt footer)
+    * propagates untouched, and a failed retry restores the previous value
+    * so unrelated reads never inherit legacy mode by accident. */
+  private[graft] def loadAdaptive(s: SparkSession, d: String, name: String): DataFrame =
+    try load(s, d, name)
+    catch {
+      case e: Exception if isNanosRefusal(e) =>
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try load(s, d, name)
+        catch {
+          case retryFailure: Throwable =>
+            prev match {
+              case Some(v) => s.conf.set(key, v)
+              case None    => s.conf.unset(key)
+            }
+            throw retryFailure
+        }
+    }
+
   /** Schema-adaptive `events` loader. The driver has shipped `events.ts`
     * under more than one parquet encoding over time — TIMESTAMP(NANOS)
     * (which Spark only reads via the legacy nanos-as-long mode) and plain
@@ -40,14 +71,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw =
-      try load(s, d, "events")
-      catch { // TIMESTAMP(NANOS) parquet: only readable in legacy long mode
-        case _: org.apache.spark.sql.AnalysisException
-           | _: org.apache.spark.SparkException =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(s, d, "events")
-      }
+    val raw = loadAdaptive(s, d, "events")
     raw.schema("ts").dataType match {
       case TimestampType    => raw
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

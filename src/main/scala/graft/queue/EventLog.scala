@@ -98,11 +98,10 @@ object EventLog {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      // same legacy-store upgrade as PendingStore.readAt: history written
-      // before `updated_at` existed reads it as null under the explicit
-      // schema; present the insert-time stamp instead of an NPE downstream
-      spark.read.schema(schema).parquet(queueDir)
-        .withColumn("updated_at", coalesce(col("updated_at"), col("created_at")))
+      // history written before `updated_at` existed reads it as null under
+      // the explicit schema; the shared upgrade surfaces the insert stamp
+      PendingStore.upgradeLegacyColumns(
+        spark.read.schema(schema).parquet(queueDir))
   }
 
   /** Consumer view of the terminal (DELIVERED/FAILED) history. A dispatcher

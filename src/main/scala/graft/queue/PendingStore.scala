@@ -470,12 +470,20 @@ object PendingStore {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).option("ignoreMissingFiles", "true")
-        .parquet(existing: _*)
-        .withColumn("updated_at",
-          org.apache.spark.sql.functions.coalesce(
-            org.apache.spark.sql.functions.col("updated_at"),
-            org.apache.spark.sql.functions.col("created_at")))
+      upgradeLegacyColumns(
+        spark.read.schema(schema).option("ignoreMissingFiles", "true")
+          .parquet(existing: _*))
+  }
+
+  /** The one shared legacy-store column upgrade, applied by every
+    * schema-supplied queue read ([[readAt]] here, the terminal history in
+    * EventLog): `updated_at` predates some stores, reads null under the
+    * explicit schema, and consumers treat it as non-null — surface
+    * `created_at` (the value the insert stamp would have carried) instead.
+    * One definition so the two read paths can never drift apart. */
+  private[queue] def upgradeLegacyColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    df.withColumn("updated_at", coalesce(col("updated_at"), col("created_at")))
   }
 
   /** Commit `newPending` as the next snapshot and retire the capture's inbox
