@@ -324,7 +324,73 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"n_docs".desc, $"chunk_md5")
   }
 
+  /** Per-domain document cap (domain balancing): web corpora are dominated
+    * by a handful of giant domains, and a training mix caps each one. Kept
+    * set = the first `cap` documents per source in deterministic
+    * content-hash order — reproducible across rebuilds, no RNG.
+    *
+    * Two-phase so the per-domain ordering NEVER sorts a whole giant domain
+    * in one task (the naive row_number window does): phase 1 aggregates per-
+    * source counts (one row per domain — broadcast back); phase 2 prefilters
+    * by the uniform h16 hash to ~1.5× cap survivors per source, and only
+    * the survivors enter the ranking window. At 100 TB the window input is
+    * O(domains · cap), not O(corpus) — the same cap-the-quadratic shape as
+    * q86's LSH mega-bucket cap. The 1.5 safety factor is part of the
+    * operator's definition (both engines replay it), biased generous:
+    * P(Binomial(n, 1.5c/n) < c) is negligible for c ≥ 20. */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 20
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang",
+        Sampling.hash16($"doc_id").as("h16"),
+        md5($"doc_id".cast("string")).as("rank_key"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_in_source"))
+    val pre = docs.join(broadcast(counts), "source")
+      .filter($"h16" <
+        least(lit(1.0), lit(1.5 * cap) / $"n_in_source".cast("double")) * 65536.0)
+    val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
+    pre.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap)
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Duplicated-span removal with document reassembly — the span-level
+    * companion to whole-document dedup (q65) and boilerplate DETECTION
+    * (q82): disjoint 32-token blocks whose fingerprint recurs across ≥2
+    * distinct documents (shared headers, license text, navigation) are
+    * REMOVED, and each document is rebuilt from its surviving blocks in
+    * order. A document whose every block is shared scaffolding drops
+    * entirely. Emits per-document block/token counts + the md5 of the
+    * cleaned text (the no-raw-text discipline of q60).
+    *
+    * Scale shape: blocking is per-row algebra (no shuffle); the recurring
+    * set is one map-side-combined fingerprint aggregation whose output is
+    * SMALL (only scaffolding recurs), so the removal is a broadcast
+    * anti-join; reassembly is the single by-document shuffle. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocks = graft.operators.TextAnalysis
+      .chunk(Tables.documents(s, dir), chunkTokens = 32, stride = 32)
+      .withColumn("block_md5", md5($"chunk_text"))
+    val recurring = blocks.groupBy($"block_md5")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"block_md5")
+    blocks.join(broadcast(recurring), Seq("block_md5"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks_kept"),
+        sum($"n_chunk_tokens").cast("long").as("n_tokens_clean"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
+            x => x.getField("chunk_text")))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q91_domain_cap" -> domainCap,
+    "q92_paragraph_dedup" -> paragraphDedup,
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
     "q57_seq_packing" -> seqPacking,
@@ -435,6 +501,41 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q91_domain_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_key,
+         |    CAST($h16Sql AS INTEGER) AS h16
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+         |pre AS (
+         |  SELECT h.* FROM h JOIN c USING (source)
+         |  WHERE h.h16 < least(1.0, 30.0 / CAST(c.n AS DOUBLE)) * 65536.0),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY rank_key, doc_id) AS rn
+         |  FROM pre)
+         |SELECT doc_id, source, lang FROM r WHERE rn <= 20
+         |ORDER BY doc_id""".stripMargin,
+    "q92_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+        |c AS (SELECT doc_id, toks,
+        |        CASE WHEN n_tok > 32 THEN CAST((n_tok - 32 + 31) // 32 AS INTEGER) + 1
+        |             ELSE 1 END AS n_chunks
+        |      FROM n),
+        |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        |b AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |        CAST(len(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS INTEGER) AS n_chunk_tokens,
+        |        array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ') AS chunk_text
+        |      FROM e),
+        |rec AS (SELECT md5(chunk_text) AS block_md5 FROM b
+        |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM b
+        |         WHERE md5(chunk_text) NOT IN (SELECT block_md5 FROM rec))
+        |SELECT doc_id, count(*) AS n_blocks_kept,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens_clean,
+        |  md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS clean_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q78_curation_pipeline" -> curationOracle("", ""),
     // q85 = q78 + the semantic gate: same CTE chain plus the embedding
     // scoring CTE, and one more NOT IN on the flagged vec_ids (documents

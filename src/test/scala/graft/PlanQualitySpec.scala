@@ -134,4 +134,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // single-partition exchange feeds the per-bucket COUNT offsets window
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
   }
+
+  test("q91: the ranking window sits above the broadcast h16 prefilter") {
+    val p = plan("q91_domain_cap")
+    // the per-domain count table broadcasts back (one row per domain)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the h16 threshold filter (… * 65536.0) must be BELOW the Window in
+    // the tree — window input is O(domains · cap) survivors, never the
+    // whole corpus; losing this ordering reintroduces the giant-domain sort
+    val iWindow = p.indexOf("Window")
+    val iPrefilter = p.indexOf("65536.0")
+    assert(iWindow >= 0 && iPrefilter > iWindow, p)
+  }
+
+  test("q92: span removal is a broadcast anti-join, no cartesian anywhere") {
+    val p = plan("q92_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the recurring-fingerprint aggregation map-side combines
+    assert(p.contains("partial_count"), p)
+  }
 }
