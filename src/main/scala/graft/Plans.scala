@@ -105,6 +105,16 @@ object Plans {
         "cost. The posexplode + global order exist only for the DuckDB " +
         "oracle's row identity; a production encode persists the codes " +
         "relation unordered."),
+    "q91_domain_cap" ->
+      ("Domain balancing without the giant-domain sort: the per-source " +
+        "count table broadcasts back, the uniform-hash prefilter cuts each " +
+        "domain to ~1.5× the cap BEFORE the ranking window — window input " +
+        "is O(domains · cap), never corpus-sized."),
+    "q92_paragraph_dedup" ->
+      ("Duplicated-span removal: recurring block fingerprints (small by " +
+        "nature — only scaffolding recurs) come back as a broadcast " +
+        "anti-join over the map-side-combined fingerprint counts; document " +
+        "reassembly is the single by-document shuffle."),
     "q90_adc_topk" ->
       ("ADC retrieval at refine=4: codes scored against the driver-computed " +
         "per-(subspace, code) lookup table (plan literal, KBs) — a map-side " +
