@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-domain quota at ingest — the streaming twin of the batch domain cap
+  * (q91): a growing corpus admits at most `cap` documents per source, with
+  * admissions durable across batches and restarts. The batch operator
+  * chooses the KEPT SET by content-hash rank over a complete corpus; at
+  * ingest the corpus is never complete, so admission is first-come-first-
+  * served across batches (deterministic content-hash order WITHIN a batch)
+  * — the standard quota semantics of a streaming collector. Quota never
+  * frees: the admitted set is append-only, like every registry in this
+  * engine.
+  *
+  * Corpus state is a durable admitted-set registry `(sbucket, source,
+  * doc_id)` — plain parquet, hive-partitioned by `sbucket` (a 256-way hash
+  * bucket of the source, so millions of distinct domains cannot create
+  * millions of partition directories, while probes still prune to the
+  * batch's touched buckets). Per micro-batch:
+  *
+  *   1. the registry scan is PRUNED to the batch's touched sbuckets —
+  *      per-batch I/O is O(touched domains), not O(registry);
+  *   2. already-admitted batch docs (an at-least-once REPLAY) keep their
+  *      admitted verdict without consuming quota again;
+  *   3. genuinely-new docs rank per source by (md5(doc_id), doc_id) within
+  *      the batch — the same deterministic key as q91 — and are admitted
+  *      while `prior_admitted + rank <= cap`;
+  *   4. newly admitted rows append to the registry (a replay re-appends
+  *      identical rows; the distinct-count probe absorbs them).
+  *
+  * Rejected documents do NOT register — rejection must not consume quota —
+  * so a re-ingested rejected document re-evaluates against the then-current
+  * count and is re-rejected deterministically (the count only grows).
+  *
+  * Scale shape: the batch is micro by construction, so it broadcasts into
+  * every join; the registry only ever streams map-side through the pruned
+  * scan into one distinct-count aggregation whose output is one row per
+  * TOUCHED domain. The ranking window partitions by source over batch rows
+  * only. Nothing corpus-sized shuffles, and no giant domain is ever sorted
+  * whole — the exact property q91's two-phase plan pins for batch.
+  */
+object DomainQuota {
+
+  private val registrySchema: StructType = StructType.fromDDL(
+    "sbucket INT, source STRING, doc_id BIGINT")
+
+  /** Partition bucket of a source: crc32 mod 256 — cheap, engine-stable,
+    * and a pure function of the probe key, so pruning on it never drops a
+    * matching row (the same contract as IncrementalDedup.bucketOf). */
+  private def bucketOf(source: org.apache.spark.sql.Column) =
+    (crc32(source) % 256).cast("int")
+
+  /** One micro-batch step → verdicts `(doc_id, source, admitted,
+    * prior_admitted)`; `prior_admitted` is the domain's admitted count
+    * BEFORE this batch (an audit column, like IngestCuration's per-gate
+    * flags). */
+  def processBatch(batch: DataFrame, registryDir: String, cap: Int,
+                   idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(sourceCol).as("source"))
+      .withColumn("sbucket", bucketOf(col("source")))
+      .localCheckpoint(true) // feeds probe, replay join, ranking, registration
+    val touched = docs.select(col("sbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else registryAll.filter(col("sbucket").isInCollection(touched))
+    // one row per touched domain; countDistinct absorbs replayed appends
+    val priorCounts = registry.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("prior_admitted"))
+    // replay detection: this doc_id is already in the admitted set
+    val alreadyIn = registry.join(broadcast(docs),
+        registry("source") === docs("source") &&
+          registry("doc_id") === docs(idCol))
+      .select(docs(idCol)).distinct()
+      .withColumn("replayed", lit(true))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val verdicts = docs
+      .join(broadcast(alreadyIn), Seq(idCol), "left")
+      .join(broadcast(priorCounts), Seq("source"), "left")
+      .withColumn("prior_admitted", coalesce(col("prior_admitted"), lit(0L)))
+      .withColumn("replayed", coalesce(col("replayed"), lit(false)))
+      // replayed docs are already counted in prior_admitted and take no
+      // rank slot; fresh docs rank among fresh docs only
+      .withColumn("rank_new",
+        when(col("replayed"), lit(0L))
+          .otherwise(sum(when(col("replayed"), 0L).otherwise(1L))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("admitted",
+        col("replayed") || (col("prior_admitted") + col("rank_new") <= cap))
+      .select(col(idCol), col("source"), col("sbucket"),
+        col("admitted"), col("prior_admitted"), col("replayed"))
+      // fix the verdict BEFORE the registration append below mutates the
+      // registry this plan's scan lists (same discipline as IncrementalDedup)
+      .localCheckpoint(true)
+    verdicts.filter(col("admitted") && !col("replayed"))
+      .select(col("sbucket"), col("source"), col(idCol).as("doc_id"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    verdicts.select(col(idCol), col("source"), col("admitted"), col("prior_admitted"))
+  }
+
+  /** Bulk-seed the admitted set from an EXISTING corpus (the bootstrap step
+    * before enabling the gate): every existing document registers as
+    * admitted — run the batch cap (q91) first if the history itself must be
+    * capped. */
+  def seedRegistry(docs: DataFrame, registryDir: String,
+                   idCol: String = "doc_id", sourceCol: String = "source"): Unit =
+    docs.select(bucketOf(col(sourceCol)).as("sbucket"),
+        col(sourceCol).as("source"), col(idCol).as("doc_id"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+
+  /** The raw append-only admitted set, schema supplied explicitly
+    * (`sbucket` comes from the directory names; no footer inference). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(registryDir)
+    val hasParts = java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator(); var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.startsWith("sbucket=")
+        found
+      } finally s.close()
+    }
+    if (!hasParts)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+    else spark.read.schema(registrySchema).parquet(registryDir)
+  }
+
+  /** Streaming face: wire a document stream through [[processBatch]],
+    * appending verdicts to `verdictDir`; a consumer keeps
+    * `filter($"admitted")`. `compactEvery` schedules registry compaction
+    * exactly as [[IncrementalDedup.gate]] does. */
+  def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
+           cap: Int, idCol: String = "doc_id", sourceCol: String = "source",
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, registryDir, cap, idCol, sourceCol)
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("sbucket"))
+          ()
+        }
+    }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class SourcedDoc(doc_id: Long, source: String)
+
+/** Per-domain quota at ingest (the streaming twin of the batch domain cap
+  * q91): admissions are durable and first-come-first-served across batches,
+  * deterministic (content-hash order) within a batch, replay-idempotent,
+  * and the registry probe is partition-pruned to the batch's touched
+  * source buckets. */
+class DomainQuotaSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def run(batch: org.apache.spark.sql.DataFrame, reg: String, cap: Int) =
+    DomainQuota.processBatch(batch, reg, cap)
+      .as[(Long, String, Boolean, Long)].collect()
+      .map { case (id, src, adm, prior) => id -> (src, adm, prior) }.toMap
+
+  test("quota fills across batches; overflow is rejected deterministically") {
+    val reg = tmp("graft_quota_reg")
+    // batch 1: 3 docs of srcA under cap=4 — all admitted
+    val v1 = run(Seq(1L, 2L, 3L).map(SourcedDoc(_, "srcA")).toDF(), reg, cap = 4)
+    assert(v1.values.forall { case (_, adm, prior) => adm && prior == 0L })
+    // batch 2: 3 more srcA docs — exactly ONE admitted (4 - 3 = 1 slot),
+    // chosen by md5(doc_id) order, not arrival order
+    val b2 = Seq(10L, 11L, 12L)
+    val v2 = run(b2.map(SourcedDoc(_, "srcA")).toDF(), reg, cap = 4)
+    assert(v2.values.forall(_._3 == 3L), s"prior count must be 3: $v2")
+    assert(v2.values.count(_._2) == 1, s"exactly one slot left: $v2")
+    val expectedWinner = b2.minBy(id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString, id))
+    assert(v2(expectedWinner)._2, s"winner must be md5-order first: $v2")
+    // batch 3: the rejected docs re-arrive — still rejected (quota full)
+    val v3 = run(b2.filterNot(_ == expectedWinner)
+      .map(SourcedDoc(_, "srcA")).toDF(), reg, cap = 4)
+    assert(v3.values.forall { case (_, adm, prior) => !adm && prior == 4L })
+  }
+
+  test("domains have independent quotas; replay keeps verdicts and consumes no quota") {
+    val reg = tmp("graft_quota_reg2")
+    val b1 = Seq(SourcedDoc(1L, "srcA"), SourcedDoc(2L, "srcA"),
+      SourcedDoc(3L, "srcB")).toDF()
+    val v1 = run(b1, reg, cap = 2)
+    assert(v1.values.forall(_._2), "everything under cap admits")
+    // at-least-once replay of batch 1: identical verdicts, and the replayed
+    // admissions must NOT double-count against the quota
+    val v1r = run(b1, reg, cap = 2)
+    assert(v1r.keySet == v1.keySet && v1r.values.forall(_._2),
+      s"replay must keep admitted verdicts: $v1r")
+    // srcA is now full (2/2) but srcB still has a slot
+    val v2 = run(Seq(SourcedDoc(4L, "srcA"), SourcedDoc(5L, "srcB")).toDF(), reg, cap = 2)
+    assert(!v2(4L)._2 && v2(4L)._3 == 2L, s"srcA full: $v2")
+    assert(v2(5L)._2 && v2(5L)._3 == 1L, s"srcB open: $v2")
+  }
+
+  test("registry probe never reads untouched sbucket partitions") {
+    val reg = tmp("graft_quota_reg3")
+    run(Seq(SourcedDoc(1L, "srcA")).toDF(), reg, cap = 5)
+    // poison a partition srcA's probe cannot touch: any OTHER sbucket
+    val sbucketA = {
+      val crc = new java.util.zip.CRC32()
+      crc.update("srcA".getBytes); (crc.getValue % 256).toInt
+    }
+    val poisoned = (sbucketA + 1) % 256
+    val dir = java.nio.file.Paths.get(reg, s"sbucket=$poisoned")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-junk.parquet"), "not parquet".getBytes)
+    // srcA probe prunes to sbucket=<srcA> only — the junk is never opened
+    val v = run(Seq(SourcedDoc(2L, "srcA")).toDF(), reg, cap = 5)
+    assert(v(2L)._2 && v(2L)._3 == 1L, s"pruned probe must succeed: $v")
+  }
+
+  test("seeded registry counts exactly like incremental admissions") {
+    val reg = tmp("graft_quota_reg4")
+    DomainQuota.seedRegistry(
+      Seq(SourcedDoc(1L, "srcA"), SourcedDoc(2L, "srcA")).toDF(), reg)
+    val v = run(Seq(SourcedDoc(3L, "srcA"), SourcedDoc(4L, "srcA")).toDF(), reg, cap = 3)
+    assert(v.values.forall(_._3 == 2L))
+    assert(v.values.count(_._2) == 1, s"one slot after seeding 2 of 3: $v")
+  }
+
+  test("streaming gate writes verdicts through foreachBatch") {
+    val reg = tmp("graft_quota_reg_s")
+    val out = tmp("graft_quota_out") + "/verdicts"
+    val ms = MemoryStream[SourcedDoc]
+    ms.addData(SourcedDoc(1L, "srcA"), SourcedDoc(2L, "srcA"))
+    val q = DomainQuota.gate(ms.toDF(), reg, out, cap = 2)
+      .option("checkpointLocation", tmp("graft_quota_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(SourcedDoc(3L, "srcA"), SourcedDoc(4L, "srcB"))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .as[(Long, String, Boolean, Long)].collect()
+        .map { case (id, src, adm, prior) => id -> (src, adm, prior) }.toMap
+      assert(verdicts(1L)._2 && verdicts(2L)._2, "first batch fills the cap")
+      assert(!verdicts(3L)._2 && verdicts(3L)._3 == 2L, "srcA over cap")
+      assert(verdicts(4L)._2, "srcB independent")
+    } finally q.stop()
+  }
+}
