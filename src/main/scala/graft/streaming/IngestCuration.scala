@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *     registry; candidates exact-rescored) when `vecRegistryDir` is set;
   *   - semantic decontamination against a broadcast `benchmark` embedding
   *     set (small by construction — an eval set), max-similarity scored
-  *     map-side exactly like the batch gate q84.
+  *     map-side exactly like the batch gate q84;
+  *   - a per-domain admission quota via [[DomainQuota.processBatch]]
+  *     (durable admitted-set registry, pruned probe) when
+  *     `quotaRegistryDir` is set — applied LAST, over the survivors of
+  *     every other gate, so a document the pipeline drops anyway never
+  *     consumes its domain's quota and the admitted registry mirrors the
+  *     kept corpus exactly (the batch cap q91's at-ingest form).
   *
   * Embedding gates follow q85's LEFT anti-join semantics: a document
   * without an embedding (null, or no embedding column at all) passes them
@@ -50,7 +56,8 @@ object IngestCuration {
   /** One micro-batch step → verdicts
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
-    *   sem_clean, keep)`.
+    *   sem_clean, quota_admitted, keep)` — `quota_admitted` is null when
+    * the quota gate is off or the document failed an earlier gate.
     *
     * `vecRegistryDir` enables the vector near-dup gate (threshold
     * `vecMinSimMillionths`, floor-quantized millionths like every
@@ -67,7 +74,9 @@ object IngestCuration {
                    vecMinSimMillionths: Long = 990000L,
                    benchmark: Option[DataFrame] = None,
                    maxBenchSimMillionths: Long = 350000L,
-                   planes: Int = 16, bandWidth: Int = 4, dims: Int = 64): DataFrame = {
+                   planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
+                   quotaRegistryDir: Option[String] = None,
+                   quotaCap: Int = 0, sourceCol: String = "source"): DataFrame = {
     val spark = batch.sparkSession
     val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
     val quality = TextAnalysis.qualityMetrics(batch)
@@ -112,12 +121,34 @@ object IngestCuration {
         withVec.withColumn("max_bench_sim", lit(null).cast("long"))
           .withColumn("sem_clean", lit(true))
     }
-    withSem.select(col(idCol), col("is_dup"), col("dup_of"),
+    val gated = withSem.withColumn("gates_ok",
+      !col("is_dup") && col("quality_ok") && col("lang_ok") &&
+        !col("vec_is_dup") && col("sem_clean"))
+
+    // Per-domain quota LAST, over the survivors of every other gate only:
+    // a document the pipeline drops anyway must not consume its domain's
+    // quota, and the registry (= the admitted corpus) must reflect kept
+    // documents exactly. `quota_admitted` is null for docs the quota never
+    // saw (failed an earlier gate, or the gate is off) — the same audit
+    // discipline as the embedding columns above.
+    val withQuota = quotaRegistryDir match {
+      case Some(qReg) =>
+        val survivors = batch.join(
+          gated.filter(col("gates_ok")).select(col(idCol)), idCol)
+        val admitted = DomainQuota.processBatch(survivors, qReg, quotaCap,
+          idCol, sourceCol)
+          .select(col(idCol), col("admitted").as("quota_admitted"))
+        gated.join(admitted, Seq(idCol), "left")
+          .withColumn("keep", col("gates_ok") && coalesce(col("quota_admitted"), lit(false)))
+      case None =>
+        gated.withColumn("quota_admitted", lit(null).cast("boolean"))
+          .withColumn("keep", col("gates_ok"))
+    }
+    withQuota.select(col(idCol), col("is_dup"), col("dup_of"),
       col("predicted_lang"), col("lang_ok"),
       col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
-      (!col("is_dup") && col("quality_ok") && col("lang_ok") &&
-        !col("vec_is_dup") && col("sem_clean")).as("keep"))
+      col("quota_admitted"), col("keep"))
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],
@@ -134,18 +165,24 @@ object IngestCuration {
            benchmark: Option[DataFrame] = None,
            maxBenchSimMillionths: Long = 350000L,
            planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
+           quotaRegistryDir: Option[String] = None,
+           quotaCap: Int = 0, sourceCol: String = "source",
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, allowedLangs, minTokens,
           minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
           vecMinSimMillionths, benchmark, maxBenchSimMillionths,
-          planes, bandWidth, dims)
+          planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>
             graft.queue.Maintenance.compactParquet(batch.sparkSession,
               reg, partitionCols = Seq("band", "bucket"))
+          }
+          quotaRegistryDir.foreach { reg =>
+            graft.queue.Maintenance.compactParquet(batch.sparkSession,
+              reg, partitionCols = Seq("sbucket"))
           }
           ()
         }

@@ -191,4 +191,49 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
         s"12 is a lexical dup, unembedded: ${rows(12L)}")
     } finally q.stop()
   }
+
+  // ── per-domain quota gate (composed last, survivors-only) ──
+
+  private val good2 = "a calm sea and the bright sun of morning waves and light"
+  private val good3 = "the old tree stood by a stone wall of moss and ivy there"
+  private val good4 = "a small bird flew over the green field of corn and rye now"
+
+  private def runQ(docs: Seq[(Long, String, String)], reg: String,
+                   qreg: String, cap: Int) =
+    IngestCuration.processBatch(docs.toDF("doc_id", "text", "source"), reg,
+      quotaRegistryDir = Some(qreg), quotaCap = cap)
+      .select($"doc_id", $"keep", $"quota_admitted", $"is_dup", $"quality_ok")
+      .as[(Long, Boolean, Option[Boolean], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("quota gate: only survivors of the other gates consume domain quota") {
+    val reg = tmp("graft_icur_q"); val qreg = tmp("graft_icur_qreg")
+    // two good docs + junk, all srcA, cap 2: junk fails quality and must
+    // NOT take a slot — both good docs admit
+    val v1 = runQ(Seq((1L, good, "srcA"), (2L, good2, "srcA"),
+      (3L, junk, "srcA")), reg, qreg, cap = 2)
+    assert(v1(1L)._2 && v1(1L)._3.contains(true), s"got ${v1(1L)}")
+    assert(v1(2L)._2 && v1(2L)._3.contains(true), s"got ${v1(2L)}")
+    assert(!v1(3L)._2 && v1(3L)._3.isEmpty,
+      s"failed-gate doc never reaches the quota: ${v1(3L)}")
+    // srcA is now full: a fresh good doc is gate-clean but quota-rejected;
+    // srcB is independent
+    val v2 = runQ(Seq((4L, good3, "srcA"), (5L, good4, "srcB")), reg, qreg, cap = 2)
+    assert(!v2(4L)._2 && v2(4L)._3.contains(false) && !v2(4L)._4 && v2(4L)._5,
+      s"gate-clean but over quota: ${v2(4L)}")
+    assert(v2(5L)._2 && v2(5L)._3.contains(true), s"srcB independent: ${v2(5L)}")
+  }
+
+  test("quota gate: at-least-once replay keeps verdicts and consumes no quota") {
+    val reg = tmp("graft_icur_qr"); val qreg = tmp("graft_icur_qrreg")
+    val batch = Seq((1L, good, "srcA"), (2L, good2, "srcA"))
+    val v1 = runQ(batch, reg, qreg, cap = 2)
+    assert(v1.values.forall(_._2), s"both under cap: $v1")
+    val v2 = runQ(batch, reg, qreg, cap = 2)
+    assert(v2.values.forall(v => v._2 && v._3.contains(true)),
+      s"replay keeps keep=true without double-charging the quota: $v2")
+    // the quota is genuinely still full, not freed or double-counted
+    val v3 = runQ(Seq((9L, good3, "srcA")), reg, qreg, cap = 2)
+    assert(!v3(9L)._2 && v3(9L)._3.contains(false), s"got ${v3(9L)}")
+  }
 }
