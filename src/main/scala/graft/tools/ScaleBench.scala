@@ -42,6 +42,15 @@ object ScaleBench {
 
   private val queries = Seq("q31_minhash_sigs", "q32_lsh_candidates",
     "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
+    "q78_curation_pipeline", "q91_domain_cap", "q92_paragraph_dedup")
+
+  /** Queries whose plan reads persisted SharedStages: for these, warm MUST
+    * beat cold (a persisted stage cannot read slower than it recomputes),
+    * and warm>cold flags host contamination. q91/q92 have no persisted
+    * stages — their cold and warm runs do identical work, so warm≈cold with
+    * either sign is expected and must not trip the contamination warning. */
+  private val stagedQueries = Set("q31_minhash_sigs", "q32_lsh_candidates",
+    "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
     "q78_curation_pipeline")
 
   private val queueDepths = Seq(2000, 6000, 20000)
@@ -138,6 +147,30 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"kind":"dedup_probe","scale":$k,"registry_rows":$regRows,"sec":$sec%.3f}""")
+      (k, regRows, sec)
+    }
+
+    // The quota-probe pruning claim measured directly: admission cost for a
+    // FIXED 40-doc batch against admitted-set registries seeded from the
+    // 1x/3x/10x corpora. O(touched domains) pruning predicts a flat line in
+    // registry size — the DomainQuota twin of the dedup-probe table above.
+    // (Timing reruns re-admit the same batch as replays — the replay join is
+    // part of the measured path, and the appended rows are negligible.)
+    val quRows = scales.map { k =>
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+      val regDir = s"$root/registry-quota-x$k"
+      if (!Files.exists(Paths.get(regDir)))
+        graft.streaming.DomainQuota.seedRegistry(docs, regDir)
+      val regRows = graft.streaming.DomainQuota.readRegistry(spark, regDir).count()
+      val batch = docs.filter(col("doc_id") % 100 === 0).limit(40)
+        .select(col("doc_id") + 91000000L as "doc_id", col("source"))
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.DomainQuota.processBatch(batch, regDir, cap = 1000000)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"kind":"quota_probe","scale":$k,"registry_rows":$regRows,"sec":$sec%.3f}""")
       (k, regRows, sec)
     }
 
@@ -339,7 +372,7 @@ object ScaleBench {
       (cadence, first, last, files())
     }
 
-    writeMd(out, qRows, rRows, pRows, icRows, bRows, cRows, kRows, dRows, fRows)
+    writeMd(out, qRows, rRows, pRows, quRows, icRows, bRows, cRows, kRows, dRows, fRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -412,6 +445,7 @@ object ScaleBench {
                       qRows: Seq[(String, Int, Double, Double)],
                       rRows: Seq[(Int, Double, Double)],
                       pRows: Seq[(Int, Long, Double)],
+                      quRows: Seq[(Int, Long, Double)],
                       icRows: Seq[(Int, Long, Double, Double, Double)],
                       bRows: Seq[(Int, Int, Long, Long, Double, Double)],
                       cRows: Seq[(Int, Int, Double)],
@@ -463,14 +497,17 @@ object ScaleBench {
     }
     // sanity prose is COMPUTED from this run's data, never asserted: a
     // fixed "warm stays under cold" sentence once shipped beside a table
-    // that refuted it (q33 30x warm > cold under external host load)
-    val warmOverCold = qRows.filter(r => r._4 > r._3)
+    // that refuted it (q33 30x warm > cold under external host load).
+    // Only STAGED queries carry the invariant — see stagedQueries.
+    val warmOverCold = qRows
+      .filter(r => stagedQueries(r._1) && r._4 > r._3)
       .map(r => s"${r._1}@${r._2}x")
     if (warmOverCold.isEmpty) {
-      sb ++= "\nWarm stays under cold at every (pipeline, scale) in this run —\n"
-      sb ++= "the persisted shingle stage reads faster than it recomputes (the\n"
-      sb ++= "r4 warm>cold number was a host-noise artifact; staging advice\n"
-      sb ++= "stands).\n"
+      sb ++= "\nWarm stays under cold at every staged (pipeline, scale) in this\n"
+      sb ++= "run — the persisted shingle stage reads faster than it recomputes\n"
+      sb ++= "(the r4 warm>cold number was a host-noise artifact; staging advice\n"
+      sb ++= "stands). q91/q92 have no persisted stages, so their warm column is\n"
+      sb ++= "a repeat measurement, not a staged read.\n"
     } else {
       sb ++= s"\nWARNING: warm >= cold at ${warmOverCold.mkString(", ")} in\n"
       sb ++= "this run — a persisted stage can never truly read slower than it\n"
@@ -478,8 +515,12 @@ object ScaleBench {
       sb ++= "and prefer the last committed isolated run.\n"
     }
     // colds must not DECREASE as the corpus grows; a non-monotone cold
-    // column means the run measured the host, not the engine
-    val nonMono = queries.flatMap { q =>
+    // column means the run measured the host, not the engine. Scoped to the
+    // staged multi-second pipelines: the stage-less q91/q92 run sub-second
+    // and fixed-cost dominated at these sizes, where ±0.2 s scheduler
+    // jitter routinely exceeds the 20% band — a flat-to-noisy cold there is
+    // the honest result (fixed costs swamp the data), not contamination.
+    val nonMono = queries.filter(stagedQueries).flatMap { q =>
       val by = qRows.filter(_._1 == q).sortBy(_._2)
       by.sliding(2).collectFirst {
         case Seq(a, b) if b._3 < a._3 * 0.8 => s"$q (${a._2}x>${b._2}x)"
@@ -508,6 +549,15 @@ object ScaleBench {
     sb ++= "\nFlat probe time against a 10x registry = the (band, bucket)\n"
     sb ++= "partition pruning doing its job: per-batch I/O tracks the batch,\n"
     sb ++= "not the corpus.\n"
+    sb ++= "\n| domain-quota probe (fixed 40-doc batch) | admitted rows | sec |\n|---|---|---|\n"
+    quRows.foreach { case (k, rows, s) =>
+      sb ++= f"| vs ${k}x-corpus registry | $rows | $s%.2f s |\n"
+    }
+    sb ++= "\nThe quota twin of the dedup probe: the admitted-set registry is\n"
+    sb ++= "sbucket-partitioned, the probe prunes to the batch's touched\n"
+    sb ++= "buckets, and a flat line against a 10x admitted set is that pruning\n"
+    sb ++= "measured (count aggregation + replay join both run over the pruned\n"
+    sb ++= "subset only).\n"
     sb ++= "\n| ingest-curation gate, 50 batches x 25 docs | registry rows | batches 6-15 | last 10 | docs/sec |\n|---|---|---|---|---|\n"
     icRows.foreach { case (k, rows, first, last, dps) =>
       sb ++= f"| vs ${k}x-corpus registry | $rows | $first%.2f s | $last%.2f s | $dps%.1f |\n"
