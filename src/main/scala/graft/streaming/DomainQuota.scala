@@ -56,11 +56,22 @@ object DomainQuota {
   /** One micro-batch step → verdicts `(doc_id, source, admitted,
     * prior_admitted)`; `prior_admitted` is the domain's admitted count
     * BEFORE this batch (an audit column, like IngestCuration's per-gate
-    * flags). */
+    * flags). One verdict row per DISTINCT (source, doc) — intra-batch
+    * redeliveries collapse before ranking. A null source reads as the ""
+    * domain. */
   def processBatch(batch: DataFrame, registryDir: String, cap: Int,
                    idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(cap > 0, s"quota cap must be positive, got $cap — a zero cap " +
+      "silently rejects every document in the stream")
     val spark = batch.sparkSession
-    val docs = batch.select(col(idCol), col(sourceCol).as("source"))
+    // null sources collapse to one "" domain (scraped metadata is often
+    // missing the field; crashing the stream on it would wedge the batch),
+    // and intra-batch redeliveries of the same (source, doc) collapse to
+    // one row — otherwise each copy would take its own rank slot and
+    // wrongly evict a later fresh document from the same batch
+    val docs = batch
+      .select(col(idCol), coalesce(col(sourceCol), lit("")).as("source"))
+      .dropDuplicates("source", idCol)
       .withColumn("sbucket", bucketOf(col("source")))
       .localCheckpoint(true) // feeds probe, replay join, ranking, registration
     val touched = docs.select(col("sbucket")).distinct()
@@ -72,16 +83,19 @@ object DomainQuota {
     // one row per touched domain; countDistinct absorbs replayed appends
     val priorCounts = registry.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("prior_admitted"))
-    // replay detection: this doc_id is already in the admitted set
+    // replay detection on the registry's FULL key (source, doc_id): a
+    // doc_id admitted under one source must not mark a same-id row from a
+    // DIFFERENT source as replayed — that row would then be admitted
+    // without consuming its own domain's quota and never register
     val alreadyIn = registry.join(broadcast(docs),
         registry("source") === docs("source") &&
           registry("doc_id") === docs(idCol))
-      .select(docs(idCol)).distinct()
+      .select(docs(idCol), docs("source")).distinct()
       .withColumn("replayed", lit(true))
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val verdicts = docs
-      .join(broadcast(alreadyIn), Seq(idCol), "left")
+      .join(broadcast(alreadyIn), Seq(idCol, "source"), "left")
       .join(broadcast(priorCounts), Seq("source"), "left")
       .withColumn("prior_admitted", coalesce(col("prior_admitted"), lit(0L)))
       .withColumn("replayed", coalesce(col("replayed"), lit(false)))
@@ -110,8 +124,10 @@ object DomainQuota {
     * capped. */
   def seedRegistry(docs: DataFrame, registryDir: String,
                    idCol: String = "doc_id", sourceCol: String = "source"): Unit =
-    docs.select(bucketOf(col(sourceCol)).as("sbucket"),
-        col(sourceCol).as("source"), col(idCol).as("doc_id"))
+    // same null-source normalization as processBatch: a null would land in
+    // the hive default partition where the "" domain's pruned probe never looks
+    docs.select(bucketOf(coalesce(col(sourceCol), lit(""))).as("sbucket"),
+        coalesce(col(sourceCol), lit("")).as("source"), col(idCol).as("doc_id"))
       .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
 
   /** The raw append-only admitted set, schema supplied explicitly

@@ -133,12 +133,20 @@ object IngestCuration {
     // discipline as the embedding columns above.
     val withQuota = quotaRegistryDir match {
       case Some(qReg) =>
+        require(quotaCap > 0, "quotaRegistryDir is set but quotaCap is " +
+          s"$quotaCap — a non-positive cap would silently reject every " +
+          "document; pass quotaCap explicitly when enabling the quota gate")
+        // materialize the gate chain ONCE (micro-batch sized): the quota
+        // needs the survivor set eagerly (DomainQuota registers as a side
+        // effect), and without the checkpoint the caller's sink write
+        // would re-run every probe join and column pass a second time
+        val gatedCk = gated.localCheckpoint(true)
         val survivors = batch.join(
-          gated.filter(col("gates_ok")).select(col(idCol)), idCol)
+          gatedCk.filter(col("gates_ok")).select(col(idCol)), idCol)
         val admitted = DomainQuota.processBatch(survivors, qReg, quotaCap,
           idCol, sourceCol)
           .select(col(idCol), col("admitted").as("quota_admitted"))
-        gated.join(admitted, Seq(idCol), "left")
+        gatedCk.join(admitted, Seq(idCol), "left")
           .withColumn("keep", col("gates_ok") && coalesce(col("quota_admitted"), lit(false)))
       case None =>
         gated.withColumn("quota_admitted", lit(null).cast("boolean"))

@@ -40,18 +40,20 @@ object ScaleBench {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "embeddings")
 
-  private val queries = Seq("q31_minhash_sigs", "q32_lsh_candidates",
-    "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
-    "q78_curation_pipeline", "q91_domain_cap", "q92_paragraph_dedup")
-
   /** Queries whose plan reads persisted SharedStages: for these, warm MUST
-    * beat cold (a persisted stage cannot read slower than it recomputes),
-    * and warm>cold flags host contamination. q91/q92 have no persisted
-    * stages — their cold and warm runs do identical work, so warm≈cold with
-    * either sign is expected and must not trip the contamination warning. */
-  private val stagedQueries = Set("q31_minhash_sigs", "q32_lsh_candidates",
+    * beat cold (a persisted stage cannot read slower than it recomputes)
+    * and colds must grow with the corpus — violations flag host
+    * contamination. The stage-less list runs identical work cold and warm
+    * (sub-second, fixed-cost dominated at these sizes), so sign-level
+    * jitter there is expected and exempt from both tripwires. `queries` is
+    * DERIVED from the two lists so a new pipeline cannot silently land
+    * outside the tripwires' scope. */
+  private val stagedQueryList = Seq("q31_minhash_sigs", "q32_lsh_candidates",
     "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
     "q78_curation_pipeline")
+  private val stagelessQueryList = Seq("q91_domain_cap", "q92_paragraph_dedup")
+  private val queries = stagedQueryList ++ stagelessQueryList
+  private val stagedQueries = stagedQueryList.toSet
 
   private val queueDepths = Seq(2000, 6000, 20000)
 

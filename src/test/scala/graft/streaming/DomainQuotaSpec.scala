@@ -88,6 +88,39 @@ class DomainQuotaSpec extends AnyFunSuite with SparkTestSession {
     assert(v.values.count(_._2) == 1, s"one slot after seeding 2 of 3: $v")
   }
 
+  test("intra-batch redelivery of a doc takes ONE rank slot, not two") {
+    val reg = tmp("graft_quota_reg5")
+    // [A, A, B] with cap 2: the duplicate A must not consume B's slot
+    val batch = Seq(SourcedDoc(1L, "srcA"), SourcedDoc(1L, "srcA"),
+      SourcedDoc(2L, "srcA")).toDF()
+    val rows = DomainQuota.processBatch(batch, reg, cap = 2)
+      .as[(Long, String, Boolean, Long)].collect()
+    assert(rows.length == 2, s"one verdict per distinct doc: ${rows.toSeq}")
+    assert(rows.forall(_._3), s"both distinct docs fit the cap: ${rows.toSeq}")
+  }
+
+  test("null source reads as the '' domain instead of wedging the stream") {
+    val reg = tmp("graft_quota_reg6")
+    val batch = Seq((1L, null: String), (2L, "srcA")).toDF("doc_id", "source")
+    val v = DomainQuota.processBatch(batch, reg, cap = 5)
+      .as[(Long, String, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L)._2 == "" && v(1L)._3, s"null source admits under '': $v")
+    assert(v(2L)._2 == "srcA" && v(2L)._3)
+    // the '' domain has durable quota like any other
+    val v2 = DomainQuota.processBatch(
+      Seq((3L, null: String)).toDF("doc_id", "source"), reg, cap = 5)
+      .as[(Long, String, Boolean, Long)].collect().head
+    assert(v2._4 == 1L, s"'' domain count persisted: $v2")
+  }
+
+  test("a non-positive cap fails fast instead of silently rejecting everything") {
+    val reg = tmp("graft_quota_reg7")
+    intercept[IllegalArgumentException] {
+      DomainQuota.processBatch(Seq(SourcedDoc(1L, "srcA")).toDF(), reg, cap = 0)
+    }
+  }
+
   test("streaming gate writes verdicts through foreachBatch") {
     val reg = tmp("graft_quota_reg_s")
     val out = tmp("graft_quota_out") + "/verdicts"

@@ -224,6 +224,15 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(v2(5L)._2 && v2(5L)._3.contains(true), s"srcB independent: ${v2(5L)}")
   }
 
+  test("quota gate enabled without a cap fails fast, not as a silent total drop") {
+    val reg = tmp("graft_icur_q0"); val qreg = tmp("graft_icur_q0reg")
+    intercept[IllegalArgumentException] {
+      IngestCuration.processBatch(
+        Seq((1L, good, "srcA")).toDF("doc_id", "text", "source"), reg,
+        quotaRegistryDir = Some(qreg)) // quotaCap left at the 0 default
+    }
+  }
+
   test("quota gate: at-least-once replay keeps verdicts and consumes no quota") {
     val reg = tmp("graft_icur_qr"); val qreg = tmp("graft_icur_qrreg")
     val batch = Seq((1L, good, "srcA"), (2L, good2, "srcA"))
