@@ -121,6 +121,42 @@ class DomainQuotaSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("property: no domain ever exceeds its cap, and admissions are durable (random batch sequences)") {
+    // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
+    // few trials — every trial drives real Spark batches
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = for {
+      id <- Gen.choose(1L, 15L) // small range forces replays + intra-batch dups
+      src <- Gen.oneOf("srcA", "srcB", null)
+    } yield (id, src)
+    val seqGen = for {
+      cap <- Gen.choose(1, 4)
+      batches <- Gen.listOfN(3, Gen.nonEmptyListOf(docGen).map(_.take(10)))
+    } yield (cap, batches)
+    val prop = Prop.forAll(seqGen) { case (cap, batches) =>
+      val reg = tmp("graft_quota_prop")
+      val verdictsOk = batches.forall { b =>
+        // registry state BEFORE this batch, keyed like the registry itself
+        val before = DomainQuota.readRegistry(spark, reg)
+          .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+        val v = DomainQuota.processBatch(
+          b.toDF("doc_id", "source"), reg, cap)
+          .as[(Long, String, Boolean, Long)].collect()
+        // an admitted (source, doc) stays admitted on every re-arrival
+        v.forall { case (id, src, adm, _) =>
+          if (before.contains((src, id))) adm else true
+        }
+      }
+      val counts = DomainQuota.readRegistry(spark, reg)
+        .select($"source", $"doc_id").distinct()
+        .groupBy($"source").count()
+        .as[(String, Long)].collect()
+      verdictsOk && counts.forall(_._2 <= cap)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming gate writes verdicts through foreachBatch") {
     val reg = tmp("graft_quota_reg_s")
     val out = tmp("graft_quota_out") + "/verdicts"
