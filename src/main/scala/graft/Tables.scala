@@ -36,9 +36,16 @@ object Tables {
   /** `load`, with the TIMESTAMP(NANOS) fallback: such files are only
     * readable with `spark.sql.legacy.parquet.nanosAsLong=true` (the column
     * then surfaces as raw LongType nanos). The conf flip is scoped to the
-    * refusal it cures — any other failure (missing path, corrupt footer)
-    * propagates untouched, and a failed retry restores the previous value
-    * so unrelated reads never inherit legacy mode by accident. */
+    * refusal it cures in the sense that any other failure (missing path,
+    * corrupt footer) propagates untouched and a FAILED retry restores the
+    * previous value — but after a SUCCESSFUL retry the conf stays set for
+    * the session: the returned DataFrame is lazy, and its scan re-resolves
+    * the legacy mode at execution time, so restoring the conf here would
+    * break the very read this fallback just enabled. The session-wide
+    * residue is deliberate and guarded: a NANOS-encoded drift on a table
+    * WITHOUT an adaptive loader would then surface as LongType instead of
+    * a load refusal, which is exactly what SchemaContract's per-column
+    * accepted-type check (and Bench's named-line preflight) trips on. */
   private[graft] def loadAdaptive(s: SparkSession, d: String, name: String): DataFrame =
     try load(s, d, name)
     catch {

@@ -345,10 +345,20 @@ object TrainingDataQueries extends graft.QueryModule {
       .select($"doc_id", $"source", $"lang",
         Sampling.hash16($"doc_id").as("h16"),
         md5($"doc_id".cast("string")).as("rank_key"))
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_in_source"))
-    val pre = docs.join(broadcast(counts), "source")
+    // Only domains the prefilter actually THINS carry a row in the broadcast
+    // table: a source with n ≤ 1.5·cap keeps everything (its threshold would
+    // be ≥ 65536), so it needs no count row — unlisted domains default to
+    // keep-all through the left join. That bounds the broadcast at
+    // N/(1.5·cap) rows (each listed domain has > 1.5·cap documents), a
+    // 1.5·cap-fold reduction vs broadcasting every domain's count: tens of
+    // millions of crawl domains would be hundreds of MB, but domains
+    // EXCEEDING a production cap are orders-of-magnitude fewer. Output is
+    // identical either way, so the oracle is unchanged.
+    val bigCounts = docs.groupBy($"source").agg(count(lit(1)).as("n_in_source"))
+      .filter($"n_in_source" > 1.5 * cap)
+    val pre = docs.join(broadcast(bigCounts), Seq("source"), "left")
       .filter($"h16" <
-        least(lit(1.0), lit(1.5 * cap) / $"n_in_source".cast("double")) * 65536.0)
+        coalesce(lit(1.5 * cap) / $"n_in_source".cast("double"), lit(1.0)) * 65536.0)
     val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
     pre.withColumn("rn", row_number().over(w))
       .filter($"rn" <= cap)
@@ -366,26 +376,37 @@ object TrainingDataQueries extends graft.QueryModule {
     * cleaned text (the no-raw-text discipline of q60).
     *
     * Scale shape: blocking is per-row algebra (no shuffle); the recurring
-    * set is one map-side-combined fingerprint aggregation whose output is
-    * SMALL (only scaffolding recurs), so the removal is a broadcast
-    * anti-join; reassembly is the single by-document shuffle. */
-  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * set is one map-side-combined fingerprint aggregation; reassembly is the
+    * single by-document shuffle. The anti-join's build side is deliberately
+    * NOT hint-forced to broadcast: "only scaffolding recurs" holds on clean
+    * corpora, but on a heavily templated crawl the distinct-recurring-block
+    * set grows with the number of templates (every nav bar, license header,
+    * and forum signature) and can reach driver-OOM size — so AQE picks
+    * broadcast-vs-shuffle from the aggregate's ACTUAL runtime size, the
+    * engine-applied form of q86's mega-bucket cap-with-fallback discipline.
+    * ParagraphDedupSpec's scaffolding-flood test pins the shuffle fallback
+    * completing with identical output. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupOn(Tables.documents(s, dir))
+
+  /** [[paragraphDedup]]'s core on an arbitrary documents relation (the
+    * flood test feeds a synthetic template-heavy corpus through it). */
+  def paragraphDedupOn(docs: DataFrame): DataFrame = {
     val blocks = graft.operators.TextAnalysis
-      .chunk(Tables.documents(s, dir), chunkTokens = 32, stride = 32)
-      .withColumn("block_md5", md5($"chunk_text"))
-    val recurring = blocks.groupBy($"block_md5")
-      .agg(countDistinct($"doc_id").as("n_docs"))
-      .filter($"n_docs" >= 2)
-      .select($"block_md5")
-    blocks.join(broadcast(recurring), Seq("block_md5"), "left_anti")
-      .groupBy($"doc_id")
+      .chunk(docs, chunkTokens = 32, stride = 32)
+      .withColumn("block_md5", md5(col("chunk_text")))
+    val recurring = blocks.groupBy(col("block_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("block_md5"))
+    blocks.join(recurring, Seq("block_md5"), "left_anti")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks_kept"),
-        sum($"n_chunk_tokens").cast("long").as("n_tokens_clean"),
+        sum(col("n_chunk_tokens")).cast("long").as("n_tokens_clean"),
         md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
             x => x.getField("chunk_text")))).as("clean_md5"))
-      .orderBy($"doc_id")
+      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, Q] = Map(

@@ -300,11 +300,29 @@ object PendingStore {
     // token even if expired), so retrying next period is always safe.
     // ConcurrentWriterException alone means the lease is genuinely gone to
     // another writer — then renewing must stop for good.
+    //
+    // Swallowed ≠ silent: a PERSISTENT failure (bad permissions, full disk)
+    // means renewal never lands and the lease expires mid-cycle with the
+    // holder none the wiser — so every miss is logged, and once the
+    // consecutive-miss streak spans the TTL (> ttl/period straight misses:
+    // the lease is provably expired from a foreign observer's view) the
+    // warning escalates to say so. Renewal keeps retrying even then —
+    // shutting down would guarantee the livelock the commit-time
+    // verifyLease already guards against; the holder's next commit gets
+    // the clean refusal either way.
+    val missesBeyondTtl = (lease.ttlMs + period - 1) / period // ceil(ttl/period)
+    val consecutiveMisses = new java.util.concurrent.atomic.AtomicLong(0)
     exec.scheduleAtFixedRate(
-      () => try renewLease(queueDir, lease)
+      () => try { renewLease(queueDir, lease); consecutiveMisses.set(0) }
             catch {
               case _: ConcurrentWriterException => exec.shutdown()
-              case scala.util.control.NonFatal(_) => () // transient: retry next beat
+              case scala.util.control.NonFatal(e) => // transient: retry next beat
+                val n = consecutiveMisses.incrementAndGet()
+                val expired = if (n >= missesBeyondTtl)
+                  s" — streak exceeds the ${lease.ttlMs} ms TTL; the lease is " +
+                    "expired and open to takeover until a renewal lands" else ""
+                System.err.println(s"WARN lease renewal for $queueDir failed " +
+                  s"($n consecutive): ${e.getClass.getSimpleName}: ${e.getMessage}$expired")
             },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => exec.shutdownNow()

@@ -142,11 +142,21 @@ object IngestCuration {
         // would re-run every probe join and column pass a second time
         val gatedCk = gated.localCheckpoint(true)
         val survivors = batch.join(
-          gatedCk.filter(col("gates_ok")).select(col(idCol)), idCol)
+          gatedCk.filter(col("gates_ok")).select(col(idCol)).distinct(), idCol)
+        // DomainQuota keys replay/admission on the FULL (source, doc) key,
+        // so its verdicts join back on both — a batch carrying one doc_id
+        // under two sources gets one verdict per (source, doc) instead of
+        // a duplicated/misattributed row. The batch's source is normalized
+        // exactly as DomainQuota normalizes it (null reads as "").
+        val srcPairs = batch.select(col(idCol),
+          coalesce(col(sourceCol), lit("")).as("quota_source")).distinct()
         val admitted = DomainQuota.processBatch(survivors, qReg, quotaCap,
           idCol, sourceCol)
-          .select(col(idCol), col("admitted").as("quota_admitted"))
-        gatedCk.join(admitted, Seq(idCol), "left")
+          .select(col(idCol), col("source").as("quota_source"),
+            col("admitted").as("quota_admitted"))
+        gatedCk.join(srcPairs, Seq(idCol), "left")
+          .join(admitted, Seq(idCol, "quota_source"), "left")
+          .drop("quota_source")
           .withColumn("keep", col("gates_ok") && coalesce(col("quota_admitted"), lit(false)))
       case None =>
         gated.withColumn("quota_admitted", lit(null).cast("boolean"))

@@ -147,10 +147,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(iWindow >= 0 && iPrefilter > iWindow, p)
   }
 
-  test("q92: span removal is a broadcast anti-join, no cartesian anywhere") {
+  test("q92: span removal is an equi anti-join, no cartesian; broadcast is AQE's call") {
     val p = plan("q92_paragraph_dedup")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // the recurring set is deliberately NOT hint-forced to broadcast (it is
+    // corpus-derived and unbounded on template-heavy crawls) — AQE picks
+    // broadcast-vs-shuffle from its runtime size, so the pin asserts the
+    // anti-join SHAPE, not the exchange strategy; ParagraphDedupSpec pins
+    // the shuffle fallback end-to-end
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     // the recurring-fingerprint aggregation map-side combines
     assert(p.contains("partial_count"), p)
   }
