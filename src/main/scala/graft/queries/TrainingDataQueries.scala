@@ -366,6 +366,48 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Token-weighted per-domain cap (q93) — the budgeted form of [[domainCap]]:
+    * a real training mix caps each domain's TOKEN contribution, not its
+    * document count (one domain of million-token documents outweighs a
+    * thousand short-doc domains at equal doc counts). Admitted set = the
+    * maximal prefix, in the battery's deterministic (md5(doc_id), doc_id)
+    * order, whose cumulative token cost stays ≤ `budget` per source — the
+    * running sum is monotone, so the set is a clean stop-at-first-overflow
+    * prefix, reproducible across rebuilds. Token cost here is `n_chars`
+    * (pre-materialized, so the scan NEVER reads `text` — the whole query is
+    * a 4-column read); swap in [[graft.operators.TextAnalysis.chunk]] counts
+    * when exact tokenizer budgets matter.
+    *
+    * Same two-phase shape as [[domainCap]], with the histogram bound in
+    * token space: phase 1 aggregates per-source TOTAL token mass (only
+    * sources whose total exceeds 1.5·budget carry a broadcast row — the
+    * same over-threshold-only bound, here ≤ N·avg_chars/(1.5·budget) rows);
+    * phase 2 prefilters by h16 to the ~1.5·budget/total fraction, so the
+    * per-source running-sum window sorts O(budget/avg_doc_tokens) survivors,
+    * never a whole giant domain. The 1.5 safety factor is part of the
+    * operator's definition (both engines replay it), generous because the
+    * h16 sample's expected token mass is 1.5·budget. */
+  def tokenDomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 5000L
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        Sampling.hash16($"doc_id").as("h16"),
+        md5($"doc_id".cast("string")).as("rank_key"))
+    val bigTotals = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("chars_in_source"))
+      .filter($"chars_in_source" > 1.5 * budget)
+    val pre = docs.join(broadcast(bigTotals), Seq("source"), "left")
+      .filter($"h16" <
+        coalesce(lit(1.5 * budget) / $"chars_in_source".cast("double"), lit(1.0)) * 65536.0)
+    val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn("cum_chars", sum($"n_chars").over(w))
+      .filter($"cum_chars" <= budget)
+      .select($"doc_id", $"source", $"lang", $"n_chars", $"cum_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Duplicated-span removal with document reassembly — the span-level
     * companion to whole-document dedup (q65) and boilerplate DETECTION
     * (q82): disjoint 32-token blocks whose fingerprint recurs across ≥2
@@ -412,6 +454,7 @@ object TrainingDataQueries extends graft.QueryModule {
   def queries: Map[String, Q] = Map(
     "q91_domain_cap" -> domainCap,
     "q92_paragraph_dedup" -> paragraphDedup,
+    "q93_token_domain_cap" -> tokenDomainCap,
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
     "q57_seq_packing" -> seqPacking,
@@ -537,6 +580,23 @@ object TrainingDataQueries extends graft.QueryModule {
          |  FROM pre)
          |SELECT doc_id, source, lang FROM r WHERE rn <= 20
          |ORDER BY doc_id""".stripMargin,
+    "q93_token_domain_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rank_key,
+         |    CAST($h16Sql AS INTEGER) AS h16
+         |  FROM documents),
+         |c AS (SELECT source, sum(n_chars) AS t FROM h GROUP BY source),
+         |pre AS (
+         |  SELECT h.* FROM h JOIN c USING (source)
+         |  WHERE c.t <= 7500.0 OR h.h16 < 7500.0 / CAST(c.t AS DOUBLE) * 65536.0),
+         |r AS (
+         |  SELECT *, sum(n_chars) OVER (PARTITION BY source
+         |    ORDER BY rank_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+         |  FROM pre)
+         |SELECT doc_id, source, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+         |FROM r WHERE cum_chars <= 5000 ORDER BY doc_id""".stripMargin,
     "q92_paragraph_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),

@@ -47,6 +47,9 @@ object DomainQuota {
   private val registrySchema: StructType = StructType.fromDDL(
     "sbucket INT, source STRING, doc_id BIGINT")
 
+  private val tokenRegistrySchema: StructType = StructType.fromDDL(
+    "sbucket INT, source STRING, doc_id BIGINT, n_tokens BIGINT")
+
   /** Partition bucket of a source: crc32 mod 256 — cheap, engine-stable,
     * and a pure function of the probe key, so pruning on it never drops a
     * matching row (the same contract as IncrementalDedup.bucketOf). */
@@ -118,6 +121,78 @@ object DomainQuota {
     verdicts.select(col(idCol), col("source"), col("admitted"), col("prior_admitted"))
   }
 
+  /** Token-budgeted quota step — the at-ingest twin of the batch
+    * token-weighted cap (q93), as [[processBatch]] is of the doc-count cap
+    * (q91): each source admits documents while its cumulative TOKEN cost
+    * stays ≤ `budget`. Within a batch the admitted set is the maximal
+    * prefix, in (md5(doc_id), doc_id) order, whose fresh-token running sum
+    * plus the domain's prior admitted tokens fits the budget — the running
+    * sum is monotone, so this is the same stop-at-first-overflow prefix
+    * q93 computes, just seeded with the registry's prior mass. Across
+    * batches only ADMITTED tokens charge the budget: a rejected document
+    * never registers, so its re-arrival in a later (lighter) batch
+    * re-evaluates against the then-current mass and may then fit.
+    *
+    * Registry rows carry the admitted document's token cost
+    * `(sbucket, source, doc_id, n_tokens)`; an at-least-once replay
+    * re-appends identical rows, and the prior-mass aggregation collapses
+    * to one row per (source, doc) BEFORE summing, so a replay never
+    * double-charges tokens (the token-space form of the doc-count mode's
+    * countDistinct). Same 256-way sbucket layout, pruned probe, and
+    * verdict columns (`prior_tokens` replacing `prior_admitted`). */
+  def processBatchTokens(batch: DataFrame, registryDir: String, budget: Long,
+                         tokenCol: String = "n_chars", idCol: String = "doc_id",
+                         sourceCol: String = "source"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget — a " +
+      "non-positive budget silently rejects every document in the stream")
+    val spark = batch.sparkSession
+    val docs = batch
+      .select(col(idCol), coalesce(col(sourceCol), lit("")).as("source"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .dropDuplicates("source", idCol)
+      .withColumn("sbucket", bucketOf(col("source")))
+      .localCheckpoint(true)
+    val touched = docs.select(col("sbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val registryAll = readTokenRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else registryAll.filter(col("sbucket").isInCollection(touched))
+    // one row per (source, doc) FIRST (replayed appends collapse), then sum
+    val priorTokens = registry.groupBy(col("source"), col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("prior_tokens"))
+    val alreadyIn = registry.join(broadcast(docs),
+        registry("source") === docs("source") &&
+          registry("doc_id") === docs(idCol))
+      .select(docs(idCol), docs("source")).distinct()
+      .withColumn("replayed", lit(true))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val verdicts = docs
+      .join(broadcast(alreadyIn), Seq(idCol, "source"), "left")
+      .join(broadcast(priorTokens), Seq("source"), "left")
+      .withColumn("prior_tokens", coalesce(col("prior_tokens"), lit(0L)))
+      .withColumn("replayed", coalesce(col("replayed"), lit(false)))
+      // a replayed doc's tokens already sit inside prior_tokens and add
+      // nothing to the batch's running sum; fresh docs accumulate among
+      // fresh docs only
+      .withColumn("cum_new",
+        when(col("replayed"), lit(0L))
+          .otherwise(sum(when(col("replayed"), 0L).otherwise(col("n_tokens")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("admitted",
+        col("replayed") || (col("prior_tokens") + col("cum_new") <= budget))
+      .select(col(idCol), col("source"), col("sbucket"), col("n_tokens"),
+        col("admitted"), col("prior_tokens"), col("replayed"))
+      .localCheckpoint(true)
+    verdicts.filter(col("admitted") && !col("replayed"))
+      .select(col("sbucket"), col("source"), col(idCol).as("doc_id"), col("n_tokens"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    verdicts.select(col(idCol), col("source"), col("admitted"), col("prior_tokens"))
+  }
+
   /** Bulk-seed the admitted set from an EXISTING corpus (the bootstrap step
     * before enabling the gate): every existing document registers as
     * admitted — run the batch cap (q91) first if the history itself must be
@@ -132,7 +207,16 @@ object DomainQuota {
 
   /** The raw append-only admitted set, schema supplied explicitly
     * (`sbucket` comes from the directory names; no footer inference). */
-  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    readWithSchema(spark, registryDir, registrySchema)
+
+  /** The token-mode admitted set ([[processBatchTokens]]'s state) — same
+    * layout plus each admission's token cost. */
+  def readTokenRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    readWithSchema(spark, registryDir, tokenRegistrySchema)
+
+  private def readWithSchema(spark: SparkSession, registryDir: String,
+                             schema: StructType): DataFrame = {
     val p = java.nio.file.Paths.get(registryDir)
     val hasParts = java.nio.file.Files.exists(p) && {
       val s = java.nio.file.Files.list(p)
@@ -145,8 +229,8 @@ object DomainQuota {
     }
     if (!hasParts)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
-    else spark.read.schema(registrySchema).parquet(registryDir)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(registryDir)
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],
@@ -159,6 +243,22 @@ object DomainQuota {
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, cap, idCol, sourceCol)
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("sbucket"))
+          ()
+        }
+    }
+
+  /** [[gate]]'s token-budgeted form, wiring [[processBatchTokens]]. */
+  def gateTokens(docStream: DataFrame, registryDir: String, verdictDir: String,
+                 budget: Long, tokenCol: String = "n_chars",
+                 idCol: String = "doc_id", sourceCol: String = "source",
+                 compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatchTokens(batch, registryDir, budget, tokenCol, idCol, sourceCol)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.queue.Maintenance.compactParquet(batch.sparkSession,

@@ -147,6 +147,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(iWindow >= 0 && iPrefilter > iWindow, p)
   }
 
+  test("q93: the budget window sits above the broadcast token-mass prefilter") {
+    val p = plan("q93_token_domain_cap")
+    // only over-threshold domains broadcast (left join, keep-all default)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the h16 token-fraction prefilter must sit BELOW the running-sum
+    // window: window input is O(budget) survivors per source, never the
+    // whole corpus — q91's giant-domain-sort guard, in token space
+    val iWindow = p.indexOf("Window")
+    val iPrefilter = p.indexOf("65536.0")
+    assert(iWindow >= 0 && iPrefilter > iWindow, p)
+    // the whole query reads 4 columns — `text` never leaves the scan
+    assert(!p.contains("text"), p)
+  }
+
   test("q92: span removal is an equi anti-join, no cartesian; broadcast is AQE's call") {
     val p = plan("q92_paragraph_dedup")
     // the recurring set is deliberately NOT hint-forced to broadcast (it is

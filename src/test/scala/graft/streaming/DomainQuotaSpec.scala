@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 case class SourcedDoc(doc_id: Long, source: String)
+case class TokDoc(doc_id: Long, source: String, n_chars: Long)
 
 /** Per-domain quota at ingest (the streaming twin of the batch domain cap
   * q91): admissions are durable and first-come-first-served across batches,
@@ -155,6 +156,94 @@ class DomainQuotaSpec extends AnyFunSuite with SparkTestSession {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  // ---- token-budget mode (processBatchTokens, the at-ingest twin of q93) ----
+
+  private def md5Key(id: Long): (String, Long) =
+    (java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes).map("%02x".format(_)).mkString, id)
+
+  private def runTok(batch: org.apache.spark.sql.DataFrame, reg: String,
+                     budget: Long) =
+    DomainQuota.processBatchTokens(batch, reg, budget)
+      .as[(Long, String, Boolean, Long)].collect()
+      .map { case (id, src, adm, prior) => id -> (src, adm, prior) }.toMap
+
+  test("token budget fills across batches; overflow rejected, remainder admitted") {
+    val reg = tmp("graft_tokq_reg")
+    // three 40-token docs under budget 100: the md5-order prefix of two fits
+    val ids = Seq(1L, 2L, 3L)
+    val v1 = runTok(ids.map(TokDoc(_, "srcA", 40L)).toDF(), reg, budget = 100L)
+    val ordered = ids.sortBy(md5Key)
+    assert(v1(ordered(0))._2 && v1(ordered(1))._2 && !v1(ordered(2))._2,
+      s"maximal md5-order prefix under 100 tokens is the first two: $v1")
+    // a 15-token doc still fits the 20 remaining tokens; prior mass is 80
+    val v2 = runTok(Seq(TokDoc(10L, "srcA", 15L)).toDF(), reg, budget = 100L)
+    assert(v2(10L)._2 && v2(10L)._3 == 80L, s"80 + 15 <= 100: $v2")
+    // a 30-token doc no longer fits
+    val v3 = runTok(Seq(TokDoc(11L, "srcA", 30L)).toDF(), reg, budget = 100L)
+    assert(!v3(11L)._2 && v3(11L)._3 == 95L, s"95 + 30 > 100: $v3")
+  }
+
+  test("token replay keeps verdicts and never double-charges tokens") {
+    val reg = tmp("graft_tokq_reg2")
+    val b1 = Seq(TokDoc(1L, "srcA", 30L), TokDoc(2L, "srcA", 30L)).toDF()
+    assert(runTok(b1, reg, budget = 100L).values.forall(_._2))
+    // full replay: identical verdicts, prior mass unchanged at 60
+    val v1r = runTok(b1, reg, budget = 100L)
+    assert(v1r.values.forall { case (_, adm, prior) => adm && prior == 60L },
+      s"replay must not double-charge (prior stays 60): $v1r")
+    // replay MIXED with a fresh doc: the replayed row adds nothing to the
+    // batch's running sum, so 60 prior + 40 fresh exactly fits
+    val v2 = runTok(Seq(TokDoc(1L, "srcA", 30L), TokDoc(3L, "srcA", 40L)).toDF(),
+      reg, budget = 100L)
+    assert(v2(1L)._2 && v2(3L)._2 && v2(3L)._3 == 60L,
+      s"replayed doc takes no budget; fresh 40 fits 60+40: $v2")
+  }
+
+  test("rejected tokens never consume budget; a lighter re-arrival can fit later") {
+    val reg = tmp("graft_tokq_reg3")
+    assert(runTok(Seq(TokDoc(1L, "srcA", 40L)).toDF(), reg, 50L)(1L)._2)
+    // 30 tokens over a 40/50 budget: rejected, and NOT charged
+    assert(!runTok(Seq(TokDoc(2L, "srcA", 30L)).toDF(), reg, 50L)(2L)._2)
+    // a 5-token doc still sees prior mass 40 (not 70) and fits
+    val v3 = runTok(Seq(TokDoc(3L, "srcA", 5L)).toDF(), reg, 50L)
+    assert(v3(3L)._2 && v3(3L)._3 == 40L, s"rejection must not charge: $v3")
+    // the rejected doc itself re-arrives: still over (45 + 30), still free
+    assert(!runTok(Seq(TokDoc(2L, "srcA", 30L)).toDF(), reg, 50L)(2L)._2)
+  }
+
+  test("intra-batch admission is the maximal md5-order prefix (q93's semantics)") {
+    val reg = tmp("graft_tokq_reg4")
+    // three 60-token docs, budget 100: only the md5-first doc is admitted —
+    // the THIRD doc is rejected even though 60 + its 60 > 100 would also
+    // hold pairwise; stop-at-first-overflow is the pinned contract
+    val ids = Seq(5L, 6L, 7L)
+    val v = runTok(ids.map(TokDoc(_, "srcA", 60L)).toDF(), reg, budget = 100L)
+    val first = ids.minBy(md5Key)
+    assert(v(first)._2 && ids.filterNot(_ == first).forall(!v(_)._2),
+      s"only the md5-order head fits a 100-token budget of 60-token docs: $v")
+  }
+
+  test("token streaming gate writes verdicts through foreachBatch") {
+    val reg = tmp("graft_tokq_reg_s")
+    val out = tmp("graft_tokq_out") + "/verdicts"
+    val ms = MemoryStream[TokDoc]
+    ms.addData(TokDoc(1L, "srcA", 60L), TokDoc(2L, "srcB", 60L))
+    val q = DomainQuota.gateTokens(ms.toDF(), reg, out, budget = 100L)
+      .option("checkpointLocation", tmp("graft_tokq_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(TokDoc(3L, "srcA", 60L), TokDoc(4L, "srcB", 30L))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .as[(Long, String, Boolean, Long)].collect()
+        .map { case (id, src, adm, prior) => id -> (src, adm, prior) }.toMap
+      assert(verdicts(1L)._2 && verdicts(2L)._2, "first batch fits both domains")
+      assert(!verdicts(3L)._2 && verdicts(3L)._3 == 60L, "srcA over budget")
+      assert(verdicts(4L)._2 && verdicts(4L)._3 == 60L, "srcB's 30 still fits")
+    } finally q.stop()
   }
 
   test("streaming gate writes verdicts through foreachBatch") {
