@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class SpanDoc(doc_id: Long, text: String)
+
+/** Span removal at ingest (the streaming twin of the batch span-removal
+  * query q92): scaffolding blocks seen in any other document — corpus
+  * history or same batch — are removed, documents are rebuilt from the
+  * surviving blocks, verdicts are replay-idempotent, and the registry
+  * probe is partition-pruned to the batch's touched buckets. */
+class IncrementalSpanDedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** One 32-token block of distinct `prefix`-stamped tokens. */
+  private def blk(prefix: String): String =
+    (0 until 32).map(i => s"${prefix}_$i").mkString(" ")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def run(batch: org.apache.spark.sql.DataFrame, reg: String) =
+    IncrementalSpanDedup.processBatch(batch, reg)
+      .as[(Long, Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("cross-batch: a block seen in the corpus is removed from later carriers") {
+    val reg = tmp("graft_span_reg")
+    // batch 1: doc 1 = scaffold + own content — first carrier keeps all
+    val v1 = run(Seq(SpanDoc(1L, blk("scaffold") + " " + blk("own1"))).toDF(), reg)
+    assert(v1(1L) == (1L, 2L, 0L, 64L, Some(md5Hex(blk("scaffold") + " " + blk("own1")))))
+    // batch 2: doc 2 shares the scaffold — it survives only with its own block
+    val v2 = run(Seq(SpanDoc(2L, blk("scaffold") + " " + blk("own2"))).toDF(), reg)
+    assert(v2(2L) == (2L, 1L, 1L, 32L, Some(md5Hex(blk("own2")))),
+      s"the historical scaffold block must be removed: $v2")
+  }
+
+  test("in-batch recurrence: two same-batch carriers both lose the shared block") {
+    val reg = tmp("graft_span_reg2")
+    val v = run(Seq(
+      SpanDoc(1L, blk("tpl") + " " + blk("a")),
+      SpanDoc(2L, blk("tpl") + " " + blk("b"))).toDF(), reg)
+    assert(v(1L)._2 == 1L && v(1L)._5 == Some(md5Hex(blk("a"))), s"$v")
+    assert(v(2L)._2 == 1L && v(2L)._5 == Some(md5Hex(blk("b"))), s"$v")
+  }
+
+  test("a document of pure scaffolding reports 0 kept blocks and a null digest") {
+    val reg = tmp("graft_span_reg3")
+    run(Seq(SpanDoc(1L, blk("nav") + " " + blk("own"))).toDF(), reg)
+    val v = run(Seq(SpanDoc(2L, blk("nav"))).toDF(), reg)
+    assert(v(2L) == (2L, 0L, 1L, 0L, None), s"all-scaffold doc drops: $v")
+  }
+
+  test("replay idempotence: full and PARTIAL redeliveries reproduce original verdicts") {
+    val reg = tmp("graft_span_reg4")
+    val b1 = Seq(
+      SpanDoc(1L, blk("tpl") + " " + blk("a")),
+      SpanDoc(2L, blk("tpl") + " " + blk("b"))).toDF()
+    val v1 = run(b1, reg)
+    // full replay of the batch: byte-identical verdicts
+    assert(run(b1, reg) == v1, "full replay must reproduce verdicts")
+    // PARTIAL replay — doc 1 alone, its batch-mate absent: the occurrence
+    // registry still holds doc 2's tpl row, so the in-batch recurrence that
+    // originally removed tpl is reproduced from history, and doc 1's own
+    // first-play registration does not scaffold-flag its unique block
+    val vp = run(Seq(SpanDoc(1L, blk("tpl") + " " + blk("a"))).toDF(), reg)
+    assert(vp(1L) == v1(1L), s"partial replay must match: $vp vs ${v1(1L)}")
+    // and a fresh doc carrying tpl still loses it
+    val vf = run(Seq(SpanDoc(3L, blk("tpl") + " " + blk("c"))).toDF(), reg)
+    assert(vf(3L)._2 == 1L && vf(3L)._5 == Some(md5Hex(blk("c"))), s"$vf")
+  }
+
+  test("registry probe never reads untouched bucket partitions") {
+    val reg = tmp("graft_span_reg5")
+    val text = blk("solo")
+    run(Seq(SpanDoc(1L, text)).toDF(), reg)
+    // poison a partition this block's probe cannot touch
+    val touched = Integer.parseInt(md5Hex(text).substring(0, 2), 16)
+    val poisoned = (touched + 1) % 256
+    val dir = java.nio.file.Paths.get(reg, s"bucket=$poisoned")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-junk.parquet"), "not parquet".getBytes)
+    // replaying the same text prunes to its own bucket — junk never opened
+    val v = run(Seq(SpanDoc(1L, text)).toDF(), reg)
+    assert(v(1L)._2 == 1L, s"pruned probe must succeed: $v")
+  }
+
+  test("single-batch verdicts equal the batch operator (q92) on the real corpus") {
+    val reg = tmp("graft_span_reg6")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stream = run(docs, reg)
+    val batchOp = graft.queries.TrainingDataQueries.paragraphDedupOn(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // q92 drops all-scaffold docs; the gate reports them with 0 kept blocks
+    val streamKept = stream.filter(_._2._2 > 0L)
+    assert(streamKept.keySet == batchOp.keySet,
+      s"kept-doc sets differ: ${streamKept.keySet.size} vs ${batchOp.keySet.size}")
+    streamKept.foreach { case (id, (_, kept, _, toks, digest)) =>
+      assert((kept, toks, digest) ==
+        (batchOp(id)._2, batchOp(id)._3, Some(batchOp(id)._4)), s"doc $id differs")
+    }
+  }
+
+  test("seeded registry gates exactly like ingested history") {
+    val reg = tmp("graft_span_reg7")
+    IncrementalSpanDedup.seedRegistry(
+      Seq(SpanDoc(1L, blk("hdr") + " " + blk("x"))).toDF(), reg)
+    val v = run(Seq(SpanDoc(2L, blk("hdr") + " " + blk("y"))).toDF(), reg)
+    assert(v(2L)._2 == 1L && v(2L)._5 == Some(md5Hex(blk("y"))), s"$v")
+  }
+
+  test("streaming gate writes verdicts through foreachBatch") {
+    val reg = tmp("graft_span_reg_s")
+    val out = tmp("graft_span_out") + "/verdicts"
+    val ms = MemoryStream[SpanDoc]
+    ms.addData(SpanDoc(1L, blk("nav") + " " + blk("p1")))
+    val q = IncrementalSpanDedup.gate(ms.toDF(), reg, out)
+      .option("checkpointLocation", tmp("graft_span_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(SpanDoc(2L, blk("nav") + " " + blk("p2")))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .as[(Long, Long, Long, Long, Option[String])].collect()
+        .map(r => r._1 -> r).toMap
+      assert(verdicts(1L)._2 == 2L, "first carrier keeps both blocks")
+      assert(verdicts(2L)._2 == 1L && verdicts(2L)._5 == Some(md5Hex(blk("p2"))),
+        "second carrier loses the shared nav block")
+    } finally q.stop()
+  }
+}
