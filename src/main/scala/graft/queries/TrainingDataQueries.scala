@@ -451,7 +451,59 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Typed PII detection + scrub (q94) — the structured upgrade of q60's
+    * digit-run redaction: emails, IPv4 addresses, and phone numbers are
+    * detected and replaced by TYPE-specific placeholders, with a per-type
+    * count audit (downstream compliance reporting needs "how many emails
+    * did we remove from this shard", not a single opaque number). Scrub
+    * order is part of the operator's definition — emails, then IPs, then
+    * phones, each pass over the previous pass's output — so overlapping
+    * pattern families can never double-redact.
+    *
+    * The synthetic corpus carries no PII, so the query first plants
+    * deterministic PII derived from doc_id (every 3rd doc an email, every
+    * 5th an IPv4, every 7th a phone — doc_id 105 gets all three), the same
+    * derive-the-fixture-from-the-corpus discipline as q10's synthetic ops
+    * and q59's benchmark split; both engines replay the injection, so the
+    * scrub machinery is exercised against known-nonzero ground truth. The
+    * patterns stay in the Java∩RE2 common dialect (no backrefs, no
+    * lookaround) so Spark and DuckDB agree byte-for-byte.
+    *
+    * Scale shape: pure per-row column algebra — zero shuffles before the
+    * battery's determinism orderBy, scan reads (doc_id, text) only, all
+    * three passes fuse into one whole-stage-codegen'd projection. Emits
+    * md5(clean), never the text (q60's no-raw-text discipline). */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+      .withColumn("dirty", concat($"text",
+        when($"doc_id" % 3 === 0, concat(lit(" contact user"),
+          $"doc_id".cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0, format_string(" from host 10.%d.%d.%d",
+          expr("(doc_id div 256) % 256"), $"doc_id" % 256, $"doc_id" % 100 + 1))
+          .otherwise(lit("")),
+        when($"doc_id" % 7 === 0, format_string(" call 555-%03d-%04d",
+          $"doc_id" % 1000, $"doc_id" % 10000)).otherwise(lit(""))))
+    d.select($"doc_id",
+      regexp_count($"dirty", lit(PiiEmail)).as("n_emails"),
+      regexp_replace($"dirty", PiiEmail, "<EMAIL>").as("t1"))
+      .select($"doc_id", $"n_emails",
+        regexp_count($"t1", lit(PiiIpv4)).as("n_ipv4"),
+        regexp_replace($"t1", PiiIpv4, "<IP>").as("t2"))
+      .select($"doc_id", $"n_emails", $"n_ipv4",
+        regexp_count($"t2", lit(PiiPhone)).as("n_phones"),
+        md5(regexp_replace($"t2", PiiPhone, "<PHONE>")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect so the
+    * Spark battery and the DuckDB oracle compile them identically. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
   def queries: Map[String, Q] = Map(
+    "q94_pii_scrub" -> piiScrub,
     "q91_domain_cap" -> domainCap,
     "q92_paragraph_dedup" -> paragraphDedup,
     "q93_token_domain_cap" -> tokenDomainCap,
@@ -565,6 +617,23 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q94_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN printf(' from host 10.%d.%d.%d', (doc_id // 256) % 256, doc_id % 256, doc_id % 100 + 1) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000) ELSE '' END AS dirty
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d),
+        |i AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2 FROM e),
+        |p AS (SELECT doc_id, n_emails, n_ipv4,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5 FROM i)
+        |SELECT doc_id, n_emails, n_ipv4, n_phones, clean_md5 FROM p ORDER BY doc_id""".stripMargin,
     "q91_domain_cap" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_key,
