@@ -111,10 +111,23 @@ object Plans {
         "domain to ~1.5× the cap BEFORE the ranking window — window input " +
         "is O(domains · cap), never corpus-sized."),
     "q92_paragraph_dedup" ->
-      ("Duplicated-span removal: recurring block fingerprints (small by " +
-        "nature — only scaffolding recurs) come back as a broadcast " +
-        "anti-join over the map-side-combined fingerprint counts; document " +
+      ("Duplicated-span removal: the anti-join's build side (the " +
+        "map-side-combined recurring-fingerprint set) is deliberately NOT " +
+        "hint-forced — AQE picks broadcast here because the set is small on " +
+        "this corpus, and falls back to shuffle on a template-heavy one " +
+        "(ParagraphDedupSpec's flood test pins the fallback); document " +
         "reassembly is the single by-document shuffle."),
+    "q93_token_domain_cap" ->
+      ("Token-budgeted domain balancing: only over-threshold sources " +
+        "broadcast a token-mass row, the uniform-hash prefilter thins each " +
+        "giant domain to ~1.5×budget worth of tokens BEFORE the running-sum " +
+        "window, and ReadSchema shows the scan never reads text — n_chars " +
+        "is the pre-materialized cost column."),
+    "q94_pii_scrub" ->
+      ("Typed PII scrub: injection, three regexp_count/regexp_replace " +
+        "passes, and the digest all fuse into one WholeStageCodegen " +
+        "projection over a 2-column scan — zero exchanges before the " +
+        "battery's determinism sort."),
     "q90_adc_topk" ->
       ("ADC retrieval at refine=4: codes scored against the driver-computed " +
         "per-(subspace, code) lookup table (plan literal, KBs) — a map-side " +
