@@ -128,6 +128,11 @@ object Plans {
         "passes, and the digest all fuse into one WholeStageCodegen " +
         "projection over a 2-column scan — zero exchanges before the " +
         "battery's determinism sort."),
+    "q95_temperature_sample" ->
+      ("Temperature mixture sampling: one map-side-combined per-language " +
+        "count, a tiny rate relation (sqrt keeps both engines bit-equal) " +
+        "joined back, and a per-row h16 filter — the corpus never shuffles " +
+        "before the determinism sort."),
     "q90_adc_topk" ->
       ("ADC retrieval at refine=4: codes scored against the driver-computed " +
         "per-(subspace, code) lookup table (plan literal, KBs) — a map-side " +

@@ -184,4 +184,30 @@ object TextAnalysis {
         size(col("ctoks")).cast("int").as("n_chunk_tokens"),
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect (no
+    * backrefs, no lookaround) so the Spark battery, the DuckDB oracle, and
+    * any RE2-based downstream compile them identically. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Typed PII scrub: emails, IPv4 addresses, and phone numbers replaced by
+    * TYPE-specific placeholders, with a per-type count audit. Pass order is
+    * part of the operator's definition — emails, then IPs, then phones,
+    * each pass over the previous pass's output — so overlapping pattern
+    * families can never double-redact. Adds `n_emails`, `n_ipv4`,
+    * `n_phones`, and `cleanCol` (the scrubbed text); all six regex passes
+    * fuse into one whole-stage-codegen'd projection, zero shuffles. Shared
+    * by the batch query (q94) and the at-ingest audit
+    * ([[graft.streaming.IngestCuration.processBatch]]). */
+  def piiScrub(df: DataFrame, textCol: String = "text",
+               cleanCol: String = "clean_text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)))
+      .withColumn("__pii_t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+      .withColumn("n_ipv4", regexp_count(col("__pii_t1"), lit(PiiIpv4)))
+      .withColumn("__pii_t2", regexp_replace(col("__pii_t1"), PiiIpv4, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("__pii_t2"), lit(PiiPhone)))
+      .withColumn(cleanCol, regexp_replace(col("__pii_t2"), PiiPhone, "<PHONE>"))
+      .drop("__pii_t1", "__pii_t2")
 }

@@ -466,8 +466,9 @@ object TrainingDataQueries extends graft.QueryModule {
     * derive-the-fixture-from-the-corpus discipline as q10's synthetic ops
     * and q59's benchmark split; both engines replay the injection, so the
     * scrub machinery is exercised against known-nonzero ground truth. The
-    * patterns stay in the Java∩RE2 common dialect (no backrefs, no
-    * lookaround) so Spark and DuckDB agree byte-for-byte.
+    * scrub itself is [[graft.operators.TextAnalysis.piiScrub]] — one
+    * definition shared with the at-ingest audit — whose patterns stay in
+    * the Java∩RE2 common dialect so Spark and DuckDB agree byte-for-byte.
     *
     * Scale shape: pure per-row column algebra — zero shuffles before the
     * battery's determinism orderBy, scan reads (doc_id, text) only, all
@@ -484,25 +485,53 @@ object TrainingDataQueries extends graft.QueryModule {
           .otherwise(lit("")),
         when($"doc_id" % 7 === 0, format_string(" call 555-%03d-%04d",
           $"doc_id" % 1000, $"doc_id" % 10000)).otherwise(lit(""))))
-    d.select($"doc_id",
-      regexp_count($"dirty", lit(PiiEmail)).as("n_emails"),
-      regexp_replace($"dirty", PiiEmail, "<EMAIL>").as("t1"))
-      .select($"doc_id", $"n_emails",
-        regexp_count($"t1", lit(PiiIpv4)).as("n_ipv4"),
-        regexp_replace($"t1", PiiIpv4, "<IP>").as("t2"))
-      .select($"doc_id", $"n_emails", $"n_ipv4",
-        regexp_count($"t2", lit(PiiPhone)).as("n_phones"),
-        md5(regexp_replace($"t2", PiiPhone, "<PHONE>")).as("clean_md5"))
+    graft.operators.TextAnalysis.piiScrub(d, textCol = "dirty")
+      .select($"doc_id", $"n_emails", $"n_ipv4", $"n_phones",
+        md5($"clean_text").as("clean_md5"))
       .orderBy($"doc_id")
   }
 
-  /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect so the
-    * Spark battery and the DuckDB oracle compile them identically. */
-  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  /** Temperature-based mixture sampling (q95) — the closed-form companion
+    * to q56's fixed-rate strata and q67's weighted interleave: language l
+    * with share p_l is resampled toward p_l^α (α = 0.5), the standard
+    * temperature flattening of multilingual training mixes (up-weights the
+    * tail languages without memorizing the head — the corpus's en:fr skew
+    * is ~3.4:1, so the flattening binds at every SF). Realized as a
+    * downsample-only scheme — rate_l = (n_min/n_l)^(1-α) = sqrt(n_min/n_l)
+    * — so the smallest language keeps everything and no document repeats;
+    * admission is the battery's deterministic h16 threshold, reproducible
+    * at any partitioning.
+    *
+    * Float discipline: sqrt, double division, and double multiply are all
+    * IEEE-754 correctly-rounded, so Spark and DuckDB compute bit-identical
+    * rates and thresholds — no pow(), whose cross-engine last-ulp freedom
+    * could flip a borderline admission (the same reason the battery
+    * quantizes cosine scores).
+    *
+    * Scale shape: one map-side-combined per-language count (a handful of
+    * rows — the stratum is a language/corpus bucket, not a crawl domain;
+    * the per-DOMAIN analog is q91/q93's capped form), a tiny rate relation
+    * joined back (AQE broadcasts it by size; no forced hint), and a
+    * per-row filter — the corpus never shuffles before the determinism
+    * sort. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", Sampling.hash16($"doc_id").as("h16"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_in_lang"))
+    val rates = counts
+      .crossJoin(counts.agg(min($"n_in_lang").as("n_min")))
+      .select($"lang", $"n_in_lang",
+        sqrt($"n_min".cast("double") / $"n_in_lang").as("rate"))
+    docs.join(rates, "lang")
+      .filter($"h16" < $"rate" * 65536.0)
+      .select($"doc_id", $"source", $"lang", $"n_in_lang", $"rate")
+      .orderBy($"doc_id")
+  }
+
 
   def queries: Map[String, Q] = Map(
+    "q95_temperature_sample" -> temperatureSample,
     "q94_pii_scrub" -> piiScrub,
     "q91_domain_cap" -> domainCap,
     "q92_paragraph_dedup" -> paragraphDedup,
@@ -617,6 +646,16 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q95_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_in_lang FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_in_lang) AS n_min FROM c),
+         |r AS (SELECT lang, n_in_lang,
+         |        sqrt(CAST(n_min AS DOUBLE) / n_in_lang) AS rate FROM c, m),
+         |h AS (SELECT doc_id, source, lang, CAST($h16Sql AS INTEGER) AS h16 FROM documents)
+         |SELECT h.doc_id, h.source, h.lang, r.n_in_lang, r.rate
+         |FROM h JOIN r USING (lang)
+         |WHERE h.h16 < r.rate * 65536.0
+         |ORDER BY h.doc_id""".stripMargin,
     "q94_pii_scrub" ->
       """WITH d AS (
         |  SELECT doc_id, text

@@ -56,8 +56,12 @@ object IngestCuration {
   /** One micro-batch step → verdicts
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
-    *   sem_clean, quota_admitted, keep)` — `quota_admitted` is null when
-    * the quota gate is off or the document failed an earlier gate.
+    *   sem_clean, n_emails, n_ipv4, n_phones, clean_md5, quota_admitted,
+    *   keep)` — `quota_admitted` is null when the quota gate is off or the
+    * document failed an earlier gate; the PII columns are null unless
+    * `scrubPii` is on (PII is a transform-with-audit, never a gate: the
+    * counts say what the scrub removed, `clean_md5` digests the scrubbed
+    * text the consumer reproduces via [[TextAnalysis.piiScrub]]).
     *
     * `vecRegistryDir` enables the vector near-dup gate (threshold
     * `vecMinSimMillionths`, floor-quantized millionths like every
@@ -76,7 +80,8 @@ object IngestCuration {
                    maxBenchSimMillionths: Long = 350000L,
                    planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
                    quotaRegistryDir: Option[String] = None,
-                   quotaCap: Int = 0, sourceCol: String = "source"): DataFrame = {
+                   quotaCap: Int = 0, sourceCol: String = "source",
+                   scrubPii: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
     val quality = TextAnalysis.qualityMetrics(batch)
@@ -86,7 +91,22 @@ object IngestCuration {
     val lang = TextAnalysis.langId(batch)
       .select(col(idCol), col("predicted_lang"))
       .withColumn("lang_ok", col("predicted_lang").isInCollection(allowedLangs))
-    val lexical = dedup.join(quality, idCol).join(lang, idCol)
+    // PII audit (scrubPii): a TRANSFORM with counts, not a gate — PII never
+    // rejects a document, it gets scrubbed out of it. The verdict row stays
+    // no-raw-text (clean_md5 is the digest); the consumer applies the SAME
+    // deterministic TextAnalysis.piiScrub to its admitted docs and can
+    // check the digest end-to-end. One more shuffle-free column pass.
+    val lexicalBase = dedup.join(quality, idCol).join(lang, idCol)
+    val lexical =
+      if (!scrubPii)
+        lexicalBase.withColumn("n_emails", lit(null).cast("int"))
+          .withColumn("n_ipv4", lit(null).cast("int"))
+          .withColumn("n_phones", lit(null).cast("int"))
+          .withColumn("clean_md5", lit(null).cast("string"))
+      else lexicalBase.join(
+        TextAnalysis.piiScrub(batch.select(col(idCol), col("text")))
+          .select(col(idCol), col("n_emails"), col("n_ipv4"), col("n_phones"),
+            md5(col("clean_text")).as("clean_md5")), idCol)
 
     val embedded: Option[DataFrame] =
       if (batch.columns.contains(vecCol) &&
@@ -166,6 +186,7 @@ object IngestCuration {
       col("predicted_lang"), col("lang_ok"),
       col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
+      col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
       col("quota_admitted"), col("keep"))
   }
 
@@ -185,13 +206,15 @@ object IngestCuration {
            planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
            quotaRegistryDir: Option[String] = None,
            quotaCap: Int = 0, sourceCol: String = "source",
+           scrubPii: Boolean = false,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, allowedLangs, minTokens,
           minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
           vecMinSimMillionths, benchmark, maxBenchSimMillionths,
-          planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol)
+          planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol,
+          scrubPii)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>

@@ -245,4 +245,27 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     val v3 = runQ(Seq((9L, good3, "srcA")), reg, qreg, cap = 2)
     assert(!v3(9L)._2 && v3(9L)._3.contains(false), s"got ${v3(9L)}")
   }
+
+  test("PII audit: counts and digest reported, never a gate; off by default") {
+    val reg = tmp("graft_icur_pii")
+    val pii = good + " contact bob@example.com or 10.1.2.3 call 555-123-4567"
+    val batch = Seq(30L -> pii, 31L -> good).toDF("doc_id", "text")
+    val v = IngestCuration.processBatch(batch, reg, scrubPii = true)
+      .select($"doc_id", $"n_emails", $"n_ipv4", $"n_phones", $"clean_md5", $"keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((v(30L).getInt(1), v(30L).getInt(2), v(30L).getInt(3)) == ((1, 1, 1)))
+    assert((v(31L).getInt(1), v(31L).getInt(2), v(31L).getInt(3)) == ((0, 0, 0)))
+    assert(v(30L).getBoolean(5), "PII must never reject a document")
+    // the digest is reproducible by applying the same scrub downstream
+    val expected = graft.operators.TextAnalysis.piiScrub(batch)
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(30L).getString(4) == expected(30L) && v(31L).getString(4) == expected(31L))
+    assert(!expected(30L).isEmpty && expected(30L) != expected(31L))
+    // off by default: audit columns stay null
+    val off = IngestCuration.processBatch(
+      Seq(32L -> pii).toDF("doc_id", "text"), tmp("graft_icur_piioff"))
+      .select($"n_emails", $"clean_md5").collect().head
+    assert(off.isNullAt(0) && off.isNullAt(1))
+  }
 }
