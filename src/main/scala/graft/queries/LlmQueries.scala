@@ -113,6 +113,89 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** q96: leakage-safe dataset split — the composition q65 and q79 exist
+    * for. A per-document hash split (q79) routinely places two NEAR-
+    * DUPLICATE documents on opposite sides of the train/test boundary, so
+    * the eval set silently overlaps the training set — the classic
+    * benchmark-leakage failure that dedup-then-split pipelines exist to
+    * prevent. Here the split key is the duplicate CLUSTER representative
+    * (q65's connected components over the LSH near-dup graph), so every
+    * document in a cluster lands in the same band by construction: a
+    * near-dup pair can never straddle train/test. Singleton documents are
+    * their own representative, so for them this degrades to exactly q79's
+    * per-document split (same hash discipline, salted independently).
+    *
+    * Scale shape: adds ZERO corpus-side work beyond the shared cluster
+    * stage (q65's star contraction over the tiny verified pair graph) — the
+    * split itself is a pure per-row projection on the cluster map, no new
+    * shuffle, stable under reruns/partitioning like every battery sample.
+    * Growing the corpus can merge clusters (new bridge documents), which
+    * reassigns the merged cluster as a whole — the safe direction: splits
+    * stay leakage-free under every corpus version. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = SharedStages.dupClusters(s, dir)
+    graft.operators.Sampling.split(clusters, "cluster_rep",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "lsplit")
+      .select($"doc_id", $"cluster_rep", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** q97: embedding outlier gate — cosine of each vector against its own
+    * class centroid, flagging vectors far from their label's center (the
+    * CCNet-style cross-modal consistency filter: a doc whose embedding sits
+    * nowhere near its claimed cluster is mislabeled, garbled, or spam, and
+    * a curation pipeline drops or re-routes it). The mirror-image of q84's
+    * decontamination gate: there closeness to a FOREIGN set is the problem,
+    * here distance from the doc's OWN population is.
+    *
+    * Float discipline (the q95 rule): embeddings are quantized up front —
+    * qv_i = floor(emb_i · 1024), exact for floats — so per-label sums are
+    * exact int64 (order-independent, any partitioning); the centroid is
+    * re-quantized to c_i = floor(S_i / n) (double division of exact ints +
+    * floor: engine-identical, and it bounds every later magnitude by 1024
+    * INDEPENDENT of corpus size — no int64 overflow at any N, cosine is
+    * scale-invariant so dividing by n loses nothing). dot/norms are then
+    * small exact integers, and the final cos = dot/(√nd2·√nc2)·10⁶ uses
+    * only IEEE correctly-rounded ops — Spark and DuckDB agree bitwise,
+    * floor-millionths quantization is belt-and-braces.
+    *
+    * Scale shape: the per-label sums posexplode 64 narrow rows per vector
+    * but hash-aggregate PARTIALLY map-side (shuffle = tasks × labels × 64
+    * rows, never the corpus); the centroid relation is labels × 64 longs —
+    * AQE broadcasts it by size (no forced hint, the battery's post-r9
+    * discipline for corpus-derived builds); scoring is one codegen'd
+    * zip_with/aggregate projection. The corpus never shuffles before the
+    * determinism sort. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir).select($"vec_id", $"label",
+      transform($"embedding", x => floor(x.cast("double") * 1024).cast("long"))
+        .as("qvec"))
+    val sums = q.select($"label", posexplode($"qvec").as(Seq("pos", "qv")))
+      .groupBy($"label", $"pos").agg(sum($"qv").as("s"))
+    val cnts = q.groupBy($"label").agg(count(lit(1)).as("n_in_label"))
+    val cent = sums.join(cnts, "label")
+      .withColumn("c", floor($"s".cast("double") / $"n_in_label").cast("long"))
+      .groupBy($"label").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cvec"),
+        first($"n_in_label").as("n_in_label"))
+      .withColumn("nc2", aggregate($"cvec", lit(0L), (acc, x) => acc + x * x))
+    q.join(cent, "label")
+      .select($"vec_id", $"label", $"n_in_label",
+        aggregate(zip_with($"qvec", $"cvec", (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate($"qvec", lit(0L), (acc, x) => acc + x * x).as("nd2"),
+        $"nc2")
+      .select($"vec_id", $"label", $"n_in_label",
+        floor($"dot".cast("double") /
+            (sqrt($"nd2".cast("double")) * sqrt($"nc2".cast("double"))) * 1e6)
+          .cast("long").as("cos_centroid_ppm"))
+      .withColumn("is_outlier", $"cos_centroid_ppm" < -100000L)
+      .orderBy($"vec_id")
+  }
+
   // ---- similarity --------------------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -305,6 +388,8 @@ object LlmQueries extends graft.QueryModule {
     "q45_tfidf" -> tfidfTop,
     "q65_dup_clusters" -> dupClusters,
     "q88_vec_dup_clusters" -> vecDupClusters,
+    "q96_leakage_safe_split" -> leakageSafeSplit,
+    "q97_embedding_outliers" -> embeddingOutliers,
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity)
@@ -613,6 +698,61 @@ object LlmQueries extends graft.QueryModule {
         |)
         |SELECT doc AS doc_id, min(label) AS cluster_rep, doc = min(label) AS is_rep
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q97_embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, r.i AS pos,
+        |    CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1024) AS BIGINT) AS qv
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+        |), sums AS (
+        |  SELECT label, pos, SUM(qv) AS s FROM q GROUP BY label, pos
+        |), cnts AS (
+        |  SELECT label, count(*) AS n_in_label FROM embeddings GROUP BY label
+        |), cent AS (
+        |  SELECT sums.label, pos,
+        |    CAST(floor(CAST(s AS DOUBLE) / n_in_label) AS BIGINT) AS c
+        |  FROM sums JOIN cnts ON cnts.label = sums.label
+        |), dots AS (
+        |  SELECT q.vec_id, q.label,
+        |    SUM(q.qv * c.c) AS dot, SUM(q.qv * q.qv) AS nd2
+        |  FROM q JOIN cent c ON c.label = q.label AND c.pos = q.pos
+        |  GROUP BY q.vec_id, q.label
+        |), cn AS (
+        |  SELECT label, SUM(c * c) AS nc2 FROM cent GROUP BY label)
+        |SELECT d.vec_id, d.label, cnts.n_in_label,
+        |  CAST(floor((CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(d.nd2 AS DOUBLE)) * sqrt(CAST(cn.nc2 AS DOUBLE)))) * 1000000) AS BIGINT)
+        |    AS cos_centroid_ppm,
+        |  CAST(floor((CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(d.nd2 AS DOUBLE)) * sqrt(CAST(cn.nc2 AS DOUBLE)))) * 1000000) AS BIGINT)
+        |    < -100000 AS is_outlier
+        |FROM dots d JOIN cn ON cn.label = d.label JOIN cnts ON cnts.label = d.label
+        |ORDER BY vec_id""".stripMargin,
+    "q96_leakage_safe_split" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |), clus AS (
+        |  SELECT doc AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc
+        |), h AS (
+        |  SELECT doc_id, cluster_rep,
+        |    (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 4, 1)) - 1) AS h16
+        |  FROM clus)
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN h16 < 0.9 * 65536.0 THEN 'train'
+        |       WHEN h16 < 0.95 * 65536.0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin),
     "q88_vec_dup_clusters" -> (lshNearDupCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, cpair AS (
         |  SELECT vec_a, vec_b FROM d WHERE floor(dot * 1000000) >= 350000

@@ -530,7 +530,50 @@ object TrainingDataQueries extends graft.QueryModule {
   }
 
 
+  /** Corpus mix report (q98) — the dataset-card capstone over the curation
+    * battery: document counts and character mass per language, per source,
+    * per (language × source) cell, and the grand total, in ONE pass via
+    * grouping sets (the multi-granularity report every training run's data
+    * card publishes, and the input to mixture decisions like q95's
+    * temperature rates). Each slice carries its ppm share of the corpus's
+    * total character mass.
+    *
+    * Share arithmetic: floor((sum/total)·10⁶) entirely in double — both
+    * engines cast the exact int64 sums to double (IEEE round-to-nearest,
+    * deterministic at ANY magnitude) then divide/multiply/floor with
+    * correctly-rounded ops, so the share is bit-identical cross-engine and
+    * never overflows (the int64 form 10⁶·sum would overflow past ~9 TB of
+    * text). Group keys are coalesced to 'ALL' so the report never emits
+    * null keys (and the determinism sort never hits the engines' opposite
+    * null-ordering defaults); gid disambiguates a hypothetical real 'ALL'
+    * stratum.
+    *
+    * Scale shape: one map-side-combined hash aggregate — grouping sets
+    * expand each input row to its 4 grouping combinations BEFORE the
+    * partial aggregate, so the shuffle carries tasks × (|langs|·|sources| +
+    * |langs| + |sources| + 1) rows, never the corpus; the scan reads 3
+    * columns (never `text`); the grand-total row joins back as a 1-row
+    * broadcast. */
+  def corpusMixReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"lang", $"source", $"n_chars")
+    val agg = d
+      .groupingSets(
+        Seq(Seq($"lang", $"source"), Seq($"lang"), Seq($"source"), Seq.empty),
+        $"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("long").as("sum_chars"),
+        (grouping($"lang") * 2 + grouping($"source")).cast("int").as("gid"))
+    agg.crossJoin(d.agg(sum($"n_chars").cast("long").as("total_chars")))
+      .select(coalesce($"lang", lit("ALL")).as("lang"),
+        coalesce($"source", lit("ALL")).as("source"),
+        $"gid", $"n_docs", $"sum_chars",
+        floor($"sum_chars".cast("double") / $"total_chars".cast("double") * 1e6)
+          .cast("long").as("share_ppm"))
+      .orderBy($"gid", $"lang", $"source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q98_corpus_mix_report" -> corpusMixReport,
     "q95_temperature_sample" -> temperatureSample,
     "q94_pii_scrub" -> piiScrub,
     "q91_domain_cap" -> domainCap,
@@ -646,6 +689,18 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q98_corpus_mix_report" ->
+      """WITH a AS (
+        |  SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |    CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS gid,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |), t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents)
+        |SELECT lang, source, gid, n_docs, sum_chars,
+        |  CAST(floor(CAST(sum_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS share_ppm
+        |FROM a, t ORDER BY gid, lang, source""".stripMargin,
     "q95_temperature_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_in_lang FROM documents GROUP BY lang),
          |m AS (SELECT min(n_in_lang) AS n_min FROM c),

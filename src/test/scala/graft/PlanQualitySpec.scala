@@ -161,6 +161,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("text"), p)
   }
 
+  test("q97: centroid sums partial-aggregate map-side; no cartesian") {
+    val p = plan("q97_embedding_outliers")
+    // the per-label sums shuffle tasks × labels × 64 rows, never the corpus:
+    // losing the partial aggregate turns that into a corpus-sized explode
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q98: grouping sets are one Expand + partial+final aggregate; text never read") {
+    val p = plan("q98_corpus_mix_report")
+    // all four granularities come from ONE pass (Expand), partial-agg'd
+    // map-side — a regression to per-slice scans or a final-only aggregate
+    // turns the tiny shuffle into a corpus-sized one
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("text"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q92: span removal is an equi anti-join, no cartesian; broadcast is AQE's call") {
     val p = plan("q92_paragraph_dedup")
     // the recurring set is deliberately NOT hint-forced to broadcast (it is
