@@ -210,4 +210,69 @@ object TextAnalysis {
       .withColumn("n_phones", regexp_count(col("__pii_t2"), lit(PiiPhone)))
       .withColumn(cleanCol, regexp_replace(col("__pii_t2"), PiiPhone, "<PHONE>"))
       .drop("__pii_t1", "__pii_t2")
+
+  /** Character-bigram LM with add-one smoothing, fitted on a reference
+    * corpus — the classic KenLM-style fluency filter scaled down to the
+    * algebra a SQL oracle can replay. Returns (qp, default): `qp(bg)` is
+    * the smoothed bigram probability quantized to ppm —
+    * floor(10⁶·(c(bg)+1)/(t(prev)+V)) — and `default(prev)` the unseen-
+    * bigram value floor(10⁶·1/(t(prev)+V)) per seen context. V = 27
+    * (a–z + space, the corpus alphabet).
+    *
+    * Quantizing each probability to an INTEGER ppm up front is the
+    * determinism device: per-document scores become exact integer sums —
+    * order-independent under any partitioning — instead of float
+    * accumulations in corpus order (and it sidesteps log(), which unlike
+    * sqrt/÷/× is NOT IEEE correctly-rounded and differs across libm
+    * builds). The double math inside the quantization (10⁶·(c+1) then ÷)
+    * is two correctly-rounded ops on integer-valued operands — bit-equal
+    * in any engine at any count magnitude.
+    *
+    * The driver-side collect is bounded by |alphabet|² = 729 rows — a true
+    * CONSTANT, unlike the corpus-derived sets the battery refuses to
+    * broadcast unguarded (q92's recurring blocks): growing the corpus
+    * grows the counts, never the table. */
+  def bigramLm(ref: DataFrame, textCol: String = "text")
+      : (Map[String, Long], Map[String, Long]) = {
+    val V = 27
+    val counts = ref
+      .select(explode(expr(
+        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = counts.groupMapReduce(_._1.substring(0, 1))(_._2)(_ + _)
+    val qp = counts.map { case (bg, c) =>
+      bg -> math.floor(1000000.0 * (c + 1) / (ctx(bg.substring(0, 1)) + V)).toLong
+    }
+    val default = ctx.map { case (p, t) =>
+      p -> math.floor(1000000.0 * 1 / (t + V)).toLong
+    }
+    (qp, default)
+  }
+
+  /** Score every document under a fitted [[bigramLm]]: mean quantized
+    * bigram probability in ppm (higher = more like the reference). Bigrams
+    * absent from the model fall back to the context default, then to the
+    * empty-context floor(10⁶/27). One codegen'd per-row projection — the
+    * model rides along as two map literals (≤729 + 27 entries), zero
+    * shuffles, no UDF; documents shorter than 2 chars are dropped (they
+    * have no bigrams). */
+  def lmFluency(docs: DataFrame, qp: Map[String, Long],
+                default: Map[String, Long], textCol: String = "text"): DataFrame = {
+    val emptyCtx = math.floor(1000000.0 / 27).toLong
+    val mq = typedLit(qp)
+    val md = typedLit(default)
+    docs.filter(length(col(textCol)) >= 2)
+      .withColumn("n_bigrams", (length(col(textCol)) - 1).cast("long"))
+      .withColumn("__bg_sum", aggregate(
+        transform(expr(
+          s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"),
+          b => coalesce(element_at(mq, b),
+            element_at(md, b.substr(lit(1), lit(1))),
+            lit(emptyCtx))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("fluency_ppm", expr("__bg_sum div n_bigrams"))
+      .drop("__bg_sum")
+  }
 }

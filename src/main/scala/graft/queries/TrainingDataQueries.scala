@@ -554,9 +554,16 @@ object TrainingDataQueries extends graft.QueryModule {
     * |langs| + |sources| + 1) rows, never the corpus; the scan reads 3
     * columns (never `text`); the grand-total row joins back as a 1-row
     * broadcast. */
-  def corpusMixReport(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = Tables.documents(s, dir).select($"lang", $"source", $"n_chars")
+  def corpusMixReport(s: SparkSession, dir: String): DataFrame =
+    corpusMixReportOn(Tables.documents(s, dir))
+
+  /** [[corpusMixReport]]'s core on an arbitrary documents relation — the
+    * streaming accounting registry renders its live card through the same
+    * definition ([[graft.streaming.CorpusStats.report]] equivalence is
+    * pinned in CorpusStatsSpec). */
+  def corpusMixReportOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs.select($"lang", $"source", $"n_chars".cast("long").as("n_chars"))
     val agg = d
       .groupingSets(
         Seq(Seq($"lang", $"source"), Seq($"lang"), Seq($"source"), Seq.empty),
@@ -572,7 +579,33 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"gid", $"lang", $"source")
   }
 
+  /** Char-bigram LM fluency filter (q99) — the perplexity-style quality
+    * gate ([[graft.operators.TextAnalysis.bigramLm]]): a bigram model with
+    * add-one smoothing is fitted on the benchmark-quality src0 slice (the
+    * same reference convention as q59's decontamination benchmark), every
+    * document is scored by its mean quantized bigram probability, and the
+    * bottom tail is flagged. The 210000 ppm threshold binds at every SF
+    * without flagging more than a few percent.
+    *
+    * Scale shape: the model fit is one map-side-combined bigram count whose
+    * output is alphabet-bounded (≤729 rows — a constant, so the driver
+    * collect is safe at any corpus size); scoring is one codegen'd per-row
+    * projection with the model as two map literals — zero corpus shuffles
+    * before the determinism sort. */
+  def lmFluencyScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val (qp, default) = graft.operators.TextAnalysis.bigramLm(
+      docs.filter($"source" === "src0"))
+    graft.operators.TextAnalysis.lmFluency(
+        docs.select($"doc_id", $"lang", $"text"), qp, default)
+      .select($"doc_id", $"lang", $"n_bigrams", $"fluency_ppm",
+        ($"fluency_ppm" < 210000L).as("is_disfluent"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q99_lm_fluency" -> lmFluencyScore,
     "q98_corpus_mix_report" -> corpusMixReport,
     "q95_temperature_sample" -> temperatureSample,
     "q94_pii_scrub" -> piiScrub,
@@ -689,6 +722,26 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q99_lm_fluency" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_transform(range(1, length(text)),
+        |      i -> substring(text, CAST(i AS INTEGER), 2))) AS b
+        |  FROM documents
+        |), model AS (
+        |  SELECT b, count(*) AS c FROM bg WHERE source = 'src0' GROUP BY b
+        |), ctx AS (
+        |  SELECT substring(b, 1, 1) AS p, sum(c) AS t FROM model GROUP BY p
+        |), q AS (
+        |  SELECT bg.doc_id, bg.lang,
+        |    CAST(floor(1000000.0 * (coalesce(m.c, 0) + 1)
+        |               / (coalesce(x.t, 0) + 27)) AS BIGINT) AS qp
+        |  FROM bg LEFT JOIN model m ON m.b = bg.b
+        |  LEFT JOIN ctx x ON x.p = substring(bg.b, 1, 1))
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(qp) // count(*) AS BIGINT) AS fluency_ppm,
+        |  (sum(qp) // count(*)) < 210000 AS is_disfluent
+        |FROM q GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q98_corpus_mix_report" ->
       """WITH a AS (
         |  SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Corpus accounting at ingest — the streaming twin of the batch mix report
+  * (q98): as documents arrive, a durable registry accumulates which
+  * (source, lang) cell each admitted document landed in and its character
+  * mass, so the data card's mix numbers are available DURING the crawl,
+  * not only after a full-corpus pass.
+  *
+  * State is doc-GRAINED on purpose: an aggregate-valued registry (one
+  * running counter per cell) cannot absorb at-least-once redelivery — a
+  * replayed batch would double-count, and the error would be silent and
+  * permanent. Storing `(sbucket, source, lang, doc_id, n_chars)` rows
+  * makes idempotence structural: re-appended duplicates collapse in the
+  * count/sum-DISTINCT aggregation, exactly the discipline of
+  * [[DomainQuota]]'s admitted set (whose registry this layout mirrors,
+  * 256-way source-hash `sbucket` hive partitioning included, so millions
+  * of domains never become millions of directories and probes prune to
+  * the batch's touched buckets).
+  *
+  * Per micro-batch: intra-batch redeliveries collapse, the registry scan
+  * prunes to touched sbuckets, genuinely-new docs append, and the emitted
+  * verdict reports each touched (source, lang) cell's POST-batch totals
+  * (`n_docs`, `sum_chars`) plus how much this batch added — the live
+  * feed a mix-monitoring dashboard tails. Per-batch I/O is O(touched
+  * domains), not O(registry) (measured flat in SCALE.md like the other
+  * registry probes).
+  *
+  * [[report]] then renders the full q98 grouping-sets data card from the
+  * registry on demand — over exactly the documents ingested so far, with
+  * the same gid/ALL/share-ppm shape, so a consumer can diff the live card
+  * against a batch `corpusMixReport` run and see zero drift.
+  */
+object CorpusStats {
+
+  private val registrySchema: StructType = StructType.fromDDL(
+    "sbucket INT, source STRING, lang STRING, doc_id BIGINT, n_chars BIGINT")
+
+  private def bucketOf(source: org.apache.spark.sql.Column) =
+    (crc32(source) % 256).cast("int")
+
+  /** One micro-batch step → per-cell verdicts `(source, lang, n_docs,
+    * sum_chars, batch_docs, batch_chars)` with post-batch totals. Null
+    * source/lang normalize to "" (the same missing-metadata rule as
+    * [[DomainQuota.processBatch]]). Replayed documents add nothing: they
+    * are detected against the registry's (source, doc_id) key and excluded
+    * from both the append and the batch_* deltas. */
+  def processBatch(batch: DataFrame, registryDir: String,
+                   idCol: String = "doc_id", sourceCol: String = "source",
+                   langCol: String = "lang", charsCol: String = "n_chars"): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = batch
+      .select(col(idCol).as("doc_id"),
+        coalesce(col(sourceCol), lit("")).as("source"),
+        coalesce(col(langCol), lit("")).as("lang"),
+        col(charsCol).cast("long").as("n_chars"))
+      .dropDuplicates("source", "doc_id")
+      .withColumn("sbucket", bucketOf(col("source")))
+      .localCheckpoint(true) // feeds probe, replay join, append, verdicts
+    val touched = docs.select(col("sbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else registryAll.filter(col("sbucket").isInCollection(touched))
+    val replayed = registry.join(broadcast(docs), Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id")).distinct()
+      .withColumn("replayed", lit(true))
+    val fresh = docs.join(broadcast(replayed), Seq("source", "doc_id"), "left")
+      .filter(col("replayed").isNull)
+      .select(col("sbucket"), col("source"), col("lang"),
+        col("doc_id"), col("n_chars"))
+      .localCheckpoint(true) // fix before the append mutates the scanned dir
+    // prior totals for the batch's cells, replay-absorbing: distinct rows
+    // first (a re-appended duplicate collapses), then count/sum
+    val touchedCells = docs.select(col("source"), col("lang")).distinct()
+    val prior = registry
+      .join(broadcast(touchedCells), Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+      .distinct()
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("prior_docs"), sum(col("n_chars")).as("prior_chars"))
+    val delta = fresh.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("batch_docs"), sum(col("n_chars")).as("batch_chars"))
+    val verdicts = touchedCells
+      .join(broadcast(prior), Seq("source", "lang"), "left")
+      .join(broadcast(delta), Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        (coalesce(col("prior_docs"), lit(0L)) + coalesce(col("batch_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("prior_chars"), lit(0L)) + coalesce(col("batch_chars"), lit(0L)))
+          .as("sum_chars"),
+        coalesce(col("batch_docs"), lit(0L)).as("batch_docs"),
+        coalesce(col("batch_chars"), lit(0L)).as("batch_chars"))
+      .localCheckpoint(true)
+    fresh.write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    verdicts
+  }
+
+  /** The append-only accounting rows, schema explicit (sbucket from the
+    * directory names; no footer inference). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(registryDir)
+    val hasParts = java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator(); var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.startsWith("sbucket=")
+        found
+      } finally s.close()
+    }
+    if (!hasParts)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+    else spark.read.schema(registrySchema).parquet(registryDir)
+  }
+
+  /** The q98 data card over everything ingested so far: same grouping
+    * sets, gid arithmetic, ALL-coalescing, and double-division share-ppm
+    * algebra as `TrainingDataQueries.corpusMixReport`, computed from the
+    * registry (distinct rows first, so replayed appends don't skew it).
+    * One registry pass, map-side combined like the batch query. */
+  def report(spark: SparkSession, registryDir: String): DataFrame = {
+    val d = readRegistry(spark, registryDir)
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+      .distinct()
+    val agg = d
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"),
+        (grouping(col("lang")) * 2 + grouping(col("source"))).cast("int").as("gid"))
+    agg.crossJoin(d.agg(sum(col("n_chars")).cast("long").as("total_chars")))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("gid"), col("n_docs"), col("sum_chars"),
+        floor(col("sum_chars").cast("double") / col("total_chars").cast("double") * 1e6)
+          .cast("long").as("share_ppm"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+  }
+
+  /** Streaming face: wire a document stream through [[processBatch]],
+    * appending per-cell verdicts to `verdictDir`; `compactEvery` schedules
+    * registry compaction as the other registry gates do. */
+  def feed(docStream: DataFrame, registryDir: String, verdictDir: String,
+           idCol: String = "doc_id", sourceCol: String = "source",
+           langCol: String = "lang", charsCol: String = "n_chars",
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, registryDir, idCol, sourceCol, langCol, charsCol)
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("sbucket"))
+          ()
+        }
+    }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class StatDoc(doc_id: Long, source: String, lang: String, n_chars: Long)
+
+/** Corpus accounting at ingest (the streaming twin of the batch mix report
+  * q98): per-cell totals accumulate across batches, at-least-once replay
+  * never double-counts, the registry probe is partition-pruned, and the
+  * on-demand report matches the batch grouping-sets query over the same
+  * documents exactly. */
+class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def run(batch: org.apache.spark.sql.DataFrame, reg: String) =
+    CorpusStats.processBatch(batch, reg)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (src, lang, n, c, bn, bc) => (src, lang) -> (n, c, bn, bc) }
+      .toMap
+
+  test("cells accumulate across batches; verdicts carry post-batch totals") {
+    val reg = tmp("graft_cstats_reg")
+    val v1 = run(Seq(StatDoc(1, "srcA", "en", 100), StatDoc(2, "srcA", "en", 50),
+      StatDoc(3, "srcB", "fr", 30)).toDF(), reg)
+    assert(v1(("srcA", "en")) == ((2L, 150L, 2L, 150L)), s"$v1")
+    assert(v1(("srcB", "fr")) == ((1L, 30L, 1L, 30L)), s"$v1")
+    val v2 = run(Seq(StatDoc(4, "srcA", "en", 25), StatDoc(5, "srcA", "fr", 10))
+      .toDF(), reg)
+    assert(v2(("srcA", "en")) == ((3L, 175L, 1L, 25L)),
+      s"post-batch totals must include prior batches: $v2")
+    assert(v2(("srcA", "fr")) == ((1L, 10L, 1L, 10L)), s"$v2")
+  }
+
+  test("at-least-once replay never double-counts; intra-batch dupes collapse") {
+    val reg = tmp("graft_cstats_reg2")
+    val b = Seq(StatDoc(1, "srcA", "en", 100), StatDoc(1, "srcA", "en", 100),
+      StatDoc(2, "srcB", "fr", 40)).toDF()
+    val v1 = run(b, reg)
+    assert(v1(("srcA", "en")) == ((1L, 100L, 1L, 100L)),
+      s"intra-batch duplicate must collapse: $v1")
+    val v2 = run(b, reg)
+    assert(v2(("srcA", "en")) == ((1L, 100L, 0L, 0L)),
+      s"replay adds nothing and keeps totals: $v2")
+    assert(v2(("srcB", "fr")) == ((1L, 40L, 0L, 0L)), s"$v2")
+    // a fresh doc in a replay-heavy batch still lands
+    val v3 = run(Seq(StatDoc(1, "srcA", "en", 100), StatDoc(9, "srcA", "en", 7))
+      .toDF(), reg)
+    assert(v3(("srcA", "en")) == ((2L, 107L, 1L, 7L)), s"$v3")
+  }
+
+  test("registry probe never reads untouched sbucket partitions") {
+    val reg = tmp("graft_cstats_reg3")
+    run(Seq(StatDoc(1, "srcA", "en", 10)).toDF(), reg)
+    val sbucketA = {
+      val crc = new java.util.zip.CRC32()
+      crc.update("srcA".getBytes); (crc.getValue % 256).toInt
+    }
+    val poisoned = (sbucketA + 1) % 256
+    val dir = java.nio.file.Paths.get(reg, s"sbucket=$poisoned")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-junk.parquet"), "not parquet".getBytes)
+    val v = run(Seq(StatDoc(2, "srcA", "en", 20)).toDF(), reg)
+    assert(v(("srcA", "en")) == ((2L, 30L, 1L, 20L)),
+      s"pruned probe must succeed despite foreign junk: $v")
+  }
+
+  test("on-demand report matches the batch mix report over the same docs") {
+    val reg = tmp("graft_cstats_reg4")
+    val docs = (1L to 40L).map(i =>
+      StatDoc(i, s"src${i % 3}", if (i % 2 == 0) "en" else "fr", i * 10))
+    // ingest in three batches with a replayed middle batch
+    run(docs.take(15).toDF(), reg)
+    run(docs.slice(10, 30).toDF(), reg)
+    run(docs.drop(30).toDF(), reg)
+    val live = CorpusStats.report(spark, reg).collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TrainingDataQueries.corpusMixReportOn(docs.toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(live == batch,
+      s"live card must equal the batch card:\n$live\nvs\n$batch")
+  }
+
+  test("streaming feed writes per-cell verdicts through foreachBatch") {
+    val reg = tmp("graft_cstats_reg5")
+    val out = tmp("graft_cstats_out")
+    val chk = tmp("graft_cstats_chk")
+    val mem = MemoryStream[StatDoc]
+    mem.addData(StatDoc(1, "srcA", "en", 100), StatDoc(2, "srcB", "fr", 50))
+    val q = CorpusStats.feed(mem.toDF(), reg, out)
+      .option("checkpointLocation", chk).start()
+    try q.processAllAvailable() finally q.stop()
+    val cells = spark.read.parquet(out)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(cells == Set(("srcA", "en", 1L, 100L, 1L, 100L),
+      ("srcB", "fr", 1L, 50L, 1L, 50L)), s"$cells")
+  }
+}
