@@ -31,6 +31,49 @@ object Similarity {
   /** floor-quantize a similarity to integer millionths. */
   def quantize(sim: Column): Column = floor(sim * lit(1000000L)).cast("long")
 
+  /** Integer-quantized vector: qv_i = floor(v_i · 1024) as long — exact for
+    * floats (×1024 is a power-of-two scale), so downstream sums are exact
+    * int64 and order-independent under any partitioning. The determinism
+    * backbone of the centroid-outlier algebra (q97 and its ingest gate). */
+  def quantizeVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1024).cast("long"))
+
+  /** Per-label integer centroids over an embedding relation: one row per
+    * label with `cvec` (the re-quantized centroid c_i = floor(S_i / n) —
+    * bounding every magnitude by 1024 independent of corpus size; cosine
+    * is scale-invariant so the ÷n loses nothing), its squared norm `nc2`,
+    * and `n_in_label`. The per-label sums posexplode 64 narrow rows per
+    * vector but hash-aggregate PARTIALLY map-side (shuffle = tasks ×
+    * labels × 64 rows, never the corpus); the result is labels × 64 longs
+    * — broadcastable by size wherever it joins. */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(labelCol).as("label"), quantizeVec(col(vecCol)).as("qvec"))
+    val sums = q.select(col("label"), posexplode(col("qvec")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("qv")).as("s"))
+    val cnts = q.groupBy(col("label")).agg(count(lit(1)).as("n_in_label"))
+    sums.join(cnts, "label")
+      .withColumn("c", floor(col("s").cast("double") / col("n_in_label")).cast("long"))
+      .groupBy(col("label")).agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"),
+        first(col("n_in_label")).as("n_in_label"))
+      .withColumn("nc2", aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x))
+  }
+
+  /** Cosine of a quantized vector against a quantized centroid, in floor
+    * ppm: dot and both norms are exact integers, then one
+    * correctly-rounded double divide/multiply chain — bit-identical in any
+    * engine. */
+  def centroidCosPpm(qvec: Column, cvec: Column, nc2: Column): Column = {
+    val dotC = aggregate(zip_with(qvec, cvec, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val nd2 = aggregate(qvec, lit(0L), (acc, x) => acc + x * x)
+    floor(dotC.cast("double") /
+        (sqrt(nd2.cast("double")) * sqrt(nc2.cast("double"))) * 1e6)
+      .cast("long")
+  }
+
   /** Brute-force top-k: corpus scan × broadcast 1-row query vector. */
   def topK(emb: DataFrame, queryId: Long, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

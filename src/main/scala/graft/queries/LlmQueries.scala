@@ -169,29 +169,13 @@ object LlmQueries extends graft.QueryModule {
     * determinism sort. */
   def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = Tables.embeddings(s, dir).select($"vec_id", $"label",
-      transform($"embedding", x => floor(x.cast("double") * 1024).cast("long"))
-        .as("qvec"))
-    val sums = q.select($"label", posexplode($"qvec").as(Seq("pos", "qv")))
-      .groupBy($"label", $"pos").agg(sum($"qv").as("s"))
-    val cnts = q.groupBy($"label").agg(count(lit(1)).as("n_in_label"))
-    val cent = sums.join(cnts, "label")
-      .withColumn("c", floor($"s".cast("double") / $"n_in_label").cast("long"))
-      .groupBy($"label").agg(
-        transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cvec"),
-        first($"n_in_label").as("n_in_label"))
-      .withColumn("nc2", aggregate($"cvec", lit(0L), (acc, x) => acc + x * x))
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.select($"vec_id", $"label",
+      Similarity.quantizeVec($"embedding").as("qvec"))
+    val cent = Similarity.labelCentroids(emb)
     q.join(cent, "label")
       .select($"vec_id", $"label", $"n_in_label",
-        aggregate(zip_with($"qvec", $"cvec", (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot"),
-        aggregate($"qvec", lit(0L), (acc, x) => acc + x * x).as("nd2"),
-        $"nc2")
-      .select($"vec_id", $"label", $"n_in_label",
-        floor($"dot".cast("double") /
-            (sqrt($"nd2".cast("double")) * sqrt($"nc2".cast("double"))) * 1e6)
-          .cast("long").as("cos_centroid_ppm"))
+        Similarity.centroidCosPpm($"qvec", $"cvec", $"nc2").as("cos_centroid_ppm"))
       .withColumn("is_outlier", $"cos_centroid_ppm" < -100000L)
       .orderBy($"vec_id")
   }

@@ -56,9 +56,13 @@ object IngestCuration {
   /** One micro-batch step → verdicts
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
-    *   sem_clean, n_emails, n_ipv4, n_phones, clean_md5, quota_admitted,
-    *   keep)` — `quota_admitted` is null when the quota gate is off or the
-    * document failed an earlier gate; the PII columns are null unless
+    *   sem_clean, centroid_sim, centroid_ok, n_emails, n_ipv4, n_phones,
+    *   clean_md5, quota_admitted, keep)` — `quota_admitted` is null when
+    * the quota gate is off or the
+    * document failed an earlier gate; `centroid_sim`/`centroid_ok` carry
+    * the centroid-outlier gate (q97's at-ingest form) when `centroids` is
+    * set and the batch carries `vecCol` + `labelCol`, null/true otherwise;
+    * the PII columns are null unless
     * `scrubPii` is on (PII is a transform-with-audit, never a gate: the
     * counts say what the scrub removed, `clean_md5` digests the scrubbed
     * text the consumer reproduces via [[TextAnalysis.piiScrub]]).
@@ -81,7 +85,10 @@ object IngestCuration {
                    planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
                    quotaRegistryDir: Option[String] = None,
                    quotaCap: Int = 0, sourceCol: String = "source",
-                   scrubPii: Boolean = false): DataFrame = {
+                   scrubPii: Boolean = false,
+                   centroids: Option[DataFrame] = None,
+                   labelCol: String = "label",
+                   minCentroidSimMillionths: Long = -100000L): DataFrame = {
     val spark = batch.sparkSession
     val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
     val quality = TextAnalysis.qualityMetrics(batch)
@@ -141,9 +148,37 @@ object IngestCuration {
         withVec.withColumn("max_bench_sim", lit(null).cast("long"))
           .withColumn("sem_clean", lit(true))
     }
-    val gated = withSem.withColumn("gates_ok",
+    // Centroid-outlier gate (q97's at-ingest form): a document claiming
+    // class `label` whose embedding sits far from that class's centroid is
+    // mislabeled/garbled/spam and drops. `centroids` is a PRECOMPUTED model
+    // artifact from [[Similarity.labelCentroids]] — |labels| × 64 longs,
+    // small by construction like the benchmark set, hence the explicit
+    // broadcast (this is a config-scale table, not a corpus-derived one).
+    // Docs without an embedding or label pass (the battery's LEFT-gate
+    // rule); the exact q97 integer algebra scores map-side, zero shuffles.
+    val withCent = centroids match {
+      case Some(cent) if batch.columns.contains(vecCol) &&
+          batch.columns.contains(labelCol) =>
+        val scored = batch
+          .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+          .select(col(idCol), col(labelCol).as("label"),
+            Similarity.quantizeVec(col(vecCol)).as("qvec"))
+          .join(broadcast(cent.select(col("label"), col("cvec"), col("nc2"))),
+            Seq("label"))
+          .select(col(idCol),
+            Similarity.centroidCosPpm(col("qvec"), col("cvec"), col("nc2"))
+              .as("centroid_sim"))
+        withSem.join(scored, Seq(idCol), "left")
+          .withColumn("centroid_ok",
+            coalesce(col("centroid_sim") >= minCentroidSimMillionths, lit(true)))
+      case _ =>
+        withSem.withColumn("centroid_sim", lit(null).cast("long"))
+          .withColumn("centroid_ok", lit(true))
+    }
+
+    val gated = withCent.withColumn("gates_ok",
       !col("is_dup") && col("quality_ok") && col("lang_ok") &&
-        !col("vec_is_dup") && col("sem_clean"))
+        !col("vec_is_dup") && col("sem_clean") && col("centroid_ok"))
 
     // Per-domain quota LAST, over the survivors of every other gate only:
     // a document the pipeline drops anyway must not consume its domain's
@@ -186,6 +221,7 @@ object IngestCuration {
       col("predicted_lang"), col("lang_ok"),
       col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
+      col("centroid_sim"), col("centroid_ok"),
       col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
       col("quota_admitted"), col("keep"))
   }
@@ -207,6 +243,9 @@ object IngestCuration {
            quotaRegistryDir: Option[String] = None,
            quotaCap: Int = 0, sourceCol: String = "source",
            scrubPii: Boolean = false,
+           centroids: Option[DataFrame] = None,
+           labelCol: String = "label",
+           minCentroidSimMillionths: Long = -100000L,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -214,7 +253,7 @@ object IngestCuration {
           minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
           vecMinSimMillionths, benchmark, maxBenchSimMillionths,
           planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol,
-          scrubPii)
+          scrubPii, centroids, labelCol, minCentroidSimMillionths)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>

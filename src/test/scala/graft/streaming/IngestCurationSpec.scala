@@ -268,4 +268,40 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       .select($"n_emails", $"clean_md5").collect().head
     assert(off.isNullAt(0) && off.isNullAt(1))
   }
+
+  test("centroid gate: labeled embeddings far from their class centroid drop; others pass") {
+    val reg = tmp("graft_icur_cent")
+    // model artifact: label 0 centered at e0, label 1 at e1 (3 refs each)
+    val ref = (Seq.fill(3)(0 -> unit(0)) ++ Seq.fill(3)(1 -> unit(1)))
+      .toDF("label", "embedding")
+    val cent = graft.operators.Similarity.labelCentroids(ref)
+    val neg = { val a = Array.fill(64)(0f); a(0) = -1f; a }
+    val t = Seq(good,
+      "the cat sat on a mat of wool and slept all day",
+      "a bright moon rose over the hills and the valley slept",
+      "the ship sailed a calm sea of glass and found land",
+      "a quiet rain fell on the roof of the old barn")
+    val docs = Seq(
+      (1L, t(0), Option(unit(0)), Option(0)),  // on-centroid → passes
+      (2L, t(1), Option(neg), Option(0)),      // anti-centroid → outlier, drops
+      (3L, t(2), Option(unit(1)), Option.empty[Int]), // unlabeled → passes
+      (4L, t(3), Option(unit(0)), Option(9)),  // label with no centroid → passes
+      (5L, t(4), Option.empty[Array[Float]], Option(1))) // unembedded → passes
+      .toDF("doc_id", "text", "embedding", "label")
+    val v = IngestCuration.processBatch(docs, reg, centroids = Some(cent))
+      .select($"doc_id", $"centroid_sim", $"centroid_ok", $"keep")
+      .as[(Long, Option[Long], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L) == (1L, Some(1000000L), true, true), s"got ${v(1L)}")
+    assert(v(2L) == (2L, Some(-1000000L), false, false),
+      s"anti-centroid doc must drop on the centroid gate alone: ${v(2L)}")
+    assert(v(3L) == (3L, None, true, true), s"unlabeled must pass: ${v(3L)}")
+    assert(v(4L) == (4L, None, true, true),
+      s"unknown label must pass, not crash or drop: ${v(4L)}")
+    assert(v(5L) == (5L, None, true, true), s"unembedded must pass: ${v(5L)}")
+    // off by default: audit columns null/true even for embedded batches
+    val off = IngestCuration.processBatch(docs, tmp("graft_icur_centoff"))
+      .select($"centroid_sim", $"centroid_ok").collect()
+    assert(off.forall(r => r.isNullAt(0) && r.getBoolean(1)))
+  }
 }
