@@ -139,7 +139,24 @@ object Plans {
         "projection; the quantized candidate cut is a TakeOrdered of " +
         "O(refine·k) ids, and the exact rescore joins the corpus to the " +
         "BROADCAST candidate list, so the full-width embedding column is " +
-        "read for only refine·k rows and the corpus never shuffles."))
+        "read for only refine·k rows and the corpus never shuffles."),
+    "q97_embedding_outliers" ->
+      ("Centroid outlier gate: the per-label sums posexplode 64 narrow " +
+        "rows per vector but hash-aggregate PARTIALLY map-side (the " +
+        "exchange carries tasks × labels × 64 rows, never the corpus); " +
+        "the centroid relation is labels × 64 longs and broadcasts by " +
+        "size; scoring is one zip_with/aggregate projection."),
+    "q98_corpus_mix_report" ->
+      ("Corpus mix report: all four granularities come from ONE Expand + " +
+        "partial+final hash aggregate — the shuffle carries the slice " +
+        "rows, never the corpus; the 3-column scan never reads text; the " +
+        "grand total joins back as a 1-row broadcast."),
+    "q99_lm_fluency" ->
+      ("LM fluency scoring: the fitted model rides the plan as two map " +
+        "literals (alphabet-bounded, ≤729 entries), so scoring is a pure " +
+        "per-row projection over a 3-column scan — zero exchanges before " +
+        "the determinism sort; the model fit itself is one " +
+        "map-side-combined bigram count over the reference slice."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Text-corpus ingestion beyond parquet: JSONL and CSV document dumps —
+  * the formats crawls and annotation pipelines actually deliver — loaded
+  * under the SAME canonical `documents` schema the parquet battery uses
+  * (doc_id, text, lang, source, n_chars), so every downstream operator
+  * (dedup, curation, the ingest gates) runs unchanged on either.
+  *
+  * Design decisions, each the 100 TB-safe default:
+  *
+  *   - **Schema is DECLARED, never inferred.** Inference reads the data
+  *     twice and lets one odd shard silently widen a column for the whole
+  *     corpus; a declared schema makes one malformed file a per-ROW
+  *     incident, not a corpus-wide type flip.
+  *   - **Malformed rows are audited, not dropped.** PERMISSIVE mode
+  *     captures the raw line in `_corrupt_record`; [[audit]] splits the
+  *     load into (clean, corrupt) so a pipeline can count/quarantine the
+  *     bad lines — DROPMALFORMED's silent data loss is the one mode this
+  *     loader refuses to default to. FAILFAST is available for
+  *     ingest-time contracts via `failFast = true`.
+  *   - **`n_chars` is recomputed, not trusted**: a dump's precomputed
+  *     length column drifts (different unicode length conventions); the
+  *     canonical column is derived from `text` in one codegen'd
+  *     projection, so q93/q98-style token accounting is self-consistent.
+  *   - Scans stay splittable: JSONL and uncompressed CSV both split by
+  *     line, so a 100 TB dump parallelizes per-block like parquet (minus
+  *     column pruning — conversion to parquet is still the steady-state
+  *     recommendation; these loaders are the INGEST EDGE).
+  */
+object DocumentSource {
+
+  /** The canonical documents schema (doc_id, text, lang, source) +
+    * `_corrupt_record` for the permissive audit. */
+  private val schema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, _corrupt_record STRING")
+
+  private def canonical(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("text"), col("lang"), col("source"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** JSON-lines corpus dump → canonical documents. */
+  def jsonl(spark: SparkSession, path: String, failFast: Boolean = false): DataFrame =
+    canonical(spark.read.schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+
+  /** CSV corpus dump (with header) → canonical documents. */
+  def csv(spark: SparkSession, path: String, failFast: Boolean = false): DataFrame =
+    canonical(spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path))
+
+  /** Split a permissive JSONL load into (clean, corrupt-audit): clean rows
+    * in canonical shape, corrupt rows as (raw_line) for quarantine. Spark
+    * requires the corrupt column to be materialized before filtering on it
+    * (a direct filter on a lazily-parsed column is rejected), hence the
+    * cache-on-first-use here — the audit is an ingest-edge step over one
+    * dump, not a steady-state scan. */
+  def audit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val clean = canonical(raw.filter(col("_corrupt_record").isNull))
+    val corrupt = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, corrupt)
+  }
+}

@@ -100,6 +100,18 @@ object CorpusStats {
     verdicts
   }
 
+  /** Bulk-seed the registry from an existing corpus (migration path:
+    * adopt live accounting over a crawl that predates it). Same
+    * normalization as [[processBatch]]. */
+  def seedRegistry(docs: DataFrame, registryDir: String,
+                   idCol: String = "doc_id", sourceCol: String = "source",
+                   langCol: String = "lang", charsCol: String = "n_chars"): Unit =
+    docs.select(bucketOf(coalesce(col(sourceCol), lit(""))).as("sbucket"),
+        coalesce(col(sourceCol), lit("")).as("source"),
+        coalesce(col(langCol), lit("")).as("lang"),
+        col(idCol).as("doc_id"), col(charsCol).cast("long").as("n_chars"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+
   /** The append-only accounting rows, schema explicit (sbucket from the
     * directory names; no footer inference). */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {

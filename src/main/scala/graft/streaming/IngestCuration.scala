@@ -56,12 +56,15 @@ object IngestCuration {
   /** One micro-batch step → verdicts
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
-    *   sem_clean, centroid_sim, centroid_ok, n_emails, n_ipv4, n_phones,
+    *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
+    *   n_emails, n_ipv4, n_phones,
     *   clean_md5, quota_admitted, keep)` — `quota_admitted` is null when
     * the quota gate is off or the
     * document failed an earlier gate; `centroid_sim`/`centroid_ok` carry
     * the centroid-outlier gate (q97's at-ingest form) when `centroids` is
     * set and the batch carries `vecCol` + `labelCol`, null/true otherwise;
+    * `fluency_ppm`/`fluency_ok` carry the LM fluency gate (q99's at-ingest
+    * form) when `bigramModel` is set, null/true otherwise;
     * the PII columns are null unless
     * `scrubPii` is on (PII is a transform-with-audit, never a gate: the
     * counts say what the scrub removed, `clean_md5` digests the scrubbed
@@ -88,7 +91,9 @@ object IngestCuration {
                    scrubPii: Boolean = false,
                    centroids: Option[DataFrame] = None,
                    labelCol: String = "label",
-                   minCentroidSimMillionths: Long = -100000L): DataFrame = {
+                   minCentroidSimMillionths: Long = -100000L,
+                   bigramModel: Option[(Map[String, Long], Map[String, Long])] = None,
+                   minFluencyPpm: Long = 210000L): DataFrame = {
     val spark = batch.sparkSession
     val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
     val quality = TextAnalysis.qualityMetrics(batch)
@@ -176,9 +181,28 @@ object IngestCuration {
           .withColumn("centroid_ok", lit(true))
     }
 
-    val gated = withCent.withColumn("gates_ok",
+    // LM fluency gate (q99's at-ingest form): score each batch doc under
+    // the PRECOMPUTED bigram model (TextAnalysis.bigramLm over a reference
+    // slice — an alphabet-bounded artifact, ≤729 entries riding the plan
+    // as map literals) and drop the disfluent tail. One more codegen'd
+    // per-row pass; docs shorter than 2 chars have no bigrams and pass.
+    val withFluency = bigramModel match {
+      case Some((qp, default)) =>
+        val scored = TextAnalysis.lmFluency(
+            batch.select(col(idCol), col("text")), qp, default)
+          .select(col(idCol), col("fluency_ppm"))
+        withCent.join(scored, Seq(idCol), "left")
+          .withColumn("fluency_ok",
+            coalesce(col("fluency_ppm") >= minFluencyPpm, lit(true)))
+      case None =>
+        withCent.withColumn("fluency_ppm", lit(null).cast("long"))
+          .withColumn("fluency_ok", lit(true))
+    }
+
+    val gated = withFluency.withColumn("gates_ok",
       !col("is_dup") && col("quality_ok") && col("lang_ok") &&
-        !col("vec_is_dup") && col("sem_clean") && col("centroid_ok"))
+        !col("vec_is_dup") && col("sem_clean") && col("centroid_ok") &&
+        col("fluency_ok"))
 
     // Per-domain quota LAST, over the survivors of every other gate only:
     // a document the pipeline drops anyway must not consume its domain's
@@ -222,6 +246,7 @@ object IngestCuration {
       col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
       col("centroid_sim"), col("centroid_ok"),
+      col("fluency_ppm"), col("fluency_ok"),
       col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
       col("quota_admitted"), col("keep"))
   }
@@ -246,6 +271,8 @@ object IngestCuration {
            centroids: Option[DataFrame] = None,
            labelCol: String = "label",
            minCentroidSimMillionths: Long = -100000L,
+           bigramModel: Option[(Map[String, Long], Map[String, Long])] = None,
+           minFluencyPpm: Long = 210000L,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -253,7 +280,8 @@ object IngestCuration {
           minDistinctRatio, bands, idCol, vecCol, vecRegistryDir,
           vecMinSimMillionths, benchmark, maxBenchSimMillionths,
           planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol,
-          scrubPii, centroids, labelCol, minCentroidSimMillionths)
+          scrubPii, centroids, labelCol, minCentroidSimMillionths,
+          bigramModel, minFluencyPpm)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>

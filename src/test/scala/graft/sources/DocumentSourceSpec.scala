@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ingest-edge loaders: JSONL/CSV dumps land in the canonical
+  * documents shape, malformed lines are audited (never silently dropped),
+  * n_chars is recomputed from text, and the loaded relation runs through a
+  * battery operator unchanged. */
+class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def write(name: String, lines: Seq[String]): String = {
+    val d = Files.createTempDirectory("graft_src")
+    Files.write(d.resolve(name), lines.mkString("\n").getBytes)
+    d.resolve(name).toString
+  }
+
+  test("jsonl: canonical shape, recomputed n_chars, corrupt line audited") {
+    val p = write("d.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quick brown fox", "lang": "en", "source": "srcA", "n_chars": 999}""",
+      """{"doc_id": 2, "text": "le chat noir", "lang": "fr", "source": "srcB"}""",
+      """{this is not json at all"""))
+    val (clean, corrupt) = DocumentSource.audit(spark, p)
+    val rows = clean.as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "the quick brown fox", "en", "srcA", 19L),
+      (2L, "le chat noir", "fr", "srcB", 12L)),
+      s"n_chars must be recomputed from text (the dump's 999 is ignored): ${rows.toSeq}")
+    val bad = corrupt.as[String].collect()
+    assert(bad.length == 1 && bad.head.contains("not json"),
+      s"the malformed line must be captured verbatim: ${bad.toSeq}")
+  }
+
+  test("jsonl failFast refuses a corrupt dump instead of part-loading it") {
+    val p = write("d2.jsonl", Seq(
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}""",
+      """broken"""))
+    val e = intercept[Exception] {
+      DocumentSource.jsonl(spark, p, failFast = true).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("csv: header dump loads canonically") {
+    val p = write("d.csv", Seq(
+      "doc_id,text,lang,source",
+      "1,the quick brown fox,en,srcA",
+      "2,le chat noir,fr,srcB"))
+    val rows = DocumentSource.csv(spark, p)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "the quick brown fox", "en", "srcA", 19L),
+      (2L, "le chat noir", "fr", "srcB", 12L)))
+  }
+
+  test("a loaded dump runs through a battery operator unchanged") {
+    val p = write("d3.jsonl", (1 to 20).map(i =>
+      s"""{"doc_id": $i, "text": "tok$i a b c d e f g", "lang": "en", "source": "src${i % 2}"}"""))
+    val docs = DocumentSource.jsonl(spark, p)
+    val report = graft.queries.TrainingDataQueries.corpusMixReportOn(docs)
+      .collect().map(_.toSeq)
+    assert(report.exists(r => r(0) == "ALL" && r(1) == "ALL" && r(3) == 20L),
+      s"grand total must cover the dump: ${report.toSeq}")
+  }
+}

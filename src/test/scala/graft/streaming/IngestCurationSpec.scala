@@ -304,4 +304,34 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       .select($"centroid_sim", $"centroid_ok").collect()
     assert(off.forall(r => r.isNullAt(0) && r.getBoolean(1)))
   }
+
+  test("fluency gate: disfluent docs drop under a fitted model; score matches the batch operator") {
+    val reg = tmp("graft_icur_flu")
+    // reference slice: ordinary english-marker text (the corpus the model
+    // should consider fluent)
+    val ref = Seq(good,
+      "the cat sat on a mat of wool and slept all day",
+      "a bright moon rose over the hills and the valley slept").toDF("text")
+    val model = graft.operators.TextAnalysis.bigramLm(ref)
+    // a batch doc made of characters the model has barely seen scores low
+    val gibberish = "the zq zq jx jx qz qz xj xj wq wq qw qw zz qq xx jj"
+    val batch = Seq(40L -> good, 41L -> gibberish).toDF("doc_id", "text")
+    val v = IngestCuration.processBatch(batch, reg,
+        bigramModel = Some(model), minFluencyPpm = 50000L)
+      .select($"doc_id", $"fluency_ppm", $"fluency_ok", $"keep")
+      .as[(Long, Option[Long], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the gate's score IS the batch operator's score (one shared definition)
+    val expect = graft.operators.TextAnalysis.lmFluency(batch, model._1, model._2)
+      .select($"doc_id", $"fluency_ppm")
+      .as[(Long, Long)].collect().toMap
+    assert(v(40L)._2 == Some(expect(40L)) && v(41L)._2 == Some(expect(41L)))
+    assert(v(40L)._3 && v(40L)._4, s"fluent doc must pass: ${v(40L)}")
+    assert(!v(41L)._3 && !v(41L)._4,
+      s"gibberish must drop on the fluency gate alone: ${v(41L)} (score ${expect(41L)})")
+    // off by default
+    val off = IngestCuration.processBatch(batch, tmp("graft_icur_fluoff"))
+      .select($"fluency_ppm", $"fluency_ok").collect()
+    assert(off.forall(r => r.isNullAt(0) && r.getBoolean(1)))
+  }
 }
