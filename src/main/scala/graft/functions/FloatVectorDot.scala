@@ -111,6 +111,19 @@ object GraftFunctions {
     add("graft_might_contain")(exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
+    // args: (text, table literal array<long>[16384], defaults literal
+    // array<long>[128], emptyCtx literal long) — the model rides the CALL
+    // as foldable literals and is folded into the expression's plain
+    // long[] fields here, so the generated loop indexes raw arrays (the
+    // registry builder is the only Column-from-Expression route Spark 4
+    // leaves open, and it cannot carry non-Expression constructor data).
+    add("graft_bigram_score") { exprs =>
+      def longs(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Long] =
+        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+      BigramLmScore(exprs(0), longs(exprs(1)), longs(exprs(2)),
+        exprs(3).eval(null).asInstanceOf[Long])
+    }
   }
 
   /** Dot product Column over two array<float> columns. */

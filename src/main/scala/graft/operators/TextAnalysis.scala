@@ -261,17 +261,29 @@ object TextAnalysis {
   def lmFluency(docs: DataFrame, qp: Map[String, Long],
                 default: Map[String, Long], textCol: String = "text"): DataFrame = {
     val emptyCtx = math.floor(1000000.0 / 27).toLong
-    val mq = typedLit(qp)
-    val md = typedLit(default)
+    // ASCII models score through the codegen'd BigramLmScore primitive
+    // (one array load per character — the HOF formulation below was the
+    // battery's slowest entry at 5.1 s / sf0.1); a model with non-ASCII
+    // keys keeps the general HOF path, value-identical by construction.
+    val bgSum = graft.functions.BigramLmScore.tables(qp, default, emptyCtx) match {
+      case Some((t, d)) =>
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        call_function("graft_bigram_score", col(textCol),
+          typedLit(t), typedLit(d), lit(emptyCtx))
+      case None =>
+        val mq = typedLit(qp)
+        val md = typedLit(default)
+        aggregate(
+          transform(expr(
+            s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"),
+            b => coalesce(element_at(mq, b),
+              element_at(md, b.substr(lit(1), lit(1))),
+              lit(emptyCtx))),
+          lit(0L), (acc, x) => acc + x)
+    }
     docs.filter(length(col(textCol)) >= 2)
       .withColumn("n_bigrams", (length(col(textCol)) - 1).cast("long"))
-      .withColumn("__bg_sum", aggregate(
-        transform(expr(
-          s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"),
-          b => coalesce(element_at(mq, b),
-            element_at(md, b.substr(lit(1), lit(1))),
-            lit(emptyCtx))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("__bg_sum", bgSum)
       .withColumn("fluency_ppm", expr("__bg_sum div n_bigrams"))
       .drop("__bg_sum")
   }

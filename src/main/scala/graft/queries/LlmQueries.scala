@@ -180,6 +180,65 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** q100: split-leakage audit — q96's guarantee pinned IN the battery as
+    * data, not only in a spec: every near-dup candidate pair is tagged with
+    * the splits its two ends landed in, under BOTH strategies (q96's
+    * cluster-keyed split and q79's per-document split), and counted per
+    * (strategy, split_a, split_b) cell. The cluster strategy can only
+    * produce diagonal cells (train,train)/(val,val)/(test,test); the
+    * per-document strategy's off-diagonal counts ARE the eval leakage a
+    * data card must report. Split pairs are canonicalized
+    * (least, greatest) so the cell is orientation-free.
+    *
+    * Scale shape: two joins of the (small — O(duplicates)) verified pair
+    * relation against the per-doc assignment maps, then one
+    * map-side-combined count over ≤ 2·6 cells. No forced broadcast — the
+    * pair relation is corpus-derived, so AQE picks by its runtime size
+    * (the post-r9 discipline). */
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = SharedStages.lshCandidates(s, dir)
+    val fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val safe = graft.operators.Sampling.split(
+      SharedStages.dupClusters(s, dir), "cluster_rep", fractions, salt = "lsplit")
+      .select($"doc_id", $"split")
+    val naive = graft.operators.Sampling.split(
+      Tables.documents(s, dir).select($"doc_id"), "doc_id", fractions)
+      .select($"doc_id", $"split")
+    def audit(asg: DataFrame, name: String) = pairs
+      .join(asg.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(asg.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(lit(name).as("strategy"),
+        least($"sa", $"sb").as("split_a"), greatest($"sa", $"sb").as("split_b"))
+    audit(safe, "cluster").unionByName(audit(naive, "per_doc"))
+      .groupBy($"strategy", $"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"strategy", $"split_a", $"split_b")
+  }
+
+  /** q101: dedup savings report — the data-card line near-dedup exists to
+    * produce: per language, document/char mass BEFORE vs AFTER keeping one
+    * representative per duplicate cluster (q65's reps), with the saved
+    * char mass in ppm. Reps are counted in their own language; the ppm is
+    * the q98 all-double discipline (overflow-free, bit-identical
+    * cross-engine). One join of the corpus against the cluster map (both
+    * keyed by doc_id) and one map-side-combined per-language aggregate. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars")
+    docs.join(SharedStages.dupClusters(s, dir), "doc_id")
+      .withColumn("is_rep", $"doc_id" === $"cluster_rep")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_rep", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n_chars").cast("long").as("chars_total"),
+        sum(when($"is_rep", $"n_chars").otherwise(0L)).cast("long").as("chars_kept"))
+      .withColumn("savings_ppm",
+        floor(($"chars_total" - $"chars_kept").cast("double")
+          / $"chars_total".cast("double") * 1e6).cast("long"))
+      .orderBy($"lang")
+  }
+
   // ---- similarity --------------------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -374,6 +433,8 @@ object LlmQueries extends graft.QueryModule {
     "q88_vec_dup_clusters" -> vecDupClusters,
     "q96_leakage_safe_split" -> leakageSafeSplit,
     "q97_embedding_outliers" -> embeddingOutliers,
+    "q100_split_leakage_audit" -> splitLeakageAudit,
+    "q101_dedup_savings" -> dedupSavings,
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity)
@@ -682,6 +743,77 @@ object LlmQueries extends graft.QueryModule {
         |)
         |SELECT doc AS doc_id, min(label) AS cluster_rep, doc = min(label) AS is_rep
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q100_split_leakage_audit" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |), clus AS (
+        |  SELECT doc AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc
+        |), safe AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h16 < 0.9 * 65536.0 THEN 'train'
+        |         WHEN h16 < 0.95 * 65536.0 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(CAST(cluster_rep AS VARCHAR) || 'lsplit'), 4, 1)) - 1) AS h16
+        |  FROM clus)
+        |), naive AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h16 < 0.9 * 65536.0 THEN 'train'
+        |         WHEN h16 < 0.95 * 65536.0 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16
+        |  FROM documents)
+        |), tagged AS (
+        |  SELECT 'cluster' AS strategy,
+        |    least(sa.split, sb.split) AS split_a, greatest(sa.split, sb.split) AS split_b
+        |  FROM cand JOIN safe sa ON sa.doc_id = cand.doc_a
+        |  JOIN safe sb ON sb.doc_id = cand.doc_b
+        |  UNION ALL
+        |  SELECT 'per_doc',
+        |    least(na.split, nb.split), greatest(na.split, nb.split)
+        |  FROM cand JOIN naive na ON na.doc_id = cand.doc_a
+        |  JOIN naive nb ON nb.doc_id = cand.doc_b)
+        |SELECT strategy, split_a, split_b, count(*) AS n_pairs
+        |FROM tagged GROUP BY strategy, split_a, split_b
+        |ORDER BY strategy, split_a, split_b""".stripMargin),
+    "q101_dedup_savings" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |), clus AS (
+        |  SELECT doc AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc
+        |), j AS (
+        |  SELECT d.lang, d.n_chars, (d.doc_id = c.cluster_rep) AS is_rep
+        |  FROM documents d JOIN clus c ON c.doc_id = d.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN is_rep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+        |  CAST(floor(CAST(sum(n_chars) - sum(CASE WHEN is_rep THEN n_chars ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_chars) AS DOUBLE) * 1000000.0) AS BIGINT) AS savings_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
     "q97_embedding_outliers" ->
       """WITH q AS (
         |  SELECT vec_id, label, r.i AS pos,

@@ -180,6 +180,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q101: savings report is one partial+final aggregate over the cluster join") {
+    val p = plan("q101_dedup_savings")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q92: span removal is an equi anti-join, no cartesian; broadcast is AQE's call") {
     val p = plan("q92_paragraph_dedup")
     // the recurring set is deliberately NOT hint-forced to broadcast (it is
