@@ -203,6 +203,20 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, minSimMillionths: Long,
                       planes: Int = 16, bandWidth: Int = 4, dims: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    lshScoredCandidates(emb, planes, bandWidth, dims, idCol, vecCol)
+      .filter(col("sim_q") >= minSimMillionths)
+  }
+
+  /** The stage [[lshNearDupPairs]] filters: EVERY band-collision candidate
+    * pair with its exact quantized similarity. Exposed unfiltered because
+    * the below-threshold candidates are themselves a product — they are
+    * precisely the HARD NEGATIVES contrastive training mines (similar
+    * enough to collide in a band, verifiably not duplicates), so the dedup
+    * pipeline's most expensive intermediate gets a second consumer for
+    * free (q102). */
+  def lshScoredCandidates(emb: DataFrame, planes: Int = 16, bandWidth: Int = 4,
+                          dims: Int = 64, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
     val sigs = lshBandSignatures(emb, planes, bandWidth, dims, idCol, vecCol)
     val a = sigs.select(col(idCol).as("vec_a"), col("band"), col("bucket"))
     val b = sigs.select(col(idCol).as("vec_b"), col("band"), col("bucket"))
@@ -214,7 +228,6 @@ object Similarity {
       .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         quantize(GraftFunctions.vecDot(emb.sparkSession, col("va"), col("vb"))).as("sim_q"))
-      .filter(col("sim_q") >= minSimMillionths)
   }
 
   /** Random-hyperplane LSH signature.

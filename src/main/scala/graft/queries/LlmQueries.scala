@@ -239,6 +239,34 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"lang")
   }
 
+  /** q102: contrastive-pair mining — the dedup pipeline's most expensive
+    * intermediate (the LSH candidate join + exact rescore) feeding a second
+    * product: training pairs for a contrastive embedding model. Pairs at
+    * or above the near-dup threshold are POSITIVES (q36's verified set);
+    * candidates below it are precisely the HARD NEGATIVES mining wants —
+    * similar enough to collide in an LSH band, verifiably not duplicates —
+    * capped at the 4 hardest (highest-similarity) per anchor by a ranking
+    * window over the candidate relation (tiny), with a floor that keeps
+    * random-tail collisions out.
+    *
+    * Scale shape: zero new corpus work — the scored-candidate stage is
+    * shared with q36/q54/q88 (SharedStages.scoredCandidates), and mining
+    * is a filter + one window over the candidate rows (O(duplicates +
+    * band collisions), never O(n²)). */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = SharedStages.scoredCandidates(s, dir)
+    val pos = scored.filter($"sim_q" >= 350000L)
+      .select($"vec_a", $"vec_b", $"sim_q", lit("positive").as("pair_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_a").orderBy($"sim_q".desc, $"vec_b")
+    val hn = scored.filter($"sim_q" >= 150000L && $"sim_q" < 350000L)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+      .select($"vec_a", $"vec_b", $"sim_q", lit("hard_negative").as("pair_type"))
+    pos.unionByName(hn).orderBy($"pair_type", $"vec_a", $"vec_b")
+  }
+
   // ---- similarity --------------------------------------------------------
 
   def cosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -435,6 +463,7 @@ object LlmQueries extends graft.QueryModule {
     "q97_embedding_outliers" -> embeddingOutliers,
     "q100_split_leakage_audit" -> splitLeakageAudit,
     "q101_dedup_savings" -> dedupSavings,
+    "q102_contrastive_pairs" -> contrastivePairs,
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity)
@@ -743,6 +772,20 @@ object LlmQueries extends graft.QueryModule {
         |)
         |SELECT doc AS doc_id, min(label) AS cluster_rep, doc = min(label) AS is_rep
         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q102_contrastive_pairs" -> (lshNearDupCte +
+      """, scored AS (
+        |  SELECT vec_a, vec_b, CAST(floor(dot * 1000000) AS BIGINT) AS sim_q FROM d
+        |), pos AS (
+        |  SELECT vec_a, vec_b, sim_q, 'positive' AS pair_type
+        |  FROM scored WHERE sim_q >= 350000
+        |), hn AS (
+        |  SELECT vec_a, vec_b, sim_q, 'hard_negative' AS pair_type,
+        |    row_number() OVER (PARTITION BY vec_a ORDER BY sim_q DESC, vec_b) AS rn
+        |  FROM scored WHERE sim_q >= 150000 AND sim_q < 350000)
+        |SELECT vec_a, vec_b, sim_q, pair_type FROM pos
+        |UNION ALL
+        |SELECT vec_a, vec_b, sim_q, pair_type FROM hn WHERE rn <= 4
+        |ORDER BY pair_type, vec_a, vec_b""".stripMargin),
     "q100_split_leakage_audit" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

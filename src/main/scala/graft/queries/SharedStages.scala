@@ -24,8 +24,6 @@ object SharedStages {
 
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val nearDupCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Word-trigram shingles of the documents table: (doc_id, shingle),
     * with multiplicity (n-gram frequency needs the duplicates). */
@@ -110,10 +108,22 @@ object SharedStages {
     * DuckDB oracle replays the banding, so recall is part of the checked
     * semantic, not silent loss (see Similarity.lshNearDupPairs). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    memo(nearDupCache, s, dir)(
-      graft.operators.Similarity.lshNearDupPairs(
-        Tables.embeddings(s, dir), minSimMillionths = 350000L,
-        planes = 16, bandWidth = 4))
+    scoredCandidates(s, dir)
+      .filter(org.apache.spark.sql.functions.col("sim_q") >= 350000L)
+
+  private val scoredCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The unfiltered scored candidate relation behind [[nearDupPairs]]:
+    * every band-collision pair with its exact quantized similarity. This
+    * is the persisted stage — the threshold filter above it is free — so
+    * the dedup queries (q36/q54/q88) and the contrastive-mining query
+    * (q102, which needs the BELOW-threshold candidates as hard negatives)
+    * share one candidate join + rescore. */
+  def scoredCandidates(s: SparkSession, dir: String): DataFrame =
+    memo(scoredCandCache, s, dir)(
+      graft.operators.Similarity.lshScoredCandidates(
+        Tables.embeddings(s, dir), planes = 16, bandWidth = 4))
 
   /** Drop every memoized staging artifact of `s` (all dirs): unpersist the
     * cached plans and forget the memo entries, so the next consumer
@@ -122,7 +132,7 @@ object SharedStages {
     * it between measurement groups so one pipeline's cold run is never
     * contaminated by (or evicted under) a neighbor's cache residue. */
   def invalidate(s: SparkSession): Unit = {
-    Seq(shingleCache, nearDupCache, sigCache, candCache, cappedCandCache,
+    Seq(shingleCache, scoredCandCache, sigCache, candCache, cappedCandCache,
         clusterCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {

@@ -39,4 +39,32 @@ class DedupReportSpec extends AnyFunSuite with SparkTestSession {
     val corpus = graft.Tables.documents(spark, dir).count()
     assert(rows.map(_._2).sum == corpus)
   }
+
+  test("q102: positives are exactly the near-dup set; negatives capped and banded") {
+    val rows = LlmQueries.contrastivePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (pos, hn) = rows.partition(_._4 == "positive")
+    assert(pos.nonEmpty && hn.nonEmpty)
+    val dupPairs = SharedStages.nearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos.map(p => (p._1, p._2)).toSet == dupPairs,
+      "positives must be q36's verified near-dup set, nothing else")
+    assert(pos.forall(_._3 >= 350000L))
+    assert(hn.forall(p => p._3 >= 150000L && p._3 < 350000L))
+    // at most 4 negatives per anchor, and they are the HARDEST ones: every
+    // kept negative's sim >= every dropped candidate's sim for that anchor
+    val byAnchor = hn.groupBy(_._1)
+    assert(byAnchor.values.forall(_.length <= 4))
+    val allHnBand = SharedStages.scoredCandidates(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("sim_q").between(150000L, 349999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    allHnBand.groupBy(_._1).foreach { case (a, cands) =>
+      val kept = byAnchor.getOrElse(a, Array.empty)
+      assert(kept.nonEmpty, s"anchor $a has band candidates but no mined negative")
+      val minKept = kept.map(_._3).min
+      val dropped = cands.filterNot(c => kept.exists(k => k._2 == c._2))
+      assert(dropped.forall(_._3 <= minKept),
+        s"anchor $a kept a softer negative than it dropped")
+    }
+  }
 }

@@ -86,6 +86,52 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
       s"live card must equal the batch card:\n$live\nvs\n$batch")
   }
 
+  test("property: totals equal the deduplicated union under any batch/replay sequence") {
+    // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
+    // few trials — every trial drives real Spark batches
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = for {
+      id <- Gen.choose(1L, 12L) // small range forces replays + intra-batch dups
+      src <- Gen.oneOf("srcA", "srcB", null)
+      // lang and n_chars are pure functions of id: a replayed (source, doc)
+      // always re-arrives with identical payload, so which duplicate row
+      // dropDuplicates keeps is immaterial (the operator's contract says
+      // nothing about WHICH copy of a contradictory redelivery wins)
+    } yield (id, src,
+      if (id % 3 == 0) null else if (id % 2 == 0) "en" else "fr", id * 10)
+    val seqGen = Gen.listOfN(3, Gen.nonEmptyListOf(docGen).map(_.take(10)))
+    val prop = Prop.forAll(seqGen) { batches =>
+      val reg = tmp("graft_cstats_prop")
+      batches.foreach { b =>
+        CorpusStats.processBatch(
+          b.toDF("doc_id", "source", "lang", "n_chars"), reg)
+      }
+      // ground truth: the deduplicated union of everything ever sent,
+      // normalized exactly as the operator normalizes (null -> "");
+      // (source, doc) is the identity key — lang rides along with it
+      val union = batches.flatten
+        .map { case (id, src, lang, c) =>
+          (Option(src).getOrElse(""), id) ->
+            (Option(lang).getOrElse(""), c) }
+        .groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }
+      val expect = union.toSeq
+        .groupBy { case ((src, _), (lang, _)) => (src, lang) }
+        .map { case (cell, vs) =>
+          cell -> (vs.size.toLong, vs.map(_._2._2).sum) }
+      val got = CorpusStats.readRegistry(spark, reg)
+        .select($"source", $"lang", $"doc_id", $"n_chars").distinct()
+        .groupBy($"source", $"lang")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"n_chars").as("c"))
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming feed writes per-cell verdicts through foreachBatch") {
     val reg = tmp("graft_cstats_reg5")
     val out = tmp("graft_cstats_out")
