@@ -186,6 +186,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q102: mining is a filter + candidate-only window, never a cartesian") {
+    val p = plan("q102_contrastive_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ranking window partitions by anchor over the (tiny) candidate
+    // relation — candidates come from the banded equi-join, so a cartesian
+    // or a corpus-wide window means the shared stage regressed
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
   test("q92: span removal is an equi anti-join, no cartesian; broadcast is AQE's call") {
     val p = plan("q92_paragraph_dedup")
     // the recurring set is deliberately NOT hint-forced to broadcast (it is
