@@ -90,21 +90,28 @@ object BigramLmScore {
     acc
   }
 
-  /** General char path (multi-byte input): same function in char space —
-    * a bigram with any non-ASCII char cannot be in the (ASCII-only) table,
-    * so it resolves to the context default or the empty-context value,
-    * exactly as the HOF path's map misses do. */
+  /** General path (multi-byte input): same function in CODE-POINT space —
+    * Spark's `length`/`substring` (and therefore the HOF path and the
+    * n_bigrams divisor) count code points, so iterating UTF-16 units here
+    * would add one spurious term per supplementary-plane character and
+    * silently inflate astral-heavy documents' scores. A bigram containing
+    * any non-ASCII code point cannot be in the (ASCII-only) table, so it
+    * resolves to the context default or the empty-context value, exactly
+    * as the HOF path's map misses do. */
   def charLoop(s: String, table: Array[Long], defaults: Array[Long],
                emptyCtx: Long): Long = {
+    val n = s.length
+    if (n == 0) return 0L
     var acc = 0L
-    var i = 0
-    while (i < s.length - 1) {
-      val c1 = s.charAt(i).toInt
-      val c2 = s.charAt(i + 1).toInt
+    var c1 = s.codePointAt(0)
+    var next = Character.charCount(c1)
+    while (next < n) {
+      val c2 = s.codePointAt(next)
       acc += (if (c1 < 128 && c2 < 128) table((c1 << 7) | c2)
         else if (c1 < 128) defaults(c1)
         else emptyCtx)
-      i += 1
+      c1 = c2
+      next += Character.charCount(c2)
     }
     acc
   }

@@ -42,16 +42,26 @@ object DocumentSource {
     raw.select(col("doc_id"), col("text"), col("lang"), col("source"),
       length(col("text")).cast("long").as("n_chars"))
 
-  /** JSON-lines corpus dump → canonical documents. */
+  // PERMISSIVE parses a malformed line as an all-null row plus the raw
+  // line in _corrupt_record; projecting the marker away WITHOUT filtering
+  // on it would hand downstream gates phantom all-null documents (a null
+  // doc_id corrupts every doc_id join; CorpusStats would count the row
+  // under the "" cell). The primary loaders therefore return CLEAN rows
+  // only — the corrupt lines are not lost, [[audit]] surfaces them.
+  private def clean(raw: DataFrame): DataFrame =
+    canonical(raw.filter(col("_corrupt_record").isNull))
+
+  /** JSON-lines corpus dump → canonical documents (clean rows only; use
+    * [[audit]] to also collect the malformed lines). */
   def jsonl(spark: SparkSession, path: String, failFast: Boolean = false): DataFrame =
-    canonical(spark.read.schema(schema)
+    clean(spark.read.schema(schema)
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path))
 
-  /** CSV corpus dump (with header) → canonical documents. */
+  /** CSV corpus dump (with header) → canonical documents (clean rows only). */
   def csv(spark: SparkSession, path: String, failFast: Boolean = false): DataFrame =
-    canonical(spark.read.schema(schema)
+    clean(spark.read.schema(schema)
       .option("header", "true")
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -112,30 +112,23 @@ object CorpusStats {
         col(idCol).as("doc_id"), col(charsCol).cast("long").as("n_chars"))
       .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
 
-  /** The append-only accounting rows, schema explicit (sbucket from the
-    * directory names; no footer inference). */
-  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(registryDir)
-    val hasParts = java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.list(p)
-      try {
-        val it = s.iterator(); var found = false
-        while (!found && it.hasNext)
-          found = it.next().getFileName.toString.startsWith("sbucket=")
-        found
-      } finally s.close()
-    }
-    if (!hasParts)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
-    else spark.read.schema(registrySchema).parquet(registryDir)
-  }
+  /** The append-only accounting rows ([[RegistryIO]] empty-state rules). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("sbucket="))
 
   /** The q98 data card over everything ingested so far: same grouping
     * sets, gid arithmetic, ALL-coalescing, and double-division share-ppm
     * algebra as `TrainingDataQueries.corpusMixReport`, computed from the
     * registry (distinct rows first, so replayed appends don't skew it).
-    * One registry pass, map-side combined like the batch query. */
+    * One registry pass, map-side combined like the batch query.
+    *
+    * Equivalence contract: equal to `corpusMixReportOn` over the ingested
+    * documents WITH THIS OPERATOR'S NORMALIZATION applied (null
+    * source/lang → "", the rule [[processBatch]] stores under). A raw
+    * batch run over unnormalized docs would label a null-lang slice 'ALL'
+    * (colliding with the aggregate rows' label, disambiguated only by
+    * gid) where the live card shows the "" stratum — normalize first, as
+    * CorpusStatsSpec's null-bearing equivalence case does. */
   def report(spark: SparkSession, registryDir: String): DataFrame = {
     val d = readRegistry(spark, registryDir)
       .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))

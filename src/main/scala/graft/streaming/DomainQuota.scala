@@ -216,22 +216,8 @@ object DomainQuota {
     readWithSchema(spark, registryDir, tokenRegistrySchema)
 
   private def readWithSchema(spark: SparkSession, registryDir: String,
-                             schema: StructType): DataFrame = {
-    val p = java.nio.file.Paths.get(registryDir)
-    val hasParts = java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.list(p)
-      try {
-        val it = s.iterator(); var found = false
-        while (!found && it.hasNext)
-          found = it.next().getFileName.toString.startsWith("sbucket=")
-        found
-      } finally s.close()
-    }
-    if (!hasParts)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(registryDir)
-  }
+                             schema: StructType): DataFrame =
+    RegistryIO.readOrEmpty(spark, registryDir, schema, Some("sbucket="))
 
   /** Streaming face: wire a document stream through [[processBatch]],
     * appending verdicts to `verdictDir`; a consumer keeps

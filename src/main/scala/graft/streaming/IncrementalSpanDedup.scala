@@ -59,7 +59,11 @@ object IncrementalSpanDedup {
   def processBatch(batch: DataFrame, registryDir: String,
                    blockTokens: Int = 32, idCol: String = "doc_id",
                    textCol: String = "text",
-                   pruneMaxBuckets: Int = 1024): DataFrame = {
+                   // the bucket space is one hex byte (256): the default
+                   // must sit BELOW it or the full-scan fallback (skip the
+                   // isInCollection predicate once a big batch touches
+                   // nearly every partition anyway) could never engage
+                   pruneMaxBuckets: Int = 192): DataFrame = {
     val spark = batch.sparkSession
     // one materialization feeds the touched-set pull, the probe join, the
     // in-batch recurrence count, reassembly, and registration
@@ -131,24 +135,9 @@ object IncrementalSpanDedup {
       .distinct()
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(registryDir)
 
-  /** The raw append-only occurrence registry, schema supplied explicitly
-    * (`bucket` comes from the directory names; no footer inference). */
-  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(registryDir)
-    val hasParts = java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.list(p)
-      try {
-        val it = s.iterator(); var found = false
-        while (!found && it.hasNext)
-          found = it.next().getFileName.toString.startsWith("bucket=")
-        found
-      } finally s.close()
-    }
-    if (!hasParts)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
-    else spark.read.schema(registrySchema).parquet(registryDir)
-  }
+  /** The raw append-only occurrence registry ([[RegistryIO]] rules). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("bucket="))
 
   /** Streaming face: wire a document stream through [[processBatch]],
     * appending verdicts to `verdictDir`; a consumer keeps

@@ -58,9 +58,11 @@ object IngestCuration {
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
     *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
     *   n_emails, n_ipv4, n_phones,
-    *   clean_md5, quota_admitted, keep)` — `quota_admitted` is null when
-    * the quota gate is off or the
-    * document failed an earlier gate; `centroid_sim`/`centroid_ok` carry
+    *   clean_md5, quota_source, quota_admitted, keep)` — `quota_admitted`
+    * is null when the quota gate is off or the
+    * document failed an earlier gate; `quota_source` names the domain the
+    * quota verdict applies to (a doc_id arriving under two sources gets
+    * one attributable row per pair; null when the gate is off); `centroid_sim`/`centroid_ok` carry
     * the centroid-outlier gate (q97's at-ingest form) when `centroids` is
     * set and the batch carries `vecCol` + `labelCol`, null/true otherwise;
     * `fluency_ppm`/`fluency_ok` carry the LM fluency gate (q99's at-ingest
@@ -233,12 +235,17 @@ object IngestCuration {
           idCol, sourceCol)
           .select(col(idCol), col("source").as("quota_source"),
             col("admitted").as("quota_admitted"))
+        // quota_source STAYS in the verdict: a batch carrying one doc_id
+        // under two sources legitimately yields one verdict row per
+        // (doc, source) pair — possibly with opposite keep values — and
+        // dropping the source column would leave those rows duplicate-
+        // keyed and unattributable to a consumer keying on doc_id alone
         gatedCk.join(srcPairs, Seq(idCol), "left")
           .join(admitted, Seq(idCol, "quota_source"), "left")
-          .drop("quota_source")
           .withColumn("keep", col("gates_ok") && coalesce(col("quota_admitted"), lit(false)))
       case None =>
-        gated.withColumn("quota_admitted", lit(null).cast("boolean"))
+        gated.withColumn("quota_source", lit(null).cast("string"))
+          .withColumn("quota_admitted", lit(null).cast("boolean"))
           .withColumn("keep", col("gates_ok"))
     }
     withQuota.select(col(idCol), col("is_dup"), col("dup_of"),
@@ -248,7 +255,7 @@ object IngestCuration {
       col("centroid_sim"), col("centroid_ok"),
       col("fluency_ppm"), col("fluency_ok"),
       col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
-      col("quota_admitted"), col("keep"))
+      col("quota_source"), col("quota_admitted"), col("keep"))
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],

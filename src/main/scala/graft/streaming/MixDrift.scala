@@ -70,7 +70,13 @@ object MixDrift {
     * per-language lag are windows over a tiny relation; shares use the
     * battery's all-double floor-ppm algebra. */
   def report(spark: SparkSession, dir: String, alertPpm: Long = 200000L): DataFrame = {
-    val closed = spark.read.parquet(dir)
+    // empty-state rule ([[RegistryIO]]): a dashboard polling before the
+    // watermark has closed the first window (dir missing, or holding only
+    // _spark_metadata) gets an empty report, not an AnalysisException
+    val closed = RegistryIO.readOrEmpty(spark, dir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "win_start TIMESTAMP, win_end TIMESTAMP, lang STRING, n_docs BIGINT"),
+        partitionPrefix = None)
       .groupBy(col("win_start"), col("win_end"), col("lang"))
       // a restarted feed can append a duplicate closed-window file; the
       // max collapses exact re-emissions of the same final verdict

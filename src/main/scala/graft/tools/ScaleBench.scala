@@ -455,8 +455,15 @@ object ScaleBench {
   /** Scaled corpus dir: symlinked base tables + k-times documents. */
   private def buildScaled(spark: SparkSession, base: String, dir: String, k: Int): Unit = {
     val d = Paths.get(dir)
-    if (Files.exists(d.resolve("_built"))) return
+    // marker VERSIONED (_built2): dirs built before embeddings were scaled
+    // carried a symlinked 1x embeddings table — reusing one would make the
+    // q97 slope silently measure the same relation at every scale
+    if (Files.exists(d.resolve("_built2"))) return
     Files.createDirectories(d)
+    // a leftover embeddings symlink from the pre-_built2 layout: writing
+    // THROUGH it would destroy the shared base table — drop the link itself
+    val embLink = d.resolve("embeddings.parquet")
+    if (Files.isSymbolicLink(embLink)) Files.delete(embLink)
     tables.foreach { t =>
       val link = d.resolve(s"$t.parquet")
       if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
@@ -485,7 +492,7 @@ object ScaleBench {
     }
     eCopies.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
-    Files.createFile(d.resolve("_built"))
+    Files.createFile(d.resolve("_built2"))
   }
 
   private def mkQueue(spark: SparkSession, dir: String, n: Int): Unit = {

@@ -30,6 +30,11 @@ class BigramLmScoreSpec extends AnyFunSuite with SparkTestSession {
       == BigramLmScore.charLoop(ascii, table, defs, empty))
     // "té": 't' seen context, 'é' >= 128 → defaults('t'); "éx": → empty
     assert(BigramLmScore.charLoop("téx", table, defs, empty) == 9000L + empty)
+    // supplementary-plane chars count as ONE code point (Spark's length/
+    // substring semantics), not two UTF-16 units: "t😀h" has exactly two
+    // bigrams — (t,😀) → defaults('t') and (😀,h) → emptyCtx
+    assert(BigramLmScore.charLoop("t😀h", table, defs, empty)
+      == 9000L + empty)
   }
 
   test("non-ASCII model keys refuse the table (caller keeps the HOF path)") {
@@ -38,7 +43,8 @@ class BigramLmScoreSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("expression path and HOF path are value-identical on the same scores") {
-    val docs = Seq((1L, "the the zebra"), (2L, "heéhe"), (3L, "x"))
+    val docs = Seq((1L, "the the zebra"), (2L, "heéhe"), (3L, "x"),
+      (4L, "th😀th")) // astral char: code-point bigram count must match
       .toDF("doc_id", "text")
     // a non-ASCII model key that no document's context can reach forces
     // the HOF fallback while leaving every reachable score unchanged
@@ -51,6 +57,6 @@ class BigramLmScoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(viaExpr.toSeq == viaHof.toSeq, s"${viaExpr.toSeq} vs ${viaHof.toSeq}")
     // the 1-char doc has no bigrams and is dropped by both
-    assert(viaExpr.map(_._1).toSeq == Seq(1L, 2L))
+    assert(viaExpr.map(_._1).toSeq == Seq(1L, 2L, 4L))
   }
 }

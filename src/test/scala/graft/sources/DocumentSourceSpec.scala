@@ -34,6 +34,19 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
       s"the malformed line must be captured verbatim: ${bad.toSeq}")
   }
 
+  test("the primary loaders never emit a malformed line as an all-null row") {
+    val p = write("d4.jsonl", Seq(
+      """{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "s"}""",
+      """{nope"""))
+    val rows = DocumentSource.jsonl(spark, p).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L,
+      s"corrupt line must not surface as a phantom document: ${rows.toSeq}")
+    val pc = write("d4.csv", Seq("doc_id,text,lang,source",
+      "1,ok doc,en,s", "not-a-number,x,y,z"))
+    val crows = DocumentSource.csv(spark, pc).collect()
+    assert(crows.length == 1 && crows.head.getLong(0) == 1L, s"${crows.toSeq}")
+  }
+
   test("jsonl failFast refuses a corrupt dump instead of part-loading it") {
     val p = write("d2.jsonl", Seq(
       """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}""",

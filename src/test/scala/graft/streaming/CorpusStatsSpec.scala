@@ -86,6 +86,24 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
       s"live card must equal the batch card:\n$live\nvs\n$batch")
   }
 
+  test("live card equals the batch card on null-bearing metadata after the operator's normalization") {
+    val reg = tmp("graft_cstats_reg_null")
+    val docs = Seq(StatDoc(1, "srcA", "en", 100), StatDoc(2, null, "en", 50),
+      StatDoc(3, "srcA", null, 30), StatDoc(4, null, null, 20))
+    run(docs.toDF(), reg)
+    val live = CorpusStats.report(spark, reg).collect().map(_.toSeq).toSeq
+    // the contract: compare against the batch card over docs normalized
+    // the way processBatch stores them (null -> ""), NOT the raw nulls —
+    // raw nulls would coalesce to the 'ALL' label in the batch card
+    val normalized = docs.map(d => StatDoc(d.doc_id,
+      Option(d.source).getOrElse(""), Option(d.lang).getOrElse(""), d.n_chars))
+    val batch = graft.queries.TrainingDataQueries
+      .corpusMixReportOn(normalized.toDF()).collect().map(_.toSeq).toSeq
+    assert(live == batch, s"$live\nvs\n$batch")
+    // the "" strata are real rows, distinct from the ALL aggregates
+    assert(live.exists(r => r(0) == "" && r(2) == 0))
+  }
+
   test("property: totals equal the deduplicated union under any batch/replay sequence") {
     // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
     // few trials — every trial drives real Spark batches
