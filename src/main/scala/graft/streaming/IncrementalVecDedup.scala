@@ -118,17 +118,10 @@ object IncrementalVecDedup {
 
   /** The raw append-only registry, schema supplied explicitly (no footer
     * inference; only filtered-to partitions are ever opened). */
-  def readRegistry(spark: SparkSession, registryDir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(registryDir)
-    val nonEmpty = java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.list(p)
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (!nonEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
-    else spark.read.schema(registrySchema).parquet(registryDir)
-  }
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    // RegistryIO probes for band=* partition dirs specifically — the old
+    // any-file probe would treat a stray root file as a readable registry
+    RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("band="))
 
   /** Streaming face: wire an embedding stream through [[processBatch]],
     * appending verdicts to `verdictDir`. Caller starts the query.
