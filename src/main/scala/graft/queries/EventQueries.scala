@@ -24,6 +24,32 @@ object EventQueries extends graft.QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q103: the VARIANT path over the same JSON properties — Spark 4's
+    * semi-structured type: `parse_json` decodes each props string ONCE
+    * into the binary variant encoding, and every field access is a
+    * `variant_get` over that buffer instead of a fresh string re-parse
+    * per field (the get_json_object pattern q20 pins re-parses the JSON
+    * for every extracted path — fine for one field, quadratic in fields).
+    * At 100 TB the variant column is also the shredding-ready layout
+    * (Parquet variant shredding pushes typed subcolumns to the scan).
+    * Values are pinned identical to the string-JSON path: the oracle
+    * replays with plain json_extract, so a variant-vs-string divergence
+    * (or a variant decode bug) hash-fails. Distinct-k and null-count
+    * columns exercise typed NULL propagation through variant_get. */
+  def variantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("v", parse_json($"props"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"),
+        count_distinct($"k").as("n_distinct_k"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   /** T6 batch analog: tumbling 1-day windows via Spark's native window()
     * (epoch-aligned, equals date_trunc for whole days). */
   def tumblingDaily(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +173,7 @@ object EventQueries extends graft.QueryModule {
     "q75_rls_view" -> rlsView,
     "q74_funnel" -> conversionFunnel,
     "q20_json_props" -> jsonProps,
+    "q103_variant_props" -> variantProps,
     "q21_tumbling_daily" -> tumblingDaily,
     "q23_queue_scan" -> queueScan,
     "q64_map_funcs" -> mapFuncs,
@@ -164,6 +191,13 @@ object EventQueries extends graft.QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
         |   / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q103_variant_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k,
+        | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
