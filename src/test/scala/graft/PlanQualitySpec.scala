@@ -186,6 +186,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q103: variant decode stays in the scan-side projection, agg partial+final") {
+    val p = plan("q103_variant_props")
+    // parse_json/variant_get evaluate in the pre-aggregate projection (one
+    // decode per row), and the grouped agg map-side combines — a regression
+    // to a post-shuffle decode would ship the raw JSON strings instead
+    assert(p.contains("parse_json") || p.contains("variant_get"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q102: mining is a filter + candidate-only window, never a cartesian") {
     val p = plan("q102_contrastive_pairs")
     assert(!p.contains("CartesianProduct"), p)

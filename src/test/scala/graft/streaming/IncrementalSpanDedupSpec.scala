@@ -137,4 +137,45 @@ class IncrementalSpanDedupSpec extends AnyFunSuite with SparkTestSession {
         "second carrier loses the shared nav block")
     } finally q.stop()
   }
+
+  test("property: removal matches the occurrence model under any batch/replay sequence") {
+    // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
+    // few trials — every trial drives real Spark batches.
+    // Fixture: doc id's text is TWO exact 32-token blocks — a SHARED block
+    // (pool of 3, shared among ids with equal residue) and a UNIQUE block —
+    // so removal decisions span both directions and replays re-arrive
+    // byte-identical.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def sharedKey(id: Long) = s"s${id % 3}"
+    def text(id: Long): String =
+      ((0 until 32).map(t => s"${sharedKey(id)}t$t") ++
+        (0 until 32).map(t => s"u${id}t$t")).mkString(" ")
+    val seqGen = Gen.listOfN(3,
+      Gen.nonEmptyListOf(Gen.choose(1L, 8L)).map(_.take(6)))
+    val prop = Prop.forAll(seqGen) { batches =>
+      val reg = java.nio.file.Files.createTempDirectory("graft_span_prop")
+        .toString + "/r"
+      // registered occurrences: (blockKey, docId)
+      var occ = Set.empty[(String, Long)]
+      batches.forall { b =>
+        val ids = b.distinct
+        val v = IncrementalSpanDedup.processBatch(
+            ids.map(id => (id, text(id))).toDF("doc_id", "text"), reg)
+          .select($"doc_id", $"n_blocks_kept", $"n_blocks_removed")
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        val ok = ids.forall { id =>
+          def removed(key: String): Boolean =
+            ids.exists(o => o != id &&
+              (sharedKey(o) == key || s"u$o" == key)) ||
+              occ.exists { case (k, d) => k == key && d != id }
+          val gone = Seq(sharedKey(id), s"u$id").count(removed)
+          v(id) == ((2L - gone, gone.toLong))
+        }
+        occ ++= ids.flatMap(id => Seq((sharedKey(id), id), (s"u$id", id)))
+        ok
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
