@@ -158,7 +158,19 @@ object Plans {
         "3-column scan — zero exchanges before the determinism sort, and " +
         "8x the interpreted HOF formulation it replaced; the model fit " +
         "itself is one map-side-combined bigram count over the reference " +
-        "slice."))
+        "slice."),
+    "q102_contrastive_pairs" ->
+      ("Contrastive mining rides the dedup pipeline's shared stage: the " +
+        "scored-candidate relation persists once (banded equi-join + exact " +
+        "rescore, no cartesian anywhere), positives are a free filter over " +
+        "it, and the hard-negative cut is a ranking window over candidate " +
+        "rows only — O(band collisions), never the corpus."),
+    "q103_variant_props" ->
+      ("VARIANT event properties: parse_json decodes each props string " +
+        "once into the binary variant encoding inside the scan-side " +
+        "projection; variant_get field reads and the partial+final " +
+        "aggregate follow — no per-field string re-parse, and the layout " +
+        "is shredding-ready for typed subcolumn pushdown."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
