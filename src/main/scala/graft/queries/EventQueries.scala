@@ -39,7 +39,10 @@ object EventQueries extends graft.QueryModule {
   def variantProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .withColumn("v", parse_json($"props"))
+      // try_parse_json, not parse_json: one malformed props string must
+      // degrade to a null variant (→ null k) the way q20's
+      // get_json_object degrades per row, never abort the whole job
+      .withColumn("v", try_parse_json($"props"))
       .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),

@@ -246,13 +246,18 @@ object LlmQueries extends graft.QueryModule {
     * candidates below it are precisely the HARD NEGATIVES mining wants —
     * similar enough to collide in an LSH band, verifiably not duplicates —
     * capped at the 4 hardest (highest-similarity) per anchor by a ranking
-    * window over the candidate relation (tiny), with a floor that keeps
+    * window over the candidate relation, with a floor that keeps
     * random-tail collisions out.
     *
-    * Scale shape: zero new corpus work — the scored-candidate stage is
-    * shared with q36/q54/q88 (SharedStages.scoredCandidates), and mining
-    * is a filter + one window over the candidate rows (O(duplicates +
-    * band collisions), never O(n²)). */
+    * Scale shape: one banded candidate join + exact rescore of its own —
+    * deliberately NOT the dedup queries' persisted stage: at this
+    * battery's loose 4×4 geometry the unfiltered candidate relation is
+    * ~23% of all pairs (the band's random-collision floor), so persisting
+    * it for sharing would cache a quadratic-in-corpus relation to save
+    * one linear-ish job (production mining geometries use more bits per
+    * band, pushing the floor toward zero). Mining itself is a filter +
+    * one window over candidate rows — O(band collisions), never O(n²),
+    * and the per-anchor cap bounds the output. */
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = SharedStages.scoredCandidates(s, dir)

@@ -107,23 +107,25 @@ object SharedStages {
     * pair listing (q36) and the metadata join-back (q54) read it. The
     * DuckDB oracle replays the banding, so recall is part of the checked
     * semantic, not silent loss (see Similarity.lshNearDupPairs). */
-  def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    scoredCandidates(s, dir)
-      .filter(org.apache.spark.sql.functions.col("sim_q") >= 350000L)
-
-  private val scoredCandCache =
+  private val nearDupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The unfiltered scored candidate relation behind [[nearDupPairs]]:
-    * every band-collision pair with its exact quantized similarity. This
-    * is the persisted stage — the threshold filter above it is free — so
-    * the dedup queries (q36/q54/q88) and the contrastive-mining query
-    * (q102, which needs the BELOW-threshold candidates as hard negatives)
-    * share one candidate join + rescore. */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memo(nearDupCache, s, dir)(
+      graft.operators.Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir), minSimMillionths = 350000L,
+        planes = 16, bandWidth = 4))
+
+  /** The UNFILTERED scored candidate relation (q102's input) — computed,
+    * never memo-persisted: at this battery's loose 4×4 band geometry the
+    * random-collision floor is ~23% of ALL pairs (Similarity's measured
+    * regime table), so persisting it would cache a quadratic-in-corpus
+    * relation where [[nearDupPairs]]'s above-threshold output is tiny.
+    * q102 pays one candidate join + rescore per run instead; the dedup
+    * consumers (q36/q54/q88) keep their tiny persisted stage. */
   def scoredCandidates(s: SparkSession, dir: String): DataFrame =
-    memo(scoredCandCache, s, dir)(
-      graft.operators.Similarity.lshScoredCandidates(
-        Tables.embeddings(s, dir), planes = 16, bandWidth = 4))
+    graft.operators.Similarity.lshScoredCandidates(
+      Tables.embeddings(s, dir), planes = 16, bandWidth = 4)
 
   /** Drop every memoized staging artifact of `s` (all dirs): unpersist the
     * cached plans and forget the memo entries, so the next consumer
@@ -132,7 +134,7 @@ object SharedStages {
     * it between measurement groups so one pipeline's cold run is never
     * contaminated by (or evicted under) a neighbor's cache residue. */
   def invalidate(s: SparkSession): Unit = {
-    Seq(shingleCache, scoredCandCache, sigCache, candCache, cappedCandCache,
+    Seq(shingleCache, nearDupCache, sigCache, candCache, cappedCandCache,
         clusterCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {

@@ -48,8 +48,19 @@ object DocumentSource {
   // doc_id corrupts every doc_id join; CorpusStats would count the row
   // under the "" cell). The primary loaders therefore return CLEAN rows
   // only — the corrupt lines are not lost, [[audit]] surfaces them.
+  //
+  // The filter requires doc_id ALONGSIDE the corrupt marker, for two
+  // load-bearing reasons beyond the schema contract (a document without
+  // an id is unusable downstream):
+  //   1. Spark refuses a raw JSON/CSV query whose referenced columns are
+  //      ONLY the internal corrupt column — a downstream count() would
+  //      prune everything else away and hit that guard; referencing
+  //      doc_id keeps a data column in the scan under any pruning.
+  //   2. CSV under parser column pruning may not flag a line whose
+  //      unreferenced cells are malformed — but a doc_id that failed
+  //      conversion is null either way, so the row still drops.
   private def clean(raw: DataFrame): DataFrame =
-    canonical(raw.filter(col("_corrupt_record").isNull))
+    canonical(raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull))
 
   /** JSON-lines corpus dump → canonical documents (clean rows only; use
     * [[audit]] to also collect the malformed lines). */

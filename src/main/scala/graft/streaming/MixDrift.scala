@@ -94,7 +94,14 @@ object MixDrift {
       .withColumn("share_ppm",
         floor(col("n_docs").cast("double") / col("win_total").cast("double") * 1e6)
           .cast("long"))
-      .withColumn("prev_share_ppm", lag(col("share_ppm"), 1).over(byLang))
+      // the baseline must be the ADJACENT window: lag() alone would pair
+      // the post-outage window with the pre-outage one across an ingest
+      // gap and label a six-hours-apart comparison as window-over-window
+      // drift — a gap means NO baseline (null drift, no alert; total
+      // ingest silence itself is a liveness signal, not a mix one)
+      .withColumn("prev_share_ppm",
+        when(lag(col("win_end"), 1).over(byLang) === col("win_start"),
+          lag(col("share_ppm"), 1).over(byLang)))
       .withColumn("drift_ppm", col("share_ppm") - col("prev_share_ppm"))
       .withColumn("is_alert",
         coalesce(abs(col("drift_ppm")) >= alertPpm, lit(false)))

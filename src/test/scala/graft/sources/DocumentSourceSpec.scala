@@ -45,6 +45,13 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
       "1,ok doc,en,s", "not-a-number,x,y,z"))
     val crows = DocumentSource.csv(spark, pc).collect()
     assert(crows.length == 1 && crows.head.getLong(0) == 1L, s"${crows.toSeq}")
+    // a pruned query referencing no data columns must not trip Spark's
+    // corrupt-column-only guard (the doc_id requirement keeps a data
+    // column in the scan), and must not count phantom rows either way
+    assert(DocumentSource.jsonl(spark, p).count() == 1L)
+    assert(DocumentSource.csv(spark, pc).select($"text").collect()
+      .map(_.getString(0)).toSeq == Seq("ok doc"),
+      "CSV parser column pruning must not leak the malformed line")
   }
 
   test("jsonl failFast refuses a corrupt dump instead of part-loading it") {

@@ -90,4 +90,29 @@ class MixDriftSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length >= 4)
     assert(rows.forall(!_.getBoolean(6)), "steady mix must stay quiet")
   }
+
+  test("an ingest gap yields no baseline, not a cross-gap drift comparison") {
+    val out = tmp("graft_drift_out3")
+    val chk = tmp("graft_drift_chk3")
+    val mem = MemoryStream[TimedDoc]
+    val q = MixDrift.feed(mem.toDF(), out, chk,
+      windowSize = "10 minutes", watermarkDelay = "1 minutes").start()
+    try {
+      // window [0,10): all en; then a 20-minute silence; window [30,40):
+      // all fr — a lurch, but NOT window-over-window adjacent
+      mem.addData(TimedDoc(1, "en", t(1)), TimedDoc(2, "en", t(2)))
+      q.processAllAvailable()
+      mem.addData(TimedDoc(3, "fr", t(31)), TimedDoc(4, "fr", t(32)))
+      q.processAllAvailable()
+      mem.addData(TimedDoc(9, "en", t(90)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MixDrift.report(spark, out, alertPpm = 200000L).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))
+    val post = rows.filter(_._1 == t(30))
+    assert(post.nonEmpty)
+    assert(post.forall(r => r._3.isEmpty && !r._4),
+      s"a gap means no baseline and no alert, got ${post.toSeq}")
+  }
 }
