@@ -305,6 +305,59 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(off.forall(r => r.isNullAt(0) && r.getBoolean(1)))
   }
 
+  test("all eight gates composed in one batch: each failure attributes to its own gate, quota sees only full survivors") {
+    val reg = tmp("graft_icur_all"); val vreg = tmp("graft_icur_allv") + "/r"
+    val qreg = tmp("graft_icur_allq")
+    val ref = (Seq.fill(3)(0 -> unit(0)) ++ Seq.fill(3)(1 -> unit(1)))
+      .toDF("label", "embedding")
+    val cent = graft.operators.Similarity.labelCentroids(ref)
+    val bench = Seq(Tuple1(unit(0))).toDF("bench_vec")
+    val model = graft.operators.TextAnalysis.bigramLm(
+      Seq(good, good2, good3).toDF("text"))
+    val neg1 = { val a = Array.fill(64)(0f); a(1) = -1f; a }
+    // one "the" marker keeps langId at en; everything else is rare bigrams
+    // (scores 42619 ppm under this model, below the 50000 gate; the clean
+    // texts score 73681+)
+    val gib = "the zq zq jx jx qz qz xj xj wq wq qw qw zz qq xx jj"
+    // embeddings sit on DISTINCT axes: orthogonal pairs (cos 0) never trip
+    // the 0.99 vector near-dup gate, while the loose -0.1 centroid
+    // threshold still passes them — only doc 2's anti-centroid fails it
+    val batch = Seq(
+      // clean in every dimension + planted PII (audit, never a gate)
+      (1L, good + " mail bob@example.com", "srcZ", Option(unit(1)), Option(1)),
+      (2L, good2, "srcZ", Option(neg1), Option(1)),   // centroid outlier only
+      (3L, gib, "srcZ", Option(unit(2)), Option(1)),  // disfluent only
+      (4L, "the river ran past a mill of oak and iron each day",
+        "srcZ", Option(unit(0)), Option(0)), // semantic hit only
+      (5L, good3, "srcZ", Option(unit(3)), Option(1)), // clean
+      (6L, good4, "srcZ", Option(unit(4)), Option(1))) // clean — cap binds
+      .toDF("doc_id", "text", "source", "embedding", "label")
+    val v = IngestCuration.processBatch(batch, reg,
+        vecRegistryDir = Some(vreg), benchmark = Some(bench),
+        centroids = Some(cent), bigramModel = Some(model),
+        minFluencyPpm = 50000L, quotaRegistryDir = Some(qreg), quotaCap = 2,
+        scrubPii = true)
+      .select($"doc_id", $"centroid_ok", $"fluency_ok", $"sem_clean",
+        $"quota_admitted", $"keep", $"n_emails")
+      .as[(Long, Boolean, Boolean, Boolean, Option[Boolean], Boolean, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!v(2L)._2 && !v(2L)._6 && v(2L)._5.isEmpty,
+      s"centroid failure alone, never consuming quota: ${v(2L)}")
+    assert(!v(3L)._3 && !v(3L)._6 && v(3L)._5.isEmpty,
+      s"fluency failure alone, never consuming quota: ${v(3L)}")
+    assert(!v(4L)._4 && v(4L)._2 && !v(4L)._6 && v(4L)._5.isEmpty,
+      s"semantic hit with a PASSING centroid, never consuming quota: ${v(4L)}")
+    // three fully-clean docs (1, 5, 6) under cap 2: exactly two keep,
+    // one is gate-clean but quota-rejected
+    val clean = Seq(1L, 5L, 6L).map(v)
+    assert(clean.forall(r => r._2 && r._3 && r._4), s"$clean")
+    assert(clean.count(_._6) == 2, s"cap must bind at 2: $clean")
+    val over = clean.find(!_._6).get
+    assert(over._5 == Some(false), s"over-quota is attributed, not a gate: $over")
+    assert(v(1L)._7 == 1 && clean.filter(_._1 != 1L).forall(_._7 == 0),
+      "PII audit rides along without gating")
+  }
+
   test("fluency gate: disfluent docs drop under a fitted model; score matches the batch operator") {
     val reg = tmp("graft_icur_flu")
     // reference slice: ordinary english-marker text (the corpus the model
