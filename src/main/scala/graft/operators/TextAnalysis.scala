@@ -235,7 +235,14 @@ object TextAnalysis {
   def bigramLm(ref: DataFrame, textCol: String = "text")
       : (Map[String, Long], Map[String, Long]) = {
     val V = 27
+    // Reference docs shorter than 2 chars contribute no bigrams — filter
+    // them BEFORE the transform: sequence(1, 0) steps DOWN to [1, 0] in
+    // Spark (unlike SQL range(1, length) which is empty), so an unfiltered
+    // 1-char doc would inject bogus 1-char "bigram" keys (and an empty doc
+    // "" keys that blow up the substring(0, 1) context derivation below).
+    // Mirrors lmFluency's scoring-side filter.
     val counts = ref
+      .filter(length(col(textCol)) >= 2)
       .select(explode(expr(
         s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
         .as("bg"))

@@ -90,9 +90,18 @@ object DocumentSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .cache()
-    val clean = canonical(raw.filter(col("_corrupt_record").isNull))
-    val corrupt = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
+    // clean must PARTITION consistently with jsonl(): a well-formed line
+    // merely missing doc_id is unusable downstream (see the filter comment
+    // above), so it routes to the audit side — serialized back to its JSON
+    // shape so the quarantine frame stays one raw-line column — instead of
+    // leaking a null-keyed row into clean that jsonl() would never emit.
+    val clean = canonical(
+      raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull))
+    val corrupt = raw.filter(
+        col("_corrupt_record").isNotNull || col("doc_id").isNull)
+      .select(coalesce(col("_corrupt_record"),
+        to_json(struct(col("text"), col("lang"), col("source"))))
+        .as("raw_line"))
     (clean, corrupt)
   }
 }

@@ -53,7 +53,11 @@ import org.apache.spark.sql.functions._
   */
 object IngestCuration {
 
-  /** One micro-batch step → verdicts
+  /** One micro-batch step → verdicts. GRAIN CONTRACT: one row per doc_id,
+    * or one per (doc_id, quota_source) when the quota gate is on — never
+    * one per input row; a batch carrying a doc under several rows gets its
+    * per-doc gates aggregated conservatively (any variant failing fails
+    * the doc). Columns:
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
     *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
@@ -97,14 +101,30 @@ object IngestCuration {
                    bigramModel: Option[(Map[String, Long], Map[String, Long])] = None,
                    minFluencyPpm: Long = 210000L): DataFrame = {
     val spark = batch.sparkSession
-    val dedup = IncrementalDedup.processBatch(batch, registryDir, bands, idCol)
-    val quality = TextAnalysis.qualityMetrics(batch)
+    // Per-DOC gate inputs: a batch may legitimately carry one doc_id under
+    // several rows (the multi-source shape the quota gate attributes per
+    // (doc, source)), and per-doc gates must emit ONE verdict per doc, not
+    // one per row — an id-grained join against row-grained frames would
+    // multiply rows combinatorially (2 rows × 4 lexical gates = 16). The
+    // text projection collapses the identical-duplicate case outright; if
+    // rows genuinely disagree on text, each gate aggregates per id below
+    // (min on booleans = every variant must pass — the conservative read).
+    val texts = batch.select(col(idCol), col("text")).distinct()
+    val dedup = IncrementalDedup.processBatch(texts, registryDir, bands, idCol)
+      .groupBy(col(idCol)).agg(max(col("is_dup")).as("is_dup"),
+        min(col("dup_of")).as("dup_of"))
+    val quality = TextAnalysis.qualityMetrics(texts)
       .select(col(idCol), col("n_tokens"), col("distinct_ratio"))
       .withColumn("quality_ok",
         col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-    val lang = TextAnalysis.langId(batch)
+      .groupBy(col(idCol)).agg(min(col("n_tokens")).as("n_tokens"),
+        min(col("distinct_ratio")).as("distinct_ratio"),
+        min(col("quality_ok")).as("quality_ok"))
+    val lang = TextAnalysis.langId(texts)
       .select(col(idCol), col("predicted_lang"))
       .withColumn("lang_ok", col("predicted_lang").isInCollection(allowedLangs))
+      .groupBy(col(idCol)).agg(min(col("predicted_lang")).as("predicted_lang"),
+        min(col("lang_ok")).as("lang_ok"))
     // PII audit (scrubPii): a TRANSFORM with counts, not a gate — PII never
     // rejects a document, it gets scrubbed out of it. The verdict row stays
     // no-raw-text (clean_md5 is the digest); the consumer applies the SAME
@@ -118,14 +138,18 @@ object IngestCuration {
           .withColumn("n_phones", lit(null).cast("int"))
           .withColumn("clean_md5", lit(null).cast("string"))
       else lexicalBase.join(
-        TextAnalysis.piiScrub(batch.select(col(idCol), col("text")))
+        TextAnalysis.piiScrub(texts)
           .select(col(idCol), col("n_emails"), col("n_ipv4"), col("n_phones"),
-            md5(col("clean_text")).as("clean_md5")), idCol)
+            md5(col("clean_text")).as("clean_md5"))
+          .groupBy(col(idCol)).agg(max(col("n_emails")).as("n_emails"),
+            max(col("n_ipv4")).as("n_ipv4"), max(col("n_phones")).as("n_phones"),
+            min(col("clean_md5")).as("clean_md5")), idCol)
 
     val embedded: Option[DataFrame] =
       if (batch.columns.contains(vecCol) &&
         (vecRegistryDir.isDefined || benchmark.isDefined))
-        Some(batch.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)))
+        Some(batch.filter(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol)).distinct())
       else None
 
     val withVec = (embedded, vecRegistryDir) match {
@@ -134,6 +158,10 @@ object IngestCuration {
           planes, bandWidth, dims, idCol, vecCol)
           .select(col(idCol), col("is_dup").as("vec_is_dup"),
             col("dup_of").as("vec_dup_of"))
+          // per-id like every gate: an id under two distinct vectors is a
+          // dup if ANY of them is (max), charged to the smallest partner
+          .groupBy(col(idCol)).agg(max(col("vec_is_dup")).as("vec_is_dup"),
+            min(col("vec_dup_of")).as("vec_dup_of"))
         lexical.join(v, Seq(idCol), "left")
           .withColumn("vec_is_dup", coalesce(col("vec_is_dup"), lit(false)))
       case _ =>
@@ -170,11 +198,17 @@ object IngestCuration {
           .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
           .select(col(idCol), col(labelCol).as("label"),
             Similarity.quantizeVec(col(vecCol)).as("qvec"))
+          .distinct()
           .join(broadcast(cent.select(col("label"), col("cvec"), col("nc2"))),
             Seq("label"))
           .select(col(idCol),
             Similarity.centroidCosPpm(col("qvec"), col("cvec"), col("nc2"))
               .as("centroid_sim"))
+          // one verdict per doc even when the batch carries a doc_id under
+          // multiple rows (the multi-source shape the quota gate supports):
+          // min = the most conservative sim across claimed labels, same
+          // per-id aggregation discipline as the sem gate's max above
+          .groupBy(col(idCol)).agg(min(col("centroid_sim")).as("centroid_sim"))
         withSem.join(scored, Seq(idCol), "left")
           .withColumn("centroid_ok",
             coalesce(col("centroid_sim") >= minCentroidSimMillionths, lit(true)))
@@ -190,9 +224,11 @@ object IngestCuration {
     // per-row pass; docs shorter than 2 chars have no bigrams and pass.
     val withFluency = bigramModel match {
       case Some((qp, default)) =>
-        val scored = TextAnalysis.lmFluency(
-            batch.select(col(idCol), col("text")), qp, default)
+        val scored = TextAnalysis.lmFluency(texts, qp, default)
           .select(col(idCol), col("fluency_ppm"))
+          // per-id aggregation before the join (see centroid gate): a
+          // multi-row doc_id gets ONE fluency verdict, min = conservative
+          .groupBy(col(idCol)).agg(min(col("fluency_ppm")).as("fluency_ppm"))
         withCent.join(scored, Seq(idCol), "left")
           .withColumn("fluency_ok",
             coalesce(col("fluency_ppm") >= minFluencyPpm, lit(true)))

@@ -102,4 +102,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       .select($"doc_id", $"predicted_lang").as[(Long, String)].collect().toMap
     assert(p(1L) == "en" && p(2L) == "fr" && p(3L) == "es" && p(4L) == "unknown")
   }
+
+  test("bigramLm ignores sub-bigram reference docs instead of corrupting the model") {
+    // Spark's sequence(1, 0) steps DOWN to [1, 0]: an unfiltered 1-char doc
+    // would double-count a bogus 1-char "bigram" key and an empty doc would
+    // blow up the context derivation. The fit must equal the fit on the
+    // length>=2 slice — the SQL-oracle convention, where range(1, length)
+    // is simply empty for short docs.
+    val dirty = Seq("ab abba", "", "x", "ba").toDF("text")
+    val (qp, default) = TextAnalysis.bigramLm(dirty)
+    assert(qp.keys.forall(_.length == 2), s"only true bigram keys: ${qp.keys}")
+    val (qpRef, defRef) = TextAnalysis.bigramLm(Seq("ab abba", "ba").toDF("text"))
+    assert(qp == qpRef && default == defRef,
+      "short docs must contribute nothing, exactly like the filtered corpus")
+    // and the ASCII fast path still accepts the model
+    assert(graft.functions.BigramLmScore.tables(qp, default, 37037L).isDefined,
+      "clean keys keep the codegen'd scorer eligible")
+  }
 }

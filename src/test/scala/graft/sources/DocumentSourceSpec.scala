@@ -76,6 +76,27 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
       (2L, "le chat noir", "fr", "srcB", 12L)))
   }
 
+  test("audit's (clean, corrupt) split is a partition consistent with jsonl()") {
+    // a WELL-FORMED line merely missing doc_id: absent from jsonl()'s clean
+    // set, so audit must route it to the quarantine side — never leak a
+    // null-keyed row into clean that the primary loader would refuse
+    val p = write("d5.jsonl", Seq(
+      """{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "s"}""",
+      """{"text": "no id here", "lang": "en", "source": "s"}""",
+      """{garbage"""))
+    val (clean, corrupt) = DocumentSource.audit(spark, p)
+    val cleanRows = clean.as[(Long, String, String, String, Long)].collect()
+    assert(cleanRows.toSeq == Seq((1L, "ok doc", "en", "s", 6L)),
+      s"clean must equal jsonl()'s output: ${cleanRows.toSeq}")
+    val primary = DocumentSource.jsonl(spark, p)
+      .as[(Long, String, String, String, Long)].collect()
+    assert(cleanRows.toSeq == primary.toSeq, "parity with the primary loader")
+    val bad = corrupt.as[String].collect().sorted
+    assert(bad.length == 2, s"both the malformed and the id-less line audit: ${bad.toSeq}")
+    assert(bad.exists(_.contains("garbage")) && bad.exists(_.contains("no id here")),
+      s"every non-clean line is accounted for, none lost: ${bad.toSeq}")
+  }
+
   test("a loaded dump runs through a battery operator unchanged") {
     val p = write("d3.jsonl", (1 to 20).map(i =>
       s"""{"doc_id": $i, "text": "tok$i a b c d e f g", "lang": "en", "source": "src${i % 2}"}"""))

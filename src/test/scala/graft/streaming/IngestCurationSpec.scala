@@ -358,6 +358,47 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       "PII audit rides along without gating")
   }
 
+  test("multi-source doc_id: centroid and fluency gates emit one verdict per (doc, source), min-conservative") {
+    val reg = tmp("graft_icur_ms"); val qreg = tmp("graft_icur_msq")
+    val ref = (Seq.fill(3)(0 -> unit(0)) ++ Seq.fill(3)(1 -> unit(1)))
+      .toDF("label", "embedding")
+    val cent = graft.operators.Similarity.labelCentroids(ref)
+    val model = graft.operators.TextAnalysis.bigramLm(
+      Seq(good, good2, good3).toDF("text"))
+    val neg = { val a = Array.fill(64)(0f); a(0) = -1f; a }
+    // doc 1 arrives under TWO sources, with differing labels per row: the
+    // quota contract says one verdict per (doc, source); the scored gates
+    // must aggregate per doc (min = conservative) instead of multiplying
+    // rows through the id-only join — the on-centroid label-0 row must NOT
+    // mask the anti-centroid label-1 claim
+    val batch = Seq(
+      (1L, good, "srcA", Option(unit(0)), Option(0)),
+      (1L, good, "srcB", Option(neg), Option(0)),
+      (2L, good2, "srcA", Option(unit(1)), Option(1)))
+      .toDF("doc_id", "text", "source", "embedding", "label")
+    val out = IngestCuration.processBatch(batch, reg,
+        centroids = Some(cent), bigramModel = Some(model),
+        minFluencyPpm = 50000L,
+        quotaRegistryDir = Some(qreg), quotaCap = 5)
+      .select($"doc_id", $"quota_source", $"centroid_sim", $"centroid_ok",
+        $"fluency_ppm", $"fluency_ok")
+      .as[(Long, String, Option[Long], Boolean, Option[Long], Boolean)]
+      .collect()
+    assert(out.length == 3, s"one row per (doc, source), no blow-up: ${out.toSeq}")
+    assert(out.map(r => (r._1, r._2)).distinct.length == 3,
+      s"(doc, source) keys must be unique: ${out.toSeq}")
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.forall(r => r._3 == Some(-1000000L) && !r._4),
+      s"doc 1's verdict is the conservative min across its label claims: ${d1.toSeq}")
+    assert(d1.map(_._5).distinct.length == 1 && d1.forall(_._6),
+      s"one fluency score per doc, duplicated rows notwithstanding: ${d1.toSeq}")
+    // without the quota gate the grain is one row per doc
+    val off = IngestCuration.processBatch(batch, tmp("graft_icur_msoff"),
+        centroids = Some(cent), bigramModel = Some(model), minFluencyPpm = 50000L)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(off.toSeq == Seq(1L, 2L), s"per-doc grain when quota is off: ${off.toSeq}")
+  }
+
   test("fluency gate: disfluent docs drop under a fitted model; score matches the batch operator") {
     val reg = tmp("graft_icur_flu")
     // reference slice: ordinary english-marker text (the corpus the model
