@@ -604,7 +604,31 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Trained quality classifier (q104) — the fastText-style hashed-n-gram
+    * linear scorer ([[graft.operators.QualityClassifier]]): weights are fit
+    * on src0-as-written vs src0-token-shuffled (deterministic md5-order
+    * shuffle) and every document gets its mean-bucket-weight score; the
+    * bottom tail (score < −200, which flags 92% of scrambled text but only
+    * a few percent of real docs at every SF) is the learned analog of q99's
+    * fixed-formula fluency flag.
+    *
+    * Scale shape: fit = one map-side-combined count bounded by the feature
+    * dimension (1024 rows — constant driver pull); scoring = one codegen'd
+    * projection with the complete weight array as an in-plan literal, zero
+    * corpus shuffles before the determinism sort. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.QualityClassifier.fit(docs.filter($"source" === "src0"))
+    graft.operators.QualityClassifier.score(
+        docs.select($"doc_id", $"lang", $"text"), w)
+      .select($"doc_id", $"lang", $"n_grams", $"quality_score",
+        ($"quality_score" < -200.0).as("is_low_quality"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q104_quality_classifier" -> qualityClassifier,
     "q99_lm_fluency" -> lmFluencyScore,
     "q98_corpus_mix_report" -> corpusMixReport,
     "q95_temperature_sample" -> temperatureSample,
@@ -627,6 +651,14 @@ object TrainingDataQueries extends graft.QueryModule {
     "q79_dataset_split" -> datasetSplit,
     "q81_chunking" -> chunking,
     "q82_boilerplate_chunks" -> boilerplateChunks)
+
+  /** h16 of an arbitrary SQL expression — the first 16 bits of its md5,
+    * spelled via instr so the oracle needs no hex-conversion builtin. */
+  private def h16Of(e: String): String =
+    s"""((instr('0123456789abcdef', substring(md5($e), 1, 1)) - 1) * 4096
+       | + (instr('0123456789abcdef', substring(md5($e), 2, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substring(md5($e), 3, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substring(md5($e), 4, 1)) - 1))""".stripMargin
 
   private val h16Sql =
     """((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -722,6 +754,37 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q104_quality_classifier" ->
+      s"""WITH pos AS (SELECT text FROM documents WHERE source = 'src0'),
+         |neg AS (
+         |  SELECT array_to_string(list_transform(
+         |    list_sort(list_transform(string_split(text, ' '), t -> md5(t) || ':' || t)),
+         |    s -> s[34:]), ' ') AS text FROM pos),
+         |posg AS (SELECT unnest(list_transform(range(1, length(text) - 1),
+         |    i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+         |  FROM pos WHERE length(text) >= 3),
+         |negg AS (SELECT unnest(list_transform(range(1, length(text) - 1),
+         |    i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+         |  FROM neg WHERE length(text) >= 3),
+         |pc AS (SELECT ${h16Of("g")} % 1024 AS b, count(*) AS c FROM posg GROUP BY 1),
+         |nc AS (SELECT ${h16Of("g")} % 1024 AS b, count(*) AS c FROM negg GROUP BY 1),
+         |pt AS (SELECT count(*) AS t FROM posg),
+         |nt AS (SELECT count(*) AS t FROM negg),
+         |w AS (SELECT bb.b,
+         |   CAST(floor(1000000.0 * (coalesce(pc.c, 0) + 1) / (pt.t + 1024)) AS BIGINT)
+         | - CAST(floor(1000000.0 * (coalesce(nc.c, 0) + 1) / (nt.t + 1024)) AS BIGINT) AS w
+         | FROM (SELECT unnest(range(0, 1024)) AS b) bb
+         | LEFT JOIN pc ON pc.b = bb.b LEFT JOIN nc ON nc.b = bb.b, pt, nt),
+         |allg AS (SELECT doc_id, lang, unnest(list_transform(range(1, length(text) - 1),
+         |    i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+         |  FROM documents WHERE length(text) >= 3),
+         |sc AS (SELECT doc_id, lang, count(*) AS n_grams,
+         |    CAST(sum(w.w) AS BIGINT) AS w_sum
+         |  FROM allg JOIN w ON w.b = (${h16Of("allg.g")} % 1024) GROUP BY 1, 2)
+         |SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(w_sum AS DOUBLE) / n_grams AS quality_score,
+         |  CAST(w_sum AS DOUBLE) / n_grams < -200.0 AS is_low_quality
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q99_lm_fluency" ->
       """WITH bg AS (
         |  SELECT doc_id, lang, source,

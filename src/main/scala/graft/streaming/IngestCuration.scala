@@ -61,7 +61,7 @@ object IngestCuration {
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
     *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
-    *   n_emails, n_ipv4, n_phones,
+    *   clf_score, clf_ok, mix_rate, mix_admitted, n_emails, n_ipv4, n_phones,
     *   clean_md5, quota_source, quota_admitted, keep)` — `quota_admitted`
     * is null when the quota gate is off or the
     * document failed an earlier gate; `quota_source` names the domain the
@@ -70,7 +70,14 @@ object IngestCuration {
     * the centroid-outlier gate (q97's at-ingest form) when `centroids` is
     * set and the batch carries `vecCol` + `labelCol`, null/true otherwise;
     * `fluency_ppm`/`fluency_ok` carry the LM fluency gate (q99's at-ingest
-    * form) when `bigramModel` is set, null/true otherwise;
+    * form) when `bigramModel` is set, null/true otherwise; `clf_score`/
+    * `clf_ok` carry the TRAINED quality-classifier gate (q104's at-ingest
+    * form) when `qualityModel` is set, null/true otherwise; `mix_rate`/
+    * `mix_admitted` carry the mix-aware admission throttle ([[MixBalance]])
+    * when `mixRegistryDir` + `mixTargetPpm` are set — null for docs the mix
+    * never saw (failed an earlier gate, or the gate is off), and the final
+    * kept set registers into that accounting registry so the next batch's
+    * rates see the corpus as kept;
     * the PII columns are null unless
     * `scrubPii` is on (PII is a transform-with-audit, never a gate: the
     * counts say what the scrub removed, `clean_md5` digests the scrubbed
@@ -99,7 +106,11 @@ object IngestCuration {
                    labelCol: String = "label",
                    minCentroidSimMillionths: Long = -100000L,
                    bigramModel: Option[(Map[String, Long], Map[String, Long])] = None,
-                   minFluencyPpm: Long = 210000L): DataFrame = {
+                   minFluencyPpm: Long = 210000L,
+                   qualityModel: Option[Array[Long]] = None,
+                   minQualityScore: Double = -200.0,
+                   mixRegistryDir: Option[String] = None,
+                   mixTargetPpm: Map[String, Long] = Map.empty): DataFrame = {
     val spark = batch.sparkSession
     // Per-DOC gate inputs: a batch may legitimately carry one doc_id under
     // several rows (the multi-source shape the quota gate attributes per
@@ -237,10 +248,62 @@ object IngestCuration {
           .withColumn("fluency_ok", lit(true))
     }
 
-    val gated = withFluency.withColumn("gates_ok",
+    // Trained-classifier gate (q104's at-ingest form): score each doc under
+    // a PRECOMPUTED QualityClassifier weight table (a constant-size model
+    // artifact — exactly `dim` longs riding the plan as an array literal)
+    // and drop the learned low-quality tail. One codegen'd per-row pass;
+    // docs shorter than the n-gram width have no features and pass.
+    val withClf = qualityModel match {
+      case Some(w) =>
+        val scored = graft.operators.QualityClassifier.score(texts, w)
+          .select(col(idCol), col("quality_score").as("clf_score"))
+          .groupBy(col(idCol)).agg(min(col("clf_score")).as("clf_score"))
+        withFluency.join(scored, Seq(idCol), "left")
+          .withColumn("clf_ok",
+            coalesce(col("clf_score") >= minQualityScore, lit(true)))
+      case None =>
+        withFluency.withColumn("clf_score", lit(null).cast("double"))
+          .withColumn("clf_ok", lit(true))
+    }
+
+    val gated = withClf.withColumn("gates_ok",
       !col("is_dup") && col("quality_ok") && col("lang_ok") &&
         !col("vec_is_dup") && col("sem_clean") && col("centroid_ok") &&
-        col("fluency_ok"))
+        col("fluency_ok") && col("clf_ok"))
+
+    val mixOn = mixRegistryDir.isDefined && mixTargetPpm.nonEmpty
+    val srcExpr =
+      if (batch.columns.contains(sourceCol)) coalesce(col(sourceCol), lit(""))
+      else lit("")
+
+    // Mix-aware admission ([[MixBalance]]): over gate survivors only —
+    // a doc the pipeline drops anyway must not be throttled against (or
+    // charged to) the mix. The stratum is the pipeline's OWN language
+    // verdict (predicted_lang), so the mix being steered is the mix the
+    // corpus will actually report. Evaluation here, REGISTRATION at the
+    // very end over the final kept set, so the accounting registry mirrors
+    // the kept corpus exactly even when the quota gate drops more below.
+    val withMix =
+      if (mixOn) {
+        val gatedCk = gated.localCheckpoint(true)
+        val survivors = batch.select(col(idCol), srcExpr.as("source")).distinct()
+          .join(gatedCk.filter(col("gates_ok"))
+            .select(col(idCol), col("predicted_lang")), Seq(idCol))
+        val ev = MixBalance.evaluate(survivors, mixRegistryDir.get,
+            mixTargetPpm, idCol, "source", "predicted_lang")
+          // per-doc verdict: the h16/rate decision is doc-grained; max over
+          // sources so a doc already in the corpus under ANY source stays
+          // admitted (replay short-circuit), min rate for the audit column
+          .groupBy(col("doc_id")).agg(min(col("mix_rate")).as("mix_rate"),
+            max(col("mix_admitted")).as("mix_admitted"))
+          .withColumnRenamed("doc_id", idCol)
+        gatedCk.join(ev, Seq(idCol), "left")
+          .withColumn("keep_pre",
+            col("gates_ok") && coalesce(col("mix_admitted"), lit(false)))
+      } else gated
+        .withColumn("mix_rate", lit(null).cast("double"))
+        .withColumn("mix_admitted", lit(null).cast("boolean"))
+        .withColumn("keep_pre", col("gates_ok"))
 
     // Per-domain quota LAST, over the survivors of every other gate only:
     // a document the pipeline drops anyway must not consume its domain's
@@ -257,9 +320,9 @@ object IngestCuration {
         // needs the survivor set eagerly (DomainQuota registers as a side
         // effect), and without the checkpoint the caller's sink write
         // would re-run every probe join and column pass a second time
-        val gatedCk = gated.localCheckpoint(true)
+        val gatedCk = withMix.localCheckpoint(true)
         val survivors = batch.join(
-          gatedCk.filter(col("gates_ok")).select(col(idCol)).distinct(), idCol)
+          gatedCk.filter(col("keep_pre")).select(col(idCol)).distinct(), idCol)
         // DomainQuota keys replay/admission on the FULL (source, doc) key,
         // so its verdicts join back on both — a batch carrying one doc_id
         // under two sources gets one verdict per (source, doc) instead of
@@ -278,20 +341,48 @@ object IngestCuration {
         // keyed and unattributable to a consumer keying on doc_id alone
         gatedCk.join(srcPairs, Seq(idCol), "left")
           .join(admitted, Seq(idCol, "quota_source"), "left")
-          .withColumn("keep", col("gates_ok") && coalesce(col("quota_admitted"), lit(false)))
+          .withColumn("keep", col("keep_pre") && coalesce(col("quota_admitted"), lit(false)))
       case None =>
-        gated.withColumn("quota_source", lit(null).cast("string"))
+        withMix.withColumn("quota_source", lit(null).cast("string"))
           .withColumn("quota_admitted", lit(null).cast("boolean"))
-          .withColumn("keep", col("gates_ok"))
+          .withColumn("keep", col("keep_pre"))
     }
-    withQuota.select(col(idCol), col("is_dup"), col("dup_of"),
+    val verdict = withQuota.select(col(idCol), col("is_dup"), col("dup_of"),
       col("predicted_lang"), col("lang_ok"),
       col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
       col("centroid_sim"), col("centroid_ok"),
       col("fluency_ppm"), col("fluency_ok"),
+      col("clf_score"), col("clf_ok"),
+      col("mix_rate"), col("mix_admitted"),
       col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
       col("quota_source"), col("quota_admitted"), col("keep"))
+    if (!mixOn) verdict
+    else {
+      // Register the FINAL kept set into the accounting registry — after
+      // quota, so the registry the next batch's rates read mirrors the kept
+      // corpus exactly. Fix the verdict first: the caller's sink write must
+      // not re-evaluate the mix probe against the registry this append
+      // mutates. CorpusStats' own replay exclusion makes re-registration
+      // idempotent.
+      val fin = verdict.localCheckpoint(true)
+      val chars = batch.select(col(idCol), srcExpr.as("source"),
+        length(col("text")).cast("long").as("n_chars")).distinct()
+      val kept =
+        if (quotaRegistryDir.isDefined)
+          fin.filter(col("keep")).select(col(idCol),
+            col("quota_source").as("source"), col("predicted_lang").as("lang"))
+        else
+          fin.filter(col("keep"))
+            .select(col(idCol), col("predicted_lang").as("lang"))
+            .join(batch.select(col(idCol), srcExpr.as("source")).distinct(),
+              Seq(idCol))
+      MixBalance.register(
+        kept.join(chars, Seq(idCol, "source"))
+          .select(col(idCol), col("source"), col("lang"), col("n_chars")),
+        mixRegistryDir.get, idCol)
+      fin
+    }
   }
 
   /** Streaming face: wire a document stream through [[processBatch]],
@@ -316,6 +407,10 @@ object IngestCuration {
            minCentroidSimMillionths: Long = -100000L,
            bigramModel: Option[(Map[String, Long], Map[String, Long])] = None,
            minFluencyPpm: Long = 210000L,
+           qualityModel: Option[Array[Long]] = None,
+           minQualityScore: Double = -200.0,
+           mixRegistryDir: Option[String] = None,
+           mixTargetPpm: Map[String, Long] = Map.empty,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -324,7 +419,8 @@ object IngestCuration {
           vecMinSimMillionths, benchmark, maxBenchSimMillionths,
           planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol,
           scrubPii, centroids, labelCol, minCentroidSimMillionths,
-          bigramModel, minFluencyPpm)
+          bigramModel, minFluencyPpm, qualityModel, minQualityScore,
+          mixRegistryDir, mixTargetPpm)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>
