@@ -185,6 +185,32 @@ object TextAnalysis {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  /** Exact token COST of each document under [[chunk]]'s windowing — the
+    * number of token slots it will occupy in the chunked training set,
+    * overlap included: every chunk but the last carries exactly
+    * `chunkTokens` tokens, the last carries the remainder, so the cost
+    * collapses to the closed form `n_tok + (n_chunks − 1)·(chunkTokens −
+    * stride)` with [[chunk]]'s integer-only n_chunks arithmetic
+    * (TextAnalysisSpec pins it equal to chunk().sum(n_chunk_tokens)).
+    * Per-row column algebra, no explode — the cheap way to budget in
+    * tokenizer units (q105, [[graft.streaming.DomainQuota]]'s token mode)
+    * without materializing the chunks; at ingest, pre-materialize this
+    * column once so cap queries stay text-free scans like q93. */
+  def chunkTokenCost(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+                     textCol: String = "text", costCol: String = "token_cost"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    docs.withColumn("__ctc_n_tok", size(split(col(textCol), " ")))
+      .withColumn("__ctc_n_chunks",
+        when(col("__ctc_n_tok") > chunkTokens,
+          expr(s"(__ctc_n_tok - $chunkTokens + ${stride - 1}) div $stride").cast("int") + 1)
+          .otherwise(lit(1)))
+      .withColumn(costCol,
+        (col("__ctc_n_tok") +
+          (col("__ctc_n_chunks") - 1) * (chunkTokens - stride)).cast("long"))
+      .drop("__ctc_n_tok", "__ctc_n_chunks")
+  }
+
   /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect (no
     * backrefs, no lookaround) so the Spark battery, the DuckDB oracle, and
     * any RE2-based downstream compile them identically. */

@@ -408,6 +408,41 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Chunk-token-budgeted per-domain cap (q105) — q93 with the budget in
+    * EXACT tokenizer units: the cost of a document is
+    * [[graft.operators.TextAnalysis.chunkTokenCost]] — the token slots it
+    * occupies after 64/48 chunking, overlap included — instead of the
+    * `n_chars` proxy, so "5000 tokens per domain" means tokens the model
+    * will actually train on. The scaladoc promise on q93 ("swap in chunk
+    * counts when exact tokenizer budgets matter") made real.
+    *
+    * Identical two-phase scale shape to q93 (over-threshold-only broadcast,
+    * h16 prefilter, per-source running sum over O(budget/avg-doc) rows).
+    * The one cost: deriving the token column reads `text` here — at ingest
+    * the column is pre-materialized once (chunkTokenCost is per-row
+    * algebra) and the cap query goes back to a 4-column text-free scan. */
+  def chunkDomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 600L
+    val docs = graft.operators.TextAnalysis.chunkTokenCost(
+        Tables.documents(s, dir).select($"doc_id", $"source", $"lang", $"text"))
+      .select($"doc_id", $"source", $"lang", $"token_cost",
+        Sampling.hash16($"doc_id").as("h16"),
+        md5($"doc_id".cast("string")).as("rank_key"))
+    val bigTotals = docs.groupBy($"source")
+      .agg(sum($"token_cost").as("tokens_in_source"))
+      .filter($"tokens_in_source" > 1.5 * budget)
+    val pre = docs.join(broadcast(bigTotals), Seq("source"), "left")
+      .filter($"h16" <
+        coalesce(lit(1.5 * budget) / $"tokens_in_source".cast("double"), lit(1.0)) * 65536.0)
+    val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn("cum_tokens", sum($"token_cost").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"source", $"lang", $"token_cost", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** Duplicated-span removal with document reassembly — the span-level
     * companion to whole-document dedup (q65) and boilerplate DETECTION
     * (q82): disjoint 32-token blocks whose fingerprint recurs across ≥2
@@ -636,6 +671,7 @@ object TrainingDataQueries extends graft.QueryModule {
     "q91_domain_cap" -> domainCap,
     "q92_paragraph_dedup" -> paragraphDedup,
     "q93_token_domain_cap" -> tokenDomainCap,
+    "q105_chunk_domain_cap" -> chunkDomainCap,
     "q62_approx_quantiles" -> approxQuantiles,
     "q56_stratified_sample" -> stratifiedSample,
     "q57_seq_packing" -> seqPacking,
@@ -876,6 +912,28 @@ object TrainingDataQueries extends graft.QueryModule {
          |  FROM pre)
          |SELECT doc_id, source, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
          |FROM r WHERE cum_chars <= 5000 ORDER BY doc_id""".stripMargin,
+    "q105_chunk_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |    len(string_split(text, ' ')) AS n_tok FROM documents),
+         |c0 AS (SELECT doc_id, source, lang, n_tok,
+         |  CASE WHEN n_tok > 64 THEN CAST((n_tok - 64 + 47) // 48 AS INTEGER) + 1
+         |       ELSE 1 END AS n_chunks FROM t),
+         |h AS (SELECT doc_id, source, lang,
+         |    CAST(n_tok + (n_chunks - 1) * 16 AS BIGINT) AS token_cost,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rank_key,
+         |    CAST($h16Sql AS INTEGER) AS h16
+         |  FROM c0),
+         |c AS (SELECT source, sum(token_cost) AS t FROM h GROUP BY source),
+         |pre AS (
+         |  SELECT h.* FROM h JOIN c USING (source)
+         |  WHERE c.t <= 900.0 OR h.h16 < 900.0 / CAST(c.t AS DOUBLE) * 65536.0),
+         |r AS (
+         |  SELECT *, sum(token_cost) OVER (PARTITION BY source
+         |    ORDER BY rank_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM pre)
+         |SELECT doc_id, source, lang, token_cost, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
     "q92_paragraph_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),

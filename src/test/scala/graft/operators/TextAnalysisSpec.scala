@@ -103,6 +103,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(p(1L) == "en" && p(2L) == "fr" && p(3L) == "es" && p(4L) == "unknown")
   }
 
+  test("chunkTokenCost equals the materialized chunk token sum, overlap included") {
+    // boundary zoo: sub-chunk, exact chunk, one-over, exact two-chunk
+    // span, one-over-two, and a long doc
+    val docs = Seq(1, 64, 65, 100, 112, 113, 200).zipWithIndex.map {
+      case (n, i) => (i.toLong, Seq.tabulate(n)(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cost = TextAnalysis.chunkTokenCost(docs)
+      .select($"doc_id", $"token_cost").as[(Long, Long)].collect().toMap
+    val sums = TextAnalysis.chunk(docs)
+      .groupBy($"doc_id").agg(sum($"n_chunk_tokens").cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(cost == sums, s"closed form must equal the explode-and-sum: $cost vs $sums")
+    // spot-check the overlap charging: 113 tokens → 3 chunks → 113 + 2·16
+    assert(cost(5L) == 145L, s"got ${cost(5L)}")
+  }
+
   test("bigramLm ignores sub-bigram reference docs instead of corrupting the model") {
     // Spark's sequence(1, 0) steps DOWN to [1, 0]: an unfiltered 1-char doc
     // would double-count a bogus 1-char "bigram" key and an empty doc would

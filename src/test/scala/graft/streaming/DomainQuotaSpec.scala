@@ -226,6 +226,29 @@ class DomainQuotaSpec extends AnyFunSuite with SparkTestSession {
       s"only the md5-order head fits a 100-token budget of 60-token docs: $v")
   }
 
+  test("token budget in exact chunk-token units via chunkTokenCost (budgets mean tokens, not chars)") {
+    val reg = tmp("graft_tokq_reg_c")
+    def mk(id: Long, n: Int) =
+      Seq((id, "srcA", Seq.fill(n)("tok").mkString(" "))).toDF("doc_id", "source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DomainQuota.processBatchTokens(
+          graft.operators.TextAnalysis.chunkTokenCost(df), reg,
+          budget = 150L, tokenCol = "token_cost")
+        .as[(Long, String, Boolean, Long)].collect()
+        .map { case (id, src, adm, prior) => id -> (src, adm, prior) }.toMap
+    // 100 whitespace tokens chunk 64/48 into 2 windows → cost 100 + 16,
+    // NOT the ~400 chars the n_chars proxy would charge
+    val v1 = run(mk(1L, 100))
+    assert(v1(1L)._2 && v1(1L)._3 == 0L, s"cost 116 fits 150: $v1")
+    // the registry charged exactly the chunk cost: a 40-token doc (cost 40)
+    // overflows 116 + 40, a 30-token doc (cost 30) fits 116 + 30
+    val v2 = run(mk(2L, 40))
+    assert(!v2(2L)._2 && v2(2L)._3 == 116L,
+      s"prior mass must be the chunk cost 116, and 116 + 40 > 150: $v2")
+    val v3 = run(mk(3L, 30))
+    assert(v3(3L)._2 && v3(3L)._3 == 116L, s"116 + 30 <= 150: $v3")
+  }
+
   test("token streaming gate writes verdicts through foreachBatch") {
     val reg = tmp("graft_tokq_reg_s")
     val out = tmp("graft_tokq_out") + "/verdicts"
