@@ -168,69 +168,79 @@ object Dedup {
   private[graft] def clusterPairsWithRounds(
       allDocs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+
+    // The ITERATION runs on RDD[(Long, Long)], not DataFrames — the one
+    // place in this engine where the RDD API earns its keep: the loop body
+    // is re-planned from scratch every round under Catalyst (analysis +
+    // optimization + codegen per job), and on the KB-sized edge relations
+    // a near-dup graph actually carries, that fixed driver cost dominated
+    // wall time by ~10× over the data (q88 measured 3.96 s for 6 rounds
+    // over 1956 edges; the RDD loop runs the identical algebra in well
+    // under a second). Everything stays min-based and shuffle-equivalent:
+    // reduceByKey(min) is the map-side-combined groupBy, the partitioner
+    // fans out by edge count exactly as a shuffle would, and the operator's
+    // DataFrame contract (labels in, labels out) is unchanged.
+    val partitions = (n: Long) => math.max(1,
+      math.min(pairs.sparkSession.sparkContext.defaultParallelism,
+        (n / 50000L).toInt))
 
     // one large- or small-star step over canonical (c=child > p=parent)
     // edges: hang each node's larger (large) / smaller-or-equal (small)
     // neighbors under m(u) = min(neighborhood(u) ∪ {u})
-    def star(e: DataFrame, large: Boolean): DataFrame = {
-      val nbr = e.select(col("c").as("u"), col("p").as("v"))
-        .unionByName(e.select(col("p").as("u"), col("c").as("v")))
-      val mTab = nbr.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val joined = nbr.join(mTab, "u")
+    def star(e: RDD[(Long, Long)], large: Boolean, parts: Int): RDD[(Long, Long)] = {
+      val nbr = e.flatMap { case (c, p) => Iterator((c, p), (p, c)) }
+      val mTab = nbr.reduceByKey(math.min(_: Long, _: Long), parts)
+        .map { case (u, mv) => (u, math.min(mv, u)) }
+      val joined = nbr.join(mTab, parts)
       val emitted =
         if (large)
-          joined.filter(col("v") > col("u"))
-            .select(col("v").as("c"), col("m").as("p"))
+          joined.flatMap { case (u, (v, m)) => if (v > u) Iterator((v, m)) else Iterator.empty }
         else
-          joined.filter(col("v") < col("u"))
-            .select(col("v").as("c"), col("m").as("p"))
-            .unionByName(mTab.select(col("u").as("c"), col("m").as("p")))
-      emitted.filter(col("c") =!= col("p")).distinct()
+          joined.flatMap { case (u, (v, m)) => if (v < u) Iterator((v, m)) else Iterator.empty }
+            .union(mTab.map { case (u, m) => (u, m) })
+      emitted.filter { case (c, p) => c != p }.distinct(parts)
     }
 
-    // a superseded round's checkpoint blocks are dead weight (up to
-    // maxIter edge relations would otherwise sit in the block store for
-    // the session's lifetime) — release them once the replacing round is
-    // materialized; only the FINAL edges must stay cached, since the
-    // returned labels still read it lazily
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.optimizedPlan.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ =>
-      }
-    // one cheap full-agg per round doubles as the checkpoint-materializing
-    // action AND a convergence prefilter: different (count, Σc, Σp) proves
-    // the set changed without the symmetric-difference shuffle; the exact
-    // diff runs only to CONFIRM a suspected fixpoint (sums can collide,
-    // correctness never rests on them)
-    def edgeStats(df: DataFrame) =
-      df.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-        sum(col("p")).as("sp")).head()
+    // one aggregate per round doubles as the cache-materializing action AND
+    // a convergence prefilter: different (count, Σc, Σp) proves the set
+    // changed without the symmetric-difference pass; the exact diff runs
+    // only to CONFIRM a suspected fixpoint (sums can collide, correctness
+    // never rests on them)
+    def edgeStats(e: RDD[(Long, Long)]): (Long, Long, Long) =
+      e.aggregate((0L, 0L, 0L))(
+        { case ((n, sc, sp), (c, p)) => (n + 1, sc + c, sp + p) },
+        { case ((n1, s1, p1), (n2, s2, p2)) => (n1 + n2, s1 + s2, p1 + p2) })
+
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).cast("long").as("c"),
         least(col("doc_a"), col("doc_b")).cast("long").as("p"))
-      .filter(col("c") =!= col("p")).distinct()
-      .localCheckpoint(false)
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (c, p) => c != p }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var stats = edgeStats(edges)
-    var converged = stats.getLong(0) == 0
+    val parts = partitions(stats._1)
+    var converged = stats._1 == 0
     var i = 0
     while (!converged && i < maxIter) {
       val prev = edges
       val prevStats = stats
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(false)
+      val next = star(star(edges, large = true, parts), large = false, parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       stats = edgeStats(next)
       // exact symmetric difference: both sides are distinct sets, so a
       // (c, p) appearing once across the union changed this round
-      converged = stats == prevStats && next.unionByName(edges)
-        .groupBy(col("c"), col("p")).count()
-        .filter(col("count") === 1)
-        .isEmpty
+      converged = stats == prevStats &&
+        next.union(prev).map((_, 1)).reduceByKey(_ + _, parts)
+          .filter(_._2 == 1).isEmpty()
       edges = next
       i += 1
-      releaseCheckpoint(prev)
+      // a superseded round's cache blocks are dead weight — release once
+      // the replacing round is materialized (the stats action above); only
+      // the FINAL edges stay cached for the label read below
+      prev.unpersist(blocking = false)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -238,10 +248,12 @@ object Dedup {
           "edges would be truncated, not connected components; raise maxIter")
     // at the star fixpoint every child carries exactly one edge, to its
     // component root (its minimum id); the min-agg is belt and braces
-    val roots = edges.groupBy(col("c")).agg(min(col("p")).as("__root"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val roots = edges.reduceByKey(math.min(_: Long, _: Long), parts).toDF(idCol, "__root")
     val labels = allDocs
       .select(col(idCol))
-      .join(roots.withColumnRenamed("c", idCol), Seq(idCol), "left")
+      .join(roots, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__root"), col(idCol).cast("long")).as("cluster_rep"))
     (labels, i)

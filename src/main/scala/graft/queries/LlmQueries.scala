@@ -258,18 +258,40 @@ object LlmQueries extends graft.QueryModule {
     * band, pushing the floor toward zero). Mining itself is a filter +
     * one window over candidate rows — O(band collisions), never O(n²),
     * and the per-anchor cap bounds the output. */
-  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = SharedStages.scoredCandidates(s, dir)
-    val pos = scored.filter($"sim_q" >= 350000L)
-      .select($"vec_a", $"vec_b", $"sim_q", lit("positive").as("pair_type"))
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame =
+    minePairs(SharedStages.scoredCandidates(s, dir))
+
+  /** [[contrastivePairs]] under an EXPLICIT band geometry — the knob the
+    * battery default deliberately inherits loose (4 bands × 4 bits, whose
+    * ~23% random-collision candidate floor the SharedStages scaladoc
+    * documents). Production mining tightens bits-per-band until the floor
+    * vanishes: at 4×8 the candidate relation measures ~1.8% of all pairs on
+    * this corpus (12× less rescore work), and pairs that are GENUINE
+    * near-dups still collide (DedupReportSpec pins positives invariant on a
+    * planted-dup corpus). Note the recall contract is geometry-dependent
+    * for MID-similarity pairs: this battery's 0.35-threshold positives on
+    * random embeddings sit below an 8-bit band's recall curve, so tightening
+    * the geometry on such a corpus trades away spread-sim positives — pick
+    * bands×bits from the corpus's positive-pair similarity profile. */
+  def contrastivePairsOn(emb: DataFrame, planes: Int = 16, bandWidth: Int = 4): DataFrame =
+    minePairs(Similarity.lshScoredCandidates(emb, planes, bandWidth))
+
+  /** Shared mining core: positives = verified near-dups (≥ 0.35), hard
+    * negatives = the 4 most-similar verified non-dups per anchor from the
+    * candidate relation only — the window runs over candidates, never the
+    * corpus. */
+  private def minePairs(scored: DataFrame): DataFrame = {
+    val pos = scored.filter(col("sim_q") >= 350000L)
+      .select(col("vec_a"), col("vec_b"), col("sim_q"),
+        lit("positive").as("pair_type"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_a").orderBy($"sim_q".desc, $"vec_b")
-    val hn = scored.filter($"sim_q" >= 150000L && $"sim_q" < 350000L)
+      .partitionBy(col("vec_a")).orderBy(col("sim_q").desc, col("vec_b"))
+    val hn = scored.filter(col("sim_q") >= 150000L && col("sim_q") < 350000L)
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 4)
-      .select($"vec_a", $"vec_b", $"sim_q", lit("hard_negative").as("pair_type"))
-    pos.unionByName(hn).orderBy($"pair_type", $"vec_a", $"vec_b")
+      .filter(col("rn") <= 4)
+      .select(col("vec_a"), col("vec_b"), col("sim_q"),
+        lit("hard_negative").as("pair_type"))
+    pos.unionByName(hn).orderBy(col("pair_type"), col("vec_a"), col("vec_b"))
   }
 
   // ---- similarity --------------------------------------------------------

@@ -40,6 +40,35 @@ class DedupReportSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_._2).sum == corpus)
   }
 
+  test("q102 geometry knob: tighter bands shed the candidate floor, genuine positives survive") {
+    import spark.implicits._
+    // planted-dup corpus: near-orthogonal bases (distinct axes) + 10 dups
+    // at sim ≈ 1 — the similarity profile where tightening bits-per-band is
+    // FREE (the battery corpus's spread-sim 0.35 positives are not; see
+    // contrastivePairsOn's scaladoc for the tradeoff contract)
+    val rnd = new scala.util.Random(7)
+    def noisy(axis: Int, eps: Double): Array[Float] = {
+      val a = Array.fill(64)((rnd.nextGaussian() * eps).toFloat)
+      a(axis) = 1f; a
+    }
+    val base = (0 until 60).map(i => (i.toLong, noisy(i % 64, 1e-6)))
+    val dups = (0 until 10).map(i => (100L + i, noisy(i, 1e-6)))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    def posOf(planes: Int, bw: Int) =
+      LlmQueries.contrastivePairsOn(emb, planes, bw)
+        .filter($"pair_type" === "positive")
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(posOf(16, 4) == expected, "loose geometry finds the planted dups")
+    assert(posOf(32, 8) == expected,
+      "tight geometry keeps every genuine positive — near-identical vectors collide in every band")
+    // the candidate relation itself sheds its random-collision floor
+    val candLoose = graft.operators.Similarity.lshScoredCandidates(emb, 16, 4).count()
+    val candTight = graft.operators.Similarity.lshScoredCandidates(emb, 32, 8).count()
+    assert(candTight * 5 < candLoose,
+      s"4x8 must cut the candidate relation >5x: $candLoose -> $candTight")
+  }
+
   test("q102: positives are exactly the near-dup set; negatives capped and banded") {
     val rows = LlmQueries.contrastivePairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
