@@ -117,12 +117,18 @@ object GraftFunctions {
     // long[] fields here, so the generated loop indexes raw arrays (the
     // registry builder is the only Column-from-Expression route Spark 4
     // leaves open, and it cannot carry non-Expression constructor data).
+    def longs(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Long] =
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
     add("graft_bigram_score") { exprs =>
-      def longs(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Long] =
-        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toLongArray()
       BigramLmScore(exprs(0), longs(exprs(1)), longs(exprs(2)),
         exprs(3).eval(null).asInstanceOf[Long])
+    }
+    // args: (text, weights literal array<long>, width literal int) — same
+    // literal-folding route as graft_bigram_score
+    add("graft_quality_score") { exprs =>
+      QualityClassifierScore(exprs(0), longs(exprs(1)),
+        exprs(2).eval(null).asInstanceOf[Int])
     }
   }
 

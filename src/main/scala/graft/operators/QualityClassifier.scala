@@ -67,35 +67,40 @@ object QualityClassifier {
   private def bucketOf(gram: Column, dim: Int): Column =
     pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast("int"), lit(dim))
 
-  /** All character n-grams of `textCol` as an array column. Callers filter
+  /** All character n-grams of `t` as an array column. Callers filter
     * length >= n FIRST: sequence() steps DOWN for an empty range (the
     * bigramLm lesson), so sub-n docs must never reach the transform. */
-  private def grams(textCol: String, n: Int): Column =
-    expr(s"transform(sequence(1, length($textCol) - ${n - 1})," +
-      s" i -> substring($textCol, i, $n))")
-
-  /** Per-bucket n-gram counts of one class: (bucket, c) plus the class
-    * total. Output is ≤ dim rows — constant-bounded at any corpus size. */
-  private def classCounts(docs: DataFrame, textCol: String, dim: Int, n: Int)
-      : (Map[Int, Long], Long) = {
-    val rows = docs
-      .filter(length(col(textCol)) >= n)
-      .select(explode(grams(textCol, n)).as("g"))
-      .groupBy(bucketOf(col("g"), dim).as("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-    (rows.toMap, rows.map(_._2).sum)
-  }
+  private def grams(t: Column, n: Int): Column =
+    transform(sequence(lit(1), length(t) - lit(n - 1)), i => t.substr(i, lit(n)))
 
   /** Fit the classifier: positives as-is, negatives derived from them by
     * [[shuffleTokens]]. Returns the COMPLETE weight table — exactly `dim`
     * longs, every bucket defined through the smoothing, so scoring needs no
-    * out-of-vocabulary fallback. */
+    * out-of-vocabulary fallback.
+    *
+    * ONE pass over the positive slice: each row contributes its real
+    * n-grams tagged p=1 and its shuffled-text n-grams tagged p=0 into a
+    * single exploded groupBy emitting (bucket, pos_c, neg_c) — output still
+    * ≤ dim rows, but the source is scanned (and md5-transformed) once, not
+    * twice. The single length filter is sound because [[shuffleTokens]]
+    * preserves length exactly: split-on-space + rejoin-with-space keeps the
+    * token multiset and separator count. */
   def fit(pos: DataFrame, textCol: String = "text",
           dim: Int = DefaultDim, n: Int = DefaultN): Array[Long] = {
-    val neg = pos.select(shuffleTokens(col(textCol)).as(textCol))
-    val (pc, pt) = classCounts(pos.select(col(textCol)), textCol, dim, n)
-    val (nc, nt) = classCounts(neg, textCol, dim, n)
+    val rows = pos
+      .filter(length(col(textCol)) >= n)
+      .select(col(textCol).as("__t"), shuffleTokens(col(textCol)).as("__s"))
+      .select(explode(concat(
+        transform(grams(col("__t"), n), g => struct(g.as("g"), lit(1L).as("p"))),
+        transform(grams(col("__s"), n), g => struct(g.as("g"), lit(0L).as("p")))))
+        .as("e"))
+      .groupBy(bucketOf(col("e.g"), dim).as("bucket"))
+      .agg(sum(col("e.p")).as("pos_c"), sum(lit(1L) - col("e.p")).as("neg_c"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+    val pc = rows.map { case (b, (p, _)) => b -> p }.toMap
+    val nc = rows.map { case (b, (_, q)) => b -> q }.toMap
+    val pt = pc.values.sum
+    val nt = nc.values.sum
     Array.tabulate(dim) { b =>
       math.floor(1000000.0 * (pc.getOrElse(b, 0L) + 1) / (pt + dim)).toLong -
         math.floor(1000000.0 * (nc.getOrElse(b, 0L) + 1) / (nt + dim)).toLong
@@ -105,18 +110,40 @@ object QualityClassifier {
   /** Score documents under a fitted weight table: `n_grams` and
     * `quality_score` = mean bucket weight (double — ONE division of exact
     * integer operands). Documents shorter than `n` chars have no features
-    * and are dropped, mirroring [[TextAnalysis.lmFluency]]. */
+    * and are dropped, mirroring [[TextAnalysis.lmFluency]].
+    *
+    * Scoring runs through the codegen'd
+    * [[graft.functions.QualityClassifierScore]] primitive (one memoized
+    * array load per character in steady state — the HOF formulation kept in
+    * [[scoreHof]] allocated substring+md5-hex+parse per character and was
+    * the battery's slowest entry at 5.5 s / sf0.1, the exact q99 history
+    * replayed one model over). */
   def score(docs: DataFrame, weights: Array[Long], textCol: String = "text",
             n: Int = DefaultN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val wSum = call_function("graft_quality_score", col(textCol),
+      typedLit(weights), lit(n))
+    scored(docs, wSum, textCol, n)
+  }
+
+  /** The original HOF formulation — value-identical to [[score]] by
+    * construction (QualityClassifierSpec pins equality, non-ASCII rows
+    * included); kept as the composable reference implementation. */
+  def scoreHof(docs: DataFrame, weights: Array[Long], textCol: String = "text",
+               n: Int = DefaultN): DataFrame = {
     val dim = weights.length
     val wSum = aggregate(
-      transform(grams(textCol, n),
+      transform(grams(col(textCol), n),
         g => element_at(typedLit(weights), bucketOf(g, dim) + 1)),
       lit(0L), (acc, x) => acc + x)
+    scored(docs, wSum, textCol, n)
+  }
+
+  private def scored(docs: DataFrame, wSum: Column, textCol: String,
+                     n: Int): DataFrame =
     docs.filter(length(col(textCol)) >= n)
       .withColumn("n_grams", (length(col(textCol)) - (n - 1)).cast("long"))
       .withColumn("__w_sum", wSum)
       .withColumn("quality_score", col("__w_sum").cast("double") / col("n_grams"))
       .drop("__w_sum")
-  }
 }

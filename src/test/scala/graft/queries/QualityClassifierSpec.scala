@@ -93,6 +93,28 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestSession {
       "the threshold must catch the vast majority of scrambled text")
   }
 
+  test("native codegen scorer equals the HOF reference, non-ASCII and astral rows included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abc"),
+      (3L, "ab"), // sub-n: dropped by both paths
+      (4L, "héllo wörld — ünïcode text"),
+      (5L, "日本語のテキストです"),
+      (6L, "mixed ascii and 𝔘𝔫𝔦 astral 𝕥𝕖"),
+      (7L, ""),
+      (8L, "aaa aaa aaa")).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, Array[Long], String, Int)
+        => org.apache.spark.sql.DataFrame) =
+      f(docs, weights, "text", 3).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val native = run(graft.operators.QualityClassifier.score)
+    val hof = run(graft.operators.QualityClassifier.scoreHof)
+    assert(native.toSeq == hof.toSeq, "native and HOF scorers must agree row-exactly")
+    assert(native.map(_._1).toSeq == Seq(1L, 2L, 4L, 5L, 6L, 8L),
+      "sub-n and empty docs drop; everything else scores")
+  }
+
   test("shuffleTokens is a permutation: same token multiset, md5 order, deterministic") {
     import spark.implicits._
     val t = "the quick brown fox jumps over the lazy dog"
