@@ -169,7 +169,6 @@ object Dedup {
       allDocs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.rdd.RDD
-    import org.apache.spark.storage.StorageLevel
 
     // The ITERATION runs on RDD[(Long, Long)], not DataFrames — the one
     // place in this engine where the RDD API earns its keep: the loop body
@@ -219,7 +218,7 @@ object Dedup {
       .distinct()
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (c, p) => c != p }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // MEMORY_AND_DISK + lineage truncation at first action
     var stats = edgeStats(edges)
     val parts = partitions(stats._1)
     var converged = stats._1 == 0
@@ -227,8 +226,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prev = edges
       val prevStats = stats
+      // localCheckpoint, not bare persist: the stats action below
+      // materializes the blocks AND truncates lineage at this round, so a
+      // late round never chains recomputation (or serialized plan depth)
+      // through every prior round. The trade is the standard one: an
+      // evicted checkpointed block fails the job instead of recomputing —
+      // MEMORY_AND_DISK spills rather than evicts, the engine-wide
+      // localCheckpoint(true) discipline.
       val next = star(star(edges, large = true, parts), large = false, parts)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       stats = edgeStats(next)
       // exact symmetric difference: both sides are distinct sets, so a
       // (c, p) appearing once across the union changed this round

@@ -39,6 +39,9 @@ object CorpusStats {
   private val registrySchema: StructType = StructType.fromDDL(
     "sbucket INT, source STRING, lang STRING, doc_id BIGINT, n_chars BIGINT")
 
+  private val rollupSchema: StructType = StructType.fromDDL(
+    "source STRING, lang STRING, n_docs BIGINT, sum_chars BIGINT")
+
   private def bucketOf(source: org.apache.spark.sql.Column) =
     (crc32(source) % 256).cast("int")
 
@@ -97,20 +100,94 @@ object CorpusStats {
         coalesce(col("batch_chars"), lit(0L)).as("batch_chars"))
       .localCheckpoint(true)
     fresh.write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    // maintain the O(strata) per-cell rollup (see [[readRollup]]); the
+    // batch's exact delta is already in hand, so the merge costs one tiny
+    // aggregate + swap, never a registry scan
+    if (RegistryIO.hasData(rollupDir(registryDir), None)) {
+      val merged = readRollup(spark, registryDir)
+        .unionByName(delta.select(col("source"), col("lang"),
+          col("batch_docs").as("n_docs"), col("batch_chars").as("sum_chars")))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      writeRollup(merged, registryDir)
+    } else rebuildRollup(spark, registryDir) // adoption: registry predates rollup
     verdicts
   }
+
+  /** Compacted per-cell rollup `(source, lang, n_docs, sum_chars)` — the
+    * O(strata) read path for [[report]] and [[MixBalance.rates]]. The
+    * doc-grained registry stays the source of truth and the idempotence
+    * substrate; the rollup is a derived cache kept exactly in sync by
+    * [[processBatch]] (fresh-only deltas, so replays add nothing) via the
+    * same rename-aside swap as registry compaction.
+    *
+    * Crash window, stated honestly: [[processBatch]] appends doc rows and
+    * THEN swaps the merged rollup — a process that dies between the two
+    * leaves the rollup stale by that one batch, and the replay exclusion
+    * means it will not self-heal. Recovery is [[rebuildRollup]] (one
+    * registry scan), and CorpusStatsSpec pins rollup == doc-grained
+    * aggregate so drift is detectable. */
+  def readRollup(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, rollupDir(registryDir), rollupSchema, None)
+
+  private def rollupDir(registryDir: String): String =
+    registryDir.stripSuffix("/") + "_rollup"
+
+  private def writeRollup(cells: DataFrame, registryDir: String): Unit = {
+    val dir = rollupDir(registryDir)
+    val p = java.nio.file.Paths.get(dir)
+    // dot-prefixed staging sibling, then rename-aside swap (Maintenance's
+    // compaction discipline) so readers never see a half-written rollup
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".swap").toString
+    cells.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    graft.queue.Maintenance.replaceDir(tmp, dir)
+  }
+
+  /** Re-derive the rollup from the doc-grained registry: the adoption path
+    * (a registry that predates rollups) and the crash-window recovery. One
+    * full registry scan — O(corpus-count) metadata, run once, after which
+    * every batch merge is O(strata). */
+  def rebuildRollup(spark: SparkSession, registryDir: String): Unit =
+    writeRollup(
+      readRegistry(spark, registryDir)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+        .distinct()
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
+      registryDir)
+
+  /** Per-lang character mass, O(strata) when the rollup exists; one
+    * doc-grained aggregate otherwise (registry seeded/adopted before any
+    * [[processBatch]] built the rollup). The [[MixBalance.rates]] pull. */
+  def langMass(spark: SparkSession, registryDir: String): Map[String, Long] =
+    if (RegistryIO.hasData(rollupDir(registryDir), None))
+      readRollup(spark, registryDir)
+        .groupBy(col("lang")).agg(sum(col("sum_chars")).as("mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else
+      readRegistry(spark, registryDir)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+        .distinct()
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Bulk-seed the registry from an existing corpus (migration path:
     * adopt live accounting over a crawl that predates it). Same
     * normalization as [[processBatch]]. */
   def seedRegistry(docs: DataFrame, registryDir: String,
                    idCol: String = "doc_id", sourceCol: String = "source",
-                   langCol: String = "lang", charsCol: String = "n_chars"): Unit =
+                   langCol: String = "lang", charsCol: String = "n_chars"): Unit = {
     docs.select(bucketOf(coalesce(col(sourceCol), lit(""))).as("sbucket"),
         coalesce(col(sourceCol), lit("")).as("source"),
         coalesce(col(langCol), lit("")).as("lang"),
         col(idCol).as("doc_id"), col(charsCol).cast("long").as("n_chars"))
       .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    // a blind append can duplicate and bypasses the delta merge: an
+    // existing rollup must be re-derived, an absent one stays absent until
+    // the first processBatch adopts the registry
+    if (RegistryIO.hasData(rollupDir(registryDir), None))
+      rebuildRollup(docs.sparkSession, registryDir)
+  }
 
   /** The append-only accounting rows ([[RegistryIO]] empty-state rules). */
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
@@ -130,17 +207,26 @@ object CorpusStats {
     * gid) where the live card shows the "" stratum — normalize first, as
     * CorpusStatsSpec's null-bearing equivalence case does. */
   def report(spark: SparkSession, registryDir: String): DataFrame = {
-    val d = readRegistry(spark, registryDir)
-      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
-      .distinct()
+    // per-cell counts from the O(strata) rollup when maintained; the
+    // doc-grained fallback covers adopted/seeded registries. The grouping
+    // sets re-aggregate cells, so both inputs yield the identical card.
+    val d =
+      if (RegistryIO.hasData(rollupDir(registryDir), None))
+        readRollup(spark, registryDir)
+      else readRegistry(spark, registryDir)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+        .distinct()
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     val agg = d
       .groupingSets(
         Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
           Seq(col("source")), Seq.empty),
         col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"),
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("sum_chars"),
         (grouping(col("lang")) * 2 + grouping(col("source"))).cast("int").as("gid"))
-    agg.crossJoin(d.agg(sum(col("n_chars")).cast("long").as("total_chars")))
+    agg.crossJoin(d.agg(sum(col("sum_chars")).cast("long").as("total_chars")))
       .select(coalesce(col("lang"), lit("ALL")).as("lang"),
         coalesce(col("source"), lit("ALL")).as("source"),
         col("gid"), col("n_docs"), col("sum_chars"),

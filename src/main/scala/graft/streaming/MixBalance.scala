@@ -31,30 +31,36 @@ import org.apache.spark.sql.functions._
   * behavior a converging throttle wants.
   *
   * Scale shape: the replay probe prunes to the batch's touched sbuckets
-  * (O(batch) I/O); the rate pull is ONE map-side-combined aggregate over
-  * the accounting registry whose output is bounded by the number of strata
-  * (a driver map of a few dozen entries — languages, not documents). The
-  * aggregate's input is the doc-grained registry (corpus-COUNT-sized
-  * metadata, never text); at extreme corpus sizes a compacted per-cell
-  * rollup table makes that pull O(strata) — the same upgrade path the
-  * registry scaladocs name for compaction, not a different design. */
+  * (O(batch) I/O); the rate pull reads [[CorpusStats.langMass]]'s
+  * compacted per-cell rollup — O(strata) rows per batch regardless of
+  * corpus size (a driver map of a few dozen entries — languages, not
+  * documents). The doc-grained registry remains the idempotence substrate;
+  * it is scanned only on adoption/recovery ([[CorpusStats.rebuildRollup]]),
+  * never per tick. */
 object MixBalance {
 
-  /** Per-stratum admission rates from the registry's current mass and the
-    * target shares (ppm). Empty registry → every rate 1.0 (cold start
-    * admits everything; the controller engages once mass exists). */
+  /** Per-stratum admission rates from the corpus's current mass and the
+    * target shares (ppm). The mass pull is [[CorpusStats.langMass]] — the
+    * compacted per-cell rollup, O(strata) per batch, never the doc-grained
+    * registry scan (that was the one O(corpus)-per-tick plan in the engine
+    * until round 12). Empty corpus → rate 1.0 (cold start admits
+    * everything; the controller engages once mass exists) — EXCEPT a
+    * stratum whose target is exactly 0 ppm, which rejects from cold start:
+    * under `sharePpm <= t` a zero-target stratum with zero mass would
+    * admit its first batches at rate 1.0 and permanently register them
+    * before the rate ever dropped. */
   def rates(spark: SparkSession, statsRegistryDir: String,
             targetPpm: Map[String, Long]): Map[String, Double] = {
-    val cells = CorpusStats.readRegistry(spark, statsRegistryDir)
-      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
-      .distinct() // absorb replayed appends, like every registry consumer
-      .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cells = CorpusStats.langMass(spark, statsRegistryDir)
     val total = cells.values.sum
-    if (total <= 0L) targetPpm.map { case (k, _) => k -> 1.0 }
-    else targetPpm.map { case (lang, t) =>
-      val sharePpm = 1000000.0 * cells.getOrElse(lang, 0L) / total
-      lang -> (if (sharePpm <= t) 1.0 else t / sharePpm)
+    targetPpm.map { case (lang, t) =>
+      lang -> (
+        if (t <= 0L) 0.0
+        else if (total <= 0L) 1.0
+        else {
+          val sharePpm = 1000000.0 * cells.getOrElse(lang, 0L) / total
+          if (sharePpm <= t) 1.0 else t / sharePpm
+        })
     }
   }
 

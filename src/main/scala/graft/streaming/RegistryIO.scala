@@ -14,10 +14,11 @@ private[streaming] object RegistryIO {
   /** `partitionPrefix = Some("sbucket=")` probes for hive partition dirs;
     * `None` probes for flat `part-*` data files (streaming file sinks,
     * whose `_spark_metadata` dir alone does not make the dir readable). */
-  def readOrEmpty(spark: SparkSession, dir: String, schema: StructType,
-                  partitionPrefix: Option[String]): DataFrame = {
+  /** Whether `dir` holds committed data: hive partition dirs when
+    * `partitionPrefix` is set, flat `part-*` files otherwise. */
+  def hasData(dir: String, partitionPrefix: Option[String]): Boolean = {
     val p = java.nio.file.Paths.get(dir)
-    val hasData = java.nio.file.Files.exists(p) && {
+    java.nio.file.Files.exists(p) && {
       val s = java.nio.file.Files.list(p)
       try {
         val it = s.iterator(); var found = false
@@ -31,7 +32,11 @@ private[streaming] object RegistryIO {
         found
       } finally s.close()
     }
-    if (!hasData)
+  }
+
+  def readOrEmpty(spark: SparkSession, dir: String, schema: StructType,
+                  partitionPrefix: Option[String]): DataFrame = {
+    if (!hasData(dir, partitionPrefix))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dir)

@@ -104,6 +104,45 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
     assert(live.exists(r => r(0) == "" && r(2) == 0))
   }
 
+  test("rollup stays exactly in sync with the doc-grained registry across batches, replays, and adoption") {
+    def rollupOf(reg: String) = CorpusStats.readRollup(spark, reg)
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    def groundTruth(reg: String) = CorpusStats.readRegistry(spark, reg)
+      .select($"source", $"lang", $"doc_id", $"n_chars").distinct()
+      .groupBy($"source", $"lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum($"n_chars").as("sum_chars"))
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+
+    // maintained path: batches + a full replay keep the rollup exact
+    val reg = tmp("graft_cstats_rollup")
+    val b1 = Seq(StatDoc(1, "srcA", "en", 100), StatDoc(2, "srcB", "fr", 30)).toDF()
+    run(b1, reg)
+    run(Seq(StatDoc(3, "srcA", "en", 25), StatDoc(4, "srcC", "de", 7)).toDF(), reg)
+    run(b1, reg) // replay must not touch the rollup
+    assert(rollupOf(reg) == groundTruth(reg), "incremental merge must stay exact")
+
+    // adoption path: a seeded registry has no rollup; the first
+    // processBatch rebuilds one covering the seeded mass too
+    val reg2 = tmp("graft_cstats_rollup_adopt")
+    CorpusStats.seedRegistry(
+      Seq(StatDoc(10, "srcA", "en", 11), StatDoc(11, "srcB", "fr", 13)).toDF(), reg2)
+    assert(CorpusStats.readRollup(spark, reg2).isEmpty,
+      "a blind seed must not fabricate a rollup")
+    run(Seq(StatDoc(12, "srcA", "en", 5)).toDF(), reg2)
+    assert(rollupOf(reg2) == groundTruth(reg2),
+      "adoption rebuild must cover pre-rollup mass")
+
+    // a seed on TOP of a live rollup re-derives it
+    CorpusStats.seedRegistry(Seq(StatDoc(13, "srcD", "es", 9)).toDF(), reg2)
+    assert(rollupOf(reg2) == groundTruth(reg2), "post-seed rebuild must land")
+
+    // crash-window recovery: a corrupted rollup is re-derived exactly
+    CorpusStats.rebuildRollup(spark, reg)
+    assert(rollupOf(reg) == groundTruth(reg))
+  }
+
   test("property: totals equal the deduplicated union under any batch/replay sequence") {
     // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
     // few trials — every trial drives real Spark batches

@@ -44,6 +44,23 @@ class MixBalanceSpec extends AnyFunSuite with SparkTestSession {
     assert(vz.forall(r2 => r2.getDouble(0) == 1.0 && r2.getBoolean(1)), s"${vz.toSeq}")
   }
 
+  test("a zero target rejects from cold start — excluded strata never leak into the corpus") {
+    val reg = tmp("graft_mix_zero")
+    val targets = Map("en" -> 1000000L, "xx" -> 0L)
+    val v0 = MixBalance.processBatch(mkDocs(0 until 10, "xx"), reg, targets)
+      .select($"mix_rate", $"mix_admitted").collect()
+    assert(v0.forall(r => r.getDouble(0) == 0.0 && !r.getBoolean(1)),
+      s"zero-target stratum must reject even on an empty registry: ${v0.toSeq}")
+    // nothing registered: the corpus stays empty and the card shows no xx mass
+    assert(CorpusStats.readRollup(spark, reg).isEmpty &&
+      CorpusStats.readRegistry(spark, reg).isEmpty,
+      "rejected documents must never register")
+    // and with real mass present the zero target still pins the rate to 0
+    MixBalance.processBatch(mkDocs(100 until 120, "en"), reg, targets)
+    val r = MixBalance.rates(spark, reg, targets)
+    assert(r("xx") == 0.0 && r("en") == 1.0, s"$r")
+  }
+
   test("balanced inflow converges a skewed corpus toward the target mix") {
     val reg = tmp("graft_mix_conv")
     // seed: 90% en mass, 10% fr
