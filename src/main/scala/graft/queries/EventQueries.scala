@@ -30,27 +30,25 @@ object EventQueries extends graft.QueryModule {
     * `variant_get` over that buffer instead of a fresh string re-parse
     * per field (the get_json_object pattern q20 pins re-parses the JSON
     * for every extracted path — fine for one field, quadratic in fields).
-    * At 100 TB the variant column is also the shredding-ready layout
-    * (Parquet variant shredding pushes typed subcolumns to the scan).
     * Values are pinned identical to the string-JSON path: the oracle
     * replays with plain json_extract, so a variant-vs-string divergence
     * (or a variant decode bug) hash-fails. Distinct-k and null-count
-    * columns exercise typed NULL propagation through variant_get. */
+    * columns exercise typed NULL propagation through variant_get.
+    *
+    * This is the QUERY-TIME decode; pipelines that hit the feed
+    * repeatedly persist the decoded column once via
+    * [[graft.sources.VariantEventStore]] (the shredding-ready layout at
+    * 100 TB) and run the same shared aggregation over the stored buffer —
+    * VariantStoreSpec pins the two paths row-equal, and ScaleBench's
+    * variant-layout line measures the per-query parse this saves. */
   def variantProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      // try_parse_json, not parse_json: one malformed props string must
-      // degrade to a null variant (→ null k) the way q20's
-      // get_json_object degrades per row, never abort the whole job
-      .withColumn("v", try_parse_json($"props"))
-      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum($"k").as("sum_k"),
-        count_distinct($"k").as("n_distinct_k"),
-        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_k"),
-        max($"k").as("max_k"))
-      .orderBy($"event_type")
+    graft.sources.VariantEventStore.propsAgg(
+      Tables.events(s, dir)
+        // try_parse_json, not parse_json: one malformed props string must
+        // degrade to a null variant (→ null k) the way q20's
+        // get_json_object degrades per row, never abort the whole job
+        .withColumn("v", try_parse_json($"props")), "v")
   }
 
   /** T6 batch analog: tumbling 1-day windows via Spark's native window()

@@ -418,29 +418,41 @@ object TrainingDataQueries extends graft.QueryModule {
     *
     * Identical two-phase scale shape to q93 (over-threshold-only broadcast,
     * h16 prefilter, per-source running sum over O(budget/avg-doc) rows).
-    * The one cost: deriving the token column reads `text` here — at ingest
-    * the column is pre-materialized once (chunkTokenCost is per-row
-    * algebra) and the cap query goes back to a 4-column text-free scan. */
-  def chunkDomainCap(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val budget = 600L
-    val docs = graft.operators.TextAnalysis.chunkTokenCost(
-        Tables.documents(s, dir).select($"doc_id", $"source", $"lang", $"text"))
-      .select($"doc_id", $"source", $"lang", $"token_cost",
-        Sampling.hash16($"doc_id").as("h16"),
-        md5($"doc_id".cast("string")).as("rank_key"))
-    val bigTotals = docs.groupBy($"source")
-      .agg(sum($"token_cost").as("tokens_in_source"))
-      .filter($"tokens_in_source" > 1.5 * budget)
+    * The one cost: deriving the token column reads `text` here. The cap
+    * CORE is [[chunkDomainCapOn]], which takes `token_cost` as an existing
+    * column — at ingest [[graft.streaming.IngestCuration]] materializes it
+    * as a verdict audit column (per-row algebra, one pass), and repeat cap
+    * runs feed the persisted 4-column layout straight to the core as a
+    * text-free scan (TokenCostLayoutSpec pins layout == derive-per-query
+    * row for row). */
+  def chunkDomainCap(s: SparkSession, dir: String): DataFrame =
+    chunkDomainCapOn(
+      graft.operators.TextAnalysis.chunkTokenCost(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("lang"), col("text")))
+        .select(col("doc_id"), col("source"), col("lang"), col("token_cost")))
+
+  /** [[chunkDomainCap]]'s cap core over a relation already carrying
+    * `(doc_id, source, lang, token_cost)` — the pre-materialized path: no
+    * text column anywhere in the scan. */
+  def chunkDomainCapOn(costed: DataFrame, budget: Long = 600L): DataFrame = {
+    val docs = costed
+      .select(col("doc_id"), col("source"), col("lang"), col("token_cost"),
+        Sampling.hash16(col("doc_id")).as("h16"),
+        md5(col("doc_id").cast("string")).as("rank_key"))
+    val bigTotals = docs.groupBy(col("source"))
+      .agg(sum(col("token_cost")).as("tokens_in_source"))
+      .filter(col("tokens_in_source") > 1.5 * budget)
     val pre = docs.join(broadcast(bigTotals), Seq("source"), "left")
-      .filter($"h16" <
-        coalesce(lit(1.5 * budget) / $"tokens_in_source".cast("double"), lit(1.0)) * 65536.0)
-    val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
+      .filter(col("h16") <
+        coalesce(lit(1.5 * budget) / col("tokens_in_source").cast("double"), lit(1.0)) * 65536.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("rank_key"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pre.withColumn("cum_tokens", sum($"token_cost").over(w))
-      .filter($"cum_tokens" <= budget)
-      .select($"doc_id", $"source", $"lang", $"token_cost", $"cum_tokens")
-      .orderBy($"doc_id")
+    pre.withColumn("cum_tokens", sum(col("token_cost")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("lang"), col("token_cost"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Duplicated-span removal with document reassembly — the span-level

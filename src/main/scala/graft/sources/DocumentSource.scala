@@ -79,29 +79,33 @@ object DocumentSource {
       .csv(path))
 
   /** Split a permissive JSONL load into (clean, corrupt-audit): clean rows
-    * in canonical shape, corrupt rows as (raw_line) for quarantine. Spark
-    * requires the corrupt column to be materialized before filtering on it
-    * (a direct filter on a lazily-parsed column is rejected), hence the
-    * cache-on-first-use here — the audit is an ingest-edge step over one
-    * dump, not a steady-state scan. */
+    * in canonical shape, corrupt rows as (raw_line) for quarantine.
+    *
+    * The audit path reads the dump as TEXT and parses each line with
+    * `from_json`, so every quarantined row carries its ORIGINAL line
+    * verbatim — including a well-formed line merely missing doc_id (which
+    * routes to the audit side to stay partition-consistent with
+    * [[jsonl]]'s clean set; see the filter comment above). The earlier
+    * design re-serialized such lines from the parsed struct, which
+    * silently dropped any fields outside the declared schema and the
+    * original formatting — a quarantine that cannot reproduce its input
+    * is not a quarantine. Still one splittable line scan; the cache keeps
+    * the two branches from re-reading the dump (the audit is an
+    * ingest-edge step over one dump, not a steady-state scan). */
   def audit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+    val raw = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), schema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("d"))
       .cache()
-    // clean must PARTITION consistently with jsonl(): a well-formed line
-    // merely missing doc_id is unusable downstream (see the filter comment
-    // above), so it routes to the audit side — serialized back to its JSON
-    // shape so the quarantine frame stays one raw-line column — instead of
-    // leaking a null-keyed row into clean that jsonl() would never emit.
     val clean = canonical(
-      raw.filter(col("_corrupt_record").isNull && col("doc_id").isNotNull))
+      raw.filter(col("d._corrupt_record").isNull && col("d.doc_id").isNotNull)
+        .select(col("d.*")))
     val corrupt = raw.filter(
-        col("_corrupt_record").isNotNull || col("doc_id").isNull)
-      .select(coalesce(col("_corrupt_record"),
-        to_json(struct(col("text"), col("lang"), col("source"))))
-        .as("raw_line"))
+        col("d").isNull ||
+        col("d._corrupt_record").isNotNull || col("d.doc_id").isNull)
+      .select(col("raw_line"))
     (clean, corrupt)
   }
 }

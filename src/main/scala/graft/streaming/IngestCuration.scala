@@ -59,7 +59,7 @@ object IngestCuration {
     * per-doc gates aggregated conservatively (any variant failing fails
     * the doc). Columns:
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
-    *   distinct_ratio, quality_ok, vec_is_dup, vec_dup_of, max_bench_sim,
+    *   distinct_ratio, quality_ok, token_cost, vec_is_dup, vec_dup_of, max_bench_sim,
     *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
     *   clf_score, clf_ok, mix_rate, mix_admitted, n_emails, n_ipv4, n_phones,
     *   clean_md5, quota_source, quota_admitted, keep)` — `quota_admitted`
@@ -124,13 +124,20 @@ object IngestCuration {
     val dedup = IncrementalDedup.processBatch(texts, registryDir, bands, idCol)
       .groupBy(col(idCol)).agg(max(col("is_dup")).as("is_dup"),
         min(col("dup_of")).as("dup_of"))
-    val quality = TextAnalysis.qualityMetrics(texts)
-      .select(col(idCol), col("n_tokens"), col("distinct_ratio"))
+    // token_cost rides the same shuffle-free pass: the exact chunk-token
+    // budget ([[TextAnalysis.chunkTokenCost]], q105's cost column)
+    // materialized ONCE at ingest, so downstream cap queries and the
+    // token-mode quota read a text-free audit column instead of re-deriving
+    // it from `text` per run (max across variants = the conservative
+    // budget charge, mirroring the min-on-booleans gate discipline)
+    val quality = TextAnalysis.chunkTokenCost(TextAnalysis.qualityMetrics(texts))
+      .select(col(idCol), col("n_tokens"), col("distinct_ratio"), col("token_cost"))
       .withColumn("quality_ok",
         col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
       .groupBy(col(idCol)).agg(min(col("n_tokens")).as("n_tokens"),
         min(col("distinct_ratio")).as("distinct_ratio"),
-        min(col("quality_ok")).as("quality_ok"))
+        min(col("quality_ok")).as("quality_ok"),
+        max(col("token_cost")).as("token_cost"))
     val lang = TextAnalysis.langId(texts)
       .select(col(idCol), col("predicted_lang"))
       .withColumn("lang_ok", col("predicted_lang").isInCollection(allowedLangs))
@@ -349,7 +356,7 @@ object IngestCuration {
     }
     val verdict = withQuota.select(col(idCol), col("is_dup"), col("dup_of"),
       col("predicted_lang"), col("lang_ok"),
-      col("n_tokens"), col("distinct_ratio"), col("quality_ok"),
+      col("n_tokens"), col("distinct_ratio"), col("quality_ok"), col("token_cost"),
       col("vec_is_dup"), col("vec_dup_of"), col("max_bench_sim"), col("sem_clean"),
       col("centroid_sim"), col("centroid_ok"),
       col("fluency_ppm"), col("fluency_ok"),

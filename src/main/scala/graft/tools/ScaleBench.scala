@@ -417,6 +417,33 @@ object ScaleBench {
       (n, rounds, sec)
     }
 
+    // Variant layout vs query-time decode: q103's aggregation over (a) the
+    // raw feed with try_parse_json in the plan vs (b) the persisted
+    // VariantEventStore layout (decode paid once at write). The delta is
+    // the per-query JSON parse a repeat-query pipeline saves; write cost
+    // is reported beside it so the break-even (#queries) is readable.
+    val vRows = locally {
+      val vDir = s"$root/variant-events"
+      val t0w = System.nanoTime()
+      graft.sources.VariantEventStore.write(
+        graft.Tables.events(spark, base), vDir)
+      val writeSec = (System.nanoTime() - t0w) / 1e9
+      def time(f: => Unit): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val parseSec = time {
+        graft.queries.EventQueries.variantProps(spark, base)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val layoutSec = time {
+        graft.sources.VariantEventStore.propsAgg(
+            graft.sources.VariantEventStore.read(spark, vDir))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"kind":"variant_layout","write_sec":$writeSec%.3f,"parse_per_query_sec":$parseSec%.3f,"layout_sec":$layoutSec%.3f}""")
+      (writeSec, parseSec, layoutSec)
+    }
+
     // The ORGANIC embedding graph (q88's substrate at this SF — the graph
     // that carries the 20-round chain motivating star contraction): rounds,
     // wall time, and the label-totality invariant (every vector labeled)
@@ -527,7 +554,7 @@ object ScaleBench {
       (cadence, first, last, files())
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, cRows, ccOrganic, kRows, dRows, fRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, cRows, ccOrganic, vRows, kRows, dRows, fRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -626,6 +653,7 @@ object ScaleBench {
                       bRows: Seq[(Int, Int, Long, Long, Double, Double)],
                       cRows: Seq[(Int, Int, Double)],
                       ccOrganic: (Long, Long, Int, Double),
+                      vRows: (Double, Double, Double),
                       kRows: Seq[(Int, Double, Double, Double)],
                       dRows: Seq[(Int, Double)],
                       fRows: Seq[(Int, Double, Double, Int)]): Unit = {
@@ -814,6 +842,17 @@ object ScaleBench {
       sb ++= f"\nOrganic graph (q88's substrate, base SF): $edges edges over $nd\n"
       sb ++= f"vectors contract to a confirmed fixpoint in $rounds rounds,\n"
       sb ++= f"$sec%.1f s, every vector labeled (checked, not assumed).\n"
+    }
+    locally {
+      val (w, p, l) = vRows
+      sb ++= "\n| variant events layout (base SF) | sec |\n|---|---|\n"
+      sb ++= f"| one-time encode+write | $w%.2f s |\n"
+      sb ++= f"| q103 agg, query-time try_parse_json | $p%.2f s |\n"
+      sb ++= f"| q103 agg over persisted variant column | $l%.2f s |\n"
+      sb ++= f"\nThe persisted layout pays the JSON decode once at write and every\n"
+      sb ++= f"repeat query reads the binary variant directly — ${if (p > 0) f"${l / p * 100}%.0f%%" else "—"} of the\n"
+      sb ++= "parse-per-query time here, and the shredding-ready layout for\n"
+      sb ++= "typed-subcolumn pushdown at 100 TB.\n"
     }
     sb ++= "\n| k-NN batch (fixed corpus, k=10) | batch sec | per-query ms | one topK scan |\n|---|---|---|---|\n"
     kRows.foreach { case (nq, bs, pq, ss) =>

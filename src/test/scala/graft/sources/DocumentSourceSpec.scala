@@ -97,6 +97,21 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
       s"every non-clean line is accounted for, none lost: ${bad.toSeq}")
   }
 
+  test("quarantined lines are byte-identical originals, fields outside the schema included") {
+    val idless =
+      """{"text": "no id", "lang": "en", "source": "s", "crawl_url": "http://x.example", "extra": [1, 2]}"""
+    val broken = """{partial"""
+    val p = write("d6.jsonl", Seq(
+      """{"doc_id": 7, "text": "fine", "lang": "en", "source": "s"}""",
+      idless, broken))
+    val (clean, corrupt) = DocumentSource.audit(spark, p)
+    assert(clean.count() == 1)
+    val bad = corrupt.as[String].collect().toSet
+    assert(bad == Set(idless, broken),
+      s"the quarantine must reproduce its input verbatim — undeclared fields " +
+        s"and formatting preserved: $bad")
+  }
+
   test("a loaded dump runs through a battery operator unchanged") {
     val p = write("d3.jsonl", (1 to 20).map(i =>
       s"""{"doc_id": $i, "text": "tok$i a b c d e f g", "lang": "en", "source": "src${i % 2}"}"""))

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.VariantType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted VARIANT layout: props decodes once at write, the stored
+  * column round-trips as a real parquet VariantType, the shared
+  * aggregation over the layout equals q103's query-time decode row for
+  * row, and malformed rows degrade to null variants instead of failing
+  * the write. */
+class VariantStoreSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("persisted layout stores VariantType and reproduces q103 exactly") {
+    val out = Files.createTempDirectory("graft_variant_store").toString
+    VariantEventStore.write(graft.Tables.events(spark, dir), out)
+    val stored = VariantEventStore.read(spark, out)
+    assert(stored.schema("props_v").dataType == VariantType,
+      s"layout must persist a real variant column, got ${stored.schema("props_v").dataType}")
+    assert(!stored.columns.contains("props"),
+      "the JSON string must not ride along — the layout IS the decode")
+    val fromLayout = VariantEventStore.propsAgg(stored).collect().map(_.toSeq).toSeq
+    val queryTime = graft.queries.EventQueries.variantProps(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLayout == queryTime,
+      s"layout and query-time decode must agree:\n$fromLayout\nvs\n$queryTime")
+  }
+
+  test("malformed props become null variants at write, not job failures") {
+    val out = Files.createTempDirectory("graft_variant_bad").toString
+    val feed = Seq(
+      (1L, "click", """{"k": 3}"""),
+      (2L, "click", """not json at all"""),
+      (3L, "view", null.asInstanceOf[String]))
+      .toDF("event_id", "event_type", "props")
+    VariantEventStore.write(feed, out)
+    val stored = VariantEventStore.read(spark, out)
+    val nulls = stored.filter(col("props_v").isNull)
+      .select($"event_id").as[Long].collect().toSet
+    assert(nulls == Set(2L, 3L), s"malformed + null rows store null variants: $nulls")
+    val agg = VariantEventStore.propsAgg(stored)
+      .select($"event_type", $"sum_k", $"n_null_k").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getLong(2))).toMap
+    assert(agg.keySet == Set("click", "view"))
+    assert(agg("click") == ((3L, 1L)),
+      s"the parsed row aggregates; the malformed one counts as null k: $agg")
+  }
+}
