@@ -170,7 +170,25 @@ object Plans {
         "once into the binary variant encoding inside the scan-side " +
         "projection; variant_get field reads and the partial+final " +
         "aggregate follow — no per-field string re-parse, and the layout " +
-        "is shredding-ready for typed subcolumn pushdown."))
+        "is shredding-ready for typed subcolumn pushdown (and " +
+        "VariantEventStore persists the decoded column once for repeat " +
+        "pipelines — the scan-time delta is in the SCALE.md table below)."),
+    "q104_quality_classifier" ->
+      ("Trained quality classifier: the fitted 1024-long weight table is " +
+        "baked into the codegen'd qualityclassifierscore expression (the " +
+        "bigramlmscore pattern), so scoring is one tight per-row loop — " +
+        "steady-state one memo-table load per character, md5 only on " +
+        "misses — over a 3-column scan with zero exchanges before the " +
+        "determinism sort; the fit is ONE exploded map-side-combined " +
+        "aggregation over the reference slice whose output is bounded by " +
+        "the feature dimension (a constant-size driver pull)."),
+    "q105_chunk_domain_cap" ->
+      ("Exact chunk-token domain budget: token_cost is closed-form per-row " +
+        "algebra (no explode), the cap core is q93's two-phase shape — " +
+        "over-threshold-only broadcast, h16 prefilter, per-source running " +
+        "sum over O(budget/avg-doc) survivor rows — and at ingest the cost " +
+        "column pre-materializes (IngestCuration audit column) so repeat " +
+        "cap runs are text-free 4-column scans (TokenCostLayoutSpec)."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
