@@ -161,6 +161,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("text"), p)
   }
 
+  test("q104: scoring runs the native codegen'd expression — no HOF, no per-gram md5") {
+    val p = plan("q104_quality_classifier")
+    // the fitted weight table is baked into QualityClassifierScore; a
+    // regression to the HOF formulation would reintroduce one interpreted
+    // md5 + substring + element_at per character (the 5.5 s -> 0.8 s tail
+    // this expression removed)
+    assert(p.contains("qualityclassifierscore"), p)
+    assert(!p.contains("aggregate(transform"), p)
+    assert(!p.contains("md5"), p)
+  }
+
+  test("q105: chunk-token budget window sits above the broadcast prefilter") {
+    val p = plan("q105_chunk_domain_cap")
+    // q93's two-phase shape in exact chunk-token units: over-threshold-only
+    // broadcast, h16 prefilter BELOW the running-sum window
+    assert(p.contains("BroadcastHashJoin"), p)
+    val iWindow = p.indexOf("Window")
+    val iPrefilter = p.indexOf("65536.0")
+    assert(iWindow >= 0 && iPrefilter > iWindow, p)
+  }
+
   test("q97: centroid sums partial-aggregate map-side; no cartesian") {
     val p = plan("q97_embedding_outliers")
     // the per-label sums shuffle tasks × labels × 64 rows, never the corpus:

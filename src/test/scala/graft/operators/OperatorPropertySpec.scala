@@ -111,6 +111,50 @@ class OperatorPropertySpec extends AnyFunSuite with SparkTestSession {
     }, n = 10)
   }
 
+  test("QualityClassifierScore equals the brute-force code-point model on arbitrary unicode") {
+    // the native expression's contract: for every code-point trigram, sum
+    // weights[(first 16 bits of md5(UTF-8 bytes)) % dim] — byte fast path,
+    // memo table, and char loop must all agree with this model, on ASCII,
+    // 2/3-byte BMP, and astral (surrogate-pair) text alike
+    val weights = Array.tabulate(1024)(b => (b * 37 - 512).toLong)
+    def model(s: String): Option[(Long, Double)] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < 3) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var acc = 0L
+        (0 to cps.length - 3).foreach { i =>
+          val g = new String(cps.slice(i, i + 3).flatMap(Character.toChars))
+          md.reset()
+          val h = md.digest(g.getBytes("UTF-8"))
+          acc += weights((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 1024)
+        }
+        val n = (cps.length - 2).toLong
+        Some((n, acc.toDouble / n))
+      }
+    }
+    val cp = Gen.frequency(
+      9 -> Gen.choose(32, 126), // ASCII (byte fast path + memo)
+      2 -> Gen.choose(0xC0, 0x24F), // 2-byte UTF-8
+      1 -> Gen.choose(0x4E00, 0x4FFF), // 3-byte UTF-8
+      1 -> Gen.choose(0x1F300, 0x1F3FF)) // astral: 4-byte, surrogate pair
+    val genText = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, cp))
+      .map(cps => new String(cps.toArray.flatMap(Character.toChars(_))))
+    check(Prop.forAll(Gen.listOfN(8, genText)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = QualityClassifier.score(docs, weights)
+        .select($"doc_id", $"n_grams", $"quality_score")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        model(t).map(i.toLong -> _)
+      }.toMap
+      got == expect
+    }, n = 15)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
