@@ -114,9 +114,15 @@ object QualityClassifierScore {
     (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim
   }
 
-  /** ASCII fast path (numBytes == numChars): byte windows ARE code-point
-    * windows. Static so interpreted eval, generated code, and the spec's
-    * plain-JVM replay share one JIT-compiled definition. */
+  /** Byte path (numBytes == numChars): byte windows ARE code-point
+    * windows. The memo is used only when all three bytes are genuine
+    * ASCII (< 0x80): numBytes == numChars also holds for SOME invalid
+    * UTF-8 (standalone continuation bytes count as one char), and masking
+    * such bytes into a 7-bit key would collide two different trigrams on
+    * one process-global slot — whichever computed first would poison the
+    * shared cache for the real ASCII trigram, silently and JVM-wide.
+    * Static so interpreted eval, generated code, and the spec's plain-JVM
+    * replay share one JIT-compiled definition. */
   def byteLoop(s: UTF8String, weights: Array[Long], w: Int,
                cache: Array[Short]): Long = {
     val dim = weights.length
@@ -128,13 +134,15 @@ object QualityClassifierScore {
       var bk = -1
       var key = -1
       if (memo) {
-        key = ((s.getByte(i) & 0x7f) << 14) |
-          ((s.getByte(i + 1) & 0x7f) << 7) | (s.getByte(i + 2) & 0x7f)
-        bk = cache(key)
+        val b0 = s.getByte(i); val b1 = s.getByte(i + 1); val b2 = s.getByte(i + 2)
+        if (((b0 | b1 | b2) & 0x80) == 0) {
+          key = (b0 << 14) | (b1 << 7) | b2
+          bk = cache(key)
+        }
       }
       if (bk < 0) {
         bk = md5BucketAt(s, i, w, dim)
-        if (memo) cache(key) = bk.toShort
+        if (key >= 0) cache(key) = bk.toShort
       }
       acc += weights(bk)
       i += 1

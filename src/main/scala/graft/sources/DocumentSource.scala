@@ -94,6 +94,11 @@ object DocumentSource {
     * ingest-edge step over one dump, not a steady-state scan). */
   def audit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read.text(path)
+      // blank/whitespace-only lines are NOT records: the JSON datasource
+      // (and therefore jsonl()) emits no row for them at all, so the audit
+      // must not quarantine them either — clean + corrupt together account
+      // for every non-blank line, exactly the datasource's universe
+      .filter(length(trim(col("value"))) > 0)
       .select(col("value").as("raw_line"),
         from_json(col("value"), schema, Map(
           "mode" -> "PERMISSIVE",

@@ -111,6 +111,22 @@ object CorpusStats {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
       writeRollup(merged, registryDir)
     } else rebuildRollup(spark, registryDir) // adoption: registry predates rollup
+    // SELF-HEAL: the verdicts' post-batch totals were computed from the
+    // registry (ground truth) for exactly this batch's touched cells; if
+    // the merged rollup disagrees on any of them — the append-then-crash
+    // window replaying, or any historical drift these cells expose — the
+    // rollup is stale and one rebuild restores it. O(touched cells), so
+    // the production path detects the documented crash window instead of
+    // leaving it to an operator running rebuildRollup by hand.
+    val verdictCells = verdicts
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val rollupCells = readRollup(spark, registryDir)
+      .join(broadcast(touchedCells), Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    if (rollupCells != verdictCells) rebuildRollup(spark, registryDir)
     verdicts
   }
 
@@ -121,12 +137,16 @@ object CorpusStats {
     * [[processBatch]] (fresh-only deltas, so replays add nothing) via the
     * same rename-aside swap as registry compaction.
     *
-    * Crash window, stated honestly: [[processBatch]] appends doc rows and
-    * THEN swaps the merged rollup — a process that dies between the two
-    * leaves the rollup stale by that one batch, and the replay exclusion
-    * means it will not self-heal. Recovery is [[rebuildRollup]] (one
-    * registry scan), and CorpusStatsSpec pins rollup == doc-grained
-    * aggregate so drift is detectable. */
+    * Crash window: [[processBatch]] appends doc rows and THEN swaps the
+    * merged rollup, so a process dying between the two leaves the rollup
+    * stale by that batch — and the replay exclusion alone would never
+    * repair it. processBatch therefore SELF-HEALS: after each merge it
+    * compares the rollup's touched cells against the verdicts' registry-
+    * derived post-batch totals (O(touched cells)) and rebuilds on any
+    * mismatch — the crashed batch's replay touches exactly the stale
+    * cells, so the window closes on the next delivery of that batch.
+    * [[rebuildRollup]] remains the manual recovery for drift outside any
+    * replayed batch's cells. */
   def readRollup(spark: SparkSession, registryDir: String): DataFrame =
     RegistryIO.readOrEmpty(spark, rollupDir(registryDir), rollupSchema, None)
 
@@ -143,33 +163,36 @@ object CorpusStats {
     graft.queue.Maintenance.replaceDir(tmp, dir)
   }
 
+  /** THE ground-truth per-cell aggregate, defined once: distinct doc rows
+    * (replay absorption), then count/sum per (source, lang). Every
+    * doc-grained consumer — [[rebuildRollup]], the [[langMass]] and
+    * [[report]] fallbacks — derives from this so the dedup discipline
+    * cannot drift between them. */
+  private def cellAggregate(spark: SparkSession, registryDir: String): DataFrame =
+    readRegistry(spark, registryDir)
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+      .distinct()
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
   /** Re-derive the rollup from the doc-grained registry: the adoption path
     * (a registry that predates rollups) and the crash-window recovery. One
     * full registry scan — O(corpus-count) metadata, run once, after which
     * every batch merge is O(strata). */
   def rebuildRollup(spark: SparkSession, registryDir: String): Unit =
-    writeRollup(
-      readRegistry(spark, registryDir)
-        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
-        .distinct()
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
-      registryDir)
+    writeRollup(cellAggregate(spark, registryDir), registryDir)
 
   /** Per-lang character mass, O(strata) when the rollup exists; one
     * doc-grained aggregate otherwise (registry seeded/adopted before any
     * [[processBatch]] built the rollup). The [[MixBalance.rates]] pull. */
-  def langMass(spark: SparkSession, registryDir: String): Map[String, Long] =
-    if (RegistryIO.hasData(rollupDir(registryDir), None))
-      readRollup(spark, registryDir)
-        .groupBy(col("lang")).agg(sum(col("sum_chars")).as("mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    else
-      readRegistry(spark, registryDir)
-        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
-        .distinct()
-        .groupBy(col("lang")).agg(sum(col("n_chars")).as("mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  def langMass(spark: SparkSession, registryDir: String): Map[String, Long] = {
+    val cells =
+      if (RegistryIO.hasData(rollupDir(registryDir), None))
+        readRollup(spark, registryDir)
+      else cellAggregate(spark, registryDir)
+    cells.groupBy(col("lang")).agg(sum(col("sum_chars")).as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Bulk-seed the registry from an existing corpus (migration path:
     * adopt live accounting over a crawl that predates it). Same
@@ -213,11 +236,7 @@ object CorpusStats {
     val d =
       if (RegistryIO.hasData(rollupDir(registryDir), None))
         readRollup(spark, registryDir)
-      else readRegistry(spark, registryDir)
-        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
-        .distinct()
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      else cellAggregate(spark, registryDir)
     val agg = d
       .groupingSets(
         Seq(Seq(col("lang"), col("source")), Seq(col("lang")),

@@ -11,11 +11,10 @@ import org.apache.spark.sql.types.StructType
   * every consumer here, never an error. */
 private[streaming] object RegistryIO {
 
-  /** `partitionPrefix = Some("sbucket=")` probes for hive partition dirs;
-    * `None` probes for flat `part-*` data files (streaming file sinks,
-    * whose `_spark_metadata` dir alone does not make the dir readable). */
-  /** Whether `dir` holds committed data: hive partition dirs when
-    * `partitionPrefix` is set, flat `part-*` files otherwise. */
+  /** Whether `dir` holds committed data. `partitionPrefix =
+    * Some("sbucket=")` probes for hive partition dirs; `None` probes for
+    * flat `part-*` data files (streaming file sinks, whose
+    * `_spark_metadata` dir alone does not make the dir readable). */
   def hasData(dir: String, partitionPrefix: Option[String]): Boolean = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.exists(p) && {
@@ -34,6 +33,8 @@ private[streaming] object RegistryIO {
     }
   }
 
+  /** Read `dir` under the declared schema, or an empty relation of that
+    * schema when [[hasData]] finds nothing committed yet. */
   def readOrEmpty(spark: SparkSession, dir: String, schema: StructType,
                   partitionPrefix: Option[String]): DataFrame = {
     if (!hasData(dir, partitionPrefix))

@@ -446,9 +446,11 @@ object ScaleBench {
 
     // The ORGANIC embedding graph (q88's substrate at this SF — the graph
     // that carries the 20-round chain motivating star contraction): rounds,
-    // wall time, and the label-totality invariant (every vector labeled)
-    // checked for real. This regime replaced the assertion-free CcProbeSpec
-    // that used to run the same probe inside `sbt test`.
+    // wall time, and a REAL correctness invariant — every edge's two
+    // endpoints must land in the same cluster (label totality alone is
+    // vacuous: the label read is a left join with a self-label coalesce, so
+    // a count can never differ). This regime replaced the assertion-free
+    // CcProbeSpec that used to run the same probe inside `sbt test`.
     val ccOrganic = {
       val pairs = graft.queries.SharedStages.nearDupPairs(spark, base)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -456,16 +458,19 @@ object ScaleBench {
       val edges = pairs.count()
       val docs = graft.Tables.embeddings(spark, base)
         .select(col("vec_id").as("doc_id"))
-      val nDocs = docs.count()
       val t0 = System.nanoTime()
       val (labels, rounds) = graft.operators.Dedup
         .clusterPairsWithRounds(docs, pairs, "doc_id")
-      val nLabels = labels.count()
+      val lbl = labels.localCheckpoint(true)
       val sec = (System.nanoTime() - t0) / 1e9
-      require(nLabels == nDocs,
-        s"every vector must come back labeled: $nLabels of $nDocs")
-      println(f"""{"kind":"cc_organic","edges":$edges,"docs":$nDocs,"rounds":$rounds,"sec":$sec%.3f}""")
-      (edges, nDocs, rounds, sec)
+      val split = pairs
+        .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_rep").as("rep_a")), "doc_a")
+        .join(lbl.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rep_b")), "doc_b")
+        .filter(col("rep_a") =!= col("rep_b")).count()
+      require(split == 0,
+        s"$split edges straddle clusters — the contraction returned a non-fixpoint")
+      println(f"""{"kind":"cc_organic","edges":$edges,"docs":${lbl.count()},"rounds":$rounds,"sec":$sec%.3f}""")
+      (edges, lbl.count(), rounds, sec)
     }
 
     // Batched k-NN amortization: the knnJoin claim is that a query BATCH

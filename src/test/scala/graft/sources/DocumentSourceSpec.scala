@@ -97,6 +97,19 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
       s"every non-clean line is accounted for, none lost: ${bad.toSeq}")
   }
 
+  test("blank lines are neither documents nor quarantine — parity with the JSON datasource") {
+    val p = write("d7.jsonl", Seq(
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}""",
+      "", "   ",
+      """{bad"""))
+    val (clean, corrupt) = DocumentSource.audit(spark, p)
+    assert(clean.count() == 1)
+    val bad = corrupt.as[String].collect().toSeq
+    assert(bad == Seq("""{bad"""),
+      s"only the malformed line audits — the datasource emits nothing for blanks: $bad")
+    assert(DocumentSource.jsonl(spark, p).count() == 1)
+  }
+
   test("quarantined lines are byte-identical originals, fields outside the schema included") {
     val idless =
       """{"text": "no id", "lang": "en", "source": "s", "crawl_url": "http://x.example", "extra": [1, 2]}"""

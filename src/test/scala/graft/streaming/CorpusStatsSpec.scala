@@ -141,6 +141,22 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
     // crash-window recovery: a corrupted rollup is re-derived exactly
     CorpusStats.rebuildRollup(spark, reg)
     assert(rollupOf(reg) == groundTruth(reg))
+
+    // SELF-HEAL: simulate the append-then-crash window — registry carries
+    // a batch the rollup never merged — by overwriting the rollup with a
+    // stale snapshot; the crashed batch's REPLAY (delta empty, so the merge
+    // alone adds nothing) must detect the touched-cell mismatch against the
+    // verdicts' registry-derived totals and rebuild
+    val staleCells = rollupOf(reg)
+    val b3 = Seq(StatDoc(20, "srcA", "en", 33), StatDoc(21, "srcE", "it", 44)).toDF()
+    run(b3, reg) // rollup now includes b3
+    staleCells.toDF("source", "lang", "n_docs", "sum_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(reg.stripSuffix("/") + "_rollup") // crash: swap never landed
+    assert(rollupOf(reg) != groundTruth(reg), "stale state set up")
+    run(b3, reg) // the at-least-once replay heals it
+    assert(rollupOf(reg) == groundTruth(reg),
+      "the replayed batch must self-heal the crash-window rollup")
   }
 
   test("property: totals equal the deduplicated union under any batch/replay sequence") {
