@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * ONCE at ingest, persist the binary variant column to parquet (Spark 4
   * writes VariantType natively), and every later query's field access is
   * a `variant_get` over the stored buffer — no JSON parse anywhere in the
-  * query plan. At 100 TB this is also the shredding-ready layout: Parquet
-  * variant shredding materializes typed subcolumns at the scan, turning
-  * hot-path fields into ordinary pushdown-able columns.
+  * query plan. And not merely shredding-READY: Spark 4.1 defaults
+  * `spark.sql.variant.writeShredding.enabled` + `inferShreddingSchema` +
+  * `pushVariantIntoScan` to true, so this layout writes each inferred
+  * field as a typed Parquet subcolumn and a single-field read plans as
+  * `ReadSchema: ...v:struct<k:int>` — the scan reads ONLY that subcolumn,
+  * never the variant binary (VariantStoreSpec pins the pushed plan). At
+  * 100 TB that is ordinary column pruning over semi-structured data.
   *
   * Malformed rows follow q103's own rule: `try_parse_json` stores a null
   * variant (the raw string is gone — callers that must audit originals

@@ -32,6 +32,20 @@ class VariantStoreSpec extends AnyFunSuite with SparkTestSession {
       s"layout and query-time decode must agree:\n$fromLayout\nvs\n$queryTime")
   }
 
+  test("the layout writes SHREDDED and a single-field read scans only the typed subcolumn") {
+    val out = Files.createTempDirectory("graft_variant_shred").toString
+    VariantEventStore.write(graft.Tables.events(spark, dir), out)
+    val p = VariantEventStore.read(spark, out)
+      .select(expr("variant_get(props_v, '$.k', 'int')").as("k"))
+      .queryExecution.executedPlan.toString
+    // pushVariantIntoScan replaces the variant with a struct of requested
+    // fields; a regression to reading the opaque binary would show
+    // props_v:variant in the ReadSchema instead of a struct subcolumn
+    assert(p.contains("props_v:struct"),
+      s"the scan must read the shredded subcolumn, not the variant binary:\n$p")
+    assert(!p.contains("props_v:variant"), p)
+  }
+
   test("malformed props become null variants at write, not job failures") {
     val out = Files.createTempDirectory("graft_variant_bad").toString
     val feed = Seq(
