@@ -34,13 +34,14 @@ import org.apache.spark.sql.functions._
   * bit-equal in any engine). Positive ≈ reads like the reference; ≤ 0 ≈
   * reads like scrambled text.
   *
-  * Scale shape: the fit is one exploded groupBy with map-side combine whose
+  * Scale shape: the fit is ONE exploded groupBy with map-side combine whose
   * OUTPUT is bounded by the feature dimension D (default 1024) — a
   * constant-size driver collect like bigramLm's ≤729 rows, never
-  * corpus-sized; scoring is one codegen'd per-row projection with the
-  * complete weight table riding the plan as a D-long array literal
-  * (element_at is O(1) — unlike a string-keyed map literal's linear scan),
-  * zero shuffles.
+  * corpus-sized; scoring is one codegen'd per-row projection through the
+  * native [[graft.functions.QualityClassifierScore]] expression (weight
+  * table baked in as `long[D]`, md5 bucketing amortized through a
+  * process-global trigram memo — steady-state one array load per
+  * character), zero shuffles.
   */
 object QualityClassifier {
 

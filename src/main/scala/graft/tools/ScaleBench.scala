@@ -846,7 +846,8 @@ object ScaleBench {
       val (edges, nd, rounds, sec) = ccOrganic
       sb ++= f"\nOrganic graph (q88's substrate, base SF): $edges edges over $nd\n"
       sb ++= f"vectors contract to a confirmed fixpoint in $rounds rounds,\n"
-      sb ++= f"$sec%.1f s, every vector labeled (checked, not assumed).\n"
+      sb ++= f"$sec%.1f s, and no edge straddles two clusters (checked by\n"
+      sb ++= "joining every edge against its endpoints' labels, not assumed).\n"
     }
     locally {
       val (w, p, l) = vRows
