@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *   - semantic decontamination against a broadcast `benchmark` embedding
   *     set (small by construction — an eval set), max-similarity scored
   *     map-side exactly like the batch gate q84;
+  *   - LEXICAL decontamination against a broadcast `benchShingles` set
+  *     (q59's at-ingest form: distinct per-doc 3-token shingles, flagged
+  *     at >= `maxOverlapFrac` overlap) — paraphrase contamination falls
+  *     to the semantic gate, verbatim contamination to this one;
   *   - a per-domain admission quota via [[DomainQuota.processBatch]]
   *     (durable admitted-set registry, pruned probe) when
   *     `quotaRegistryDir` is set — applied LAST, over the survivors of
@@ -61,7 +65,8 @@ object IngestCuration {
     * `(doc_id, is_dup, dup_of, predicted_lang, lang_ok, n_tokens,
     *   distinct_ratio, quality_ok, token_cost, vec_is_dup, vec_dup_of, max_bench_sim,
     *   sem_clean, centroid_sim, centroid_ok, fluency_ppm, fluency_ok,
-    *   clf_score, clf_ok, mix_rate, mix_admitted, n_emails, n_ipv4, n_phones,
+    *   clf_score, clf_ok, bench_overlap_frac, lex_clean, mix_rate,
+    *   mix_admitted, n_emails, n_ipv4, n_phones,
     *   clean_md5, quota_source, quota_admitted, keep)` — `quota_admitted`
     * is null when the quota gate is off or the
     * document failed an earlier gate; `quota_source` names the domain the
@@ -72,7 +77,11 @@ object IngestCuration {
     * `fluency_ppm`/`fluency_ok` carry the LM fluency gate (q99's at-ingest
     * form) when `bigramModel` is set, null/true otherwise; `clf_score`/
     * `clf_ok` carry the TRAINED quality-classifier gate (q104's at-ingest
-    * form) when `qualityModel` is set, null/true otherwise; `mix_rate`/
+    * form) when `qualityModel` is set, null/true otherwise;
+    * `bench_overlap_frac`/`lex_clean` carry the lexical decontamination
+    * gate (q59's at-ingest form) when `benchShingles` is set, null/true
+    * otherwise (unshingleable short docs also pass with a null fraction);
+    * `mix_rate`/
     * `mix_admitted` carry the mix-aware admission throttle ([[MixBalance]])
     * when `mixRegistryDir` + `mixTargetPpm` are set — null for docs the mix
     * never saw (failed an earlier gate, or the gate is off), and the final
@@ -110,7 +119,9 @@ object IngestCuration {
                    qualityModel: Option[Array[Long]] = None,
                    minQualityScore: Double = -200.0,
                    mixRegistryDir: Option[String] = None,
-                   mixTargetPpm: Map[String, Long] = Map.empty): DataFrame = {
+                   mixTargetPpm: Map[String, Long] = Map.empty,
+                   benchShingles: Option[DataFrame] = None,
+                   maxOverlapFrac: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     // Per-DOC gate inputs: a batch may legitimately carry one doc_id under
     // several rows (the multi-source shape the quota gate attributes per
@@ -273,10 +284,38 @@ object IngestCuration {
           .withColumn("clf_ok", lit(true))
     }
 
-    val gated = withClf.withColumn("gates_ok",
+    // LEXICAL decontamination gate (q59's at-ingest form, the shingle
+    // twin of the semantic gate above): per-doc distinct 3-token shingles
+    // joined against the broadcast benchmark shingle set, flagged at the
+    // same >= 0.5 overlap fraction as the batch query. The benchmark is
+    // an EVAL set — small by construction, hence the explicit broadcast
+    // (config-scale, never corpus-derived; a benchmark too large to
+    // broadcast routes through the q76 bloom prefilter instead). Docs too
+    // short to shingle pass (the LEFT-gate rule, matching q59's universe
+    // of shingled docs).
+    val withLex = benchShingles match {
+      case Some(bs) =>
+        val dsh = graft.operators.Dedup.shingles(texts, idCol = idCol).distinct()
+        val tot = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("__n_sh"))
+        val ov = dsh
+          .join(broadcast(bs.select(col("shingle")).distinct()), "shingle")
+          .groupBy(col(idCol)).agg(count(lit(1)).as("__n_ov"))
+        val frac = tot.join(ov, Seq(idCol), "left")
+          .select(col(idCol),
+            (coalesce(col("__n_ov"), lit(0L)).cast("double") / col("__n_sh"))
+              .as("bench_overlap_frac"))
+        withClf.join(frac, Seq(idCol), "left")
+          .withColumn("lex_clean",
+            coalesce(col("bench_overlap_frac") < maxOverlapFrac, lit(true)))
+      case None =>
+        withClf.withColumn("bench_overlap_frac", lit(null).cast("double"))
+          .withColumn("lex_clean", lit(true))
+    }
+
+    val gated = withLex.withColumn("gates_ok",
       !col("is_dup") && col("quality_ok") && col("lang_ok") &&
         !col("vec_is_dup") && col("sem_clean") && col("centroid_ok") &&
-        col("fluency_ok") && col("clf_ok"))
+        col("fluency_ok") && col("clf_ok") && col("lex_clean"))
 
     val mixOn = mixRegistryDir.isDefined && mixTargetPpm.nonEmpty
     val srcExpr =
@@ -361,6 +400,7 @@ object IngestCuration {
       col("centroid_sim"), col("centroid_ok"),
       col("fluency_ppm"), col("fluency_ok"),
       col("clf_score"), col("clf_ok"),
+      col("bench_overlap_frac"), col("lex_clean"),
       col("mix_rate"), col("mix_admitted"),
       col("n_emails"), col("n_ipv4"), col("n_phones"), col("clean_md5"),
       col("quota_source"), col("quota_admitted"), col("keep"))
@@ -418,6 +458,8 @@ object IngestCuration {
            minQualityScore: Double = -200.0,
            mixRegistryDir: Option[String] = None,
            mixTargetPpm: Map[String, Long] = Map.empty,
+           benchShingles: Option[DataFrame] = None,
+           maxOverlapFrac: Double = 0.5,
            compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -427,7 +469,7 @@ object IngestCuration {
           planes, bandWidth, dims, quotaRegistryDir, quotaCap, sourceCol,
           scrubPii, centroids, labelCol, minCentroidSimMillionths,
           bigramModel, minFluencyPpm, qualityModel, minQualityScore,
-          mixRegistryDir, mixTargetPpm)
+          mixRegistryDir, mixTargetPpm, benchShingles, maxOverlapFrac)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           (registryDir +: vecRegistryDir.toSeq).foreach { reg =>

@@ -358,6 +358,66 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       "PII audit rides along without gating")
   }
 
+  test("lexical decontamination gate: verbatim benchmark overlap drops, clean and short docs pass, off by default") {
+    val reg = tmp("graft_icur_lex")
+    val benchText = "the secret benchmark answer is forty two of course and obviously"
+    val bench = graft.operators.Dedup.shingles(
+        Seq((100L, benchText)).toDF("doc_id", "text"))
+      .select($"shingle").distinct()
+    // contaminated = the benchmark text verbatim (plus en markers already
+    // present); clean = same length, disjoint vocabulary; short = no shingles
+    val docs = Seq(1L -> benchText, 2L -> good, 3L -> short)
+    val v = IngestCuration.processBatch(docs.toDF("doc_id", "text"), reg,
+        benchShingles = Some(bench))
+      .select($"doc_id", $"bench_overlap_frac", $"lex_clean", $"keep")
+      .as[(Long, Option[Double], Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L)._2.contains(1.0) && !v(1L)._3 && !v(1L)._4,
+      s"verbatim benchmark content must flag and drop: ${v(1L)}")
+    assert(v(2L)._2.contains(0.0) && v(2L)._3 && v(2L)._4,
+      s"disjoint-vocabulary doc must pass: ${v(2L)}")
+    assert(v(3L)._2.isEmpty && v(3L)._3,
+      s"unshingleable short doc passes with a null fraction: ${v(3L)}")
+    // off by default: the same contaminated doc sails through a gate
+    // without a benchmark set (fresh registry so dedup can't interfere)
+    val off = IngestCuration.processBatch(
+        Seq(9L -> benchText).toDF("doc_id", "text"), tmp("graft_icur_lex_off"))
+      .select($"bench_overlap_frac", $"lex_clean", $"keep")
+      .as[(Option[Double], Boolean, Boolean)].collect().head
+    assert(off._1.isEmpty && off._2 && off._3, s"$off")
+  }
+
+  test("ingest lexical verdict equals the batch gate (q59 semantics) on the real corpus") {
+    val reg = tmp("graft_icur_lex_eq")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = graft.operators.Dedup.shingles(docs.filter($"source" === "src0"))
+      .select($"shingle").distinct().localCheckpoint(true)
+    val eval = docs.filter($"source" =!= "src0").select($"doc_id", $"text").limit(120)
+    val gate = IngestCuration.processBatch(eval, reg, benchShingles = Some(bench))
+      .select($"doc_id", $"bench_overlap_frac")
+      .as[(Long, Option[Double])].collect().toMap
+    // q59's own algebra over the same slice: distinct shingles per doc,
+    // overlap count against the bench set, fraction
+    val dsh = graft.operators.Dedup.shingles(eval).distinct().localCheckpoint(true)
+    val tot = dsh.groupBy($"doc_id").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    val ov = dsh.join(bench, "shingle").groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("o"))
+    val expect = tot.join(ov, Seq("doc_id"), "left")
+      .select($"doc_id",
+        (org.apache.spark.sql.functions.coalesce($"o",
+          org.apache.spark.sql.functions.lit(0L)).cast("double") / $"n").as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(expect.nonEmpty, "the slice must actually shingle")
+    expect.foreach { case (id, f) =>
+      assert(gate(id).contains(f), s"doc $id: gate ${gate(id)} vs batch $f")
+    }
+    // docs the batch algebra can't shingle must surface as null, not 0
+    (gate.keySet -- expect.keySet).foreach(id =>
+      assert(gate(id).isEmpty, s"unshingled doc $id must carry null"))
+  }
+
   test("trained-classifier gate: scrambled text drops under a fitted weight table; score matches the batch operator") {
     val reg = tmp("graft_icur_clf")
     val ref = Seq(good,
