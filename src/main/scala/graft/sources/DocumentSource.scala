@@ -97,8 +97,10 @@ object DocumentSource {
       // blank/whitespace-only lines are NOT records: the JSON datasource
       // (and therefore jsonl()) emits no row for them at all, so the audit
       // must not quarantine them either — clean + corrupt together account
-      // for every non-blank line, exactly the datasource's universe
-      .filter(length(trim(col("value"))) > 0)
+      // for every non-blank line, exactly the datasource's universe.
+      // rlike, not trim(): Spark's trim strips only the space character,
+      // and a tab- or CR-only line is just as blank to the JSON parser
+      .filter(!col("value").rlike("^\\s*$"))
       .select(col("value").as("raw_line"),
         from_json(col("value"), schema, Map(
           "mode" -> "PERMISSIVE",

@@ -59,7 +59,11 @@ object CorpusStats {
       .select(col(idCol).as("doc_id"),
         coalesce(col(sourceCol), lit("")).as("source"),
         coalesce(col(langCol), lit("")).as("lang"),
-        col(charsCol).cast("long").as("n_chars"))
+        // null chars normalize to 0 like null source/lang normalize to "":
+        // a null riding into the registry would make sum() emit NULL for
+        // an all-null cell and NPE every Long collect downstream (rollup
+        // merge, self-heal, langMass)
+        coalesce(col(charsCol).cast("long"), lit(0L)).as("n_chars"))
       .dropDuplicates("source", "doc_id")
       .withColumn("sbucket", bucketOf(col("source")))
       .localCheckpoint(true) // feeds probe, replay join, append, verdicts
@@ -126,7 +130,15 @@ object CorpusStats {
       .join(broadcast(touchedCells), Seq("source", "lang"))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    if (rollupCells != verdictCells) rebuildRollup(spark, registryDir)
+    // an absent rollup row means (0, 0), and a touched cell CAN total
+    // zero legitimately (a replayed doc redelivered under a different
+    // lang touches a cell with no registered mass) — comparing against
+    // the zero default keeps that consistent state from triggering a
+    // full rebuild on every such delivery
+    val drifted = verdictCells.exists { case (k, v) =>
+      rollupCells.getOrElse(k, (0L, 0L)) != v
+    }
+    if (drifted) rebuildRollup(spark, registryDir)
     verdicts
   }
 
@@ -173,7 +185,11 @@ object CorpusStats {
       .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
       .distinct()
       .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // the per-row coalesce guards LEGACY registries written before
+      // intake normalized null chars to 0: an all-null cell would sum to
+      // NULL and NPE the Long collects downstream
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
 
   /** Re-derive the rollup from the doc-grained registry: the adoption path
     * (a registry that predates rollups) and the crash-window recovery. One
@@ -203,7 +219,8 @@ object CorpusStats {
     docs.select(bucketOf(coalesce(col(sourceCol), lit(""))).as("sbucket"),
         coalesce(col(sourceCol), lit("")).as("source"),
         coalesce(col(langCol), lit("")).as("lang"),
-        col(idCol).as("doc_id"), col(charsCol).cast("long").as("n_chars"))
+        col(idCol).as("doc_id"),
+        coalesce(col(charsCol).cast("long"), lit(0L)).as("n_chars"))
       .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
     // a blind append can duplicate and bypasses the delta merge: an
     // existing rollup must be re-derived, an absent one stays absent until

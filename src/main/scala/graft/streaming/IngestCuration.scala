@@ -295,18 +295,31 @@ object IngestCuration {
     // of shingled docs).
     val withLex = benchShingles match {
       case Some(bs) =>
-        val dsh = graft.operators.Dedup.shingles(texts, idCol = idCol).distinct()
-        val tot = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("__n_sh"))
+        // fractions are computed per (doc, text VARIANT), then aggregated
+        // per doc with the grain contract's conservative read (min on the
+        // boolean: every variant must be clean; max fraction audited) —
+        // pooling variants' shingles into one union fraction would let a
+        // long clean variant dilute a verbatim-contaminated one below the
+        // threshold
+        val tv = texts.withColumn("__tv",
+          concat_ws("|", col(idCol), md5(col("text"))))
+        val dsh = graft.operators.Dedup.shingles(tv, idCol = "__tv").distinct()
+        val tot = dsh.groupBy(col("__tv")).agg(count(lit(1)).as("__n_sh"))
         val ov = dsh
           .join(broadcast(bs.select(col("shingle")).distinct()), "shingle")
-          .groupBy(col(idCol)).agg(count(lit(1)).as("__n_ov"))
-        val frac = tot.join(ov, Seq(idCol), "left")
-          .select(col(idCol),
+          .groupBy(col("__tv")).agg(count(lit(1)).as("__n_ov"))
+        val perVariant = tot.join(ov, Seq("__tv"), "left")
+          .select(col("__tv"),
             (coalesce(col("__n_ov"), lit(0L)).cast("double") / col("__n_sh"))
-              .as("bench_overlap_frac"))
-        withClf.join(frac, Seq(idCol), "left")
-          .withColumn("lex_clean",
-            coalesce(col("bench_overlap_frac") < maxOverlapFrac, lit(true)))
+              .as("__frac"))
+        val perDoc = tv.select(col(idCol), col("__tv")).distinct()
+          .join(perVariant, Seq("__tv"), "left")
+          .groupBy(col(idCol))
+          .agg(max(col("__frac")).as("bench_overlap_frac"),
+            min(coalesce(col("__frac") < maxOverlapFrac, lit(true)))
+              .as("lex_clean"))
+        withClf.join(perDoc, Seq(idCol), "left")
+          .withColumn("lex_clean", coalesce(col("lex_clean"), lit(true)))
       case None =>
         withClf.withColumn("bench_overlap_frac", lit(null).cast("double"))
           .withColumn("lex_clean", lit(true))

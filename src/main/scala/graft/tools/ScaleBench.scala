@@ -462,6 +462,7 @@ object ScaleBench {
       val (labels, rounds) = graft.operators.Dedup
         .clusterPairsWithRounds(docs, pairs, "doc_id")
       val lbl = labels.localCheckpoint(true)
+      val nDocs = lbl.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val split = pairs
         .join(lbl.select(col("doc_id").as("doc_a"), col("cluster_rep").as("rep_a")), "doc_a")
@@ -469,8 +470,8 @@ object ScaleBench {
         .filter(col("rep_a") =!= col("rep_b")).count()
       require(split == 0,
         s"$split edges straddle clusters — the contraction returned a non-fixpoint")
-      println(f"""{"kind":"cc_organic","edges":$edges,"docs":${lbl.count()},"rounds":$rounds,"sec":$sec%.3f}""")
-      (edges, lbl.count(), rounds, sec)
+      println(f"""{"kind":"cc_organic","edges":$edges,"docs":$nDocs,"rounds":$rounds,"sec":$sec%.3f}""")
+      (edges, nDocs, rounds, sec)
     }
 
     // Batched k-NN amortization: the knnJoin claim is that a query BATCH

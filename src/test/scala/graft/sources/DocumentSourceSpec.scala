@@ -100,7 +100,7 @@ class DocumentSourceSpec extends AnyFunSuite with SparkTestSession {
   test("blank lines are neither documents nor quarantine — parity with the JSON datasource") {
     val p = write("d7.jsonl", Seq(
       """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}""",
-      "", "   ",
+      "", "   ", "\t", "\t \t",
       """{bad"""))
     val (clean, corrupt) = DocumentSource.audit(spark, p)
     assert(clean.count() == 1)

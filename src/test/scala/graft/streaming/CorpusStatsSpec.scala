@@ -159,6 +159,34 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestSession {
       "the replayed batch must self-heal the crash-window rollup")
   }
 
+  test("null chars normalize to 0; a lang-changed replay's empty cell is not drift") {
+    val reg = tmp("graft_cstats_nulls")
+    // a cell whose ONLY doc has null chars: a raw null would make the
+    // cell's sum NULL and NPE the rollup merge / self-heal collects
+    val withNull = Seq((1L, "srcN", "en", None: Option[Long]),
+      (2L, "srcN", "fr", Some(40L)))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val v = CorpusStats.processBatch(withNull, reg)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (s, l, n, c, _, _) => (s, l) -> (n, c) }.toMap
+    assert(v(("srcN", "en")) == ((1L, 0L)), s"null chars count as 0: $v")
+    assert(CorpusStats.langMass(spark, reg) == Map("en" -> 0L, "fr" -> 40L))
+    // redeliver doc 1 claiming a DIFFERENT lang: replay-excluded, so the
+    // de cell legitimately totals zero — the self-heal must read that as
+    // consistent (absent rollup row == zero), not drift; and repeated
+    // deliveries must stay stable
+    val relabeled = Seq((1L, "srcN", "de", Some(99L)))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val v2 = CorpusStats.processBatch(relabeled, reg)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (s, l, n, c, bn, bc) => (s, l) -> (n, c, bn, bc) }.toMap
+    assert(v2(("srcN", "de")) == ((0L, 0L, 0L, 0L)),
+      s"a replayed doc must not register under its new lang: $v2")
+    CorpusStats.processBatch(relabeled, reg) // and again — no rebuild loop
+    assert(CorpusStats.langMass(spark, reg) == Map("en" -> 0L, "fr" -> 40L),
+      "the corpus mix is unchanged by relabeled replays")
+  }
+
   test("property: totals equal the deduplicated union under any batch/replay sequence") {
     // raw ScalaCheck like PropertySpecs (no scalatestplus bridge offline);
     // few trials — every trial drives real Spark batches

@@ -378,6 +378,18 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       s"disjoint-vocabulary doc must pass: ${v(2L)}")
     assert(v(3L)._2.isEmpty && v(3L)._3,
       s"unshingleable short doc passes with a null fraction: ${v(3L)}")
+    // a doc_id under TWO variants — one verbatim-contaminated, one long
+    // and clean — must still flag: fractions are per variant and the doc
+    // aggregation is conservative (pooling the variants' shingles would
+    // dilute the contaminated one below the threshold)
+    val reg2 = tmp("graft_icur_lex_var")
+    val vv = IngestCuration.processBatch(
+        Seq(5L -> benchText, 5L -> (good + " plus extra clean trailing words here"))
+          .toDF("doc_id", "text"), reg2, benchShingles = Some(bench))
+      .select($"doc_id", $"bench_overlap_frac", $"lex_clean")
+      .as[(Long, Option[Double], Boolean)].collect()
+    assert(vv.length == 1 && vv.head._2.contains(1.0) && !vv.head._3,
+      s"any contaminated variant must flag the doc: ${vv.toSeq}")
     // off by default: the same contaminated doc sails through a gate
     // without a benchmark set (fresh registry so dedup can't interfere)
     val off = IngestCuration.processBatch(
