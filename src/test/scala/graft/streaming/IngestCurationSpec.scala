@@ -305,7 +305,7 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(off.forall(r => r.isNullAt(0) && r.getBoolean(1)))
   }
 
-  test("all eight gates composed in one batch: each failure attributes to its own gate, quota sees only full survivors") {
+  test("nine gates composed in one batch: each failure attributes to its own gate, quota sees only full survivors") {
     val reg = tmp("graft_icur_all"); val vreg = tmp("graft_icur_allv") + "/r"
     val qreg = tmp("graft_icur_allq")
     val ref = (Seq.fill(3)(0 -> unit(0)) ++ Seq.fill(3)(1 -> unit(1)))
@@ -319,6 +319,12 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     // (scores 42619 ppm under this model, below the 50000 gate; the clean
     // texts score 73681+)
     val gib = "the zq zq jx jx qz qz xj xj wq wq qw qw zz qq xx jj"
+    // the LEXICAL benchmark: common-letter English (so the fluency model
+    // fit above scores it like the clean texts) sharing no trigram with
+    // any other doc in the batch
+    val benchText = "the red boat sailed down a long river of salt and foam"
+    val benchSh = graft.operators.Dedup.shingles(
+      Seq(100L -> benchText).toDF("doc_id", "text")).select($"shingle")
     // embeddings sit on DISTINCT axes: orthogonal pairs (cos 0) never trip
     // the 0.99 vector near-dup gate, while the loose -0.1 centroid
     // threshold still passes them — only doc 2's anti-centroid fails it
@@ -330,16 +336,17 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       (4L, "the river ran past a mill of oak and iron each day",
         "srcZ", Option(unit(0)), Option(0)), // semantic hit only
       (5L, good3, "srcZ", Option(unit(3)), Option(1)), // clean
-      (6L, good4, "srcZ", Option(unit(4)), Option(1))) // clean — cap binds
+      (6L, good4, "srcZ", Option(unit(4)), Option(1)), // clean — cap binds
+      (7L, benchText, "srcZ", Option(unit(5)), Option(1))) // lexical hit only
       .toDF("doc_id", "text", "source", "embedding", "label")
     val v = IngestCuration.processBatch(batch, reg,
         vecRegistryDir = Some(vreg), benchmark = Some(bench),
         centroids = Some(cent), bigramModel = Some(model),
         minFluencyPpm = 50000L, quotaRegistryDir = Some(qreg), quotaCap = 2,
-        scrubPii = true)
+        scrubPii = true, benchShingles = Some(benchSh))
       .select($"doc_id", $"centroid_ok", $"fluency_ok", $"sem_clean",
-        $"quota_admitted", $"keep", $"n_emails")
-      .as[(Long, Boolean, Boolean, Boolean, Option[Boolean], Boolean, Int)]
+        $"quota_admitted", $"keep", $"n_emails", $"lex_clean")
+      .as[(Long, Boolean, Boolean, Boolean, Option[Boolean], Boolean, Int, Boolean)]
       .collect().map(r => r._1 -> r).toMap
     assert(!v(2L)._2 && !v(2L)._6 && v(2L)._5.isEmpty,
       s"centroid failure alone, never consuming quota: ${v(2L)}")
@@ -347,6 +354,11 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
       s"fluency failure alone, never consuming quota: ${v(3L)}")
     assert(!v(4L)._4 && v(4L)._2 && !v(4L)._6 && v(4L)._5.isEmpty,
       s"semantic hit with a PASSING centroid, never consuming quota: ${v(4L)}")
+    assert(!v(7L)._8 && v(7L)._2 && v(7L)._3 && v(7L)._4 &&
+      !v(7L)._6 && v(7L)._5.isEmpty,
+      s"lexical hit alone — every other gate passing, no quota consumed: ${v(7L)}")
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(id => v(id)._8),
+      "no other doc trips the lexical gate")
     // three fully-clean docs (1, 5, 6) under cap 2: exactly two keep,
     // one is gate-clean but quota-rejected
     val clean = Seq(1L, 5L, 6L).map(v)
