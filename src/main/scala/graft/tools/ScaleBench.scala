@@ -264,8 +264,17 @@ object ScaleBench {
     // registry size (pruned probe) and the batch count (compaction holding
     // file counts down). Fresh registry per run so reruns measure the same
     // thing.
+    // the gate regimes localCheckpoint per batch (the operators' own
+    // discipline); those blocks are only reclaimed by GC, and 50+ batches
+    // per scale of dead checkpoint blocks measurably tax the NEXT scale's
+    // run in this long-lived bench JVM — drop them between scale groups so
+    // each group measures the engine, not the harness's residue
+    def dropDeadBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     val icRows = scales.map { k =>
       import spark.implicits._
+      dropDeadBlocks()
       val regDir = s"$root/registry-icur-x$k"
       val rp = Paths.get(regDir)
       graft.queue.Maintenance.deleteRec(rp)
@@ -294,8 +303,8 @@ object ScaleBench {
       (k, regRows, first, last, dps)
     }
 
-    // The FULL composed gate (r11's new gates on): dedup + quality +
-    // language + domain quota + trained classifier + mix-aware admission,
+    // The FULL composed gate: dedup + quality + language + domain quota +
+    // trained classifier + mix-aware admission + lexical decontamination,
     // 50 sustained micro-batches against registries seeded from the
     // 1x/3x/10x corpora. O(batch) prediction: docs/sec flat vs registry
     // size — the mix rate pull rides the O(strata) rollup, so turning the
@@ -305,6 +314,17 @@ object ScaleBench {
         .filter(col("source") === "src0"))
     val fgRows = scales.map { k =>
       import spark.implicits._
+      dropDeadBlocks()
+      // (re)built AFTER the block drop — a localCheckpointed relation
+      // created outside the loop would lose its blocks to the cleanup and
+      // cannot recompute
+      val fgBench = graft.operators.Dedup.shingles(
+          spark.createDataFrame(Seq(
+            (1L, "the held out benchmark suite must never leak into training"),
+            (2L, "every answer key sentence of the evaluation set lives here"),
+            (3L, "a third benchmark passage keeps the shingle set honest")))
+            .toDF("doc_id", "text"))
+        .select(col("shingle")).distinct().localCheckpoint(true)
       val regDir = s"$root/registry-full-x$k"
       val quotaDir = s"$root/registry-full-quota-x$k"
       val mixDir = s"$root/registry-full-mix-x$k"
@@ -328,7 +348,8 @@ object ScaleBench {
             quotaRegistryDir = Some(quotaDir), quotaCap = 1000000,
             qualityModel = Some(clfWeights), minQualityScore = -1e9,
             mixRegistryDir = Some(mixDir),
-            mixTargetPpm = Map("en" -> 600000L, "fr" -> 200000L, "es" -> 200000L))
+            mixTargetPpm = Map("en" -> 600000L, "fr" -> 200000L, "es" -> 200000L),
+            benchShingles = Some(fgBench))
           .write.format("noop").mode("overwrite").save()
         if ((b + 1) % 15 == 0)
           graft.queue.Maintenance.compactParquet(spark, regDir,
@@ -806,14 +827,15 @@ object ScaleBench {
     sb ++= "batches — the quality/language passes are shuffle-free column\n"
     sb ++= "algebra on the 25-doc batch, so the probe's O(batch) bound is the\n"
     sb ++= "gate's bound.\n"
-    sb ++= "\n| FULL gate (quota+classifier+mix on), 50 batches x 25 docs | registry rows | batches 6-15 | last 10 | docs/sec |\n|---|---|---|---|---|\n"
+    sb ++= "\n| FULL gate (quota+classifier+mix+lexical on), 50 batches x 25 docs | registry rows | batches 6-15 | last 10 | docs/sec |\n|---|---|---|---|---|\n"
     fgRows.foreach { case (k, rows, first, last, dps) =>
       sb ++= f"| vs ${k}x-corpus registry | $rows | $first%.2f s | $last%.2f s | $dps%.1f |\n"
     }
-    sb ++= "\nThe 10-gate composition with the round-11 gates enabled: domain\n"
+    sb ++= "\nThe full composition with every optional gate enabled: domain\n"
     sb ++= "quota (pruned admitted-set probe), trained quality classifier (one\n"
-    sb ++= "codegen'd projection, weights in-plan), and mix-aware admission\n"
-    sb ++= "(rates from the O(strata) rollup; kept set registered per batch).\n"
+    sb ++= "codegen'd projection, weights in-plan), mix-aware admission\n"
+    sb ++= "(rates from the O(strata) rollup; kept set registered per batch),\n"
+    sb ++= "and lexical decontamination (broadcast benchmark shingle join).\n"
     sb ++= "Docs/sec holding flat vs a 10x-seeded registry is the claim that\n"
     sb ++= "turning every gate on keeps the gate O(batch) — no per-tick\n"
     sb ++= "corpus scan hides in the composition.\n"
