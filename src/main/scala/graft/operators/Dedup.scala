@@ -24,6 +24,22 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("representative_id"), count(lit(1)).as("n_dups"))
 
+  /** Column form of the shingle derivation: the word n-gram shingle ARRAY
+    * of one text value (with multiplicity; empty — never bogus — for texts
+    * shorter than `n` tokens, hence the `when` guard: sequence() steps DOWN
+    * on an empty range, the recurring bigramLm lesson). Lets fused per-row
+    * pipelines ([[graft.streaming.IngestCuration]]'s lexical gate) derive
+    * shingles inside an existing projection instead of routing through the
+    * exploded relation; DedupSpec pins `explode(shingleArray)` row-identical
+    * to [[shingles]]. */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word n-gram shingles via array slicing — per-row, shuffle-free (beats a
     * lead()-window implementation, which would shuffle by doc at scale).
     * Documents shorter than `n` tokens produce no shingles. */

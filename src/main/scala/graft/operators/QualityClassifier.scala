@@ -127,6 +127,24 @@ object QualityClassifier {
     scored(docs, wSum, textCol, n)
   }
 
+  /** Column form of [[score]] for fused single-projection pipelines: adds
+    * `quality_score` IN PLACE — null (instead of a dropped row) for docs
+    * shorter than `n` chars, so it composes with other per-row gates
+    * without forcing its own filter + join; value-identical to [[score]]
+    * on scoreable rows (same native expression, same one-division algebra;
+    * IngestCurationSpec pins the equality against the batch operator). */
+  def withScore(docs: DataFrame, weights: Array[Long], textCol: String = "text",
+                n: Int = DefaultN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("__w_sum",
+        when(length(col(textCol)) >= n,
+          call_function("graft_quality_score", col(textCol),
+            typedLit(weights), lit(n))))
+      .withColumn("quality_score", col("__w_sum").cast("double") /
+        (length(col(textCol)) - (n - 1)).cast("long"))
+      .drop("__w_sum")
+  }
+
   /** The original HOF formulation — value-identical to [[score]] by
     * construction (QualityClassifierSpec pins equality, non-ASCII rows
     * included); kept as the composable reference implementation. */

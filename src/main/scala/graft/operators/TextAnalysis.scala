@@ -292,32 +292,55 @@ object TextAnalysis {
     * shuffles, no UDF; documents shorter than 2 chars are dropped (they
     * have no bigrams). */
   def lmFluency(docs: DataFrame, qp: Map[String, Long],
-                default: Map[String, Long], textCol: String = "text"): DataFrame = {
+                default: Map[String, Long], textCol: String = "text"): DataFrame =
+    docs.filter(length(col(textCol)) >= 2)
+      .withColumn("n_bigrams", (length(col(textCol)) - 1).cast("long"))
+      .withColumn("__bg_sum",
+        bigramSumCol(docs.sparkSession, qp, default, col(textCol)))
+      .withColumn("fluency_ppm", expr("__bg_sum div n_bigrams"))
+      .drop("__bg_sum")
+
+  /** The quantized bigram sum of one text value under a fitted [[bigramLm]]
+    * — the shared core of [[lmFluency]] and [[withFluencyPpm]]. ASCII models
+    * score through the codegen'd BigramLmScore primitive (one array load per
+    * character — the HOF formulation was the battery's slowest entry at
+    * 5.1 s / sf0.1); a model with non-ASCII keys keeps the general HOF path,
+    * value-identical by construction. Callers guarantee length >= 2 (filter
+    * or `when` guard): sequence() steps DOWN on an empty range. */
+  private def bigramSumCol(spark: org.apache.spark.sql.SparkSession,
+                           qp: Map[String, Long], default: Map[String, Long],
+                           text: Column): Column = {
     val emptyCtx = math.floor(1000000.0 / 27).toLong
-    // ASCII models score through the codegen'd BigramLmScore primitive
-    // (one array load per character — the HOF formulation below was the
-    // battery's slowest entry at 5.1 s / sf0.1); a model with non-ASCII
-    // keys keeps the general HOF path, value-identical by construction.
-    val bgSum = graft.functions.BigramLmScore.tables(qp, default, emptyCtx) match {
+    graft.functions.BigramLmScore.tables(qp, default, emptyCtx) match {
       case Some((t, d)) =>
-        graft.functions.GraftFunctions.register(docs.sparkSession)
-        call_function("graft_bigram_score", col(textCol),
+        graft.functions.GraftFunctions.register(spark)
+        call_function("graft_bigram_score", text,
           typedLit(t), typedLit(d), lit(emptyCtx))
       case None =>
         val mq = typedLit(qp)
         val md = typedLit(default)
         aggregate(
-          transform(expr(
-            s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"),
-            b => coalesce(element_at(mq, b),
-              element_at(md, b.substr(lit(1), lit(1))),
-              lit(emptyCtx))),
-          lit(0L), (acc, x) => acc + x)
+          transform(sequence(lit(1), length(text) - 1),
+            i => text.substr(i, lit(2))),
+          lit(0L), (acc, b) => acc + coalesce(element_at(mq, b),
+            element_at(md, b.substr(lit(1), lit(1))),
+            lit(emptyCtx)))
     }
-    docs.filter(length(col(textCol)) >= 2)
-      .withColumn("n_bigrams", (length(col(textCol)) - 1).cast("long"))
-      .withColumn("__bg_sum", bgSum)
-      .withColumn("fluency_ppm", expr("__bg_sum div n_bigrams"))
-      .drop("__bg_sum")
   }
+
+  /** Column form of [[lmFluency]] for fused single-projection pipelines:
+    * adds `fluency_ppm` IN PLACE — null (instead of a dropped row) for docs
+    * shorter than 2 chars, so it composes with other per-row gates without
+    * forcing its own filter + join; value-identical to [[lmFluency]] on
+    * scoreable rows by the shared [[bigramSumCol]] (IngestCurationSpec pins
+    * the equality against the batch operator). */
+  def withFluencyPpm(df: DataFrame, qp: Map[String, Long],
+                     default: Map[String, Long],
+                     textCol: String = "text"): DataFrame =
+    df.withColumn("__flu_sum",
+        when(length(col(textCol)) >= 2,
+          bigramSumCol(df.sparkSession, qp, default, col(textCol))))
+      .withColumn("__flu_nb", (length(col(textCol)) - 1).cast("long"))
+      .withColumn("fluency_ppm", expr("__flu_sum div __flu_nb"))
+      .drop("__flu_sum", "__flu_nb")
 }

@@ -129,50 +129,79 @@ object IngestCuration {
     // one per row — an id-grained join against row-grained frames would
     // multiply rows combinatorially (2 rows × 4 lexical gates = 16). The
     // text projection collapses the identical-duplicate case outright; if
-    // rows genuinely disagree on text, each gate aggregates per id below
-    // (min on booleans = every variant must pass — the conservative read).
+    // rows genuinely disagree on text, the fused aggregate below resolves
+    // per id (min on booleans = every variant must pass — the conservative
+    // read).
     val texts = batch.select(col(idCol), col("text")).distinct()
     val dedup = IncrementalDedup.processBatch(texts, registryDir, bands, idCol)
       .groupBy(col(idCol)).agg(max(col("is_dup")).as("is_dup"),
         min(col("dup_of")).as("dup_of"))
-    // token_cost rides the same shuffle-free pass: the exact chunk-token
-    // budget ([[TextAnalysis.chunkTokenCost]], q105's cost column)
-    // materialized ONCE at ingest, so downstream cap queries and the
-    // token-mode quota read a text-free audit column instead of re-deriving
-    // it from `text` per run (max across variants = the conservative
-    // budget charge, mirroring the min-on-booleans gate discipline)
-    val quality = TextAnalysis.chunkTokenCost(TextAnalysis.qualityMetrics(texts))
-      .select(col(idCol), col("n_tokens"), col("distinct_ratio"), col("token_cost"))
+
+    // EVERY text-column gate in ONE fused projection + ONE per-id aggregate
+    // + ONE join with the dedup verdicts. Quality metrics, token_cost,
+    // language-ID, the PII audit, the LM fluency score, and the trained
+    // classifier score are all per-row column algebra over the same `texts`
+    // relation — running each as its own groupBy + join (the r12 shape)
+    // cost up to five extra shuffles and five joins per micro-batch for
+    // identical values (SCALE.md's jobs-per-batch line measures the cut).
+    //
+    //  - token_cost: the exact chunk-token budget (q105's cost column)
+    //    materialized ONCE at ingest, so downstream cap queries and the
+    //    token-mode quota read a text-free audit column instead of
+    //    re-deriving it from `text` per run (max across variants = the
+    //    conservative budget charge, mirroring the min-on-booleans rule);
+    //  - PII (scrubPii): a TRANSFORM with counts, not a gate — PII never
+    //    rejects a document, it gets scrubbed out of it. The verdict row
+    //    stays no-raw-text (clean_md5 is the digest); the consumer applies
+    //    the SAME deterministic TextAnalysis.piiScrub to its admitted docs
+    //    and can check the digest end-to-end;
+    //  - fluency / classifier: the column forms ([[TextAnalysis
+    //    .withFluencyPpm]], [[QualityClassifier.withScore]]) score null —
+    //    not a dropped row — for docs too short to feature, so the per-id
+    //    min skips them (null-ignoring) and an all-short doc surfaces null,
+    //    which the coalesce'd _ok flags below read as PASS: exactly the
+    //    LEFT-join semantics the per-gate shape had.
+    var perVariant = TextAnalysis.langId(
+      TextAnalysis.chunkTokenCost(TextAnalysis.qualityMetrics(texts)))
       .withColumn("quality_ok",
         col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-      .groupBy(col(idCol)).agg(min(col("n_tokens")).as("n_tokens"),
-        min(col("distinct_ratio")).as("distinct_ratio"),
-        min(col("quality_ok")).as("quality_ok"),
-        max(col("token_cost")).as("token_cost"))
-    val lang = TextAnalysis.langId(texts)
-      .select(col(idCol), col("predicted_lang"))
       .withColumn("lang_ok", col("predicted_lang").isInCollection(allowedLangs))
-      .groupBy(col(idCol)).agg(min(col("predicted_lang")).as("predicted_lang"),
-        min(col("lang_ok")).as("lang_ok"))
-    // PII audit (scrubPii): a TRANSFORM with counts, not a gate — PII never
-    // rejects a document, it gets scrubbed out of it. The verdict row stays
-    // no-raw-text (clean_md5 is the digest); the consumer applies the SAME
-    // deterministic TextAnalysis.piiScrub to its admitted docs and can
-    // check the digest end-to-end. One more shuffle-free column pass.
-    val lexicalBase = dedup.join(quality, idCol).join(lang, idCol)
-    val lexical =
-      if (!scrubPii)
-        lexicalBase.withColumn("n_emails", lit(null).cast("int"))
-          .withColumn("n_ipv4", lit(null).cast("int"))
-          .withColumn("n_phones", lit(null).cast("int"))
-          .withColumn("clean_md5", lit(null).cast("string"))
-      else lexicalBase.join(
-        TextAnalysis.piiScrub(texts)
-          .select(col(idCol), col("n_emails"), col("n_ipv4"), col("n_phones"),
-            md5(col("clean_text")).as("clean_md5"))
-          .groupBy(col(idCol)).agg(max(col("n_emails")).as("n_emails"),
-            max(col("n_ipv4")).as("n_ipv4"), max(col("n_phones")).as("n_phones"),
-            min(col("clean_md5")).as("clean_md5")), idCol)
+    if (scrubPii)
+      perVariant = TextAnalysis.piiScrub(perVariant)
+        .withColumn("clean_md5", md5(col("clean_text")))
+    bigramModel.foreach { case (qp, default) =>
+      perVariant = TextAnalysis.withFluencyPpm(perVariant, qp, default)
+    }
+    qualityModel.foreach { w =>
+      perVariant = graft.operators.QualityClassifier.withScore(perVariant, w)
+        .withColumnRenamed("quality_score", "clf_score")
+    }
+    val gateAggs = Seq(
+      min(col("n_tokens")).as("n_tokens"),
+      min(col("distinct_ratio")).as("distinct_ratio"),
+      min(col("quality_ok")).as("quality_ok"),
+      max(col("token_cost")).as("token_cost"),
+      min(col("predicted_lang")).as("predicted_lang"),
+      min(col("lang_ok")).as("lang_ok")) ++
+      (if (scrubPii) Seq(max(col("n_emails")).as("n_emails"),
+        max(col("n_ipv4")).as("n_ipv4"),
+        max(col("n_phones")).as("n_phones"),
+        min(col("clean_md5")).as("clean_md5")) else Nil) ++
+      bigramModel.map(_ => min(col("fluency_ppm")).as("fluency_ppm")).toSeq ++
+      qualityModel.map(_ => min(col("clf_score")).as("clf_score")).toSeq
+    var lexical = dedup.join(
+      perVariant.groupBy(col(idCol)).agg(gateAggs.head, gateAggs.tail: _*),
+      idCol)
+    // off-gates surface their audit columns as typed nulls, same as r12
+    if (!scrubPii)
+      lexical = lexical.withColumn("n_emails", lit(null).cast("int"))
+        .withColumn("n_ipv4", lit(null).cast("int"))
+        .withColumn("n_phones", lit(null).cast("int"))
+        .withColumn("clean_md5", lit(null).cast("string"))
+    if (bigramModel.isEmpty)
+      lexical = lexical.withColumn("fluency_ppm", lit(null).cast("long"))
+    if (qualityModel.isEmpty)
+      lexical = lexical.withColumn("clf_score", lit(null).cast("double"))
 
     val embedded: Option[DataFrame] =
       if (batch.columns.contains(vecCol) &&
