@@ -173,6 +173,13 @@ object Plans {
         "is shredding-ready for typed subcolumn pushdown (and " +
         "VariantEventStore persists the decoded column once for repeat " +
         "pipelines — the scan-time delta is in the SCALE.md table below)."),
+    "q106_variant_store" ->
+      ("Persisted VARIANT layout, shredded-subcolumn pushdown: the scan of " +
+        "the stored layout reads the typed `$.k` shredded field (ReadSchema " +
+        "shows the struct subcolumn, not the variant binary), so the repeat-" +
+        "query path touches no JSON string and no variant buffer — ordinary " +
+        "column pruning over semi-structured data; values pinned equal to " +
+        "q103's raw-feed aggregation by the shared DuckDB oracle."),
     "q104_quality_classifier" ->
       ("Trained quality classifier: the fitted 1024-long weight table is " +
         "baked into the codegen'd qualityclassifierscore expression (the " +

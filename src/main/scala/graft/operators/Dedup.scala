@@ -30,8 +30,9 @@ object Dedup {
     * on an empty range, the recurring bigramLm lesson). Lets fused per-row
     * pipelines ([[graft.streaming.IngestCuration]]'s lexical gate) derive
     * shingles inside an existing projection instead of routing through the
-    * exploded relation; DedupSpec pins `explode(shingleArray)` row-identical
-    * to [[shingles]]. */
+    * exploded relation. [[shingles]] is defined as `explode(shingleArray)`,
+    * so the two shapes cannot drift; DedupSpec additionally pins the
+    * exploded form against a hand-computed oracle. */
   def shingleArray(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
     when(size(toks) >= n,
@@ -42,16 +43,12 @@ object Dedup {
 
   /** Word n-gram shingles via array slicing — per-row, shuffle-free (beats a
     * lead()-window implementation, which would shuffle by doc at scale).
-    * Documents shorter than `n` tokens produce no shingles. */
+    * Documents shorter than `n` tokens produce no shingles: [[shingleArray]]
+    * yields an empty array there and `explode` drops it, so this is exactly
+    * `explode(shingleArray)` — one derivation, two shapes. */
   def shingles(docs: DataFrame, textCol: String = "text",
-               idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val d = docs
-      .withColumn("toks", split(col(textCol), " "))
-      .filter(size(col("toks")) >= n)
-    val slices = expr(
-      s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))")
-    d.select(col(idCol), explode(slices).as("shingle"))
-  }
+               idCol: String = "doc_id", n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
 
   /** MinHash signature per (doc, band): each shingle is md5'd ONCE and the
     * 32-hex digest is sliced into `bands` disjoint 8-hex (32-bit) band

@@ -51,6 +51,24 @@ object EventQueries extends graft.QueryModule {
         .withColumn("v", try_parse_json($"props")), "v")
   }
 
+  /** q103's twin over the PERSISTED variant layout: encode the feed once
+    * via [[graft.sources.VariantEventStore.write]] (write-once per JVM),
+    * then run the SAME shared aggregation over the stored column. The
+    * DuckDB oracle replays the raw JSON feed — so a divergence anywhere in
+    * the encode→persist→shredded-scan→variant_get chain hash-fails, which
+    * is exactly the end-to-end check the spec-only VariantStoreSpec could
+    * not give. At scale this is the layout repeat-query pipelines read:
+    * Spark 4.1 writes each inferred field as a typed parquet subcolumn
+    * (shredding) and the `$.k` read plans as a subcolumn scan — no JSON
+    * string, no variant binary, in the hot path (PLANS.md q106 shows the
+    * pushed scan; ScaleBench's variant-layout regime prices the saved
+    * per-query parse). */
+  def variantStoreProps(s: SparkSession, dir: String): DataFrame =
+    graft.sources.VariantEventStore.propsAgg(
+      graft.sources.VariantEventStore.read(s,
+        graft.sources.VariantEventStore.layoutFor(s, dir,
+          Tables.events(s, dir))))
+
   /** T6 batch analog: tumbling 1-day windows via Spark's native window()
     * (epoch-aligned, equals date_trunc for whole days). */
   def tumblingDaily(s: SparkSession, dir: String): DataFrame = {
@@ -175,6 +193,7 @@ object EventQueries extends graft.QueryModule {
     "q74_funnel" -> conversionFunnel,
     "q20_json_props" -> jsonProps,
     "q103_variant_props" -> variantProps,
+    "q106_variant_store" -> variantStoreProps,
     "q21_tumbling_daily" -> tumblingDaily,
     "q23_queue_scan" -> queueScan,
     "q64_map_funcs" -> mapFuncs,
@@ -194,6 +213,15 @@ object EventQueries extends graft.QueryModule {
         |   / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q103_variant_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k,
+        | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q106 persists the variant layout then aggregates it; the values must
+    // equal the raw-feed aggregation, so the oracle is q103's verbatim
+    "q106_variant_store" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k,

@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.StructType
   *      effect).
   *
   * `dup_of` is the smallest colliding partner — a registry representative
-  * or an earlier same-batch document; resolving chains (B~A while A~R) into
-  * canonical clusters is the full clustering operator's job
+  * or an earlier same-batch document; chains (B~A while A~R) are left as-is
+  * per batch and canonicalized out-of-band by [[reconcile]], which routes
+  * the accumulated links through the full clustering operator
   * ([[Dedup.clusterPairs]], q65). Buckets of dup-flagged documents do not
   * register (their collision partner's buckets already cover the
   * neighborhood), matching the batch operator's keep-one-representative
@@ -201,4 +202,110 @@ object IncrementalDedup {
           ()
         }
     }
+
+  /** Audit shape of one [[reconcile]] run — bounded driver-side aggregates
+    * (counts only, never corpus rows). */
+  case class ReconcileStats(nDocs: Long, nClusters: Long,
+                            nVerdictLinksCanonicalized: Long,
+                            nRegistryRowsRemapped: Long)
+
+  /** Periodic chain-canonicalization reconcile — closes the drift the
+    * per-batch verdict deliberately leaves open (scaladoc above: `dup_of`
+    * is the smallest COLLIDING partner, so B~A-while-A~R chains can point
+    * a verdict at a document that is itself a dup, and a registry seeded
+    * from an undeduplicated corpus can carry two representatives of one
+    * neighborhood). Run it the way compaction runs: out-of-band, between
+    * batches, single-writer.
+    *
+    *   1. edge set = verdict links (`dup_of`) ∪ registry bucket collisions
+    *      between DIFFERENT representatives (per (band, minhash) group:
+    *      each extra rep links to the group's min rep — one edge per row,
+    *      never a quadratic pair blowup even in a mega bucket);
+    *   2. [[Dedup.clusterPairs]] resolves the chains distributed
+    *      (the q65/q88 star-contraction operator);
+    *   3. each cluster's canonical representative = its smallest KEPT
+    *      doc (never flagged dup by any verdict) — admission history is
+    *      immutable, so `is_dup` flags are untouched; only the POINTERS
+    *      (`dup_of`, registry `rep_doc_id`) rewrite, both via the same
+    *      crash-safe rename-aside swap as compaction;
+    *   4. idempotent: a second run finds every pointer already canonical
+    *      and rewrites byte-identical content (ReconcileSpec pins
+    *      remapped counts of 0).
+    *
+    * Scale shape: one grouped aggregate on the registry keys, one
+    * star-contraction over KB-scale edge relations, and two shuffle joins
+    * of corpus-grained frames on their ids — no broadcast of anything
+    * corpus-derived, no driver pull beyond the returned counts. */
+  def reconcile(spark: SparkSession, registryDir: String,
+                verdictDir: String, idCol: String = "doc_id"): ReconcileStats = {
+    val verdicts = spark.read.parquet(verdictDir)
+      .select(col(idCol), col("is_dup"), col("dup_of"))
+    val registry = readRegistry(spark, registryDir)
+
+    val verdictEdges = verdicts.filter(col("is_dup"))
+      .select(col(idCol).as("doc_a"), col("dup_of").as("doc_b")).distinct()
+    val regReps = registry
+      .select(col("band"), col("minhash"), col("rep_doc_id")).distinct()
+    val bucketMin = regReps.groupBy(col("band"), col("minhash"))
+      .agg(min(col("rep_doc_id")).as("min_rep"))
+    val registryEdges = regReps.join(bucketMin, Seq("band", "minhash"))
+      .filter(col("rep_doc_id") =!= col("min_rep"))
+      .select(col("rep_doc_id").as("doc_a"), col("min_rep").as("doc_b"))
+      .distinct()
+
+    val nodes = verdicts.select(col(idCol))
+      .union(registry.select(col("rep_doc_id").as(idCol))).distinct()
+    val clusters = Dedup.clusterPairs(nodes,
+      verdictEdges.union(registryEdges), idCol)
+
+    // kept = never flagged dup by any verdict (seeded registry reps have
+    // no verdict row and count as kept); canonical = min kept id. Every
+    // cluster contains at least one kept doc — chains terminate at a
+    // registered representative — but a pathological all-dup cluster
+    // (hand-edited state) falls back to the min id rather than dropping.
+    val dupIds = verdicts.filter(col("is_dup")).select(col(idCol)).distinct()
+    val canon = clusters.join(dupIds, Seq(idCol), "left_anti")
+      .groupBy(col("cluster_rep")).agg(min(col(idCol)).as("canon_rep"))
+    val mapping = clusters.join(canon, Seq("cluster_rep"), "left")
+      .select(col(idCol),
+        coalesce(col("canon_rep"), col("cluster_rep")).as("canon_rep"))
+      .persist()
+
+    val newVerdicts = verdicts
+      .join(mapping.withColumnRenamed(idCol, "dup_of")
+        .withColumnRenamed("canon_rep", "canon_dup_of"), Seq("dup_of"), "left")
+      .select(col(idCol), col("is_dup"),
+        when(col("is_dup"), coalesce(col("canon_dup_of"), col("dup_of")))
+          .otherwise(col("dup_of")).as("new_dup_of"), col("dup_of"))
+    val nLinks = newVerdicts
+      .filter(col("is_dup") && col("new_dup_of") =!= col("dup_of")).count()
+    val newRegistry = registry
+      .join(mapping.withColumnRenamed(idCol, "rep_doc_id"),
+        Seq("rep_doc_id"), "left")
+      .select(col("band"), col("bucket"), col("minhash"),
+        coalesce(col("canon_rep"), col("rep_doc_id")).as("new_rep"),
+        col("rep_doc_id"))
+    val nRegRows = newRegistry.filter(col("new_rep") =!= col("rep_doc_id")).count()
+    val nDocs = nodes.count()
+    val nClusters = mapping.select(col("canon_rep")).distinct().count()
+
+    if (nLinks > 0) {
+      val tmp = verdictDir.stripSuffix("/") + ".reconciling"
+      newVerdicts
+        .select(col(idCol), col("is_dup"), col("new_dup_of").as("dup_of"))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      graft.queue.Maintenance.replaceDir(tmp, verdictDir)
+    }
+    if (nRegRows > 0) {
+      val tmp = registryDir.stripSuffix("/") + ".reconciling"
+      newRegistry
+        .select(col("band"), col("bucket"), col("minhash"),
+          col("new_rep").as("rep_doc_id"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band", "bucket").parquet(tmp)
+      graft.queue.Maintenance.replaceDir(tmp, registryDir)
+    }
+    mapping.unpersist()
+    ReconcileStats(nDocs, nClusters, nLinks, nRegRows)
+  }
 }

@@ -275,43 +275,17 @@ object IngestCuration {
           .withColumn("centroid_ok", lit(true))
     }
 
-    // LM fluency gate (q99's at-ingest form): score each batch doc under
-    // the PRECOMPUTED bigram model (TextAnalysis.bigramLm over a reference
-    // slice — an alphabet-bounded artifact, ≤729 entries riding the plan
-    // as map literals) and drop the disfluent tail. One more codegen'd
-    // per-row pass; docs shorter than 2 chars have no bigrams and pass.
-    val withFluency = bigramModel match {
-      case Some((qp, default)) =>
-        val scored = TextAnalysis.lmFluency(texts, qp, default)
-          .select(col(idCol), col("fluency_ppm"))
-          // per-id aggregation before the join (see centroid gate): a
-          // multi-row doc_id gets ONE fluency verdict, min = conservative
-          .groupBy(col(idCol)).agg(min(col("fluency_ppm")).as("fluency_ppm"))
-        withCent.join(scored, Seq(idCol), "left")
-          .withColumn("fluency_ok",
-            coalesce(col("fluency_ppm") >= minFluencyPpm, lit(true)))
-      case None =>
-        withCent.withColumn("fluency_ppm", lit(null).cast("long"))
-          .withColumn("fluency_ok", lit(true))
-    }
-
-    // Trained-classifier gate (q104's at-ingest form): score each doc under
-    // a PRECOMPUTED QualityClassifier weight table (a constant-size model
-    // artifact — exactly `dim` longs riding the plan as an array literal)
-    // and drop the learned low-quality tail. One codegen'd per-row pass;
-    // docs shorter than the n-gram width have no features and pass.
-    val withClf = qualityModel match {
-      case Some(w) =>
-        val scored = graft.operators.QualityClassifier.score(texts, w)
-          .select(col(idCol), col("quality_score").as("clf_score"))
-          .groupBy(col(idCol)).agg(min(col("clf_score")).as("clf_score"))
-        withFluency.join(scored, Seq(idCol), "left")
-          .withColumn("clf_ok",
-            coalesce(col("clf_score") >= minQualityScore, lit(true)))
-      case None =>
-        withFluency.withColumn("clf_score", lit(null).cast("double"))
-          .withColumn("clf_ok", lit(true))
-    }
+    // LM fluency (q99's at-ingest form) and trained-classifier (q104's)
+    // verdicts derive straight from the FUSED columns: both scores were
+    // computed in the single per-variant projection above and per-id
+    // min-aggregated alongside the other lexical gates — no extra scan,
+    // shuffle, or join here. A null score — gate off, or every variant of
+    // the doc too short to feature — coalesces to PASS: the LEFT-gate rule.
+    val withClf = withCent
+      .withColumn("fluency_ok",
+        coalesce(col("fluency_ppm") >= minFluencyPpm, lit(true)))
+      .withColumn("clf_ok",
+        coalesce(col("clf_score") >= minQualityScore, lit(true)))
 
     // LEXICAL decontamination gate (q59's at-ingest form, the shingle
     // twin of the semantic gate above): per-doc distinct 3-token shingles

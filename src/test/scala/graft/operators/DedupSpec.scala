@@ -30,6 +30,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(!sh.exists(_._1 == 5L))
   }
 
+  test("shingleArray: column form keeps multiplicity and empty-for-short") {
+    val byDoc = docs
+      .select($"doc_id", Dedup.shingleArray($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(byDoc(1L) ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(byDoc(5L).isEmpty)
+    // a repeated trigram appears twice — multiplicity preserved
+    val rep = Seq((9L, "a b c a b c a"))
+      .toDF("doc_id", "text")
+      .select(Dedup.shingleArray($"text").as("sh"))
+      .as[Seq[String]].head()
+    assert(rep.count(_ == "c a b") == 1 && rep.count(_ == "a b c") == 2)
+  }
+
   test("identical docs have identical minhash signatures in every band") {
     val sigs = Dedup.minhashSignatures(Dedup.shingles(docs), bands = 4)
     val byDoc = sigs.as[(Long, Int, String)].collect()

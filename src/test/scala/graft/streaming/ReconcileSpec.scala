@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[IncrementalDedup.reconcile]]: dup chains accumulated across micro-
+  * batches canonicalize to the kept representative, a registry seeded with
+  * two representatives of one neighborhood collapses to one, admission
+  * history (`is_dup`) is never rewritten, and a second run is a no-op. */
+class ReconcileSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val base = "alpha beta gamma delta epsilon zeta eta theta"
+
+  private def step(batch: org.apache.spark.sql.DataFrame,
+                   reg: String, vd: String): Unit =
+    IncrementalDedup.processBatch(batch, reg)
+      .write.mode(SaveMode.Append).parquet(vd)
+
+  private def verdicts(vd: String): Map[Long, (Boolean, Option[Long])] =
+    spark.read.parquet(vd).as[(Long, Boolean, Option[Long])].collect()
+      .map { case (k, b, r) => k -> (b, r) }.toMap
+
+  test("verdict chain B~A~R canonicalizes to R; flags untouched; idempotent") {
+    val reg = tmp("graft_rec_reg"); val vd = tmp("graft_rec_vd")
+    step(Seq(Doc(100L, base)).toDF(), reg, vd)
+    // 50 hits the registry rep (100); 60 hits BOTH but charges to the
+    // smaller intra-batch partner 50 — the chain 60 -> 50 -> 100
+    step(Seq(Doc(50L, base), Doc(60L, base)).toDF(), reg, vd)
+    assert(verdicts(vd) == Map(100L -> (false, None),
+      50L -> (true, Some(100L)), 60L -> (true, Some(50L))))
+
+    val st = IncrementalDedup.reconcile(spark, reg, vd)
+    assert(st.nVerdictLinksCanonicalized == 1, st)
+    assert(st.nRegistryRowsRemapped == 0, st) // only 100 ever registered
+    assert(st.nDocs == 3 && st.nClusters == 1, st)
+    // 60's pointer now names the kept representative; nothing else moved
+    assert(verdicts(vd) == Map(100L -> (false, None),
+      50L -> (true, Some(100L)), 60L -> (true, Some(100L))))
+
+    val st2 = IncrementalDedup.reconcile(spark, reg, vd)
+    assert(st2.nVerdictLinksCanonicalized == 0 &&
+      st2.nRegistryRowsRemapped == 0, st2)
+  }
+
+  test("registry seeded with two reps of one neighborhood collapses to one") {
+    val reg = tmp("graft_rec_reg2"); val vd = tmp("graft_rec_vd2")
+    // seedRegistry registers every doc as its own representative — an
+    // undeduplicated corpus legitimately produces sibling reps 10 and 20
+    IncrementalDedup.seedRegistry(Seq(Doc(10L, base), Doc(20L, base)).toDF(), reg)
+    step(Seq(Doc(30L, base)).toDF(), reg, vd)
+    assert(verdicts(vd) == Map(30L -> (true, Some(10L))))
+
+    val st = IncrementalDedup.reconcile(spark, reg, vd)
+    // 20's four band rows repoint to 10; 30's link was already canonical
+    assert(st.nRegistryRowsRemapped == 4, st)
+    assert(st.nVerdictLinksCanonicalized == 0, st)
+    assert(st.nDocs == 3 && st.nClusters == 1, st)
+    val reps = IncrementalDedup.readRegistry(spark, reg)
+      .select("rep_doc_id").as[Long].collect().toSet
+    assert(reps == Set(10L), reps)
+    // the collapsed registry still guards the neighborhood
+    step(Seq(Doc(40L, base)).toDF(), reg, vd)
+    assert(verdicts(vd)(40L) == (true, Some(10L)))
+
+    val st2 = IncrementalDedup.reconcile(spark, reg, vd)
+    assert(st2.nVerdictLinksCanonicalized == 0 &&
+      st2.nRegistryRowsRemapped == 0, st2)
+  }
+}

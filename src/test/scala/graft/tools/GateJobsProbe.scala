@@ -5,9 +5,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: jobs/actions per IngestCuration.processBatch under the
-  * full-gate config (before/after measurement for the pass-fusion work).
-  * Test-scope only — the permanent instrumentation lives in ScaleBench. */
+/** Scratch probe: jobs/actions per IngestCuration.processBatch with EVERY
+  * text gate on (quality + tokens + PII + fluency + classifier + quota +
+  * mix + lexical) — the before/after measurement for the pass-fusion work,
+  * runnable against any revision (SCALE.md cites its numbers at commits
+  * 21f55a0 vs HEAD). Test-scope only; the per-round tracking column lives
+  * in ScaleBench's full-gate regime (`jobs/batch`). */
 object GateJobsProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -39,6 +42,8 @@ object GateJobsProbe {
     graft.streaming.CorpusStats.rebuildRollup(spark, mixDir)
     val clfWeights = graft.operators.QualityClassifier.fit(
       docs.filter(col("source") === "src0"))
+    val lmModel = graft.operators.TextAnalysis.bigramLm(
+      docs.filter(col("source") === "src0"))
     val fgBench = graft.operators.Dedup.shingles(
         spark.createDataFrame(Seq(
           (1L, "the held out benchmark suite must never leak into training"),
@@ -59,6 +64,8 @@ object GateJobsProbe {
       val t0 = System.nanoTime()
       graft.streaming.IngestCuration.processBatch(batch, regDir,
           quotaRegistryDir = Some(quotaDir), quotaCap = 1000000,
+          scrubPii = true,
+          bigramModel = Some(lmModel), minFluencyPpm = 0L,
           qualityModel = Some(clfWeights), minQualityScore = -1e9,
           mixRegistryDir = Some(mixDir),
           mixTargetPpm = Map("en" -> 600000L, "fr" -> 200000L, "es" -> 200000L),
