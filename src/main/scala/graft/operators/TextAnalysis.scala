@@ -15,14 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (the corpus is space-separated). */
+  /** THE TOKEN-UNIT CONTRACT. Every token count, chunk window, and token
+    * budget in this engine is denominated in WHITESPACE tokens —
+    * `split(text, " ")`, the corpus being space-separated by construction.
+    * One unit, four budget consumers: [[chunk]]'s windows,
+    * [[chunkTokenCost]] (q105/q93's budgets), the token mode of
+    * [[graft.streaming.DomainQuota]], and the `token_cost` column
+    * [[graft.streaming.IngestCuration]] materializes at ingest. The DuckDB
+    * oracles replay the same unit (`len(string_split(text, ' '))`), so a
+    * unit change anywhere without its oracles hash-fails the battery —
+    * budgets in mixed units are the bug this contract exists to prevent.
+    * To budget in subword units instead, swap [[subwordCount]] in as the
+    * counter of every consumer AND its oracles in one change;
+    * [[subwordCount]] otherwise exists for ANALYSIS (q80-style rarity
+    * stats), never for budgeting. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Count in the [[tokens]] contract unit. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
     * non-alphanumeric marks counted separately (the shape a byte-pair
-    * encoder's pre-tokenizer produces). */
+    * encoder's pre-tokenizer produces). Deterministic and oracle-replayable
+    * (plain regex both engines share) — but an ANALYSIS unit, not the
+    * budgeting unit; see the [[tokens]] contract. */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
@@ -157,7 +173,8 @@ object TextAnalysis {
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Overlapping token-window chunking — the pre-tokenization step for
-    * context-window training and retrieval pipelines. Windows of
+    * context-window training and retrieval pipelines. Windows are counted
+    * in the [[tokens]] contract unit. Windows of
     * `chunkTokens` at `stride` (overlap = chunkTokens − stride); the final
     * window truncates at the document end, sub-window documents stay
     * whole. Pure per-row column algebra (split → sequence → explode →
@@ -192,10 +209,11 @@ object TextAnalysis {
     * collapses to the closed form `n_tok + (n_chunks − 1)·(chunkTokens −
     * stride)` with [[chunk]]'s integer-only n_chunks arithmetic
     * (TextAnalysisSpec pins it equal to chunk().sum(n_chunk_tokens)).
-    * Per-row column algebra, no explode — the cheap way to budget in
-    * tokenizer units (q105, [[graft.streaming.DomainQuota]]'s token mode)
-    * without materializing the chunks; at ingest, pre-materialize this
-    * column once so cap queries stay text-free scans like q93. */
+    * Per-row column algebra, no explode — the cheap way to budget in the
+    * [[tokens]] contract unit (q105, [[graft.streaming.DomainQuota]]'s
+    * token mode) without materializing the chunks; at ingest,
+    * pre-materialize this column once so cap queries stay text-free scans
+    * like q93. */
   def chunkTokenCost(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
                      textCol: String = "text", costCol: String = "token_cost"): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,

@@ -57,6 +57,53 @@ object VariantEventStore {
     dir
   }
 
+  private val sinkSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private def shape(schema: org.apache.spark.sql.types.StructType) =
+    schema.fields.map(f => f.name -> f.dataType.sql).toMap
+
+  /** Streaming face of [[write]]: encode each micro-batch's `propsCol`
+    * once and APPEND the layout, so repeat-query pipelines read the
+    * shredded parquet even while the feed is live. Drift-safe the
+    * SchemaContract way — fail loudly, never write unreadable state: a
+    * batch without `propsCol`, or whose encoded shape (column name →
+    * type, order-insensitive) differs from the layout already on disk
+    * (first batch of a fresh dir establishes it; a restarted JVM re-reads
+    * it from the parquet footers once), aborts the query instead of
+    * appending mixed-schema files that would break every later reader.
+    * Caller starts the query and picks trigger/checkpoint options. */
+  def sink(eventStream: DataFrame, dir: String, propsCol: String = "props")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    eventStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        require(batch.columns.contains(propsCol),
+          s"variant sink: batch has no '$propsCol' column (schema drift " +
+            s"upstream?) — columns: ${batch.columns.mkString(", ")}")
+        val enc = batch
+          .withColumn("props_v", try_parse_json(col(propsCol)))
+          .drop(propsCol)
+        val established = Option(sinkSchemaMemo.get(dir)).orElse {
+          val p = java.nio.file.Paths.get(dir)
+          val hasFiles = java.nio.file.Files.exists(p) && {
+            val s = java.nio.file.Files.list(p)
+            try s.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+          if (hasFiles) Some(shape(batch.sparkSession.read.parquet(dir).schema))
+          else None
+        }
+        established.foreach { have =>
+          require(shape(enc.schema) == have,
+            s"variant sink: batch schema drifted from the layout at $dir — " +
+              s"layout: $have, batch: ${shape(enc.schema)}; appending would " +
+              "leave mixed-schema files no reader can scan")
+        }
+        enc.write.mode(SaveMode.Append).parquet(dir)
+        sinkSchemaMemo.put(dir, shape(enc.schema))
+        ()
+    }
+
   /** q103's aggregation over an already-decoded variant column — shared
     * with the query-time path so the two stay value-identical by
     * construction (VariantStoreSpec pins it; the DuckDB oracle pins the

@@ -139,7 +139,13 @@ object DomainQuota {
     * to one row per (source, doc) BEFORE summing, so a replay never
     * double-charges tokens (the token-space form of the doc-count mode's
     * countDistinct). Same 256-way sbucket layout, pruned probe, and
-    * verdict columns (`prior_tokens` replacing `prior_admitted`). */
+    * verdict columns (`prior_tokens` replacing `prior_admitted`).
+    *
+    * `tokenCol` must be denominated in the engine-wide token unit — the
+    * [[graft.operators.TextAnalysis.tokens]] contract (whitespace tokens;
+    * [[graft.operators.TextAnalysis.chunkTokenCost]] is the canonical
+    * producer) — budgets in mixed units are exactly what that contract
+    * forbids. */
   def processBatchTokens(batch: DataFrame, registryDir: String, budget: Long,
                          tokenCol: String = "n_chars", idCol: String = "doc_id",
                          sourceCol: String = "source"): DataFrame = {

@@ -145,7 +145,8 @@ object IngestCuration {
     // cost up to five extra shuffles and five joins per micro-batch for
     // identical values (SCALE.md's jobs-per-batch line measures the cut).
     //
-    //  - token_cost: the exact chunk-token budget (q105's cost column)
+    //  - token_cost: the exact chunk-token budget (q105's cost column),
+    //    denominated in the engine-wide TextAnalysis.tokens contract unit,
     //    materialized ONCE at ingest, so downstream cap queries and the
     //    token-mode quota read a text-free audit column instead of
     //    re-deriving it from `text` per run (max across variants = the

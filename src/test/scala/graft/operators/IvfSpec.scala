@@ -69,6 +69,31 @@ class IvfSpec extends AnyFunSuite with SparkTestSession {
       s"sampled training must land near full training: $sampled vs $full")
   }
 
+  test("recall@10 vs brute force is monotone in nprobe and exact at full probe") {
+    val trained = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
+    val queries = Seq(0L, 7L, 42L, 99L, 123L)
+    val brute = queries.map { qid =>
+      qid -> Similarity.topK(emb, qid, k = 10)
+        .as[(Long, Long)].collect().map(_._1).toSet
+    }.toMap
+    val rec = Seq(1, 2, 4, 8).map { np =>
+      val r = queries.map { qid =>
+        val ivf = Similarity.ivfTopK(emb, qid, k = 10, nlist = 8, nprobe = np,
+          codebook = Some(trained)).as[(Long, Long)].collect().map(_._1).toSet
+        (brute(qid) & ivf).size.toDouble / brute(qid).size
+      }
+      np -> r.sum / r.size
+    }
+    // a brute-top-k hit found under nprobe=n survives every wider probe
+    // (candidate supersets can only add items that rank below it), so the
+    // curve cannot fall; SCALE.md publishes the sf0.1 curve
+    rec.sliding(2).foreach { case Seq((_, a), (np, b)) =>
+      assert(b >= a - 1e-9, s"recall fell at nprobe=$np: $rec")
+    }
+    assert(rec.last._2 == 1.0, s"nprobe = nlist must be exact: $rec")
+    assert(rec.head._2 > 0.0, s"nprobe=1 must find home-list neighbors: $rec")
+  }
+
   test("trained codebook: full probe stays exact; assignment covers every vector") {
     val trained = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
     assert(trained.count() == 8)

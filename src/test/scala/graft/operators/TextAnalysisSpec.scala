@@ -135,4 +135,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(graft.functions.BigramLmScore.tables(qp, default, 37037L).isDefined,
       "clean keys keep the codegen'd scorer eligible")
   }
+
+  test("withFluencyPpm: sub-2-char docs score null IN PLACE, never drop") {
+    val (qp, default) = TextAnalysis.bigramLm(
+      Seq("the quick brown fox", "the lazy dog sleeps").toDF("text"))
+    val docs = Seq((1L, "the quick brown"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.withFluencyPpm(docs, qp, default)
+    // the column form's contract for fused pipelines: every input row
+    // survives (lmFluency's filter would DROP the short ones), short docs
+    // carry a null score the LEFT-gate coalesce reads as pass
+    assert(scored.count() == 3)
+    val byId = scored.select($"doc_id", $"fluency_ppm")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).isDefined && byId(2L).isEmpty && byId(3L).isEmpty, byId)
+    // and the scoreable row equals the batch operator exactly
+    val batch = TextAnalysis.lmFluency(docs, qp, default)
+      .select($"doc_id", $"fluency_ppm").as[(Long, Long)].collect().toMap
+    assert(batch.keySet == Set(1L) && byId(1L).contains(batch(1L)), (byId, batch))
+  }
 }

@@ -126,4 +126,25 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(out.split(" ", -1).sorted.toSeq == t.split(" ", -1).sorted.toSeq,
       "token multiset preserved")
   }
+
+  test("withScore: sub-n-char docs score null IN PLACE, never drop") {
+    import spark.implicits._
+    val weights = graft.operators.QualityClassifier.fit(
+      Seq("the quick brown fox jumps over the lazy dog").toDF("text"))
+    val docs = Seq((1L, "a fluent enough sentence"), (2L, "ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val scored = graft.operators.QualityClassifier.withScore(docs, weights)
+    // the column form's contract for fused pipelines: every input row
+    // survives (score's universe is length >= n docs only), short docs
+    // carry a null score the LEFT-gate coalesce reads as pass
+    assert(scored.count() == 3)
+    val byId = scored.select($"doc_id", $"quality_score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(byId(1L).isDefined && byId(2L).isEmpty && byId(3L).isEmpty, byId)
+    // and the scoreable row equals the batch operator exactly
+    val batch = graft.operators.QualityClassifier.score(docs, weights)
+      .filter($"quality_score".isNotNull)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    assert(byId(1L) == batch.get(1L), (byId, batch))
+  }
 }

@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.VariantType
 import org.scalatest.funsuite.AnyFunSuite
 
+case class Ev(event_id: Long, event_type: String, props: String)
+case class EvX(event_id: Long, event_type: String, props: String, extra: Int)
+
 /** The persisted VARIANT layout: props decodes once at write, the stored
   * column round-trips as a real parquet VariantType, the shared
   * aggregation over the layout equals q103's query-time decode row for
-  * row, and malformed rows degrade to null variants instead of failing
-  * the write. */
+  * row, malformed rows degrade to null variants instead of failing
+  * the write, and the streaming sink appends the same layout per
+  * micro-batch while refusing schema-drifted batches. */
 class VariantStoreSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -44,6 +49,50 @@ class VariantStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("props_v:struct"),
       s"the scan must read the shredded subcolumn, not the variant binary:\n$p")
     assert(!p.contains("props_v:variant"), p)
+  }
+
+  test("streaming sink appends per micro-batch; equals the batch write; drift aborts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = Files.createTempDirectory("graft_variant_stream").toString
+    val rows = Seq(Ev(1L, "click", """{"k": 1}"""),
+      Ev(2L, "view", """{"k": 2}"""), Ev(3L, "click", """{"k": 5}"""))
+
+    val ms = MemoryStream[Ev]
+    val q = VariantEventStore.sink(ms.toDF(), out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_variant_ck").toString)
+      .start()
+    ms.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    ms.addData(rows(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = VariantEventStore.read(spark, out)
+    assert(stored.schema("props_v").dataType == VariantType)
+    // value-identical to the batch write of the same rows
+    val batchOut = Files.createTempDirectory("graft_variant_twin").toString
+    VariantEventStore.write(rows.toDF(), batchOut)
+    assert(VariantEventStore.propsAgg(stored).collect().map(_.toSeq).toSeq ==
+      VariantEventStore.propsAgg(VariantEventStore.read(spark, batchOut))
+        .collect().map(_.toSeq).toSeq)
+
+    // a drifted batch (extra column) against the SAME layout must abort
+    // the query — and append NOTHING
+    val ms2 = MemoryStream[EvX]
+    val q2 = VariantEventStore.sink(ms2.toDF(), out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_variant_ck2").toString)
+      .start()
+    ms2.addData(EvX(4L, "click", """{"k": 9}""", 7))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("drifted")), msgs(e).mkString(" | "))
+    assert(VariantEventStore.read(spark, out).count() == 3,
+      "the drifted batch must not have appended")
   }
 
   test("malformed props become null variants at write, not job failures") {
