@@ -227,7 +227,10 @@ object IncrementalDedup {
     *      doc (never flagged dup by any verdict) — admission history is
     *      immutable, so `is_dup` flags are untouched; only the POINTERS
     *      (`dup_of`, registry `rep_doc_id`) rewrite, both via the same
-    *      crash-safe rename-aside swap as compaction;
+    *      crash-safe rename-aside swap as compaction — and the rewrite
+    *      preserves every other verdict column, so a richer verdict dir
+    *      ([[IngestCuration]]'s 30-column audit rows) reconciles without
+    *      losing its audit trail;
     *   4. idempotent: a second run finds every pointer already canonical
     *      and rewrites byte-identical content (ReconcileSpec pins
     *      remapped counts of 0).
@@ -238,8 +241,11 @@ object IncrementalDedup {
     * corpus-derived, no driver pull beyond the returned counts. */
   def reconcile(spark: SparkSession, registryDir: String,
                 verdictDir: String, idCol: String = "doc_id"): ReconcileStats = {
-    val verdicts = spark.read.parquet(verdictDir)
-      .select(col(idCol), col("is_dup"), col("dup_of"))
+    // the FULL verdict relation rides through to the rewrite — a richer
+    // verdict dir (IngestCuration's 30-column audit rows) keeps every
+    // column, with only dup_of repointed
+    val allVerdicts = spark.read.parquet(verdictDir)
+    val verdicts = allVerdicts.select(col(idCol), col("is_dup"), col("dup_of"))
     val registry = readRegistry(spark, registryDir)
 
     val verdictEdges = verdicts.filter(col("is_dup"))
@@ -271,12 +277,13 @@ object IncrementalDedup {
         coalesce(col("canon_rep"), col("cluster_rep")).as("canon_rep"))
       .persist()
 
-    val newVerdicts = verdicts
+    val newVerdicts = allVerdicts
       .join(mapping.withColumnRenamed(idCol, "dup_of")
         .withColumnRenamed("canon_rep", "canon_dup_of"), Seq("dup_of"), "left")
-      .select(col(idCol), col("is_dup"),
+      .withColumn("new_dup_of",
         when(col("is_dup"), coalesce(col("canon_dup_of"), col("dup_of")))
-          .otherwise(col("dup_of")).as("new_dup_of"), col("dup_of"))
+          .otherwise(col("dup_of")))
+      .drop("canon_dup_of")
     val nLinks = newVerdicts
       .filter(col("is_dup") && col("new_dup_of") =!= col("dup_of")).count()
     val newRegistry = registry
@@ -291,8 +298,11 @@ object IncrementalDedup {
 
     if (nLinks > 0) {
       val tmp = verdictDir.stripSuffix("/") + ".reconciling"
-      newVerdicts
-        .select(col(idCol), col("is_dup"), col("new_dup_of").as("dup_of"))
+      val outCols = allVerdicts.columns.map {
+        case "dup_of" => col("new_dup_of").as("dup_of")
+        case c => col(c)
+      }
+      newVerdicts.select(outCols.toSeq: _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       graft.queue.Maintenance.replaceDir(tmp, verdictDir)
     }

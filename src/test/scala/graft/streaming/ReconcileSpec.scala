@@ -47,6 +47,26 @@ class ReconcileSpec extends AnyFunSuite with SparkTestSession {
       st2.nRegistryRowsRemapped == 0, st2)
   }
 
+  test("richer verdict dirs keep every audit column through the rewrite") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val reg = tmp("graft_rec_reg3"); val vd = tmp("graft_rec_vd3")
+    IncrementalDedup.processBatch(Seq(Doc(100L, base)).toDF(), reg)
+      .withColumn("lang_ok", lit(true))
+      .write.mode(SaveMode.Append).parquet(vd)
+    IncrementalDedup.processBatch(Seq(Doc(50L, base), Doc(60L, base)).toDF(), reg)
+      .withColumn("lang_ok", lit(true))
+      .write.mode(SaveMode.Append).parquet(vd)
+
+    val st = IncrementalDedup.reconcile(spark, reg, vd)
+    assert(st.nVerdictLinksCanonicalized == 1, st)
+    val after = spark.read.parquet(vd)
+    // the extra column survives, in schema and in value, on every row
+    assert(after.columns.toSet == Set("doc_id", "is_dup", "dup_of", "lang_ok"))
+    assert(after.filter(col("lang_ok")).count() == 3)
+    assert(after.filter(col("doc_id") === 60L).select("dup_of")
+      .as[Long].head() == 100L)
+  }
+
   test("registry seeded with two reps of one neighborhood collapses to one") {
     val reg = tmp("graft_rec_reg2"); val vd = tmp("graft_rec_vd2")
     // seedRegistry registers every doc as its own representative — an
