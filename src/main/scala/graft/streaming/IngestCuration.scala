@@ -493,7 +493,13 @@ object IngestCuration {
             graft.queue.Maintenance.compactParquet(batch.sparkSession,
               reg, partitionCols = Seq("band", "bucket"))
           }
-          quotaRegistryDir.foreach { reg =>
+          // the mix accounting registry appends per batch exactly like the
+          // quota's (same sbucket layout via CorpusStats) — leaving it out
+          // of the cadence re-creates the file-per-batch probe-time growth
+          // SCALE.md's file_growth regime measures; its derived rollup
+          // needs no compaction (the per-batch rename-aside swap keeps it
+          // one generation)
+          (quotaRegistryDir.toSeq ++ mixRegistryDir.toSeq).foreach { reg =>
             graft.queue.Maintenance.compactParquet(batch.sparkSession,
               reg, partitionCols = Seq("sbucket"))
           }

@@ -192,6 +192,43 @@ class IngestCurationSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("gate cadence compacts the mix registry too; accounting survives the rewrite") {
+    val reg = tmp("graft_icur_mc")
+    val mix = tmp("graft_icur_mcm") + "/m"
+    val out = tmp("graft_icur_mco") + "/v"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = IngestCuration.gate(ms.toDF().toDF("doc_id", "text", "source"),
+        reg, out, mixRegistryDir = Some(mix),
+        mixTargetPpm = Map("en" -> 1000000L), compactEvery = 1)
+      .option("checkpointLocation", tmp("graft_icur_mck")).start()
+    try {
+      ms.addData((1L, good, "s0"), (2L, good2, "s0")); q.processAllAvailable()
+      ms.addData((3L, good3, "s0")); q.processAllAvailable()
+      ms.addData((4L, good4, "s0")); q.processAllAvailable()
+      // one source → ONE sbucket partition: three registering batches
+      // would leave ≥3 files without the cadence; each tick rewrites the
+      // partition to one file, so the probe-time file growth SCALE.md's
+      // file_growth regime measures cannot accrue here
+      def parquetFiles(dir: String): Int = {
+        val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        var n = 0
+        while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      }
+      assert(parquetFiles(mix) == 1, s"mix registry not compacted: ${parquetFiles(mix)} files")
+      // the accounting survived three rewrites: every kept doc once, in
+      // the doc-grained rows AND the derived rollup, and the last batch
+      // (evaluated against a compacted registry) still admitted
+      assert(CorpusStats.readRegistry(spark, mix).count() == 4)
+      val rollup = CorpusStats.readRollup(spark, mix)
+        .select($"n_docs").as[Long].collect().sum
+      assert(rollup == 4L, s"rollup out of sync after compaction: $rollup")
+      val kept = spark.read.parquet(out).filter($"keep")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   // ── per-domain quota gate (composed last, survivors-only) ──
 
   private val good2 = "a calm sea and the bright sun of morning waves and light"
