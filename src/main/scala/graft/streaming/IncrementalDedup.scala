@@ -188,10 +188,18 @@ object IncrementalDedup {
     * grows with FILE count even while it stays flat in registry ROWS
     * (SCALE.md measures both). Every N batches the registry rewrites to one
     * file per (band, bucket) partition via the crash-safe rename-aside swap;
-    * single-writer, same as the probe/append cycle it interleaves with. */
+    * single-writer, same as the probe/append cycle it interleaves with.
+    *
+    * `reconcileEvery` schedules [[reconcile]] the same way — dup chains and
+    * sibling representatives accumulated across micro-batches canonicalize
+    * in place every N batches, so a long-running gate's verdict pointers
+    * stay canonical without out-of-band orchestration. Runs after the
+    * batch's own append (and after a same-tick compaction), in the same
+    * single-writer slot. */
   def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
            bands: Int = 4, idCol: String = "doc_id",
-           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+           compactEvery: Int = 0,
+           reconcileEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, registryDir, bands, idCol)
@@ -199,6 +207,10 @@ object IncrementalDedup {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.queue.Maintenance.compactParquet(batch.sparkSession,
             registryDir, partitionCols = Seq("band", "bucket"))
+          ()
+        }
+        if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
+          reconcile(batch.sparkSession, registryDir, verdictDir, idCol)
           ()
         }
     }
@@ -220,7 +232,13 @@ object IncrementalDedup {
     *   1. edge set = verdict links (`dup_of`) ∪ registry bucket collisions
     *      between DIFFERENT representatives (per (band, minhash) group:
     *      each extra rep links to the group's min rep — one edge per row,
-    *      never a quadratic pair blowup even in a mega bucket);
+    *      never a quadratic pair blowup even in a mega bucket). A bucket
+    *      collision is exactly this operator's OWN dup semantic — any doc
+    *      arriving over two colliding sibling reps is flagged against one
+    *      of them already — so collapsing the siblings changes no future
+    *      verdict's is_dup, only which representative it names (the
+    *      exact-rescoring twin is [[IncrementalVecDedup]], whose registry
+    *      this reconcile deliberately does not touch);
     *   2. [[Dedup.clusterPairs]] resolves the chains distributed
     *      (the q65/q88 star-contraction operator);
     *   3. each cluster's canonical representative = its smallest KEPT
@@ -293,7 +311,9 @@ object IncrementalDedup {
         coalesce(col("canon_rep"), col("rep_doc_id")).as("new_rep"),
         col("rep_doc_id"))
     val nRegRows = newRegistry.filter(col("new_rep") =!= col("rep_doc_id")).count()
-    val nDocs = nodes.count()
+    // mapping is persisted and carries exactly one row per node — count it
+    // instead of re-reading + re-unioning the verdict dir and registry
+    val nDocs = mapping.count()
     val nClusters = mapping.select(col("canon_rep")).distinct().count()
 
     if (nLinks > 0) {
@@ -308,9 +328,14 @@ object IncrementalDedup {
     }
     if (nRegRows > 0) {
       val tmp = registryDir.stripSuffix("/") + ".reconciling"
+      // distinct: collapsed sibling reps leave byte-identical rows per
+      // (band, minhash) — without it the duplicates would persist forever
+      // (the idempotent second run rewrites nothing) and inflate exactly
+      // the probe I/O the pruned registry bounds
       newRegistry
         .select(col("band"), col("bucket"), col("minhash"),
           col("new_rep").as("rep_doc_id"))
+        .distinct()
         .write.mode(SaveMode.Overwrite)
         .partitionBy("band", "bucket").parquet(tmp)
       graft.queue.Maintenance.replaceDir(tmp, registryDir)

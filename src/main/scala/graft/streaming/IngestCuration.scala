@@ -489,20 +489,28 @@ object IngestCuration {
           mixRegistryDir, mixTargetPpm, benchShingles, maxOverlapFrac)
           .write.mode(SaveMode.Append).parquet(verdictDir)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          (registryDir +: vecRegistryDir.toSeq).foreach { reg =>
-            graft.queue.Maintenance.compactParquet(batch.sparkSession,
-              reg, partitionCols = Seq("band", "bucket"))
-          }
+          // every compaction is guarded on the registry actually holding
+          // data: a configured-but-never-written dir (vec registry before
+          // the first embedded batch, mix/quota before the first admitted
+          // doc) must not abort the stream with a read-of-nothing error
+          (registryDir +: vecRegistryDir.toSeq)
+            .filter(RegistryIO.hasData(_, Some("band=")))
+            .foreach { reg =>
+              graft.queue.Maintenance.compactParquet(batch.sparkSession,
+                reg, partitionCols = Seq("band", "bucket"))
+            }
           // the mix accounting registry appends per batch exactly like the
           // quota's (same sbucket layout via CorpusStats) — leaving it out
           // of the cadence re-creates the file-per-batch probe-time growth
           // SCALE.md's file_growth regime measures; its derived rollup
           // needs no compaction (the per-batch rename-aside swap keeps it
           // one generation)
-          (quotaRegistryDir.toSeq ++ mixRegistryDir.toSeq).foreach { reg =>
-            graft.queue.Maintenance.compactParquet(batch.sparkSession,
-              reg, partitionCols = Seq("sbucket"))
-          }
+          (quotaRegistryDir.toSeq ++ mixRegistryDir.toSeq)
+            .filter(RegistryIO.hasData(_, Some("sbucket=")))
+            .foreach { reg =>
+              graft.queue.Maintenance.compactParquet(batch.sparkSession,
+                reg, partitionCols = Seq("sbucket"))
+            }
           ()
         }
     }

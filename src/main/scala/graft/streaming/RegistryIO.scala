@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.StructType
   * discovery), returning an empty relation of that schema when nothing
   * has been written yet — "no state" is a normal first-run condition for
   * every consumer here, never an error. */
-private[streaming] object RegistryIO {
+private[graft] object RegistryIO {
 
   /** Whether `dir` holds committed data. `partitionPrefix =
     * Some("sbucket=")` probes for hive partition dirs; `None` probes for

@@ -638,7 +638,51 @@ object ScaleBench {
       (cadence, first, last, files())
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, cRows, ccOrganic, vRows, kRows, ivfRows, dRows, fRows)
+    // Reconcile cost vs registry size: chain canonicalization is a
+    // PERIODIC O(corpus) batch job (registry group-agg + star contraction
+    // over KB-scale edges + two id-keyed shuffle joins), not per-batch
+    // work — the claim to evidence is that its wall time scales ~linearly
+    // in the registry and that it actually finds and rewrites the chains
+    // the per-batch verdicts leave behind.
+    val rcRows = Seq(1, 10).map { k =>
+      import spark.implicits._
+      dropDeadBlocks()
+      val regDir = s"$root/registry-rec-x$k"
+      val vd = s"$root/verdicts-rec-x$k"
+      Seq(regDir, vd).foreach(d => graft.queue.Maintenance.deleteRec(Paths.get(d)))
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+      graft.streaming.IncrementalDedup.seedRegistry(docs, regDir)
+      // 10 fresh ingest batches grow the verdict relation (the cost side)...
+      (0 until 10).foreach { b =>
+        val batch = spark.range(25).map { i =>
+          val id = 98000000L + b * 25L + i
+          (id, (1 to 8).map(w => s"tok${id}w$w").mkString(" "))
+        }.toDF("doc_id", "text")
+        graft.streaming.IncrementalDedup.processBatch(batch, regDir)
+          .write.mode(SaveMode.Append).parquet(vd)
+      }
+      // ...and one batch manufactures REAL chains: two ids per corpus text,
+      // both BELOW the registry rep's id, so the larger of the pair charges
+      // to its intra-batch partner (the smaller id wins `least`) while the
+      // partner charges to the corpus rep — exactly the B~A~R shape the
+      // per-batch verdict leaves non-canonical (ids out of arrival order:
+      // the multi-source / id-recycling ingest case)
+      val seedTexts = docs.select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(12)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val chainBatch = seedTexts.zipWithIndex.flatMap { case ((_, t), i) =>
+        Seq((-(2L * i + 2), t), (-(2L * i + 1), t))
+      }.toSeq.toDF("doc_id", "text")
+      graft.streaming.IncrementalDedup.processBatch(chainBatch, regDir)
+        .write.mode(SaveMode.Append).parquet(vd)
+      val t0 = System.nanoTime()
+      val st = graft.streaming.IncrementalDedup.reconcile(spark, regDir, vd)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"kind":"reconcile","scale":$k,"nodes":${st.nDocs},"clusters":${st.nClusters},"links_canonicalized":${st.nVerdictLinksCanonicalized},"registry_rows_remapped":${st.nRegistryRowsRemapped},"sec":$sec%.3f}""")
+      (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
+    }
+
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, cRows, ccOrganic, vRows, kRows, ivfRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -741,7 +785,8 @@ object ScaleBench {
                       kRows: Seq[(Int, Double, Double, Double)],
                       ivfRows: Seq[(Int, Double, Double)],
                       dRows: Seq[(Int, Double)],
-                      fRows: Seq[(Int, Double, Double, Int)]): Unit = {
+                      fRows: Seq[(Int, Double, Double, Int)],
+                      rcRows: Seq[(Int, Long, Long, Double)]): Unit = {
     val sb = new StringBuilder
     sb ++= "## Scale slopes (measured)\n\n"
     sb ++= "Generated by `graft.tools.ScaleBench` on synthetic 1x/3x/10x corpora\n"
@@ -997,6 +1042,19 @@ object ScaleBench {
     sb ++= "1 s trigger) while the cadence column and its file count stay\n"
     sb ++= "bounded. Size N so the amortized compaction (O(registry)/N) stays\n"
     sb ++= "under the per-batch probe saving — the table is the sizing evidence.\n"
+    sb ++= "\n| reconcile (chain canonicalization) | nodes | links canonicalized | sec |\n|---|---|---|---|\n"
+    rcRows.foreach { case (k, nodes, links, s) =>
+      sb ++= f"| vs ${k}x-corpus registry | $nodes | $links | $s%.2f s |\n"
+    }
+    sb ++= "\n`IncrementalDedup.reconcile` is a PERIODIC batch job (run it like\n"
+    sb ++= "compaction — `gate(reconcileEvery)` schedules it in-stream), not\n"
+    sb ++= "per-batch work: one grouped aggregate over the registry, star\n"
+    sb ++= "contraction over KB-scale edges, two id-keyed shuffle joins —\n"
+    sb ++= "O(corpus) per run, amortized over the cadence. The links column\n"
+    sb ++= "counts real manufactured B~A~R chains (out-of-order ids dup'ing\n"
+    sb ++= "corpus texts) found and repointed; wall time should scale\n"
+    sb ++= "~linearly with the registry, and nothing corpus-derived is ever\n"
+    sb ++= "broadcast or pulled to the driver beyond the returned counts.\n"
     Files.write(Paths.get(out),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -77,6 +77,12 @@ class VariantStoreSpec extends AnyFunSuite with SparkTestSession {
       VariantEventStore.propsAgg(VariantEventStore.read(spark, batchOut))
         .collect().map(_.toSeq).toSeq)
 
+    // at-least-once REPLAY: re-running a batch id rewrites its own
+    // ingest_batch partition (dynamic overwrite) — events never double
+    VariantEventStore.appendBatch(rows.take(2).toDF(), out, "props", 0L)
+    assert(VariantEventStore.read(spark, out).count() == 3,
+      "a replayed batch must rewrite its partition, not append a copy")
+
     // a drifted batch (extra column) against the SAME layout must abort
     // the query — and append NOTHING
     val ms2 = MemoryStream[EvX]

@@ -47,6 +47,24 @@ class ReconcileSpec extends AnyFunSuite with SparkTestSession {
       st2.nRegistryRowsRemapped == 0, st2)
   }
 
+  test("gate(reconcileEvery): chains canonicalize in-stream on the cadence") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reg = tmp("graft_rec_greg"); val vd = tmp("graft_rec_gvd") + "/v"
+    val ms = MemoryStream[Doc]
+    val q = IncrementalDedup.gate(ms.toDF(), reg, vd, reconcileEvery = 2)
+      .option("checkpointLocation", tmp("graft_rec_gck")).start()
+    try {
+      ms.addData(Doc(100L, base))
+      q.processAllAvailable() // batch 0: no reconcile tick yet
+      ms.addData(Doc(50L, base), Doc(60L, base))
+      q.processAllAvailable() // batch 1: tick — the 60 -> 50 -> 100 chain
+      val v = verdicts(vd)    // must already be canonical on disk
+      assert(v == Map(100L -> (false, None),
+        50L -> (true, Some(100L)), 60L -> (true, Some(100L))), v)
+    } finally q.stop()
+  }
+
   test("richer verdict dirs keep every audit column through the rewrite") {
     import org.apache.spark.sql.functions.{col, lit}
     val reg = tmp("graft_rec_reg3"); val vd = tmp("graft_rec_vd3")
