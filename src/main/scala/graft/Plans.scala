@@ -195,7 +195,32 @@ object Plans {
         "over-threshold-only broadcast, h16 prefilter, per-source running " +
         "sum over O(budget/avg-doc) survivor rows — and at ingest the cost " +
         "column pre-materializes (IngestCuration audit column) so repeat " +
-        "cap runs are text-free 4-column scans (TokenCostLayoutSpec)."))
+        "cap runs are text-free 4-column scans (TokenCostLayoutSpec)."),
+    "q107_epoch_shard" ->
+      ("Deterministic epoch shuffle into training shards: one DATA " +
+        "exchange hash-partitions by shard (the second exchange is only " +
+        "the battery's presentation sort) and the ranking window " +
+        "partitions BY SHARD, so no task ever sorts more than one shard " +
+        "— nshards is the scale knob (thousands at 100 TB keeps each " +
+        "in-task sort at shard-file size), and only (id, source, 32-char " +
+        "key) rows enter the shuffle, never text payloads."),
+    "q108_keep_best_rep" ->
+      ("Quality-based cluster representative selection: one partial+final " +
+        "max-struct aggregate per cluster over the shared cluster stage — " +
+        "no window, no per-cluster sort, so a pathological mega-cluster " +
+        "costs its row count in constant-size aggregate buffers, never an " +
+        "in-task materialization."),
+    "q109_mix_schedule" ->
+      ("Interleaved mixing schedule: per-source counts broadcast back; the " +
+        "h16 prefilter keeps only rows that can reach the emitted prefix " +
+        "(a PREFIX of the md5 rank order, so survivor ranks are global " +
+        "ranks) before the by-source ranking window; the emitted slots " +
+        "plan as TakeOrderedAndProject, never a full global sort."),
+    "q110_upsample_shard" ->
+      ("Deterministic upsampling with per-copy shard scatter: a pure " +
+        "per-row explode + projection — no join, no window, no shuffle " +
+        "before the presentation sort; each repeat salts the epoch-shard " +
+        "hash individually so copies scatter like unrelated documents."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

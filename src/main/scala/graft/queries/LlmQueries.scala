@@ -239,6 +239,38 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"lang")
   }
 
+  /** q108: duplicate-cluster representative selection by QUALITY — a
+    * production dedup keeps the most informative copy of each near-dup
+    * cluster, not an arbitrary one (dup copies differ by truncation,
+    * boilerplate contamination, encoding damage). Criterion here: most
+    * distinct whitespace tokens — an integer, so both engines agree
+    * exactly — with the smaller doc_id on ties; emitted per cluster
+    * BESIDE the min-id label so downstream joins can migrate from q65's
+    * structural rep to the quality rep.
+    *
+    * Scale shape: one max-struct aggregate per cluster over the shared
+    * cluster stage — map-side combined, no window, no per-cluster sort; a
+    * cluster is never materialized in one task beyond its constant-size
+    * aggregate buffer, so a pathological mega-cluster costs its row count,
+    * not a sort. Struct ordering is lexicographic by field, so
+    * max(struct(n_distinct, -doc_id)) IS (max n_distinct, then min
+    * doc_id) in a single buffer. */
+  def keepBestRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(array_distinct(TextAnalysis.tokens($"text"))).as("n_distinct"))
+    SharedStages.dupClusters(s, dir)
+      .join(docs, "doc_id")
+      .groupBy($"cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_distinct", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"cluster_rep", $"n_members",
+        $"best.n_distinct".as("best_n_distinct"),
+        (-$"best.neg_id").as("best_doc"))
+      .orderBy($"cluster_rep")
+  }
+
   /** q102: contrastive-pair mining — the dedup pipeline's most expensive
     * intermediate (the LSH candidate join + exact rescore) feeding a second
     * product: training pairs for a contrastive embedding model. Pairs at
@@ -493,7 +525,8 @@ object LlmQueries extends graft.QueryModule {
     "q102_contrastive_pairs" -> contrastivePairs,
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
-    "q80_token_rarity" -> tokenRarity)
+    "q80_token_rarity" -> tokenRarity,
+    "q108_keep_best_rep" -> keepBestRep)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -1026,5 +1059,32 @@ object LlmQueries extends graft.QueryModule {
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | md5(text) AS payload_md5
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q108_keep_best_rep" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d AS doc, r.label FROM reach r JOIN edges e ON e.s = r.doc
+        |), clus AS (
+        |  SELECT doc AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |  FROM documents
+        |), r AS (
+        |  SELECT c.cluster_rep, c.doc_id, q.n_distinct,
+        |    row_number() OVER (PARTITION BY c.cluster_rep
+        |      ORDER BY q.n_distinct DESC, c.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+        |  FROM clus c JOIN q USING (doc_id))
+        |SELECT cluster_rep, n_members, n_distinct AS best_n_distinct,
+        |  doc_id AS best_doc
+        |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin))
 }

@@ -576,6 +576,135 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic epoch shuffle + shard assignment (q107) — the dataset-
+    * build step that turns a curated corpus into numbered training shards
+    * for one epoch. Everything derives from md5("epoch<E>:" + doc_id):
+    * the shard (first 16 hash bits mod nshards) and the within-shard
+    * order (the full hash string, doc_id tiebreak), so any engine — and
+    * any rerun, at any input partitioning — produces byte-identical
+    * shards: the [[graft.operators.Sampling]] no-RNG discipline applied
+    * to ORDERING, not just selection. A new epoch is a new salt, i.e. an
+    * independent permutation, with zero state carried between epochs.
+    *
+    * Scale shape: ONE shuffle (hash partition on shard), and the ranking
+    * window partitions BY SHARD, so no task ever sorts more than one
+    * shard. nshards is the scale knob — size it to the target shard file
+    * (corpus_bytes / ~1 GiB, i.e. thousands of shards at 100 TB) and each
+    * window partition is one bounded shard by construction; only ids and
+    * the 32-char key enter the shuffle (the shard writer re-joins text
+    * payloads by doc_id), so the sort is narrow however wide the rows. */
+  def epochShard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = 3
+    val nshards = 8
+    val salted = concat(lit(s"epoch$epoch:"), $"doc_id".cast("string"))
+    val w = Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        pmod(Sampling.hash16(salted), lit(nshards)).as("shard"),
+        md5(salted).as("shuffle_key"))
+      .withColumn("shard_pos", row_number().over(w))
+      .select($"doc_id", $"source", $"shard", $"shard_pos")
+      .orderBy($"shard", $"shard_pos")
+  }
+
+  /** Deterministic upsampling with per-copy shard scatter (q110) — the
+    * complement of the downsampling knobs (q56 stratified, q95
+    * temperature, q109 interleave): a training mix REPEATS scarce
+    * high-value sources (the classic multi-epoch-for-rare-data move),
+    * and each repeat must behave as an independent schedule item, not a
+    * back-to-back duplicate. Each source's repeat factor explodes a doc
+    * into copies 1..r, and each copy is salted INDIVIDUALLY into the
+    * epoch-shard hash ("epoch<E>:<id>#<copy>"), so the copies of one
+    * document scatter across shards/positions exactly like unrelated
+    * documents — no RNG, any engine replays it.
+    *
+    * Scale shape: a pure per-row explode + projection — no join, no
+    * window, no shuffle before the presentation sort (q56's shape); the
+    * blow-up factor is the mix's own repeat budget, applied BEFORE any
+    * wide payload is attached (ids only; the shard writer joins text
+    * back by doc_id). */
+  def upsampleShard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = 3
+    val nshards = 8
+    val repeats = Map("src1" -> 2, "src2" -> 4) // scarce sources repeat
+    val rep = repeats.foldLeft(lit(1)) { case (acc, (k, v)) =>
+      when($"source" === k, lit(v)).otherwise(acc)
+    }
+    val salted = concat(lit(s"epoch$epoch:"), $"doc_id".cast("string"),
+      lit("#"), $"copy".cast("string"))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(sequence(lit(1), rep)).as("copy"))
+      .select($"doc_id", $"source", $"copy",
+        pmod(Sampling.hash16(salted), lit(nshards)).as("shard"))
+      .orderBy($"doc_id", $"copy")
+  }
+
+  /** Deterministic interleaved mixing schedule (q109) — turns per-source
+    * mix rates into one total training ORDER: q67/q95/q98 decide how MUCH
+    * of each source, this decides WHEN each document appears, so a
+    * training run consumes sources at the target rates from step one
+    * instead of in per-file clumps. Each source's documents are ranked in
+    * content-hash order (src_pos), and a source with integer rate r
+    * occupies every r-th schedule slot: sched_key = src_pos · r —
+    * all-integer, so the interleave is bit-identical in any engine. The
+    * battery emits the first 500 slots (global sort + limit plans as
+    * TakeOrdered; materializing ALL slots at scale is the same sort,
+    * range-partitioned).
+    *
+    * Same two-phase cap-the-window shape as [[domainCap]], in slot space:
+    * the 500th schedule key is at worst 500·8 = 4000 (all emitted slots
+    * from a sparsest rate-8 source), so a document can reach the emitted
+    * prefix only at src_pos ≤ 4000/r. Phase 1 broadcasts per-source
+    * counts; phase 2 keeps h16 < 1.5·(4000/r)/n — a PREFIX of the rank
+    * order, because h16 is the first 16 bits of the SAME md5 the ranking
+    * sorts by, so survivor ranks ARE global ranks and the window input is
+    * O(sources · 4000/r) at any corpus size. The 1.5 safety factor is
+    * part of the operator definition (both engines replay it), generous
+    * for need ≥ 500 by the same binomial bound as domainCap's cap ≥ 20.
+    * The post-window sched_key ≤ 4000 guard re-states the bound and keeps
+    * the TakeOrdered input to O(emitted) rows; it can never shorten the
+    * result below what the limit alone would keep (every source
+    * contributes min(n, 4000/r) ≥ min(n, 500) keys under the guard). */
+  def mixSchedule(s: SparkSession, dir: String): DataFrame =
+    mixScheduleOf(Tables.documents(s, dir), take = 500)
+
+  /** [[mixSchedule]]'s core over any (doc_id, source) relation — package-
+    * private so the spec can drive it with a corpus large enough that the
+    * h16 prefilter actually THINS (the battery corpora are uniform and
+    * below the keep-all threshold at every SF) and pin it row-identical
+    * to the unfiltered brute force. `prefilter = false` IS that brute
+    * force: same ranking, same guard, no h16 cut. */
+  private[queries] def mixScheduleOf(docsIn: DataFrame, take: Int,
+                                     prefilter: Boolean = true): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val rates = Map("src0" -> 1, "src1" -> 2, "src2" -> 4) // 1 = every slot
+    val defaultRate = 8
+    val maxKey = take * defaultRate
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when($"source" === k, lit(v)).otherwise(acc)
+    }
+    val salted = concat(lit("mix:"), $"doc_id".cast("string"))
+    val docs = docsIn
+      .select($"doc_id", $"source", rate.as("rate"),
+        Sampling.hash16(salted).as("h16"), md5(salted).as("rank_key"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_in_source"))
+    val pre =
+      if (!prefilter) docs
+      else docs.join(broadcast(counts), "source")
+        .filter($"h16" <
+          least(lit(1.0), lit(1.5) * (lit(maxKey.toDouble) / $"rate") /
+            $"n_in_source".cast("double")) * 65536.0)
+    val w = Window.partitionBy($"source").orderBy($"rank_key", $"doc_id")
+    pre.withColumn("src_pos", row_number().over(w))
+      .withColumn("sched_key", ($"src_pos" * $"rate").cast("bigint"))
+      .filter($"sched_key" <= maxKey)
+      .select($"doc_id", $"source", $"src_pos", $"sched_key")
+      .orderBy($"sched_key", $"doc_id")
+      .limit(take)
+  }
+
 
   /** Corpus mix report (q98) — the dataset-card capstone over the curation
     * battery: document counts and character mass per language, per source,
@@ -698,7 +827,10 @@ object TrainingDataQueries extends graft.QueryModule {
     "q85_curation_semantic" -> curationSemantic,
     "q79_dataset_split" -> datasetSplit,
     "q81_chunking" -> chunking,
-    "q82_boilerplate_chunks" -> boilerplateChunks)
+    "q82_boilerplate_chunks" -> boilerplateChunks,
+    "q107_epoch_shard" -> epochShard,
+    "q109_mix_schedule" -> mixSchedule,
+    "q110_upsample_shard" -> upsampleShard)
 
   /** h16 of an arbitrary SQL expression — the first 16 bits of its md5,
     * spelled via instr so the oracle needs no hex-conversion builtin. */
@@ -1085,5 +1217,47 @@ object TrainingDataQueries extends graft.QueryModule {
         |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences, min(doc_id) AS first_doc
         |FROM s GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY n_docs DESC, chunk_md5""".stripMargin)
+        |ORDER BY n_docs DESC, chunk_md5""".stripMargin,
+    "q107_epoch_shard" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    CAST(${h16Of("'epoch3:' || CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+         |    md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, source, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS shard_pos
+         |FROM h ORDER BY shard, shard_pos""".stripMargin,
+    "q109_mix_schedule" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+         |                WHEN 'src2' THEN 4 ELSE 8 END AS rate,
+         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rank_key,
+         |    CAST(${h16Of("'mix:' || CAST(doc_id AS VARCHAR)")} AS INTEGER) AS h16
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+         |pre AS (
+         |  SELECT h.* FROM h JOIN c USING (source)
+         |  WHERE h.h16 < least(1.0, 1.5 * (4000.0 / h.rate)
+         |                             / CAST(c.n AS DOUBLE)) * 65536.0),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY rank_key, doc_id) AS src_pos
+         |  FROM pre)
+         |SELECT doc_id, source, CAST(src_pos AS INTEGER) AS src_pos,
+         |  CAST(src_pos * rate AS BIGINT) AS sched_key
+         |FROM r WHERE src_pos * rate <= 4000
+         |ORDER BY sched_key, doc_id LIMIT 500""".stripMargin,
+    "q110_upsample_shard" ->
+      s"""WITH rep AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 4 ELSE 1 END AS r
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, CAST(unnest(range(1, r + 1)) AS INTEGER) AS copy
+         |  FROM rep)
+         |SELECT doc_id, source, copy,
+         |  CAST(${h16Of("'epoch3:' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")} % 8 AS INTEGER) AS shard
+         |FROM c ORDER BY doc_id, copy""".stripMargin)
 }

@@ -238,4 +238,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // the recurring-fingerprint aggregation map-side combines
     assert(p.contains("partial_count"), p)
   }
+
+  test("q107: the ranking window partitions BY SHARD — no task sorts more than one shard") {
+    val p = plan("q107_epoch_shard")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q108: per-cluster argmax is one partial+final aggregate — no window, no cartesian") {
+    val p = plan("q108_keep_best_rep")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q109: counts broadcast, window partitions by source, prefix plans as TakeOrdered") {
+    val p = plan("q109_mix_schedule")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q110: upsampling is a pure explode + projection — no join, no window, one exchange") {
+    val p = plan("q110_upsample_shard")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the only exchange is the presentation sort's range partitioning
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+  }
 }
