@@ -220,7 +220,15 @@ object Plans {
       ("Deterministic upsampling with per-copy shard scatter: a pure " +
         "per-row explode + projection — no join, no window, no shuffle " +
         "before the presentation sort; each repeat salts the epoch-shard " +
-        "hash individually so copies scatter like unrelated documents."))
+        "hash individually so copies scatter like unrelated documents."),
+    "q111_shard_manifest" ->
+      ("Shard-store round-trip manifest: the persisted epoch shards are " +
+        "scanned with ReadSchema pruned to (shard_pos, n_chars) plus the " +
+        "shard partition column — text never leaves the store for a " +
+        "manifest read — and the per-shard counts/position-checksums are " +
+        "one partial+final aggregate; the DuckDB oracle recomputes the " +
+        "manifest from the raw corpus, gating the whole assignment→" +
+        "shuffle→sorted-write→partition-discovery-read chain."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

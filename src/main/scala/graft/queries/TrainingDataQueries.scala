@@ -595,6 +595,15 @@ object TrainingDataQueries extends graft.QueryModule {
     * payloads by doc_id), so the sort is narrow however wide the rows. */
   def epochShard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    epochAssignment(s, dir).orderBy($"shard", $"shard_pos")
+  }
+
+  /** [[epochShard]] minus the battery's presentation sort — the shape
+    * [[graft.sources.ShardWriter]] consumes (its shard-clustering
+    * repartition would discard a global order anyway, so feeding it the
+    * sorted battery frame would pay a dead range exchange). */
+  private[graft] def epochAssignment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val epoch = 3
     val nshards = 8
     val salted = concat(lit(s"epoch$epoch:"), $"doc_id".cast("string"))
@@ -605,7 +614,37 @@ object TrainingDataQueries extends graft.QueryModule {
         md5(salted).as("shuffle_key"))
       .withColumn("shard_pos", row_number().over(w))
       .select($"doc_id", $"source", $"shard", $"shard_pos")
-      .orderBy($"shard", $"shard_pos")
+  }
+
+  /** Shard-store manifest (q111) — the write→read gate over
+    * [[graft.sources.ShardWriter]]: persist q107's epoch shards once
+    * (write-once per JVM, q106's layout pattern), read the store back
+    * through partition discovery, and emit the per-shard manifest a
+    * training launcher checks before a run: document count, position
+    * checksums (count == max AND sum == n(n+1)/2 ⇔ positions are exactly
+    * 1..n), and the surviving n_chars payload mass. The DuckDB oracle
+    * recomputes everything from the RAW corpus, so a bug anywhere in the
+    * assignment→join→shuffle→sorted-write→partition-read chain hash-fails
+    * here; the in-file ROW order (not SQL-observable) is pinned by
+    * ShardWriterSpec instead.
+    *
+    * Scale shape: the manifest scan reads (shard_pos, n_chars) plus the
+    * shard partition column only — text never leaves the store
+    * (PlanQualitySpec pins the pruned ReadSchema) — and aggregates
+    * partial+final per shard. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.ShardWriter.layoutFor(s, dir,
+      Tables.documents(s, dir), epochAssignment(s, dir), nshards = 8)
+    graft.sources.ShardWriter.read(s, store)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"shard_pos").as("max_pos"),
+        sum($"shard_pos").cast("long").as("pos_sum"),
+        sum($"n_chars").cast("long").as("chars"))
+      .select($"shard".cast("int").as("shard"), $"n_docs", $"max_pos",
+        $"pos_sum", $"chars")
+      .orderBy($"shard")
   }
 
   /** Deterministic upsampling with per-copy shard scatter (q110) — the
@@ -830,7 +869,8 @@ object TrainingDataQueries extends graft.QueryModule {
     "q82_boilerplate_chunks" -> boilerplateChunks,
     "q107_epoch_shard" -> epochShard,
     "q109_mix_schedule" -> mixSchedule,
-    "q110_upsample_shard" -> upsampleShard)
+    "q110_upsample_shard" -> upsampleShard,
+    "q111_shard_manifest" -> shardManifest)
 
   /** h16 of an arbitrary SQL expression — the first 16 bits of its md5,
     * spelled via instr so the oracle needs no hex-conversion builtin. */
@@ -1259,5 +1299,22 @@ object TrainingDataQueries extends graft.QueryModule {
          |  FROM rep)
          |SELECT doc_id, source, copy,
          |  CAST(${h16Of("'epoch3:' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")} % 8 AS INTEGER) AS shard
-         |FROM c ORDER BY doc_id, copy""".stripMargin)
+         |FROM c ORDER BY doc_id, copy""".stripMargin,
+    // q111 reads the PERSISTED shard store; the oracle recomputes the
+    // manifest from the raw corpus, gating the write→read chain end-to-end
+    "q111_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${h16Of("'epoch3:' || CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+         |    md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT shard, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY shuffle_key, doc_id) AS INTEGER) AS shard_pos
+         |  FROM h)
+         |SELECT shard, count(*) AS n_docs, max(shard_pos) AS max_pos,
+         |  CAST(sum(shard_pos) AS BIGINT) AS pos_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin)
 }

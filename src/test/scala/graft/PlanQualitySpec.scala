@@ -265,4 +265,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // the only exchange is the presentation sort's range partitioning
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
+
+  test("q111: the manifest scans the shard store without text; partial+final agg") {
+    val p = plan("q111_shard_manifest")
+    // the scan's ReadSchema must be pruned to (shard_pos, n_chars) — the
+    // wide text payload never leaves the store for a manifest read
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("text")), p)
+    assert(p.contains("graft-shard-store"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
