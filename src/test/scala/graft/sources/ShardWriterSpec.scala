@@ -44,6 +44,17 @@ class ShardWriterSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a per-shard read prunes to one partition directory") {
+    val one = ShardWriter.read(spark, out)
+      .filter(org.apache.spark.sql.functions.col("shard") === 3)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(shard"), p)
+    assert(p.contains("= 3)"), p)
+    // and the pruned read returns exactly that shard's schedule
+    val pos = one.collect().map(_.getAs[Int]("shard_pos")).sorted.toSeq
+    assert(pos == (1 to pos.length), "pruned shard must still be complete")
+  }
+
   test("round trip: exactly-once coverage, payload columns intact") {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val docs = graft.Tables.documents(spark, dir).select(cols.head, cols.tail: _*)
