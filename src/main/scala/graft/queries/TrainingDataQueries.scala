@@ -635,7 +635,8 @@ object TrainingDataQueries extends graft.QueryModule {
   def shardManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = graft.sources.ShardWriter.layoutFor(s, dir,
-      Tables.documents(s, dir), epochAssignment(s, dir), nshards = 8)
+      Tables.documents(s, dir), epochAssignment(s, dir), nshards = 8,
+      assignmentId = "epoch3")
     graft.sources.ShardWriter.read(s, store)
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"),

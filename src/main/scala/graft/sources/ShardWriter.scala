@@ -56,16 +56,28 @@ object ShardWriter {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Battery-entry helper ([[VariantEventStore.layoutFor]]'s twin):
-    * materialize the shard store for `sfDir` once per (session, SF) and
-    * return its path — q111 runs three bench passes over one write. */
+    * materialize the shard store for (`sfDir`, `assignmentId`, `nshards`)
+    * once per session and return its path — q111 runs three bench passes
+    * over one write. `assignmentId` names the assignment that produced
+    * `assignment` (e.g. its epoch/salt, "epoch3"); it and `nshards` are
+    * part of BOTH the memo key and the on-disk dir name, so a second
+    * caller in the same JVM with a different epoch or shard count gets
+    * its own store instead of silently reusing this one. The memo records
+    * a write only AFTER it succeeds, so a failed first write is retried.
+    * Single-threaded callers only (Verify/Bench run the battery
+    * sequentially); a racing second session sharing the fixed /tmp root
+    * could read a half-written dir. */
   def layoutFor(spark: SparkSession, sfDir: String, payload: DataFrame,
-                assignment: DataFrame, nshards: Int): String = {
+                assignment: DataFrame, nshards: Int,
+                assignmentId: String): String = {
+    val keyStr = s"$sfDir|$assignmentId|$nshards"
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
     val dir = "/tmp/graft-shard-store/" + digest + "_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val key = (spark, sfDir)
+      (s"${assignmentId}_s${nshards}_" + sfDir)
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (spark, keyStr)
     if (!layoutMemo.contains(key)) {
       writeEpoch(payload, assignment, dir, nshards)
       layoutMemo.add(key)

@@ -316,18 +316,22 @@ object IncrementalDedup {
     val nDocs = mapping.count()
     val nClusters = mapping.select(col("canon_rep")).distinct().count()
 
+    // Both rewrites' lineage reaches BOTH live dirs through `mapping`
+    // (persist() caches it, but an evicted partition recomputes through
+    // the original scans), so every tmp write happens before EITHER dir
+    // is replaced — otherwise a registry-write recompute could re-read an
+    // already-swapped verdict dir and die with FileNotFoundException.
+    val verdictTmp = verdictDir.stripSuffix("/") + ".reconciling"
+    val registryTmp = registryDir.stripSuffix("/") + ".reconciling"
     if (nLinks > 0) {
-      val tmp = verdictDir.stripSuffix("/") + ".reconciling"
       val outCols = allVerdicts.columns.map {
         case "dup_of" => col("new_dup_of").as("dup_of")
         case c => col(c)
       }
       newVerdicts.select(outCols.toSeq: _*)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      graft.queue.Maintenance.replaceDir(tmp, verdictDir)
+        .write.mode(SaveMode.Overwrite).parquet(verdictTmp)
     }
     if (nRegRows > 0) {
-      val tmp = registryDir.stripSuffix("/") + ".reconciling"
       // distinct: collapsed sibling reps leave byte-identical rows per
       // (band, minhash) — without it the duplicates would persist forever
       // (the idempotent second run rewrites nothing) and inflate exactly
@@ -337,9 +341,10 @@ object IncrementalDedup {
           col("new_rep").as("rep_doc_id"))
         .distinct()
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("band", "bucket").parquet(tmp)
-      graft.queue.Maintenance.replaceDir(tmp, registryDir)
+        .partitionBy("band", "bucket").parquet(registryTmp)
     }
+    if (nLinks > 0) graft.queue.Maintenance.replaceDir(verdictTmp, verdictDir)
+    if (nRegRows > 0) graft.queue.Maintenance.replaceDir(registryTmp, registryDir)
     mapping.unpersist()
     ReconcileStats(nDocs, nClusters, nLinks, nRegRows)
   }

@@ -88,6 +88,13 @@ object ScaleBench {
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCount.incrementAndGet()
       })
+    // Listener-bus delivery is asynchronous: a job-start event can land
+    // AFTER the action that spawned it returns, so a bare jobCount.get()
+    // right after an action can miss that batch's tail events (they would
+    // then smear into the NEXT batch's delta). Every per-batch read goes
+    // through this drained form — a pause comfortably above observed local
+    // bus latency; SCALE.md states the residual caveat.
+    def jobCountDrained(): Long = { Thread.sleep(100); jobCount.get() }
 
     val scales = Seq(1, 3, 10)
     // the capped-vs-uncapped crossover pair also runs a 30x step: 10x left
@@ -357,7 +364,7 @@ object ScaleBench {
           val id = 96000000L + b * 25L + i
           (id, (1 to 8).map(w => s"tok${id}w$w").mkString(" "), s"dom${id % 7}")
         }.toDF("doc_id", "text", "source")
-        val j0 = jobCount.get()
+        val j0 = jobCountDrained()
         val t0 = System.nanoTime()
         graft.streaming.IngestCuration.processBatch(batch, regDir,
             quotaRegistryDir = Some(quotaDir), quotaCap = 1000000,
@@ -367,7 +374,7 @@ object ScaleBench {
             benchShingles = Some(fgBench))
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val nJobs = jobCount.get() - j0 // gate only — before the compact tick
+        val nJobs = jobCountDrained() - j0 // gate only — before the compact tick
         if ((b + 1) % 15 == 0)
           graft.queue.Maintenance.compactParquet(spark, regDir,
             partitionCols = Seq("band", "bucket"))
@@ -945,7 +952,10 @@ object ScaleBench {
     sb ++= "`jobs/batch` counts Spark jobs started per processBatch call\n"
     sb ++= "(SparkListener onJobStart, steady state, compaction ticks\n"
     sb ++= "excluded) — the scheduler-level cost of one micro-batch, tracked\n"
-    sb ++= "here per round. Fusion before/after (GateJobsProbe, local[8],\n"
+    sb ++= "here per round. Measurement caveat: listener-bus delivery is\n"
+    sb ++= "asynchronous, so each counter read sits behind a 100 ms drain\n"
+    sb ++= "pause; an event outlasting that pause would smear into the next\n"
+    sb ++= "batch's delta (the steady-state average damps any residue). Fusion before/after (GateJobsProbe, local[8],\n"
     sb ++= "25-doc batches, EVERY text gate on): the pre-fusion shape — one\n"
     sb ++= "groupBy+join per text gate, commit 21f55a0 — ran 70.5 jobs/batch\n"
     sb ++= "at 6.38 s/batch; the fused per-variant projection + single per-id\n"

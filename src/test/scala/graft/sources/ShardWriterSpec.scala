@@ -99,4 +99,26 @@ class ShardWriterSpec extends AnyFunSuite with SparkTestSession {
     // executedPlan prints global sorts as "Sort [...], true, 0"
     assert(!p.contains("], true, 0"), p)
   }
+
+  test("layoutFor keys the store on (sfDir, assignmentId, nshards)") {
+    val docs = graft.Tables.documents(spark, dir)
+    val asg = TrainingDataQueries.epochAssignment(spark, dir)
+    val base = ShardWriter.layoutFor(spark, dir, docs, asg, nshards = 8,
+      assignmentId = "epoch3")
+    // same key → same dir, and the memo skips the rewrite (mtime unchanged)
+    val mtime0 = new java.io.File(base, "_SUCCESS").lastModified
+    assert(ShardWriter.layoutFor(spark, dir, docs, asg, nshards = 8,
+      assignmentId = "epoch3") == base)
+    assert(new java.io.File(base, "_SUCCESS").lastModified == mtime0)
+    // a different epoch or shard count must NOT reuse this store
+    val otherEpoch = ShardWriter.layoutFor(spark, dir, docs, asg, nshards = 8,
+      assignmentId = "epoch4")
+    val otherShards = ShardWriter.layoutFor(spark, dir, docs, asg, nshards = 4,
+      assignmentId = "epoch3")
+    assert(otherEpoch != base && otherShards != base && otherEpoch != otherShards)
+    // each distinct key got its own completed write (shard values still
+    // come from the ASSIGNMENT — writeEpoch's nshards only sizes tasks)
+    Seq(otherEpoch, otherShards).foreach(d =>
+      assert(new java.io.File(d, "_SUCCESS").exists, d))
+  }
 }
