@@ -228,7 +228,21 @@ object Plans {
         "manifest read — and the per-shard counts/position-checksums are " +
         "one partial+final aggregate; the DuckDB oracle recomputes the " +
         "manifest from the raw corpus, gating the whole assignment→" +
-        "shuffle→sorted-write→partition-discovery-read chain."))
+        "shuffle→sorted-write→partition-discovery-read chain."),
+    "q112_ivf_store" ->
+      ("ANN served from the persisted inverted-file index: the probe ids " +
+        "land as LITERALS in the scan's PartitionFilters, so the store " +
+        "read is nprobe/nlist of the corpus by layout, the codebook read " +
+        "is nlist rows, scoring runs the codegen'd floatvectordot over " +
+        "the probed lists only, and the result is a TakeOrderedAndProject " +
+        "— no shuffle of anything corpus-sized at serve time."),
+    "q113_containment" ->
+      ("Containment dedup: candidates come from a per-shingle equi-join " +
+        "confined to rare shingles (df ≤ 8 bounds the per-shingle fanout, " +
+        "so Σ df² is linear in postings) — no CartesianProduct; the " +
+        "distinct-shingle relation feeds the blocking join and the " +
+        "three-way verify through ReuseExchange instead of five " +
+        "recomputations."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -110,6 +110,56 @@ object Dedup {
     (lshCandidates(capped, idCol), megaMembers)
   }
 
+  /** Rare-shingle candidate pairs — the blocking step for CONTAINMENT
+    * dedup: pairs sharing at least one shingle whose corpus document
+    * frequency is ≤ `maxDf`. MinHash-LSH candidates approximate JACCARD,
+    * so a doc quoted inside a much larger one (containment ≈ 1, Jaccard ≈
+    * |A|/|B| → 0) systematically misses its buckets; rare-shingle blocking
+    * is the standard bounded generator for that shape.
+    *
+    * Scale: the per-shingle self-join costs Σ_rare df², and df ≤ maxDf
+    * bounds it by maxDf · |rare postings| — linear in the corpus, no
+    * mega-bucket blowup BY CONSTRUCTION (a shingle over the cap is
+    * excluded, the same move as [[lshCandidatesCapped]]'s).
+    *
+    * Honest recall bound: a pair EVERY shared shingle of which is
+    * corpus-common (df > maxDf) is not generated. Those shared strings are
+    * boilerplate by definition — the recurring-chunk operator (q82) is the
+    * instrument for them; this one exists for pair-local duplication. */
+  def rareShingleCandidates(shingleDf: DataFrame, maxDf: Int,
+                            idCol: String = "doc_id",
+                            preDistincted: Boolean = false): DataFrame = {
+    require(maxDf >= 2, "a cap under 2 would drop every pair")
+    val base = shingleDf.select(col(idCol), col("shingle"))
+    val dsh = if (preDistincted) base else base.distinct()
+    val rare = dsh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val postings = dsh.join(rare, "shingle")
+    postings.select(col("shingle"), col(idCol).as("doc_a"))
+      .join(postings.select(col("shingle"), col(idCol).as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Asymmetric containment over distinct shingle sets, for candidate
+    * pairs: [[jaccardVerify]]'s exact-integer counts plus the two directed
+    * ratios cont(A→B) = |A∩B|/|A| (how much of A is inside B) and
+    * cont(B→A), as deterministic floored ppm. cont ≥ jaccard always, and
+    * the GAP between them is the quote/subset signal Jaccard flattens:
+    * a 50-line license block pasted into a 5000-line doc scores
+    * cont_a ≈ 1, jaccard ≈ 0.01. */
+  def containmentVerify(pairs: DataFrame, shingleDf: DataFrame,
+                        idCol: String = "doc_id",
+                        preDistincted: Boolean = false): DataFrame =
+    jaccardVerify(pairs, shingleDf, idCol, preDistincted)
+      .withColumn("cont_a_ppm",
+        floor(col("n_inter") * lit(1000000.0) / col("size_a")).cast("long"))
+      .withColumn("cont_b_ppm",
+        floor(col("n_inter") * lit(1000000.0) / col("size_b")).cast("long"))
+
   /** Jaccard similarity over distinct shingle sets, for candidate pairs only.
     * Output is exact-integer intersection/union counts plus the ratio.
     * Pass `preDistincted = true` when `shingleDf` is already a set (e.g. a

@@ -31,6 +31,37 @@ object Sampling {
       .filter(col("h16") < rate * lit(65536.0))
   }
 
+  /** Per-group "top `frac` by integer score" cutoffs — the quality-cut
+    * primitive ("keep each source's best 40% by distinct-token count"):
+    * returns one (group, cutoff) row per group, where cutoff is the
+    * ⌈frac·n⌉-th largest score, so `score >= cutoff` keeps at least
+    * frac·n rows with ALL ties at the boundary (deterministic — no
+    * arbitrary within-tie ordering decides a document's fate).
+    *
+    * Scale shape: the ranking window runs over the (group, score)
+    * HISTOGRAM — one row per distinct score per group, thousands of rows
+    * where the corpus has billions — never over documents; callers then
+    * broadcast-join the KB-scale cutoffs back and filter map-side. A
+    * per-document rank window would shuffle the corpus by group and sort
+    * every group's documents in one task. */
+  def topFractionCutoffs(df: DataFrame, groupCol: String, scoreCol: String,
+                         frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("n"))
+    val cumW = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("total", sum(col("n")).over(totW))
+      .filter(col("cum") >= ceil(lit(frac) * col("total")))
+      .groupBy(col(groupCol))
+      .agg(max(col(scoreCol)).as("cutoff"))
+  }
+
   /** Deterministic dataset split (train/val/test …): each row lands in the
     * first fraction band its content hash falls into. Same guarantees as
     * [[stratified]] — stable across runs, engines, partitionings; adding

@@ -51,6 +51,21 @@ object AdvancedQueries extends graft.QueryModule {
     Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
       nlist = 16, nprobe = 2)
 
+  /** q112: the same ANN query served from the PERSISTED inverted-file
+    * index ([[graft.sources.IvfIndexStore]], built once per JVM) — q53's
+    * parameters, q53's oracle, so the build→persist→partition-prune→score
+    * chain is hash-gated end-to-end. The single-row query-vector fetch is
+    * the serving contract: an ANN service receives the vector, not a
+    * corpus row id. */
+  def ivfStoreTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.IvfIndexStore.layoutFor(
+      s, dir, Tables.embeddings(s, dir), nlist = 16)
+    val qvec = Tables.embeddings(s, dir).filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.topK(s, store, qvec, k = 10, nprobe = 2)
+  }
+
   /** Embedding-cosine near-dup on the documents table (§2.9 L1): pairs over
     * threshold joined back to document metadata (broadcast dimension). */
   def docNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -118,7 +133,36 @@ object AdvancedQueries extends graft.QueryModule {
     "q53_ivf_topk" -> ivfTopK,
     "q54_doc_neardup" -> docNearDup,
     "q55_cdc_apply" -> cdcApply,
-    "q69_salted_join" -> saltedJoin)
+    "q69_salted_join" -> saltedJoin,
+    "q112_ivf_store" -> ivfStoreTopK)
+
+  /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
+    * full IVF computation — deterministic first-16-vectors codebook,
+    * nearest-centroid assignment with lowest-id ties, 2-list probe for
+    * query vec 0, quantized-dot top-10 — replayed in portable SQL. */
+  private val ivfOracle =
+    """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+      |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+      |  GROUP BY e.vec_id, c.centroid_id),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probe AS (SELECT centroid_id FROM scored WHERE vec_id = 0
+      |          ORDER BY cdot DESC, centroid_id LIMIT 2),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT a.vec_id,
+      |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+      |  FROM assigned a
+      |  JOIN probe p ON a.centroid_id = p.centroid_id
+      |  JOIN embeddings e ON e.vec_id = a.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
+      |  GROUP BY a.vec_id)
+      |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q51_asof_join" ->
@@ -138,29 +182,10 @@ object AdvancedQueries extends graft.QueryModule {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
-    "q53_ivf_topk" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-        |scored AS (
-        |  SELECT e.vec_id, c.centroid_id,
-        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
-        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
-        |  GROUP BY e.vec_id, c.centroid_id),
-        |assigned AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |probe AS (SELECT centroid_id FROM scored WHERE vec_id = 0
-        |          ORDER BY cdot DESC, centroid_id LIMIT 2),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |d AS (
-        |  SELECT a.vec_id,
-        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
-        |  FROM assigned a
-        |  JOIN probe p ON a.centroid_id = p.centroid_id
-        |  JOIN embeddings e ON e.vec_id = a.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
-        |  GROUP BY a.vec_id)
-        |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q53_ivf_topk" -> ivfOracle,
+    // identical ANN computation served from the persisted index — a store
+    // bug (stale lists, wrong codebook, broken pruning) hash-fails here
+    "q112_ivf_store" -> ivfOracle,
     "q54_doc_neardup" -> (LlmQueries.lshNearDupCte +
       """
         |SELECT d.vec_a AS doc_a, d.vec_b AS doc_b,

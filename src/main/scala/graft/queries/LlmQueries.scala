@@ -69,6 +69,30 @@ object LlmQueries extends graft.QueryModule {
     Dedup.simhash16(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  /** q113: containment dedup — the asymmetric complement of q33. Candidates
+    * come from RARE-shingle blocking ([[Dedup.rareShingleCandidates]],
+    * df ≤ 8), not MinHash-LSH: LSH recalls by JACCARD, so a document quoted
+    * inside a much larger one (containment ≈ 1, Jaccard → 0) systematically
+    * misses its buckets, while any pair-local duplication shares rare
+    * shingles by definition. Verification emits both directed ratios
+    * ([[Dedup.containmentVerify]]); the gate keeps pairs where EITHER
+    * direction clears 0.6 — "A is mostly inside B" counts even when B
+    * dwarfs A. DedupSpec pins the constructed quote-in-large-doc case the
+    * synthetic corpus lacks (found here, invisible to q33's candidates). */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // distinct shingles appear on both sides of the blocking join and
+    // three times in the verify: ReuseExchange shares them (q33's lesson)
+    val dsh = SharedStages.distinctShingles(s, dir)
+    Dedup.containmentVerify(
+      Dedup.rareShingleCandidates(dsh, maxDf = 8, preDistincted = true),
+      dsh, preDistincted = true)
+      .filter(greatest($"cont_a_ppm", $"cont_b_ppm") >= 600000L)
+      .select($"doc_a", $"doc_b", $"n_inter", $"size_a", $"size_b",
+        $"cont_a_ppm", $"cont_b_ppm")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -526,7 +550,8 @@ object LlmQueries extends graft.QueryModule {
     "q70_edit_distance" -> editDistance,
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity,
-    "q108_keep_best_rep" -> keepBestRep)
+    "q108_keep_best_rep" -> keepBestRep,
+    "q113_containment" -> containmentDedup)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -610,6 +635,32 @@ object LlmQueries extends graft.QueryModule {
       """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
         | min(doc_id) AS representative_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q113_containment" -> (shingleCte +
+      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |rare AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) <= 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM dsh a JOIN rare r ON a.shingle = r.shingle
+        |  JOIN dsh b ON b.shingle = a.shingle
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh sa ON sa.doc_id = c.doc_a
+        |  JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |ct AS (
+        |  SELECT i.doc_a, i.doc_b, i.n_inter,
+        |    za.set_size AS size_a, zb.set_size AS size_b,
+        |    CAST(floor(i.n_inter * 1000000.0 / za.set_size) AS BIGINT) AS cont_a_ppm,
+        |    CAST(floor(i.n_inter * 1000000.0 / zb.set_size) AS BIGINT) AS cont_b_ppm
+        |  FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b)
+        |SELECT doc_a, doc_b, n_inter, size_a, size_b, cont_a_ppm, cont_b_ppm
+        |FROM ct WHERE greatest(cont_a_ppm, cont_b_ppm) >= 600000
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q31_minhash_sigs" -> (shingleCte +
       "\nSELECT doc_id, band, minhash FROM sig ORDER BY doc_id, band"),
     "q32_lsh_candidates" -> (shingleCte +

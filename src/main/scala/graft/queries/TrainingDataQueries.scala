@@ -843,7 +843,33 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q114: per-source quality cut — "keep each source's best 40% by
+    * distinct-token count", the relative-threshold curation knob beside
+    * the absolute ones (q38 metrics, q104 classifier score): an absolute
+    * threshold over-prunes weak sources and under-prunes strong ones,
+    * so production filters cut per source at a QUANTILE.
+    *
+    * Scale shape ([[Sampling.topFractionCutoffs]]): the quantile comes
+    * from a ranking window over the per-source SCORE HISTOGRAM (one row
+    * per distinct score — thousands of rows at any corpus size), never a
+    * per-document rank; the KB-scale cutoffs broadcast back and the keep
+    * decision is a map-side filter. Keep-all-ties at the boundary, so no
+    * arbitrary within-tie order decides a document's fate. */
+  def qualityCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val scored = Tables.documents(s, dir).select($"doc_id", $"source",
+      size(array_distinct(TextAnalysis.tokens($"text"))).as("n_distinct"))
+    val cuts = Sampling.topFractionCutoffs(scored, "source", "n_distinct",
+      frac = 0.4)
+    scored.join(broadcast(cuts), "source")
+      .filter($"n_distinct" >= $"cutoff")
+      .select($"doc_id", $"source", $"n_distinct", $"cutoff")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q114_quality_cut" -> qualityCut,
     "q104_quality_classifier" -> qualityClassifier,
     "q99_lm_fluency" -> lmFluencyScore,
     "q98_corpus_mix_report" -> corpusMixReport,
@@ -975,6 +1001,25 @@ object TrainingDataQueries extends graft.QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q114_quality_cut" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |  FROM documents),
+        |hist AS (
+        |  SELECT source, n_distinct, count(*) AS n FROM scored GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, n_distinct,
+        |    sum(n) OVER (PARTITION BY source ORDER BY n_distinct DESC) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total
+        |  FROM hist),
+        |cutoff AS (
+        |  SELECT source, max(n_distinct) AS cutoff
+        |  FROM cum WHERE cum >= ceil(0.4 * total) GROUP BY source)
+        |SELECT s.doc_id, s.source, s.n_distinct, c.cutoff
+        |FROM scored s JOIN cutoff c ON s.source = c.source
+        |WHERE s.n_distinct >= c.cutoff
+        |ORDER BY s.doc_id""".stripMargin,
     "q104_quality_classifier" ->
       s"""WITH pos AS (SELECT text FROM documents WHERE source = 'src0'),
          |neg AS (

@@ -52,7 +52,11 @@ object ScaleBench {
     * outside the tripwires' scope. */
   private val stagedQueryList = Seq("q31_minhash_sigs", "q32_lsh_candidates",
     "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
-    "q78_curation_pipeline")
+    "q78_curation_pipeline",
+    // q112's "stage" is the persisted index itself (layoutFor builds it on
+    // the first pass, later passes serve from it); q113 rides the shared
+    // distinct-shingle stage like q33
+    "q112_ivf_store", "q113_containment")
   private val stagelessQueryList = Seq("q91_domain_cap", "q92_paragraph_dedup",
     "q97_embedding_outliers", "q99_lm_fluency")
   private val queries = stagedQueryList ++ stagelessQueryList
@@ -437,6 +441,35 @@ object ScaleBench {
       (k, nBoiler + 2 * nPairs, uncappedPairs, capped.size.toLong, recall, sec)
     }
 
+    // Containment blocking regime (q113's substrate): the df ≤ 8 cap on
+    // the per-shingle self-join is what keeps candidate volume linear —
+    // the UNBLOCKED pair count (every pair sharing ANY shingle,
+    // Σ df·(df−1)/2 over the full document-frequency histogram) is
+    // computed arithmetically from the histogram, never materialized,
+    // exactly the mega-bucket discipline.
+    val contRows = scales.map { k =>
+      graft.queries.SharedStages.invalidate(spark)
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+      val dsh = graft.operators.Dedup.shingles(docs).distinct()
+        .localCheckpoint(true)
+      val unblocked = dsh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val t0 = System.nanoTime()
+      val cand = graft.operators.Dedup
+        .rareShingleCandidates(dsh, maxDf = 8, preDistincted = true)
+        .localCheckpoint(true)
+      val nCand = cand.count()
+      val nPairs06 = graft.operators.Dedup
+        .containmentVerify(cand, dsh, preDistincted = true)
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 600000L)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"kind":"containment","scale":$k,"unblocked_pairs":$unblocked,"candidates":$nCand,"pairs_ge_06":$nPairs06,"block_verify_sec":$sec%.3f}""")
+      (k, unblocked, nCand, nPairs06, sec)
+    }
+
     // Cluster-chain regime: connected components' worst case is not a
     // dense blob but a CHAIN — plain min-label propagation needs diameter
     // rounds, and the ORGANIC sf0.1 embedding graph already carries a
@@ -596,6 +629,49 @@ object ScaleBench {
       }
     }
 
+    // Persisted IVF index store (q112's substrate): build cost must scale
+    // with the corpus; serve cost with nprobe/nlist of it. Build at 1x and
+    // 10x embeddings, then serve 8 queries from the store (nprobe=2 of
+    // nlist=16) against the brute full-scan top-k over the same on-disk
+    // corpus. Wall times at local scale are fixed-cost dominated, so the
+    // honest I/O measure rides beside them: the parquet FILES each path
+    // reads (probed list dirs vs every list dir — the layout's bound).
+    val storeRows = Seq(1, 10).map { k =>
+      import spark.implicits._
+      val embPath = s"$root/x$k/embeddings.parquet"
+      val embDisk = spark.read.parquet(embPath)
+      val dir = s"$root/ivf-store-x$k"
+      graft.queue.Maintenance.deleteRec(Paths.get(dir))
+      val t0 = System.nanoTime()
+      graft.sources.IvfIndexStore.build(embDisk, dir, nlist = 16)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val qvecs = embDisk.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      def listFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(listFiles).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val totalFiles = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("centroid_id=")).map(listFiles).sum
+      val probedFiles = qvecs.map { case (_, v) =>
+        graft.sources.IvfIndexStore.probeLists(spark, dir, v, nprobe = 2)
+          .map(p => listFiles(new java.io.File(dir, s"centroid_id=$p"))).sum
+      }.sum / qvecs.size
+      val t1 = System.nanoTime()
+      qvecs.foreach { case (_, v) =>
+        graft.sources.IvfIndexStore.topK(spark, dir, v, k = 10, nprobe = 2)
+          .collect()
+      }
+      val serveSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      qvecs.foreach { case (qid, _) =>
+        graft.operators.Similarity.topK(embDisk, qid, k = 10).collect()
+      }
+      val bruteSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"kind":"ivf_store","scale":$k,"build_sec":$buildSec%.3f,"serve_sec_8q":$serveSec%.3f,"brute_sec_8q":$bruteSec%.3f,"probed_files_per_q":$probedFiles,"total_list_files":$totalFiles}""")
+      (k, buildSec, serveSec, bruteSec, probedFiles, totalFiles)
+    }
+
     val dRows = queueDepths.map { n =>
       val sec = (1 to 3).map { _ =>
         val qdir = s"$root/queue$n/event_log"
@@ -689,7 +765,7 @@ object ScaleBench {
       (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, cRows, ccOrganic, vRows, kRows, ivfRows, dRows, fRows, rcRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -786,11 +862,13 @@ object ScaleBench {
                       icRows: Seq[(Int, Long, Double, Double, Double)],
                       fgRows: Seq[(Int, Long, Double, Double, Double, Double)],
                       bRows: Seq[(Int, Int, Long, Long, Double, Double)],
+                      contRows: Seq[(Int, Long, Long, Long, Double)],
                       cRows: Seq[(Int, Int, Double)],
                       ccOrganic: (Long, Long, Int, Double),
                       vRows: (Double, Double, Double),
                       kRows: Seq[(Int, Double, Double, Double)],
                       ivfRows: Seq[(Int, Double, Double)],
+                      storeRows: Seq[(Int, Double, Double, Double, Int, Int)],
                       dRows: Seq[(Int, Double)],
                       fRows: Seq[(Int, Double, Double, Int)],
                       rcRows: Seq[(Int, Long, Long, Double)]): Unit = {
@@ -982,6 +1060,23 @@ object ScaleBench {
     sb ++= f"true pair unless EVERY shared bucket is mega. Over-cap buckets are\n"
     sb ++= f"routed to the boilerplate path (they share a template, not content),\n"
     sb ++= f"so the cap adds signal rather than dropping it.\n"
+    sb ++= "\n| containment blocking (df<=8, q113) | unblocked pairs (would-be) | candidates | pairs cont>=0.6 | block+verify sec |\n|---|---|---|---|---|\n"
+    contRows.foreach { case (k, unb, cand, p06, s) =>
+      sb ++= f"| ${k}x | $unb | $cand | $p06 | $s%.2f s |\n"
+    }
+    locally {
+      val s1 = contRows.find(_._1 == 1).get
+      val s10 = contRows.find(_._1 == 10).get
+      sb ++= f"\nRare-shingle blocking is the containment twin of the bucket cap:\n"
+      sb ++= f"the unblocked pair count (arithmetic over the df histogram, never\n"
+      sb ++= f"materialized) grows ${s10._2.toDouble / s1._2}%.0fx over the decade while the df<=8\n"
+      sb ++= f"candidate set grows ${s10._3.toDouble / s1._3}%.1fx and wall ${s10._5 / s1._5}%.1fx — the per-shingle\n"
+      sb ++= f"fanout bound makes candidate volume linear in postings BY\n"
+      sb ++= f"CONSTRUCTION. Pairs whose every shared shingle is corpus-common\n"
+      sb ++= f"are excluded by design (boilerplate — q82's instrument, not a\n"
+      sb ++= f"near-dup signal); DedupSpec pins the quote-in-large-doc pair that\n"
+      sb ++= f"Jaccard-LSH misses and this blocking finds.\n"
+    }
     sb ++= "\n| cluster-chain regime (shuffled-id path) | rounds to confirmed fixpoint | sec |\n|---|---|---|\n"
     cRows.foreach { case (n, r, s) =>
       sb ++= f"| $n-node chain | $r | $s%.1f s |\n"
@@ -1031,6 +1126,17 @@ object ScaleBench {
     sb ++= "endpoint), and the codebook came from Lloyd iterations over a\n"
     sb ++= "half hash-sample — the train-on-a-sample, assign-once recipe\n"
     sb ++= "that holds at 100 TB.\n"
+    sb ++= "\n| IVF index store (q112, nlist=16, nprobe=2, 8 queries) | build sec | serve sec | brute full-scan sec | list files read/query | total list files |\n|---|---|---|---|---|---|\n"
+    storeRows.foreach { case (k, b, sv, br, pf, tf) =>
+      sb ++= f"| ${k}x embeddings | $b%.2f s | $sv%.2f s | $br%.2f s | $pf | $tf |\n"
+    }
+    sb ++= "\nThe PERSISTED index: build pays one assignment pass + clustered\n"
+    sb ++= "write, and every serve reads the nlist-row codebook plus ONLY the\n"
+    sb ++= "probed list partitions (the file counts above are the layout's\n"
+    sb ++= "nprobe/nlist bound made literal; IvfIndexStoreSpec pins the probe\n"
+    sb ++= "ids landing in PartitionFilters). Local wall times are fixed-cost\n"
+    sb ++= "dominated — the file ratio is the claim that survives 1000\n"
+    sb ++= "executors, where a brute scan reads the corpus per query.\n"
     sb ++= "\n| dispatcher cycle depth | sec | sec/1k rows |\n|---|---|---|\n"
     dRows.foreach { case (n, s) =>
       sb ++= f"| $n | $s%.2f s | ${s * 1000 / n}%.3f |\n"

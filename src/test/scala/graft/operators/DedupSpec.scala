@@ -106,4 +106,34 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(h.values.forall(v => v >= 0 && v < 65536))
     assert(h(1L) != h(4L))
   }
+
+  test("containment: quote-in-large-doc scores cont≈1 where jaccard→0") {
+    // doc 20 embeds ALL of doc 10's text inside 200 unique filler tokens —
+    // the quote/subset shape: containment(10→20) = 1, jaccard ≈ 3/201.
+    val quote = "alpha beta gamma delta epsilon"
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val cdocs = Seq(
+      (10L, quote),
+      (20L, s"$filler $quote"),
+      (30L, "unrelated words that share nothing at all with others here")
+    ).toDF("doc_id", "text")
+    val dsh = Dedup.shingles(cdocs).distinct()
+    val cand = Dedup.rareShingleCandidates(dsh, maxDf = 8, preDistincted = true)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((10L, 20L)), s"rare-shingle blocking must find the quote pair: $cand")
+    assert(!cand.contains((10L, 30L)) && !cand.contains((20L, 30L)))
+    val v = Dedup.containmentVerify(Seq((10L, 20L)).toDF("doc_a", "doc_b"),
+      dsh, preDistincted = true)
+      .select($"cont_a_ppm", $"cont_b_ppm", $"jaccard").head()
+    assert(v.getLong(0) == 1000000L) // every shingle of 10 is inside 20
+    assert(v.getLong(1) < 100000L)
+    assert(v.getDouble(2) < 0.05, "jaccard flattens exactly this pair")
+    // and the Jaccard-LSH candidate path misses it (deterministic for this
+    // fixed text: no band minhash collides), which is WHY q113 exists
+    val lshCand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(cdocs), bands = 4))
+      .as[(Long, Long)].collect().toSet
+    assert(!lshCand.contains((10L, 20L)),
+      "if this ever fires, the constructed pair banded together — pick new filler")
+  }
 }

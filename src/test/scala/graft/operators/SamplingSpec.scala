@@ -57,4 +57,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val agree = s1.count { case (id, s) => s2(id) == s }.toDouble / s1.size
     assert(agree > 0.3 && agree < 0.7, s"salted splits should be independent: $agree")
   }
+
+  test("topFractionCutoffs: ⌈frac·n⌉-th largest score, keep-all-ties") {
+    // group g: scores 9,8,7,7,7,3,2,1,1,0 (n=10, frac .4 → 4th largest = 7)
+    val rows = Seq(9, 8, 7, 7, 7, 3, 2, 1, 1, 0).zipWithIndex
+      .map { case (sc, i) => (i.toLong, "g", sc) } ++
+      // group h: all ties (n=4, any cutoff keeps everything)
+      (100 to 103).map(i => (i.toLong, "h", 5))
+    val df = rows.toDF("id", "grp", "score")
+    val cuts = Sampling.topFractionCutoffs(df, "grp", "score", frac = 0.4)
+      .as[(String, Int)].collect().toMap
+    assert(cuts == Map("g" -> 7, "h" -> 5))
+    // keep-all-ties: score >= 7 keeps 5 rows (≥ ⌈0.4·10⌉ = 4, ties intact)
+    val kept = df.join(cuts.toSeq.toDF("grp", "cutoff"), "grp")
+      .filter($"score" >= $"cutoff")
+    assert(kept.filter($"grp" === "g").count() == 5)
+    assert(kept.filter($"grp" === "h").count() == 4)
+    // the ranking window runs over the HISTOGRAM, not documents: its
+    // input is the (grp, score) aggregate
+    val plan = Sampling.topFractionCutoffs(df, "grp", "score", frac = 0.4)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must sit above the histogram aggregate:\n$plan")
+  }
 }

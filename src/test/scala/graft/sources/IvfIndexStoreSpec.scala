@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[IvfIndexStore]]'s layout contract — what q112's SQL gate cannot see:
+  * that the serving read actually PRUNES to the probed lists (the whole
+  * point of persisting the index), that the store equals the in-memory
+  * probe path exactly, and that the codebook subdir stays invisible to
+  * list discovery. */
+class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.Tables.embeddings(spark, dir)
+  private lazy val store = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+    IvfIndexStore.build(emb, d, nlist = 16)
+    d
+  }
+  private lazy val qvec: Seq[Float] = {
+    import spark.implicits._
+    emb.filter($"vec_id" === 0L).select($"embedding").as[Seq[Float]].head()
+  }
+
+  test("served top-k equals the in-memory probe path row for row") {
+    val served = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inMem = Similarity.ivfTopK(emb, queryId = 0L, k = 10,
+      nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == inMem)
+  }
+
+  test("the serving scan prunes to the probed partitions") {
+    val probes = IvfIndexStore.probeLists(spark, store, qvec, nprobe = 2)
+    assert(probes.length == 2 && probes.toSet.size == 2)
+    val plan = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the probe ids must land as LITERALS in the scan's partition filter
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+    probes.foreach(p => assert(plan.contains(p.toString), s"probe $p\n$plan"))
+    // and the probed read returns rows from exactly those lists
+    val listed = spark.read.parquet(store)
+      .filter(col("centroid_id").isin(probes: _*))
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getAs[Number]("centroid_id").longValue()).toSet
+    assert(listed == probes.toSet)
+  }
+
+  private def parquetFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles.toSeq.flatMap(parquetFiles)
+    else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+
+  test("codebook: 16 rows, hidden from list discovery, lists cover the corpus") {
+    assert(IvfIndexStore.codebook(spark, store).count() == 16)
+    val lists = spark.read.parquet(store)
+    // _codebook must not surface as data or break partition discovery
+    assert(lists.columns.toSet ==
+      Set("vec_id", "embedding", "centroid_id", "ingest_batch"))
+    assert(lists.count() == emb.count())
+    // one directory per non-empty list, each bounded to one task's files
+    val listDirs = new java.io.File(store).listFiles
+      .filter(_.getName.startsWith("centroid_id=")).toSeq
+    assert(listDirs.nonEmpty && listDirs.size <= 16)
+    listDirs.foreach { d =>
+      assert(parquetFiles(d).size == 1, s"${d.getName}: one file per list")
+    }
+  }
+
+  test("sink: appended batches serve identically to a one-shot bulk build") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfsink").toString
+    val base = emb.filter($"vec_id" < 300)
+    IvfIndexStore.build(base, d, nlist = 16)
+    IvfIndexStore.appendBatch(
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 400), d, batchId = 0)
+    IvfIndexStore.appendBatch(emb.filter($"vec_id" >= 400), d, batchId = 1)
+    assert(spark.read.parquet(d).count() == emb.count())
+    val grown = IvfIndexStore.topK(spark, d, qvec, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // one-shot build over everything, same codebook (vec_id < 16 ⊂ base)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_ivfone").toString
+    IvfIndexStore.build(emb, oneShot, nlist = 16)
+    val bulk = IvfIndexStore.topK(spark, oneShot, qvec, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(grown == bulk,
+      "a grown store must serve exactly what a rebuild would")
+  }
+
+  test("sink: an at-least-once replay rewrites its partitions, never doubles") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfreplay").toString
+    IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16)
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    IvfIndexStore.appendBatch(batch, d, batchId = 7)
+    val n1 = spark.read.parquet(d).count()
+    IvfIndexStore.appendBatch(batch, d, batchId = 7) // crash-replay
+    assert(spark.read.parquet(d).count() == n1)
+  }
+
+  test("sink: dim-drifted vectors abort instead of corrupting a list") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfdrift").toString
+    IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16)
+    val drifted = Seq((9001L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStore.appendBatch(drifted, d, batchId = 0)
+    }
+    assert(e.getMessage.contains("mismatched"))
+    // nothing was appended
+    assert(!spark.read.parquet(d).filter($"vec_id" === 9001L).collect().nonEmpty)
+  }
+
+  test("layoutFor keys on (sfDir, nlist) and skips the rewrite on reuse") {
+    val base = IvfIndexStore.layoutFor(spark, dir, emb, nlist = 16)
+    val mtime0 = new java.io.File(base, "_SUCCESS").lastModified
+    assert(IvfIndexStore.layoutFor(spark, dir, emb, nlist = 16) == base)
+    assert(new java.io.File(base, "_SUCCESS").lastModified == mtime0)
+    assert(IvfIndexStore.layoutFor(spark, dir, emb, nlist = 8) != base)
+  }
+}
