@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * ([[graft.operators.Similarity.ivfTopK]]) the battery already gates.
   *
   * The reference has no vector surface at all (its core is CDC/webhook
-  * plumbing — `/root/reference/src/lib.rs:1`); this is EXT training-data
+  * plumbing — `/root/reference/src/cdc_webhook.c:153`); this is EXT training-data
   * surface, the index twin of the other persisted layouts
   * ([[VariantEventStore]] for semi-structured events, [[ShardWriter]] for
   * epoch schedules): build cost paid once at write time, query cost bounded
@@ -64,6 +64,12 @@ object IvfIndexStore {
       .withColumn(BatchCol, lit(-1L))
       .repartition(nlist, col("centroid_id"))
       .write.mode(SaveMode.Overwrite)
+      // STATIC overwrite, pinned: a rebuild must clear the WHOLE store
+      // (including appended ingest_batch>=0 leaves). Under a session that
+      // set partitionOverwriteMode=dynamic globally, the default would
+      // only replace the batch -1 partitions and leave stale appends
+      // serving duplicate vectors beside the fresh build.
+      .option("partitionOverwriteMode", "static")
       .partitionBy("centroid_id", BatchCol).parquet(dir)
     // nlist rows — one file keeps the serving read a single footer fetch
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir + "/_codebook")
@@ -121,7 +127,12 @@ object IvfIndexStore {
     // appends assign against the existing centroids; re-centering is an
     // offline rebuild) — a missing store fails loudly here
     val cents = codebook(batch.sparkSession, dir)
+    // checkpoint the assignment so the rows VALIDATED below are the same
+    // materialization as the rows WRITTEN — a foreachBatch source that
+    // re-read differently between the two actions could otherwise pass
+    // validation on one snapshot and file a different one
     val assigned = Similarity.ivfAssignWith(batch, cents, idCol, vecCol)
+      .localCheckpoint()
     // a vector whose length differs from the codebook's dims (or a null
     // vector) dots to NULL against EVERY centroid — the argmax carries
     // that through as a null cdot_q. Fail loudly instead of filing

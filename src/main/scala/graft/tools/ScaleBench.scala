@@ -95,10 +95,15 @@ object ScaleBench {
     // Listener-bus delivery is asynchronous: a job-start event can land
     // AFTER the action that spawned it returns, so a bare jobCount.get()
     // right after an action can miss that batch's tail events (they would
-    // then smear into the NEXT batch's delta). Every per-batch read goes
-    // through this drained form — a pause comfortably above observed local
-    // bus latency; SCALE.md states the residual caveat.
-    def jobCountDrained(): Long = { Thread.sleep(100); jobCount.get() }
+    // then smear into the NEXT batch's delta). Every per-batch read drains
+    // the bus properly (waitUntilEmpty via the org.apache.spark shim —
+    // race-free AND faster than the old fixed 100 ms pause); the sleep
+    // survives only as the timeout fallback.
+    def jobCountDrained(): Long = {
+      if (!org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000L))
+        Thread.sleep(100)
+      jobCount.get()
+    }
 
     val scales = Seq(1, 3, 10)
     // the capped-vs-uncapped crossover pair also runs a 30x step: 10x left
@@ -447,7 +452,10 @@ object ScaleBench {
     // Σ df·(df−1)/2 over the full document-frequency histogram) is
     // computed arithmetically from the histogram, never materialized,
     // exactly the mega-bucket discipline.
-    val contRows = scales.map { k =>
+    // runs the same 30x decade as the capped-Jaccard crossover: the Σdf²
+    // linearity argument deserves the same falsification attempt — one
+    // more decade separates fixed-cost from a hidden superlinear term
+    val contRows = (scales :+ 30).map { k =>
       graft.queries.SharedStages.invalidate(spark)
       val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
       val dsh = graft.operators.Dedup.shingles(docs).distinct()
@@ -1067,10 +1075,12 @@ object ScaleBench {
     locally {
       val s1 = contRows.find(_._1 == 1).get
       val s10 = contRows.find(_._1 == 10).get
+      val c30 = contRows.find(_._1 == 30).map(r =>
+        f", then ${r._5 / s10._5}%.1fx wall for the further 3x to 30x").getOrElse("")
       sb ++= f"\nRare-shingle blocking is the containment twin of the bucket cap:\n"
       sb ++= f"the unblocked pair count (arithmetic over the df histogram, never\n"
       sb ++= f"materialized) grows ${s10._2.toDouble / s1._2}%.0fx over the decade while the df<=8\n"
-      sb ++= f"candidate set grows ${s10._3.toDouble / s1._3}%.1fx and wall ${s10._5 / s1._5}%.1fx — the per-shingle\n"
+      sb ++= f"candidate set grows ${s10._3.toDouble / s1._3}%.1fx and wall ${s10._5 / s1._5}%.1fx$c30 — the per-shingle\n"
       sb ++= f"fanout bound makes candidate volume linear in postings BY\n"
       sb ++= f"CONSTRUCTION. Pairs whose every shared shingle is corpus-common\n"
       sb ++= f"are excluded by design (boilerplate — q82's instrument, not a\n"

@@ -38,9 +38,14 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(probes.length == 2 && probes.toSet.size == 2)
     val plan = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 2)
       .queryExecution.executedPlan.toString
-    // the probe ids must land as LITERALS in the scan's partition filter
-    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
-    probes.foreach(p => assert(plan.contains(p.toString), s"probe $p\n$plan"))
+    // the probe ids must land as LITERALS in the scan's partition filter —
+    // checked INSIDE the "PartitionFilters: [...]" segment (a bare
+    // plan.contains(p) is vacuous for small-int ids that appear anywhere
+    // in an executed-plan string)
+    val pfStart = plan.indexOf("PartitionFilters: [")
+    assert(pfStart >= 0 && plan.startsWith("PartitionFilters: [centroid_id", pfStart), plan)
+    val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+    probes.foreach(p => assert(pf.contains(p.toString), s"probe $p not in $pf"))
     // and the probed read returns rows from exactly those lists
     val listed = spark.read.parquet(store)
       .filter(col("centroid_id").isin(probes: _*))
