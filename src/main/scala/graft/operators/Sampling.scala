@@ -45,18 +45,29 @@ object Sampling {
     * per-document rank window would shuffle the corpus by group and sort
     * every group's documents in one task. */
   def topFractionCutoffs(df: DataFrame, groupCol: String, scoreCol: String,
-                         frac: Double): DataFrame = {
+                         frac: Double): DataFrame =
+    topFractionCutoffsFromHist(
+      df.groupBy(col(groupCol), col(scoreCol)).agg(count(lit(1)).as("n")),
+      groupCol, scoreCol, "n", frac)
+
+  /** [[topFractionCutoffs]] over a PRE-AGGREGATED (group, score, count)
+    * histogram — the form a maintained registry rollup already holds
+    * ([[graft.streaming.IncrementalQualityCut]]'s read path), so the
+    * ingest gate derives cutoffs without re-aggregating documents. The
+    * batch entry point above is defined as histogram-then-this, so the
+    * two paths cannot drift. */
+  def topFractionCutoffsFromHist(hist: DataFrame, groupCol: String,
+                                 scoreCol: String, nCol: String,
+                                 frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
-      .agg(count(lit(1)).as("n"))
     val cumW = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(groupCol))
     hist
-      .withColumn("cum", sum(col("n")).over(cumW))
-      .withColumn("total", sum(col("n")).over(totW))
+      .withColumn("cum", sum(col(nCol)).over(cumW))
+      .withColumn("total", sum(col(nCol)).over(totW))
       .filter(col("cum") >= ceil(lit(frac) * col("total")))
       .groupBy(col(groupCol))
       .agg(max(col(scoreCol)).as("cutoff"))

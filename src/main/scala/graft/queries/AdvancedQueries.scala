@@ -66,6 +66,26 @@ object AdvancedQueries extends graft.QueryModule {
     graft.sources.IvfIndexStore.topK(s, store, qvec, k = 10, nprobe = 2)
   }
 
+  /** q115: BATCHED serving from the persisted IVF index — q83's
+    * query-batch shape (5 query vectors, each wanting its top-10) answered
+    * from q112's store in ONE pruned corpus pass
+    * ([[graft.sources.IvfIndexStore.topKBatch]]): per-query probe
+    * selection on the broadcast codebook, the UNION of probed lists as one
+    * scan's partition filter, per-query scoring confined to each query's
+    * own probed lists, bounded top-k aggregation. The oracle replays probe
+    * selection + scoring per query (q112's discipline, q83's output
+    * shape), so recall here is DEFINED (exact within probed lists), not
+    * approximated. */
+  def ivfStoreBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.sources.IvfIndexStore.layoutFor(s, dir, emb, nlist = 16)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    graft.sources.IvfIndexStore.topKBatch(s, store, queries, k = 10, nprobe = 2)
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Embedding-cosine near-dup on the documents table (§2.9 L1): pairs over
     * threshold joined back to document metadata (broadcast dimension). */
   def docNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -134,7 +154,8 @@ object AdvancedQueries extends graft.QueryModule {
     "q54_doc_neardup" -> docNearDup,
     "q55_cdc_apply" -> cdcApply,
     "q69_salted_join" -> saltedJoin,
-    "q112_ivf_store" -> ivfStoreTopK)
+    "q112_ivf_store" -> ivfStoreTopK,
+    "q115_ivf_batch" -> ivfStoreBatch)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
@@ -186,6 +207,42 @@ object AdvancedQueries extends graft.QueryModule {
     // identical ANN computation served from the persisted index — a store
     // bug (stale lists, wrong codebook, broken pruning) hash-fails here
     "q112_ivf_store" -> ivfOracle,
+    // the batched form: per-query probe selection over the same scored
+    // CTE, per-query scoring confined to each query's own probed lists,
+    // q83's ranked output shape — a cross-query leak (a vector scored
+    // against a query that did not probe its list) hash-fails here
+    "q115_ivf_batch" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |d AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM assigned a
+        |  JOIN probes p ON a.centroid_id = p.centroid_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY p.query_id, a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, vec_id) AS rn
+        |  FROM d)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, sim_q
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
     "q54_doc_neardup" -> (LlmQueries.lshNearDupCte +
       """
         |SELECT d.vec_a AS doc_a, d.vec_b AS doc_b,

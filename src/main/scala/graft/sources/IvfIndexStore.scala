@@ -109,6 +109,76 @@ object IvfIndexStore {
       .limit(k)
   }
 
+  /** Serve a BATCH of ANN queries from the persisted index in ONE pruned
+    * corpus pass — the retrieval-service shape ([[graft.operators
+    * .Similarity.knnJoin]]'s batch discipline, answered from the store
+    * instead of a full scan). [[topK]] serves one query; a service draining
+    * a request queue must not pay one scan per query when their probed
+    * lists overlap.
+    *
+    *   1. probe selection for ALL queries at once: the query batch joins
+    *      the broadcast KB-scale codebook, and a per-query rank window
+    *      (batch-sized input, nothing corpus-grained) keeps each query's
+    *      `nprobe` best lists — quantized-dot ordering with centroid-id
+    *      ties, exactly [[probeLists]]';
+    *   2. the UNION of probed list ids (≤ min(nlist, |batch|·nprobe),
+    *      a bounded driver pull like [[probeLists]]' codebook read) lands
+    *      as literals in ONE scan's partition filter — the corpus read is
+    *      the union of probed lists, shared across queries, not a scan per
+    *      query;
+    *   3. each scanned vector meets ONLY the queries that probed its list
+    *      (broadcast hash join against the per-query probe table — q83's
+    *      broadcast-query-batch discipline), is scored with the codegen'd
+    *      [[graft.functions.FloatVectorDot]], and the per-query top-k is
+    *      the bounded [[graft.operators.TopKAggregator]] — the shuffle
+    *      carries O(queries·k) partial buffers, never the scanned lists.
+    *
+    * Output matches [[graft.operators.Similarity.knnJoin]]'s
+    * `(query_id, rn, vec_id, sim_q)` — per query, the same rows a
+    * [[topK]] call with the same parameters returns (IvfIndexStoreSpec
+    * pins the equivalence; q115 hash-gates the chain against a DuckDB
+    * replay of probe selection + scoring). */
+  def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding", queryIdCol: String = "query_id",
+                queryVecCol: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rankW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cdot").desc, col("centroid_id"))
+    // localCheckpoint(eager): the probe table feeds the driver-side list
+    // pull AND the scan join; one materialization pins both to the same
+    // probe selection
+    val probes = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .crossJoin(broadcast(codebook(spark, dir)))
+      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"),
+        Similarity.quantize(
+          GraftFunctions.vecDot(spark, col("cvec"), col(queryVecCol))).as("cdot"))
+      .withColumn("prn", row_number().over(rankW))
+      .filter(col("prn") <= nprobe)
+      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
+      .localCheckpoint(true)
+    val probedLists = probes.select(col("centroid_id").cast("long"))
+      .distinct().as[Long].collect().toSeq.sorted
+    spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probedLists: _*))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col(queryIdCol).cast("long").as(queryIdCol),
+        col(idCol).cast("long").as(idCol),
+        Similarity.quantize(
+          GraftFunctions.vecDot(spark, col(vecCol), col(queryVecCol))).as("sim_q"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      // sim_q is integer millionths (|v| ≤ 1e6 · dims) — exact in Double
+      .mapValues(t => graft.operators.ScoredId(t._3.toDouble, t._2))
+      .agg(new graft.operators.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score.toLong) }
+      }
+      .toDF(queryIdCol, "rn", idCol, "sim_q")
+  }
+
   /** The sink's per-batch partition level under each list — the
     * replay-idempotence key ([[VariantEventStore.BatchCol]]'s discipline);
     * the bulk [[build]] is batch -1, below any streaming batch id. Serving never touches it: [[topK]]

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Containment dedup at ingest — the streaming twin of the batch
+  * containment query (q113), as [[IncrementalDedup]] is of Jaccard-LSH
+  * dedup: a document quoted inside a much larger one (containment ≈ 1,
+  * Jaccard → 0) must be caught against the CORPUS HISTORY, not just
+  * within one micro-batch, and MinHash buckets systematically miss the
+  * shape ([[Dedup.rareShingleCandidates]]' scaladoc).
+  *
+  * Corpus state is [[IncrementalSpanDedup]]'s occurrence-registry layout,
+  * carried over shingles: `(bucket, shingle_md5, doc_id, set_size)` — one
+  * row per distinct (shingle, document) occurrence, hive-partitioned by
+  * the fingerprint's first hex byte (256 buckets), with the document's
+  * distinct-shingle count DENORMALIZED onto every row so a historical
+  * partner's containment denominator is available without a second
+  * registry or an unpruned scan. Document frequency is NOT a second
+  * stored aggregate: df of a batch shingle is counted from the probe's
+  * matched postings ∪ the batch itself — exact, incremental, and
+  * structurally idempotent (replayed appends collapse in the distinct).
+  *
+  * Per micro-batch:
+  *
+  *   1. the batch's distinct shingles are fingerprinted and sized
+  *      per-row (one projection, no shuffle beyond the per-doc size agg);
+  *   2. the registry scan is PRUNED to the batch's touched buckets, and
+  *      its matched postings union the batch's own into the PARTNERS
+  *      relation — every (shingle, doc) occurrence relevant to this
+  *      batch, materialized once for the df count, the blocking join,
+  *      and both sides of the verification;
+  *   3. blocking and verification are exactly q113's: pairs sharing a
+  *      shingle with post-batch df ≤ `maxDf` (the Σdf² ≤ maxDf·postings
+  *      bound, BY CONSTRUCTION), restricted to pairs touching the batch
+  *      (history-history pairs were judged when their second doc
+  *      arrived), then exact intersection counts and both directed
+  *      floored-ppm ratios over the candidates only;
+  *   4. every batch document's occurrences register, flagged ones
+  *      included ([[IncrementalSpanDedup]]'s rule — "seen" must cover a
+  *      contained doc's NOVEL shingles, or a later quote of them would
+  *      go unjudged; the registry grows with corpus postings, the honest
+  *      cost of exact containment, bounded per batch and compactable).
+  *
+  * Emitted verdicts are q113's pair rows `(doc_a, doc_b, n_inter,
+  * size_a, size_b, cont_a_ppm, cont_b_ppm)` (min-id orientation, either
+  * direction ≥ `minContPpm`): policy — drop the contained side, keep
+  * the container, or route to a boilerplate detector — stays downstream,
+  * as in the batch query. IncrementalContainmentSpec pins the
+  * single-batch equivalence against q113 on the real corpus.
+  *
+  * Honest asymmetries, both inherent to a no-retraction gate: df is
+  * judged AS OF each pair's batch (df only grows, so a shingle can later
+  * cross `maxDf` — past verdicts stand; conversely a pair whose every
+  * shared shingle was already corpus-common is never generated —
+  * boilerplate by definition, q82's instrument, same exclusion as the
+  * batch operator). And the probe's matched-postings pull costs
+  * O(Σ df(batch shingles)), not O(batch) — the same occurrence-probe
+  * shape as [[IncrementalSpanDedup]]'s seen-elsewhere join; the
+  * aggregation is map-side partial and the registry is never shuffled at
+  * corpus width.
+  */
+object IncrementalContainment {
+
+  private val registrySchema: StructType = StructType.fromDDL(
+    "bucket INT, shingle_md5 STRING, doc_id BIGINT, set_size BIGINT")
+
+  /** Partition bucket of a shingle fingerprint: first hex byte, 0..255 —
+    * a pure function of the probe key, so pruning never drops a match. */
+  private def bucketOf(shingleMd5: Column): Column =
+    conv(substring(shingleMd5, 1, 2), 16, 10).cast("int")
+
+  /** The batch's distinct fingerprinted occurrences with per-doc sizes:
+    * `(bucket, shingle_md5, doc_id, set_size)` — [[processBatch]]'s
+    * step 1 and [[seedRegistry]]'s write, defined once. */
+  private def occurrences(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val sh = Dedup.shingles(docs.dropDuplicates(idCol), textCol, idCol, n)
+      .select(col(idCol).cast("long").as("doc_id"), md5(col("shingle")).as("shingle_md5"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    sh.join(sizes, "doc_id")
+      .select(bucketOf(col("shingle_md5")).as("bucket"), col("shingle_md5"),
+        col("doc_id"), col("set_size"))
+  }
+
+  /** One micro-batch step → flagged pair verdicts in q113's shape. */
+  def processBatch(batch: DataFrame, registryDir: String, maxDf: Int = 8,
+                   minContPpm: Long = 600000L, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3,
+                   pruneMaxBuckets: Int = 192): DataFrame = {
+    require(maxDf >= 2, "a cap under 2 would drop every pair")
+    val spark = batch.sparkSession
+    // one materialization feeds the touched-set pull, the probe join, and
+    // registration
+    val bsh = occurrences(batch, idCol, textCol, n).localCheckpoint(true)
+    val touched = bsh.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else if (touched.length > pruneMaxBuckets) registryAll
+      else registryAll.filter(col("bucket").isInCollection(touched))
+    // PARTNERS: every occurrence of a batch shingle, historical or batch.
+    // The distinct is the replay absorber — a redelivered document's
+    // first-play registry rows are byte-identical to its batch rows, so
+    // they collapse and every downstream count (df, n_inter, sizes) is
+    // exactly its first-play value. Checkpointed: it feeds the df count,
+    // the blocking self-join, both verify sides, and the size lookup, and
+    // it must capture the PRE-append file listing.
+    val partners = registry
+      .join(broadcast(bsh.select(col("shingle_md5")).distinct()), Seq("shingle_md5"))
+      .select(col("shingle_md5"), col("doc_id"), col("set_size"))
+      .unionByName(bsh.select(col("shingle_md5"), col("doc_id"), col("set_size")))
+      .distinct()
+      .localCheckpoint(true)
+    // post-batch df per batch shingle, exact (partners is distinct)
+    val rare = partners.groupBy(col("shingle_md5"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle_md5"))
+    val rarePostings = partners.join(rare, Seq("shingle_md5"))
+    val batchDocs = bsh.select(col("doc_id")).distinct()
+    // blocking: pairs sharing a rare shingle, min-id orientation, at least
+    // one side in the batch (history-history pairs are not re-judged)
+    val cand = rarePostings.select(col("shingle_md5"), col("doc_id").as("doc_a"))
+      .join(rarePostings.select(col("shingle_md5"), col("doc_id").as("doc_b")),
+        Seq("shingle_md5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .join(broadcast(batchDocs.select(col("doc_id").as("doc_a"))
+          .withColumn("a_in_batch", lit(true))), Seq("doc_a"), "left")
+      .join(broadcast(batchDocs.select(col("doc_id").as("doc_b"))
+          .withColumn("b_in_batch", lit(true))), Seq("doc_b"), "left")
+      .filter(col("a_in_batch").isNotNull || col("b_in_batch").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
+    // verification over candidates only (q113's shape): every shared
+    // shingle of a pair touching the batch IS a batch shingle, so the
+    // partners relation covers the full intersection
+    val inter = cand
+      .join(partners.select(col("doc_id").as("doc_a"), col("shingle_md5")), "doc_a")
+      .join(partners.select(col("doc_id").as("doc_b"), col("shingle_md5")),
+        Seq("doc_b", "shingle_md5"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = partners.select(col("doc_id"), col("set_size")).distinct()
+    val verdicts = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .withColumn("cont_a_ppm",
+        floor(col("n_inter") * lit(1000000.0) / col("size_a")).cast("long"))
+      .withColumn("cont_b_ppm",
+        floor(col("n_inter") * lit(1000000.0) / col("size_b")).cast("long"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("size_a"),
+        col("size_b"), col("cont_a_ppm"), col("cont_b_ppm"))
+    // every batch occurrence registers (flagged docs included — their
+    // novel shingles must be "seen"); a replay re-appends identical rows,
+    // absorbed by the partners distinct
+    bsh.write.mode(SaveMode.Append).partitionBy("bucket").parquet(registryDir)
+    verdicts
+  }
+
+  /** Bulk-seed the registry from an EXISTING corpus — the bootstrap step
+    * before enabling the gate (run the batch q113 first if the history
+    * itself must be judged). */
+  def seedRegistry(docs: DataFrame, registryDir: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3): Unit =
+    occurrences(docs, idCol, textCol, n)
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(registryDir)
+
+  /** The append-only occurrence registry ([[RegistryIO]] rules). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("bucket="))
+
+  /** Streaming face: wire a document stream through [[processBatch]],
+    * appending flagged pairs to `verdictDir`; `compactEvery` schedules
+    * registry compaction as the other registry gates do. */
+  def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
+           maxDf: Int = 8, minContPpm: Long = 600000L,
+           idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, registryDir, maxDf, minContPpm, idCol, textCol, n)
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("bucket"))
+          ()
+        }
+    }
+}

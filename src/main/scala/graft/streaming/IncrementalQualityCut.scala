@@ -1,0 +1,242 @@
+package graft.streaming
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-source quality cut at ingest — the streaming twin of the batch
+  * relative-threshold query (q114), as [[IncrementalDedup]] is of dedup:
+  * "keep each source's best `frac` by score" needs the source's score
+  * DISTRIBUTION, which at ingest is corpus history, not batch-local data.
+  *
+  * Corpus state follows [[CorpusStats]]' two-layer discipline exactly:
+  *
+  *   - the durable registry is doc-GRAINED `(sbucket, source, doc_id,
+  *     score)` — one row per document, hive-partitioned by the 256-way
+  *     source-hash bucket. An aggregate-valued registry (one counter per
+  *     score cell) could not absorb at-least-once redelivery; doc-grained
+  *     rows make idempotence structural (replays are detected on the
+  *     `(source, doc_id)` key and excluded from the append);
+  *   - the compacted ROLLUP is the per-source score HISTOGRAM `(source,
+  *     score, n)` — one row per distinct score per source (thousands of
+  *     rows at any corpus size), merged per batch from the fresh delta
+  *     via the same rename-aside swap, self-healing against the
+  *     registry ground truth on the batch's touched cells (the
+  *     append-then-crash window closes on the crashed batch's replay).
+  *
+  * Per micro-batch: cutoffs recompute from the POST-batch rollup
+  * ([[Sampling.topFractionCutoffsFromHist]] — the ranking window runs
+  * over the histogram, never documents; keep-all-ties at the boundary)
+  * and the batch's verdicts `(doc_id, source, score, cutoff, admitted)`
+  * judge each document against its source's current cut. Verdicts are
+  * PROVISIONAL by nature: a relative threshold moves as the corpus
+  * grows, so early admissions can fall below a later cut — the
+  * retrospective truth is [[admitted]], which derives the CURRENT
+  * corpus's cut from the rollup and equals the batch q114 over the same
+  * documents (IncrementalQualityCutSpec pins the equivalence after a
+  * multi-batch ingest). A training-set build consumes [[admitted]]; the
+  * per-batch verdict is the live feed (is this crawl's current pull
+  * clearing its source's bar?).
+  *
+  * Scale shape: per-batch I/O is O(touched sbuckets) on the registry
+  * (partition-pruned probe, full-scan fallback past `pruneMaxBuckets`
+  * like every registry gate here), O(strata) on the rollup; the batch
+  * side of every join broadcasts; cutoffs are KB-scale and broadcast
+  * back; the registry is never shuffled, grouped, or rewritten per
+  * batch.
+  */
+object IncrementalQualityCut {
+
+  private val registrySchema: StructType = StructType.fromDDL(
+    "sbucket INT, source STRING, doc_id BIGINT, score BIGINT")
+
+  private val rollupSchema: StructType = StructType.fromDDL(
+    "source STRING, score BIGINT, n BIGINT")
+
+  private def bucketOf(source: Column) = (crc32(source) % 256).cast("int")
+
+  /** q114's score: distinct-token count of the text — defined once so the
+    * gate, the spec's equivalence pin, and the batch query cannot drift. */
+  def distinctTokenScore(text: Column): Column =
+    size(array_distinct(TextAnalysis.tokens(text))).cast("long")
+
+  /** One micro-batch step → per-document verdicts `(doc_id, source,
+    * score, cutoff, admitted)` against the post-batch cutoffs. The batch
+    * must already carry `scoreCol` (wire [[distinctTokenScore]] upstream,
+    * as [[gate]] does); null sources normalize to "" ([[CorpusStats]]'
+    * missing-metadata rule). Replayed documents append nothing and are
+    * re-judged under the current cut — idempotent state, provisional
+    * verdict. */
+  def processBatch(batch: DataFrame, registryDir: String, frac: Double,
+                   idCol: String = "doc_id", sourceCol: String = "source",
+                   scoreCol: String = "score",
+                   pruneMaxBuckets: Int = 192): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(sourceCol), lit("")).as("source"),
+        col(scoreCol).cast("long").as("score"))
+      .dropDuplicates("source", "doc_id")
+      .withColumn("sbucket", bucketOf(col("source")))
+      .localCheckpoint(true) // feeds probe, replay join, append, verdicts
+    val touched = docs.select(col("sbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (touched.isEmpty) registryAll.limit(0)
+      else if (touched.length > pruneMaxBuckets) registryAll
+      else registryAll.filter(col("sbucket").isInCollection(touched))
+    val replayed = registry.join(broadcast(docs), Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id")).distinct()
+      .withColumn("replayed", lit(true))
+    val fresh = docs.join(broadcast(replayed), Seq("source", "doc_id"), "left")
+      .filter(col("replayed").isNull)
+      .select(col("sbucket"), col("source"), col("doc_id"), col("score"))
+      .localCheckpoint(true) // fix before the append mutates the scanned dir
+    // prior per-cell counts for the batch's touched (source, score) cells,
+    // replay-absorbing (distinct doc rows first), computed from the PRE-
+    // append pruned scan — the self-heal comparison's ground truth
+    val touchedCells = docs.select(col("source"), col("score")).distinct()
+    val prior = registry
+      .join(broadcast(touchedCells), Seq("source", "score"))
+      .select(col("source"), col("score"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("prior_n"))
+    val delta = fresh.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("batch_n"))
+    val postCells = touchedCells
+      .join(broadcast(prior), Seq("source", "score"), "left")
+      .join(broadcast(delta), Seq("source", "score"), "left")
+      .select(col("source"), col("score"),
+        (coalesce(col("prior_n"), lit(0L)) + coalesce(col("batch_n"), lit(0L)))
+          .as("n"))
+      .localCheckpoint(true)
+    fresh.write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    // rollup maintenance: merge the exact fresh delta (one tiny aggregate
+    // + swap, never a registry scan); adoption rebuild when the registry
+    // predates the rollup
+    if (RegistryIO.hasData(rollupDir(registryDir), None)) {
+      val merged = readRollup(spark, registryDir)
+        .unionByName(delta.select(col("source"), col("score"),
+          col("batch_n").as("n")))
+        .groupBy(col("source"), col("score"))
+        .agg(sum(col("n")).as("n"))
+      writeRollup(merged, registryDir)
+    } else rebuildRollup(spark, registryDir)
+    // SELF-HEAL (CorpusStats' discipline): the registry-derived post-batch
+    // counts for exactly this batch's touched cells must agree with the
+    // merged rollup; any drift — the append-then-crash window replaying —
+    // triggers one rebuild, O(touched cells) to detect
+    val truthCells = postCells.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rollupCells = readRollup(spark, registryDir)
+      .join(broadcast(touchedCells), Seq("source", "score"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val drifted = truthCells.exists { case (k, v) =>
+      rollupCells.getOrElse(k, 0L) != v
+    }
+    if (drifted) rebuildRollup(spark, registryDir)
+    // post-batch cutoffs from the histogram rollup, broadcast back; the
+    // batch's sources are all present (their delta just merged)
+    val cuts = cutoffs(spark, registryDir, frac)
+    docs.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("cutoff"),
+        (col("score") >= col("cutoff")).as("admitted"))
+  }
+
+  /** Per-source cutoffs from the current corpus: the `⌈frac·n⌉`-th
+    * largest score per source, keep-all-ties ([[Sampling
+    * .topFractionCutoffsFromHist]] over the O(strata) rollup; doc-grained
+    * fallback for adopted/seeded registries without one). */
+  def cutoffs(spark: SparkSession, registryDir: String, frac: Double): DataFrame = {
+    val hist =
+      if (RegistryIO.hasData(rollupDir(registryDir), None))
+        readRollup(spark, registryDir)
+      else histAggregate(spark, registryDir)
+    Sampling.topFractionCutoffsFromHist(hist, "source", "score", "n", frac)
+  }
+
+  /** The RETROSPECTIVE admitted set under the CURRENT corpus's cutoffs —
+    * what a training-set build consumes, and the gate's equivalence
+    * contract: equal to the batch q114 (same frac, same score) over every
+    * document ingested so far, regardless of how the corpus was batched
+    * (the per-batch verdicts are the provisional live feed; this is the
+    * truth). Output matches q114's shape: `(doc_id, source, score,
+    * cutoff)`. */
+  def admitted(spark: SparkSession, registryDir: String, frac: Double): DataFrame =
+    readRegistry(spark, registryDir)
+      .select(col("source"), col("doc_id"), col("score")).distinct()
+      .join(broadcast(cutoffs(spark, registryDir, frac)), Seq("source"))
+      .filter(col("score") >= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("score"), col("cutoff"))
+
+  /** Bulk-seed the registry from an existing corpus (adoption path). The
+    * docs must already carry the score column. */
+  def seedRegistry(docs: DataFrame, registryDir: String,
+                   idCol: String = "doc_id", sourceCol: String = "source",
+                   scoreCol: String = "score"): Unit = {
+    docs.select(bucketOf(coalesce(col(sourceCol), lit(""))).as("sbucket"),
+        coalesce(col(sourceCol), lit("")).as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(registryDir)
+    // a blind append can duplicate and bypasses the delta merge
+    if (RegistryIO.hasData(rollupDir(registryDir), None))
+      rebuildRollup(docs.sparkSession, registryDir)
+  }
+
+  /** The append-only doc-grained rows ([[RegistryIO]] empty-state rules). */
+  def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("sbucket="))
+
+  /** The maintained per-source score histogram — [[cutoffs]]' O(strata)
+    * read path; the doc-grained registry stays the source of truth. */
+  def readRollup(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, rollupDir(registryDir), rollupSchema, None)
+
+  private def rollupDir(registryDir: String): String =
+    registryDir.stripSuffix("/") + "_rollup"
+
+  private def writeRollup(hist: DataFrame, registryDir: String): Unit = {
+    val dir = rollupDir(registryDir)
+    val p = java.nio.file.Paths.get(dir)
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".swap").toString
+    hist.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    graft.queue.Maintenance.replaceDir(tmp, dir)
+  }
+
+  /** THE ground-truth histogram, defined once: distinct doc rows (replay
+    * absorption), then per-cell counts. */
+  private def histAggregate(spark: SparkSession, registryDir: String): DataFrame =
+    readRegistry(spark, registryDir)
+      .select(col("source"), col("doc_id"), col("score")).distinct()
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Re-derive the rollup from the doc-grained registry: adoption path and
+    * crash-window recovery. */
+  def rebuildRollup(spark: SparkSession, registryDir: String): Unit =
+    writeRollup(histAggregate(spark, registryDir), registryDir)
+
+  /** Streaming face: derive q114's score from `textCol` and wire the
+    * stream through [[processBatch]], appending verdicts to `verdictDir`;
+    * `compactEvery` schedules registry compaction as the other registry
+    * gates do. */
+  def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
+           frac: Double, idCol: String = "doc_id",
+           sourceCol: String = "source", textCol: String = "text",
+           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processBatch(
+          batch.withColumn("score", distinctTokenScore(col(textCol))),
+          registryDir, frac, idCol, sourceCol, "score")
+          .write.mode(SaveMode.Append).parquet(verdictDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.queue.Maintenance.compactParquet(batch.sparkSession,
+            registryDir, partitionCols = Seq("sbucket"))
+          ()
+        }
+    }
+}

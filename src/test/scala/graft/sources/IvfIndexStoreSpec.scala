@@ -54,6 +54,45 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(listed == probes.toSet)
   }
 
+  test("batched serving equals per-query serving row for row") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = IvfIndexStore.topKBatch(spark, store, queries, k = 10, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val single = (0L until 5L).flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid).select($"embedding").as[Seq[Float]].head()
+      IvfIndexStore.topK(spark, store, qv, k = 10, nprobe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getLong(1)) }
+    }.toSet
+    assert(got == single)
+  }
+
+  test("batched scan's partition filter is the union of the queries' probes") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val expected = (0L until 5L).flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid).select($"embedding").as[Seq[Float]].head()
+      IvfIndexStore.probeLists(spark, store, qv, nprobe = 2)
+    }.toSet
+    assert(expected.size <= 10) // ≤ |batch|·nprobe by construction
+    val plan = IvfIndexStore.topKBatch(spark, store, queries, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val pfStart = plan.indexOf("PartitionFilters: [")
+    assert(pfStart >= 0 && plan.startsWith("PartitionFilters: [centroid_id", pfStart), plan)
+    val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+    // every probed list is in the filter, and nothing beyond the union is:
+    // the in-filter literal count equals the probed-union size (≤ batch·nprobe)
+    expected.foreach(p => assert(pf.contains(p.toString), s"probe $p not in $pf"))
+    // strip attribute expression ids (centroid_id#123) before extracting
+    // literals, so only the IN-list values remain
+    val inFilter = "\\b\\d+\\b".r.findAllIn(pf.replaceAll("#\\d+", "")).map(_.toLong).toSet
+    assert(inFilter == expected, s"filter lists $inFilter, probes $expected")
+  }
+
   private def parquetFiles(f: java.io.File): Seq[java.io.File] =
     if (f.isDirectory) f.listFiles.toSeq.flatMap(parquetFiles)
     else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
