@@ -242,7 +242,16 @@ object Plans {
         "so Σ df² is linear in postings) — no CartesianProduct; the " +
         "distinct-shingle relation feeds the blocking join and the " +
         "three-way verify through ReuseExchange instead of five " +
-        "recomputations."))
+        "recomputations."),
+    "q115_ivf_batch" ->
+      ("Batched ANN from the persisted IVF store: ONE scan whose " +
+        "PartitionFilters hold the UNION of all queries' probed lists " +
+        "(read bound ≤ batch·nprobe of nlist), a BroadcastHashJoin " +
+        "against the per-query probe table so each vector is scored " +
+        "only for queries that probed its list, and the bounded " +
+        "TopKAggregator — the shuffle carries O(queries·k) partial " +
+        "buffers, never the scanned lists; no scan-per-query, no " +
+        "cartesian."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
