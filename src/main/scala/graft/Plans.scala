@@ -251,7 +251,21 @@ object Plans {
         "only for queries that probed its list, and the bounded " +
         "TopKAggregator — the shuffle carries O(queries·k) partial " +
         "buffers, never the scanned lists; no scan-per-query, no " +
-        "cartesian."))
+        "cartesian."),
+    "q116_qcut_ingest" ->
+      ("The quality cut read back from the INGEST registry: admitted() " +
+        "ranks over the per-source score HISTOGRAM built from the " +
+        "registry scan (one partial+final aggregate), the window sits " +
+        "above that KB-scale histogram — never over documents — and the " +
+        "cutoffs come back through a broadcast join onto the registry " +
+        "rows; the only corpus-sized pass is the one registry scan."),
+    "q117_containment_ingest" ->
+      ("Containment at ingest: the batch probes the shingle-occurrence " +
+        "registry through an equi-join on the fingerprint (the registry " +
+        "STREAMS map-side; the shuffle carries matched postings, never " +
+        "the registry), then q113's blocking/verify algebra runs over " +
+        "the partners relation — same rare-shingle bound (df ≤ 8), no " +
+        "CartesianProduct, nothing corpus-sized shuffled."))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

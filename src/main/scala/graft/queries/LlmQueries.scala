@@ -93,6 +93,26 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q117: containment dedup AT INGEST, oracle-gated end-to-end (the
+    * q106/q112 discipline): the registry is seeded with the ODD-id half
+    * of the corpus ([[graft.streaming.IncrementalContainment
+    * .seededLayoutFor]]), then the EVEN half ingests as one batch — so
+    * every emitted pair crosses batch↔history or sits inside the batch.
+    * The result must equal the batch q113 restricted to pairs touching
+    * the even half (exact: df over the probe's partners relation is the
+    * full-corpus df for every batch shingle, and every shared shingle of
+    * a qualifying pair is a batch shingle — the operator's scaladoc
+    * carries the argument). A replay (later battery passes re-ingest the
+    * same batch) must reproduce the same pairs — the spec-pinned
+    * idempotence, here hash-gated by DuckDB. */
+  def containmentIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reg = graft.streaming.IncrementalContainment.seededLayoutFor(s, dir)
+    graft.streaming.IncrementalContainment.processBatch(
+        Tables.documents(s, dir).filter($"doc_id" % 2 === 0), reg)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -551,7 +571,8 @@ object LlmQueries extends graft.QueryModule {
     "q77_repetition" -> repetition,
     "q80_token_rarity" -> tokenRarity,
     "q108_keep_best_rep" -> keepBestRep,
-    "q113_containment" -> containmentDedup)
+    "q113_containment" -> containmentDedup,
+    "q117_containment_ingest" -> containmentIngest)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -599,6 +620,34 @@ object LlmQueries extends graft.QueryModule {
 
   /** Capped candidate set (q86/q87): `sig` buckets over 4 docs are mega —
     * excluded from pairing, exactly [[Dedup.lshCandidatesCapped]]. */
+  /** Shared by q113 (batch) and q117 (ingest form): rare-shingle
+    * blocking + exact intersection + both directed floored-ppm ratios,
+    * ending with CTE `ct(doc_a, doc_b, n_inter, size_a, size_b,
+    * cont_a_ppm, cont_b_ppm)`. */
+  private val containmentCte = shingleCte +
+    """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |rare AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) <= 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM dsh a JOIN rare r ON a.shingle = r.shingle
+      |  JOIN dsh b ON b.shingle = a.shingle
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN dsh sa ON sa.doc_id = c.doc_a
+      |  JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |ct AS (
+      |  SELECT i.doc_a, i.doc_b, i.n_inter,
+      |    za.set_size AS size_a, zb.set_size AS size_b,
+      |    CAST(floor(i.n_inter * 1000000.0 / za.set_size) AS BIGINT) AS cont_a_ppm,
+      |    CAST(floor(i.n_inter * 1000000.0 / zb.set_size) AS BIGINT) AS cont_b_ppm
+      |  FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.doc_a
+      |  JOIN sizes zb ON zb.doc_id = i.doc_b)""".stripMargin
+
   private val cappedCandCte = shingleCte +
     """, bsz AS (
       |  SELECT band, minhash, count(*) AS n_docs FROM sig GROUP BY band, minhash
@@ -635,31 +684,21 @@ object LlmQueries extends graft.QueryModule {
       """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
         | min(doc_id) AS representative_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "q113_containment" -> (shingleCte +
-      """, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |rare AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) <= 8),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM dsh a JOIN rare r ON a.shingle = r.shingle
-        |  JOIN dsh b ON b.shingle = a.shingle
-        |  WHERE a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-        |  FROM cand c
-        |  JOIN dsh sa ON sa.doc_id = c.doc_a
-        |  JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-        |  GROUP BY c.doc_a, c.doc_b),
-        |ct AS (
-        |  SELECT i.doc_a, i.doc_b, i.n_inter,
-        |    za.set_size AS size_a, zb.set_size AS size_b,
-        |    CAST(floor(i.n_inter * 1000000.0 / za.set_size) AS BIGINT) AS cont_a_ppm,
-        |    CAST(floor(i.n_inter * 1000000.0 / zb.set_size) AS BIGINT) AS cont_b_ppm
-        |  FROM inter i
-        |  JOIN sizes za ON za.doc_id = i.doc_a
-        |  JOIN sizes zb ON zb.doc_id = i.doc_b)
+    "q113_containment" -> (containmentCte +
+      """
         |SELECT doc_a, doc_b, n_inter, size_a, size_b, cont_a_ppm, cont_b_ppm
         |FROM ct WHERE greatest(cont_a_ppm, cont_b_ppm) >= 600000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // the ingest form: odd half pre-seeded as history, even half the
+    // batch — exactly the batch pairs that TOUCH the even half (the
+    // blocking, df cap, intersection counts, and ppms are all unchanged;
+    // see the equivalence argument on IncrementalContainment
+    // .seededLayoutFor)
+    "q117_containment_ingest" -> (containmentCte +
+      """
+        |SELECT doc_a, doc_b, n_inter, size_a, size_b, cont_a_ppm, cont_b_ppm
+        |FROM ct WHERE greatest(cont_a_ppm, cont_b_ppm) >= 600000
+        |  AND (doc_a % 2 = 0 OR doc_b % 2 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q31_minhash_sigs" -> (shingleCte +
       "\nSELECT doc_id, band, minhash FROM sig ORDER BY doc_id, band"),

@@ -868,8 +868,29 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q116: the quality cut AT INGEST, oracle-gated end-to-end (the
+    * q106/q112 discipline — a streaming twin's persisted state
+    * hash-checked against the batch query's DuckDB oracle, not just
+    * spec-pinned): the corpus ingests through
+    * [[graft.streaming.IncrementalQualityCut.processBatch]] in three
+    * doc_id-striped micro-batches (doc-grained registry + histogram
+    * rollup accumulating, cutoffs recomputed per batch), and
+    * `admitted()` — the retrospective set under the FINAL corpus's
+    * cutoffs — must equal q114 verbatim. A drift anywhere in the ingest
+    * chain (replay double-count, rollup desync, cutoff algebra) makes
+    * this hash-fail while q114 stays green. */
+  def qualityCutIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reg = graft.streaming.IncrementalQualityCut
+      .ingestedLayoutFor(s, dir, frac = 0.4)
+    graft.streaming.IncrementalQualityCut.admitted(s, reg, frac = 0.4)
+      .select($"doc_id", $"source", $"score".as("n_distinct"), $"cutoff")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q114_quality_cut" -> qualityCut,
+    "q116_qcut_ingest" -> qualityCutIngest,
     "q104_quality_classifier" -> qualityClassifier,
     "q99_lm_fluency" -> lmFluencyScore,
     "q98_corpus_mix_report" -> corpusMixReport,
@@ -1000,26 +1021,34 @@ object TrainingDataQueries extends graft.QueryModule {
       |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Shared by q114 (batch) and q116 (ingested registry + rollup +
+    * admitted()): the full relative-cut computation in portable SQL —
+    * the ingest path must reproduce the batch answer exactly. */
+  private val qualityCutOracle =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, n_distinct, count(*) AS n FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_distinct,
+      |    sum(n) OVER (PARTITION BY source ORDER BY n_distinct DESC) AS cum,
+      |    sum(n) OVER (PARTITION BY source) AS total
+      |  FROM hist),
+      |cutoff AS (
+      |  SELECT source, max(n_distinct) AS cutoff
+      |  FROM cum WHERE cum >= ceil(0.4 * total) GROUP BY source)
+      |SELECT s.doc_id, s.source, s.n_distinct, c.cutoff
+      |FROM scored s JOIN cutoff c ON s.source = c.source
+      |WHERE s.n_distinct >= c.cutoff
+      |ORDER BY s.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q114_quality_cut" ->
-      """WITH scored AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
-        |  FROM documents),
-        |hist AS (
-        |  SELECT source, n_distinct, count(*) AS n FROM scored GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT source, n_distinct,
-        |    sum(n) OVER (PARTITION BY source ORDER BY n_distinct DESC) AS cum,
-        |    sum(n) OVER (PARTITION BY source) AS total
-        |  FROM hist),
-        |cutoff AS (
-        |  SELECT source, max(n_distinct) AS cutoff
-        |  FROM cum WHERE cum >= ceil(0.4 * total) GROUP BY source)
-        |SELECT s.doc_id, s.source, s.n_distinct, c.cutoff
-        |FROM scored s JOIN cutoff c ON s.source = c.source
-        |WHERE s.n_distinct >= c.cutoff
-        |ORDER BY s.doc_id""".stripMargin,
+    "q114_quality_cut" -> qualityCutOracle,
+    // the identical answer must come back out of the ingest chain:
+    // 3-batch registry + histogram rollup + retrospective admitted()
+    "q116_qcut_ingest" -> qualityCutOracle,
     "q104_quality_classifier" ->
       s"""WITH pos AS (SELECT text FROM documents WHERE source = 'src0'),
          |neg AS (

@@ -325,7 +325,18 @@ object PendingStore {
                   s"($n consecutive): ${e.getClass.getSimpleName}: ${e.getMessage}$expired")
             },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    () => exec.shutdownNow()
+    // close() must JOIN the in-flight beat, not just signal it: the
+    // universal holder shutdown sequence is close-then-releaseLease, and a
+    // renewal already past the interrupt point when shutdownNow() lands
+    // would re-write the lease file AFTER the release deletes it —
+    // resurrecting a ghost holder that refuses every new acquirer for a
+    // full TTL. awaitTermination makes the release strictly follow the
+    // last possible write (the timeout only bounds a wedged filesystem).
+    () => {
+      exec.shutdownNow()
+      exec.awaitTermination(lease.ttlMs + 10000L,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
   }
 
   /** Release `lease` if still held (no-op if it was already taken over).

