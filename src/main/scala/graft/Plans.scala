@@ -252,6 +252,25 @@ object Plans {
         "TopKAggregator — the shuffle carries O(queries·k) partial " +
         "buffers, never the scanned lists; no scan-per-query, no " +
         "cartesian."),
+    "q118_ivfpq_store" ->
+      ("IVF-PQ serving from the persisted index — this dump shows the " +
+        "RESCORE stage (the ADC candidate pass executes eagerly inside " +
+        "adcTopK; its plan — ReadSchema (vec_id, codes) with NO embedding " +
+        "column, the 32× bytes-read reduction — is pinned in " +
+        "IvfPqStoreSpec): the wide column is read only under a pushed " +
+        "In(vec_id, ...) over the refine·k candidates, with the probe ids " +
+        "as PartitionFilters literals — a point read, not a probed-list " +
+        "re-scan; no join, no corpus-sized shuffle anywhere."),
+    "q119_ivfpq_batch" ->
+      ("Batched IVF-PQ serving — this dump shows the RESCORE stage (the " +
+        "codes stage executes eagerly; its plan — one probed-union scan, " +
+        "codes-only ReadSchema, broadcast probe+table joins, bounded " +
+        "per-query TopKAggregator — is pinned in IvfPqStoreSpec): the " +
+        "wide column is read once for ALL queries' candidates under a " +
+        "pushed In over the union of refine·k ids, each row scored only " +
+        "for the queries that shortlisted it (broadcast pair join), " +
+        "per-query top-k via the bounded aggregator — O(queries·k) " +
+        "shuffle, no scan-per-query."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -170,8 +170,14 @@ object ProductQuantizer {
     * are null, so `array_max` and the position are null) rather than the
     * struct form's silent code 0. */
   def encode(emb: DataFrame, cb: Codebooks,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), codesCol(emb.sparkSession, cb, vecCol).as("codes"))
+
+  /** [[encode]]'s code array as a bare Column, so a persisted layout (the
+    * IVF-PQ index store) can carry `codes` BESIDE other columns in one
+    * write instead of paying a join against a separate encode pass. */
+  def codesCol(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
+               vecCol: String = "embedding"): Column = {
     val codeCols = (0 until cb.m).map { s =>
       val sub = subvecCol(vecCol, s, cb.subDim)
       val scores = array((0 until cb.ksub).map { c =>
@@ -181,7 +187,57 @@ object ProductQuantizer {
       }: _*)
       (call_function("array_position", scores, array_max(scores)) - 1).cast("int")
     }
-    emb.select(col(idCol), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
+  }
+
+  /** The query's per-(subspace, code) dot table — KBs, driver-side by
+    * design (folds into the scoring plan as literals). */
+  def adcTable(cb: Codebooks, q: Array[Float]): Array[Array[Double]] =
+    Array.tabulate(cb.m, cb.ksub) { (s, c) =>
+      val qs = q.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      qs.zip(cb.cents(s)(c)).map { case (a, b) => a.toDouble * b }.sum
+    }
+
+  /** The un-quantized ADC approximation `Σ_s table(s)(codes(s))` over a
+    * `codes` column — the map-side projection both [[adcTopK]] and the
+    * persisted-store serving path score with. Callers quantize the sum
+    * ([[Similarity.quantize]]) for the deterministic candidate cut. */
+  def adcApproxCol(cb: Codebooks, table: Array[Array[Double]],
+                   codesCol: Column = col("codes")): Column =
+    (0 until cb.m).map { s =>
+      element_at(typedLit(table(s).toSeq), element_at(codesCol, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** [[Codebooks]] as a relation `(sub, code, cvec)` — m·ksub rows (KBs),
+    * the persistable face of a trained codebook (the IVF-PQ store writes
+    * this under `_pq_codebook/` exactly as the coarse codebook lands under
+    * `_codebook/`). */
+  def codebooksToDF(spark: org.apache.spark.sql.SparkSession,
+                    cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    (for (s <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (s, c, cb.cents(s)(c).toSeq)).toDF("sub", "code", "cvec")
+  }
+
+  /** Inverse of [[codebooksToDF]]: a bounded m·ksub-row collect. Fails
+    * loudly on a ragged relation (missing (sub, code) cells or uneven
+    * centroid dims — a torn or drifted codebook write). */
+  def codebooksFromDF(df: DataFrame): Codebooks = {
+    val rows = df.select(col("sub").cast("int"), col("code").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "pq codebook relation is empty")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub,
+      s"pq codebook is ragged: ${rows.length} rows for m=$m ksub=$ksub")
+    val subDim = rows.head._3.length
+    val cents = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach { case (s, c, v) =>
+      require(v.length == subDim, s"pq codebook sub=$s code=$c has dim ${v.length} != $subDim")
+      cents(s)(c) = v
+    }
+    Codebooks(m, ksub, subDim, cents)
   }
 
   /** ADC (asymmetric distance computation) top-k: the query stays exact,
@@ -242,13 +298,7 @@ object ProductQuantizer {
     import spark.implicits._
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol)).as[Seq[Float]].head().toArray
-    val table: Array[Array[Double]] = Array.tabulate(cb.m, cb.ksub) { (s, c) =>
-      val qs = q.slice(s * cb.subDim, (s + 1) * cb.subDim)
-      qs.zip(cb.cents(s)(c)).map { case (a, b) => a.toDouble * b }.sum
-    }
-    val approx = (0 until cb.m).map { s =>
-      element_at(typedLit(table(s).toSeq), element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    val approx = adcApproxCol(cb, adcTable(cb, q))
     // the candidate cut is quantized (floor-millionths) with an id
     // tiebreak — the battery's standard determinism discipline — so the
     // refined set is identical across runs, partitionings and engines

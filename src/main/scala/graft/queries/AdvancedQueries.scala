@@ -86,6 +86,44 @@ object AdvancedQueries extends graft.QueryModule {
       .orderBy($"query_id", $"rn")
   }
 
+  /** q118: IVF-PQ serving from the PERSISTED index — the composed 100 TB
+    * ANN shape answered from the store: probe selection on the codebook,
+    * ADC over the probed lists' CODES column only (the scan column-prunes
+    * past the raw vectors — the 32× bytes-read reduction that makes
+    * serving affordable), exact rescore of the refine·k candidates
+    * through a partition-pruned, id-pushed point read. Parameters are
+    * q90's (m=8, ksub=16, refine=4, seed codebooks) over q112's store
+    * shape (nlist=16, nprobe=2), so the oracle composes their replays:
+    * every code, the candidate cut, and the exact rescore are re-derived
+    * in DuckDB. */
+  def ivfPqStoreTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.sources.IvfIndexStore.layoutForPq(s, dir, emb, nlist = 16)
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.adcTopK(s, store, qvec, k = 10, nprobe = 2,
+      refine = 4)
+  }
+
+  /** q119: the batched IVF-PQ serving shape — q115's 5-query batch
+    * answered from the PQ store via ONE codes-only scan (per-query ADC
+    * tables as a broadcast relation, fixed-order fold identical to the
+    * single-query literal projection) + one pushed exact rescore. The
+    * oracle replays probes, every code, each query's quantized refine·k
+    * cut, and the rescore — a cross-query leak, a wrong-order fold, or a
+    * candidate from an unprobed list hash-fails. */
+  def ivfPqStoreBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.sources.IvfIndexStore.layoutForPq(s, dir, emb, nlist = 16)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    graft.sources.IvfIndexStore.adcTopKBatch(s, store, queries, k = 10,
+      nprobe = 2, refine = 4)
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Embedding-cosine near-dup on the documents table (§2.9 L1): pairs over
     * threshold joined back to document metadata (broadcast dimension). */
   def docNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -155,7 +193,9 @@ object AdvancedQueries extends graft.QueryModule {
     "q55_cdc_apply" -> cdcApply,
     "q69_salted_join" -> saltedJoin,
     "q112_ivf_store" -> ivfStoreTopK,
-    "q115_ivf_batch" -> ivfStoreBatch)
+    "q115_ivf_batch" -> ivfStoreBatch,
+    "q118_ivfpq_store" -> ivfPqStoreTopK,
+    "q119_ivfpq_batch" -> ivfPqStoreBatch)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
@@ -237,6 +277,135 @@ object AdvancedQueries extends graft.QueryModule {
         |  JOIN q ON q.query_id = p.query_id
         |  JOIN embeddings e ON e.vec_id = a.vec_id, (SELECT unnest(range(1, 65)) AS i) r
         |  GROUP BY p.query_id, a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, vec_id) AS rn
+        |  FROM d)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, sim_q
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // q118: q112's probe replay composed with q90's PQ replay — the oracle
+    // re-derives the coarse assignment + 2-list probe, every PQ code
+    // (seed codebooks, lowest-code quantized ties), the query's ADC table,
+    // the quantized refine·k candidate cut RESTRICTED to the probed lists,
+    // and the exact rescore. A store bug anywhere (stale codes, codes
+    // encoded against the wrong codebook, pruning gone wrong, a candidate
+    // leaking in from an unprobed list) hash-fails.
+    "q118_ivfpq_store" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |ivfscored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM ivfscored) WHERE rn = 1),
+        |probe AS (SELECT centroid_id FROM ivfscored WHERE vec_id = 0
+        |          ORDER BY cdot DESC, centroid_id LIMIT 2),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |jx AS (SELECT unnest(range(1, 9)) AS j),
+        |pqc AS (
+        |  SELECT sub.s AS sub, CAST(e.vec_id AS INTEGER) AS code, jx.j AS j,
+        |    CAST(e.embedding[CAST(sub.s * 8 + jx.j AS INTEGER)] AS DOUBLE) AS cv
+        |  FROM embeddings e, sub, jx WHERE e.vec_id < 16),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.sub, c.code,
+        |    CAST(floor((2 * sum(CAST(v.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv)
+        |                - sum(c.cv * c.cv)) * 1000000) AS BIGINT) AS score_q
+        |  FROM embeddings v, pqc c
+        |  GROUP BY v.vec_id, c.sub, c.code),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY score_q DESC, code) AS rn
+        |    FROM pqscored) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT c.sub, c.code,
+        |    sum(CAST(q.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv) AS t
+        |  FROM embeddings q, pqc c WHERE q.vec_id = 0
+        |  GROUP BY c.sub, c.code),
+        |cand AS (
+        |  SELECT cd.vec_id
+        |  FROM codes cd
+        |  JOIN assigned a ON a.vec_id = cd.vec_id
+        |  JOIN probe p ON a.centroid_id = p.centroid_id
+        |  JOIN qtab ON cd.sub = qtab.sub AND cd.code = qtab.code
+        |  GROUP BY cd.vec_id
+        |  ORDER BY CAST(floor(sum(qtab.t) * 1000000) AS BIGINT) DESC, cd.vec_id
+        |  LIMIT 40)
+        |SELECT e.vec_id,
+        |  CAST(floor(sum(CAST(e.embedding[dim.i] AS DOUBLE) * CAST(q.embedding[dim.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id,
+        |     embeddings q, (SELECT unnest(range(1, 65)) AS i) dim
+        |WHERE q.vec_id = 0
+        |GROUP BY e.vec_id
+        |ORDER BY sim_q DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q119: q118's replay, per-query — probes for each of the 5 queries,
+    // per-query qtab, per-query quantized refine·k cut over ADC sums
+    // restricted to THAT query's probed lists, exact rescore, rank ≤ k
+    "q119_ivfpq_batch" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |ivfscored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM ivfscored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM ivfscored WHERE vec_id < 5) WHERE rn <= 2),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |jx AS (SELECT unnest(range(1, 9)) AS j),
+        |pqc AS (
+        |  SELECT sub.s AS sub, CAST(e.vec_id AS INTEGER) AS code, jx.j AS j,
+        |    CAST(e.embedding[CAST(sub.s * 8 + jx.j AS INTEGER)] AS DOUBLE) AS cv
+        |  FROM embeddings e, sub, jx WHERE e.vec_id < 16),
+        |pqscored AS (
+        |  SELECT v.vec_id, c.sub, c.code,
+        |    CAST(floor((2 * sum(CAST(v.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv)
+        |                - sum(c.cv * c.cv)) * 1000000) AS BIGINT) AS score_q
+        |  FROM embeddings v, pqc c
+        |  GROUP BY v.vec_id, c.sub, c.code),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY score_q DESC, code) AS rn
+        |    FROM pqscored) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT q.vec_id AS query_id, c.sub, c.code,
+        |    sum(CAST(q.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv) AS t
+        |  FROM embeddings q, pqc c WHERE q.vec_id < 5
+        |  GROUP BY q.vec_id, c.sub, c.code),
+        |adc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    CAST(floor(sum(qt.t) * 1000000) AS BIGINT) AS approx_q
+        |  FROM assigned a
+        |  JOIN probes p ON a.centroid_id = p.centroid_id
+        |  JOIN codes cd ON cd.vec_id = a.vec_id
+        |  JOIN qtab qt ON qt.query_id = p.query_id AND qt.sub = cd.sub AND qt.code = cd.code
+        |  GROUP BY p.query_id, a.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY approx_q DESC, vec_id) AS crn
+        |    FROM adc) WHERE crn <= 40),
+        |d AS (
+        |  SELECT c.query_id, e.vec_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.embedding[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings q ON q.vec_id = c.query_id, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY c.query_id, e.vec_id),
         |ranked AS (
         |  SELECT query_id, vec_id, sim_q,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, vec_id) AS rn

@@ -48,19 +48,28 @@ object IvfIndexStore {
     * pass [[Similarity.ivfTrain]]'s output for a trained index. */
   def build(emb: DataFrame, dir: String, nlist: Int = 16,
             codebook: Option[DataFrame] = None,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            pq: Option[graft.operators.ProductQuantizer.Codebooks] = None): Unit = {
     val cents = codebook.getOrElse(
       emb.filter(col(idCol) < nlist)
         .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cvec")))
     // lists FIRST: their Overwrite clears the whole store dir (including
-    // any previous _codebook), then the matching codebook lands beside
-    // them. A crash between the two writes leaves a store that fails
-    // loudly at serve time (no _codebook) rather than answering from a
-    // codebook that doesn't match its lists. The bulk build is batch -1
+    // any previous _codebook / _pq_codebook), then the matching codebooks
+    // land beside them. A crash between the writes leaves a store that
+    // fails loudly at serve time (no _codebook; [[adcTopK]] additionally
+    // requires _pq_codebook) rather than answering from a codebook that
+    // doesn't match its lists. The bulk build is batch -1
     // of the ingest_batch partition level that [[sink]] appends into
     // (streaming batch ids start at 0, so no append can collide with it).
-    Similarity.ivfAssignWith(emb, cents, idCol, vecCol)
+    val assigned = Similarity.ivfAssignWith(emb, cents, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
+    // with PQ: the codes column rides the SAME clustered write (map-side
+    // argmin against literal codebooks — no second corpus pass, no join),
+    // so every list file carries (id, vector, codes) and the ADC serving
+    // scan can column-prune down to (id, codes)
+    pq.map(cb => assigned.withColumn("codes",
+        graft.operators.ProductQuantizer.codesCol(emb.sparkSession, cb, vecCol)))
+      .getOrElse(assigned)
       .withColumn(BatchCol, lit(-1L))
       .repartition(nlist, col("centroid_id"))
       .write.mode(SaveMode.Overwrite)
@@ -73,6 +82,34 @@ object IvfIndexStore {
       .partitionBy("centroid_id", BatchCol).parquet(dir)
     // nlist rows — one file keeps the serving read a single footer fetch
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir + "/_codebook")
+    // m·ksub rows (KBs), same single-file discipline; last in the write
+    // order, so a crash anywhere leaves [[adcTopK]] failing loudly on a
+    // missing codebook, never serving codes against the wrong one
+    pq.foreach(cb => graft.operators.ProductQuantizer
+      .codebooksToDF(emb.sparkSession, cb)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir + PqDir))
+  }
+
+  private val PqDir = "/_pq_codebook"
+
+  /** True iff the store at `dir` was built with PQ codes ([[build]] with
+    * `pq`) — i.e. `_pq_codebook/` exists with files. Hadoop-FS-general,
+    * like every other store-layout check. */
+  def hasPq(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir + PqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** The persisted PQ codebooks — fails loudly when the store was built
+    * without PQ (or a crash tore the build before the codebook landed). */
+  def pqCodebook(spark: SparkSession, dir: String)
+      : graft.operators.ProductQuantizer.Codebooks = {
+    require(hasPq(spark, dir),
+      s"ivf store at $dir has no _pq_codebook — built without PQ, or the " +
+        "build crashed before the codebook write; rebuild with pq=Some(...)")
+    graft.operators.ProductQuantizer.codebooksFromDF(
+      spark.read.parquet(dir + PqDir))
   }
 
   /** The persisted codebook: (centroid_id, cvec), nlist rows. */
@@ -179,6 +216,200 @@ object IvfIndexStore {
       .toDF(queryIdCol, "rn", idCol, "sim_q")
   }
 
+  /** Serve one ANN query from a PQ-built store WITHOUT reading the raw
+    * vectors of the probed lists — the IVF-PQ serving shape
+    * ([[graft.operators.ProductQuantizer.ivfPqTopK]]'s algebra, answered
+    * from the persisted layout):
+    *
+    *   1. probe selection on the KB-scale codebook ([[probeLists]]);
+    *   2. ADC over the probed lists' CODES ONLY: the query's m×ksub dot
+    *      table folds in as literals, and the scan column-prunes to
+    *      `(idCol, codes)` — at the 8×16 default the codes column is ~32×
+    *      narrower than the float32[64] vectors, so the bytes actually
+    *      read off the probed lists shrink by that factor (ReadSchema is
+    *      pinned in IvfPqStoreSpec: no `vecCol` in the ADC scan);
+    *   3. the top `refine·k` ADC candidates (a bounded driver pull,
+    *      exactly [[probeLists]]' scale) rescore EXACTLY against their raw
+    *      vectors through a second scan that prunes to the probed
+    *      partitions AND pushes `idCol IN (candidates)` to parquet
+    *      (PushedFilters — row-group stats skip everything else), so the
+    *      wide column is read for ≤ refine·k rows, not the probed lists.
+    *
+    * The candidate cut is quantized with an id tiebreak (the battery's
+    * determinism discipline), so the refined set — and therefore the
+    * exact-rescored answer — is replayable by the q118 DuckDB oracle:
+    * recall vs brute force is DEFINED by (nprobe, refine), never silent.
+    */
+  def adcTopK(spark: SparkSession, dir: String, queryVec: Seq[Float],
+              k: Int, nprobe: Int = 2, refine: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val probes = probeLists(spark, dir, queryVec, nprobe)
+    val candIds = adcCandidates(spark, dir, queryVec, probes, refine * k, idCol)
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probes: _*) && col(idCol).isin(candIds: _*))
+      .select(col(idCol), Similarity.quantize(
+        GraftFunctions.vecDot(spark, col(vecCol), typedLit(queryVec))).as("sim_q"))
+      .orderBy(col("sim_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Serve a BATCH of ANN queries from a PQ-built store — [[topKBatch]]'s
+    * service shape on the COMPRESSED path: ONE codes-only scan of the
+    * probed-list union answers every query's ADC stage, then one pushed
+    * point read rescores all surviving candidates exactly.
+    *
+    *   1. per-query probe selection on the broadcast codebook
+    *      ([[topKBatch]]'s rank window, batch-scale);
+    *   2. the per-query ADC tables become a BROADCAST relation
+    *      `(query_id, tflat: array<double>[m·ksub])` (KBs — the tables are
+    *      driver-side by design, there are just |batch| of them now), and
+    *      the ADC sum is a fixed-order fold over the m subspaces
+    *      (`aggregate(sequence(0, m-1), ...)` — the same s = 0..m-1 order
+    *      as [[adcTopK]]'s literal projection, so the quantized cut is
+    *      bit-identical to the single-query path): map-side only, no
+    *      explode, no join per subspace;
+    *   3. each scanned codes row meets ONLY the queries that probed its
+    *      list (broadcast probe join — q115's discipline), the per-query
+    *      top refine·k survive the bounded [[graft.operators
+    *      .TopKAggregator]] (shuffle = O(queries·refine·k) partials,
+    *      never the scanned lists);
+    *   4. exact rescore: ONE scan of the probed lists' wide column under
+    *      a pushed `In(idCol, all candidate ids)` (≤ |batch|·refine·k
+    *      ids), each candidate row scored only for the queries that
+    *      shortlisted it (broadcast pair join), per-query top-k again via
+    *      the bounded aggregator.
+    *
+    * Output matches [[topKBatch]]: `(query_id, rn, idCol, sim_q)` — per
+    * query the same rows [[adcTopK]] returns (IvfPqStoreSpec pins the
+    * equivalence; q119 hash-gates the chain against a DuckDB replay of
+    * probes + codes + per-query ADC cut + exact rescore). */
+  def adcTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int, nprobe: Int = 2, refine: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id",
+                   queryVecCol: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val ctx = batchCtx(spark, dir, queries, nprobe, queryIdCol, queryVecCol)
+    val candPairs = adcBatchCandidateFrame(spark, dir, ctx, refine * k, idCol)
+      .as[(Long, Long)].collect().toSeq
+    val candIds = candPairs.map(_._2).distinct.sorted
+    val pairDf = broadcast(candPairs.toDF(queryIdCol, idCol))
+    spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(ctx.probedLists: _*) &&
+        col(idCol).isin(candIds: _*))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(pairDf, Seq(idCol))
+      .join(broadcast(ctx.qmeta.select(col(queryIdCol), col("qvec"))), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol), Similarity.quantize(
+        GraftFunctions.vecDot(spark, col(vecCol), col("qvec"))).as("sim_q"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.operators.ScoredId(t._3.toDouble, t._2))
+      .agg(new graft.operators.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score.toLong) }
+      }
+      .toDF(queryIdCol, "rn", idCol, "sim_q")
+  }
+
+  /** Query-batch serving context: the checkpointed per-query probe table,
+    * its probed-list union, the broadcastable query metadata (flattened
+    * ADC table + raw vector per query), and the fixed-order ADC fold. */
+  private final case class BatchCtx(probes: DataFrame, probedLists: Seq[Long],
+                                    qmeta: DataFrame,
+                                    approx: org.apache.spark.sql.Column)
+
+  private def batchCtx(spark: SparkSession, dir: String, queries: DataFrame,
+                       nprobe: Int, queryIdCol: String,
+                       queryVecCol: String): BatchCtx = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cb = pqCodebook(spark, dir)
+    val rankW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cdot").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .crossJoin(broadcast(codebook(spark, dir)))
+      .select(col(queryIdCol), col("centroid_id"),
+        Similarity.quantize(
+          GraftFunctions.vecDot(spark, col("cvec"), col(queryVecCol))).as("cdot"))
+      .withColumn("prn", row_number().over(rankW))
+      .filter(col("prn") <= nprobe)
+      .select(col(queryIdCol).cast("long").as(queryIdCol), col("centroid_id"))
+      .localCheckpoint(true)
+    val probedLists = probes.select(col("centroid_id").cast("long"))
+      .distinct().as[Long].collect().toSeq.sorted
+    // the query batch is the service's request payload — bounded, driver-
+    // side by contract (exactly [[adcTopK]]'s single-vector case, ×|batch|)
+    val qvecs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val qmeta = qvecs.map { case (qid, v) =>
+      val t = graft.operators.ProductQuantizer.adcTable(cb, v.toArray)
+      (qid, t.flatten.toSeq, v)
+    }.toDF(queryIdCol, "tflat", "qvec")
+    // identical s = 0..m-1 summation order to [[adcTopK]]'s literal
+    // projection, so the quantized cut is bit-identical per query
+    val approx = aggregate(
+      sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("tflat"),
+        s * cb.ksub + element_at(col("codes"), s + 1) + 1))
+    BatchCtx(probes, probedLists, qmeta, approx)
+  }
+
+  private def adcBatchCandidateFrame(spark: SparkSession, dir: String,
+                                     ctx: BatchCtx, limit: Int,
+                                     idCol: String): DataFrame = {
+    import spark.implicits._
+    val queryIdCol = ctx.probes.columns.head
+    spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(ctx.probedLists: _*))
+      .select(col(idCol).cast("long").as("id"), col("codes"), col("centroid_id"))
+      .join(broadcast(ctx.probes), Seq("centroid_id"))
+      .join(broadcast(ctx.qmeta.select(col(queryIdCol), col("tflat"))), Seq(queryIdCol))
+      .select(col(queryIdCol).cast("long"), col("id"),
+        Similarity.quantize(ctx.approx).as("approx_q"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.operators.ScoredId(t._3.toDouble, t._2))
+      .agg(new graft.operators.TopKAggregator(limit).toColumn.name("cands"))
+      .flatMap { case (qid, top) => top.map(s => (qid, s.id)) }
+      .toDF(queryIdCol, "id")
+  }
+
+  /** [[adcTopKBatch]]'s codes-only stage, pre-collect (the plan-pin twin
+    * of [[adcCandidates]]): ONE scan of the probed union, broadcast probe
+    * join, fixed-order ADC fold, bounded per-query top-`limit` —
+    * `(queryIdCol, id)` pairs. Spec-facing. */
+  private[sources] def adcBatchCandidates(spark: SparkSession, dir: String,
+                                          queries: DataFrame, limit: Int,
+                                          nprobe: Int = 2,
+                                          idCol: String = "vec_id",
+                                          queryIdCol: String = "query_id",
+                                          queryVecCol: String = "query_vec"): DataFrame =
+    adcBatchCandidateFrame(spark, dir,
+      batchCtx(spark, dir, queries, nprobe, queryIdCol, queryVecCol), limit, idCol)
+
+  /** [[adcTopK]]'s codes-only candidate pass, pre-collect — package-
+    * private so IvfPqStoreSpec can pin its PLAN (the ADC pass executes
+    * eagerly inside [[adcTopK]], so the served frame's plan shows only
+    * the rescore): `(id, approx_q)` top `limit` over the probed lists,
+    * ReadSchema = (idCol, codes) — the raw-vector column never read. */
+  private[sources] def adcCandidates(spark: SparkSession, dir: String,
+                                     queryVec: Seq[Float], probes: Seq[Long],
+                                     limit: Int, idCol: String = "vec_id"): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val table = graft.operators.ProductQuantizer.adcTable(cb, queryVec.toArray)
+    val approx = graft.operators.ProductQuantizer.adcApproxCol(cb, table)
+    spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probes: _*))
+      .select(col(idCol).cast("long").as("id"), Similarity.quantize(approx).as("approx_q"))
+      .orderBy(col("approx_q").desc, col("id"))
+      .limit(limit)
+  }
+
   /** The sink's per-batch partition level under each list — the
     * replay-idempotence key ([[VariantEventStore.BatchCol]]'s discipline);
     * the bulk [[build]] is batch -1, below any streaming batch id. Serving never touches it: [[topK]]
@@ -211,12 +442,30 @@ object IvfIndexStore {
     require(bad == 0,
       s"ivf sink: $bad vector(s) in batch $batchId have null/mismatched " +
         "dims vs the store's codebook; appending would corrupt the lists")
+    // a PQ-built store's appends must carry codes too (the ADC serving
+    // scan reads every batch of a probed list — a codeless append would
+    // surface as null approx scores); encoding uses the store's FROZEN
+    // PQ codebook, the same maintenance contract as the coarse centroids
+    val withCodes =
+      if (hasPq(batch.sparkSession, dir)) {
+        val cb = pqCodebook(batch.sparkSession, dir)
+        val coded = assigned.withColumn("codes",
+          graft.operators.ProductQuantizer.codesCol(batch.sparkSession, cb, vecCol))
+        // dims vs the COARSE codebook already gated above; a PQ codebook
+        // whose m·subDim disagrees with the store's vectors would null
+        // every code — fail loudly rather than file unscannable rows
+        val badCodes = coded
+          .filter(exists(col("codes"), _.isNull) || col("codes").isNull).count()
+        require(badCodes == 0,
+          s"ivf sink: $badCodes vector(s) in batch $batchId encode to null " +
+            "PQ codes (pq codebook dims disagree with the store's vectors)")
+        coded.select(col(idCol), col(vecCol), col("codes"), col("centroid_id"))
+      } else assigned.select(col(idCol), col(vecCol), col("centroid_id"))
     // dynamic partition overwrite on (list, batch): an at-least-once
     // replay re-derives the SAME deterministic assignment and REWRITES
     // its own (centroid_id, ingest_batch=N) partitions instead of
     // appending a second copy
-    assigned
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    withCodes
       .withColumn(BatchCol, lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -260,16 +509,31 @@ object IvfIndexStore {
     * write only AFTER it succeeds; single-threaded callers only
     * (Verify/Bench run the battery sequentially). */
   def layoutFor(spark: SparkSession, sfDir: String, emb: DataFrame,
-                nlist: Int): String = {
-    val keyStr = s"$sfDir|nlist$nlist"
+                nlist: Int): String =
+    layoutImpl(spark, sfDir, emb, nlist, withPq = false)
+
+  /** [[layoutFor]]'s PQ twin — one PQ-coded build per (`sfDir`, `nlist`)
+    * per session, shared by q118's bench passes. The PQ codebooks are the
+    * battery's deterministic seed (first-ksub-by-id, iters = 0 — q89's),
+    * so the DuckDB oracle replays every code. */
+  def layoutForPq(spark: SparkSession, sfDir: String, emb: DataFrame,
+                  nlist: Int): String =
+    layoutImpl(spark, sfDir, emb, nlist, withPq = true)
+
+  private def layoutImpl(spark: SparkSession, sfDir: String, emb: DataFrame,
+                         nlist: Int, withPq: Boolean): String = {
+    val keyStr = s"$sfDir|nlist$nlist" + (if (withPq) "|pq" else "")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
     val dir = "/tmp/graft-ivf-store/" + digest + "_" +
-      (s"nlist${nlist}_" + sfDir).replaceAll("[^A-Za-z0-9._-]", "_")
+      ((if (withPq) "pq_" else "") + s"nlist${nlist}_" + sfDir)
+        .replaceAll("[^A-Za-z0-9._-]", "_")
     val key = (spark, keyStr)
     if (!layoutMemo.contains(key)) {
-      build(emb, dir, nlist)
+      val pq = if (withPq) Some(graft.operators.ProductQuantizer
+        .train(emb, m = 8, ksub = 16, iters = 0)) else None
+      build(emb, dir, nlist, pq = pq)
       layoutMemo.add(key)
     }
     dir

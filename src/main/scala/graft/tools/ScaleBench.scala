@@ -93,11 +93,19 @@ object ScaleBench {
     // (one per-variant projection + one per-id aggregate instead of one
     // groupBy+join per text gate) is meant to cut.
     val jobCount = new java.util.concurrent.atomic.AtomicLong
+    // bytes actually read off storage, task-end granularity — the
+    // ivfpq_store regime's instrument (column pruning is a BYTES claim;
+    // file counts can't see it because codes and vectors share files)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCount.incrementAndGet()
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
       })
     // Listener-bus delivery is asynchronous: a job-start event can land
     // AFTER the action that spawned it returns, so a bare jobCount.get()
@@ -110,6 +118,11 @@ object ScaleBench {
       if (!org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000L))
         Thread.sleep(100)
       jobCount.get()
+    }
+    def bytesReadDrained(): Long = {
+      if (!org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000L))
+        Thread.sleep(100)
+      bytesRead.get()
     }
 
     val scales = Seq(1, 3, 10)
@@ -745,6 +758,70 @@ object ScaleBench {
       (k, buildSec, serveSec, bruteSec, probedFiles, totalFiles)
     }
 
+    // IVF-PQ store regime (q118's substrate): the PQ claim is a BYTES
+    // claim — the ADC pass column-prunes to (vec_id, codes), ~32× narrower
+    // than the float32[64] vectors, and the exact rescore reads the wide
+    // column only under a pushed In(refine·k ids). File counts cannot see
+    // this (codes and vectors share the list files), so the instrument is
+    // task inputMetrics.bytesRead: serve the SAME 8 queries from the same
+    // store twice — raw-vector topK vs ADC+rescore — and compare bytes.
+    val pqStoreRows = Seq(1, 10).map { k =>
+      import spark.implicits._
+      val embDisk = spark.read.parquet(s"$root/x$k/embeddings.parquet")
+      val dir = s"$root/ivfpq-store-x$k"
+      graft.queue.Maintenance.deleteRec(Paths.get(dir))
+      val cbq = graft.operators.ProductQuantizer.train(
+        embDisk, m = 8, ksub = 16, iters = 0)
+      val t0 = System.nanoTime()
+      graft.sources.IvfIndexStore.build(embDisk, dir, nlist = 16, pq = Some(cbq))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val qvecs = embDisk.filter(col("vec_id") < 8)
+        .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      // raw-vector serving from the PQ store (same lists, wide column)
+      val b0 = bytesReadDrained()
+      val t1 = System.nanoTime()
+      qvecs.foreach(v => graft.sources.IvfIndexStore
+        .topK(spark, dir, v, k = 10, nprobe = 2).collect())
+      val rawSec = (System.nanoTime() - t1) / 1e9
+      val rawBytes = bytesReadDrained() - b0
+      // ADC + pushed exact rescore
+      val t2 = System.nanoTime()
+      qvecs.foreach(v => graft.sources.IvfIndexStore
+        .adcTopK(spark, dir, v, k = 10, nprobe = 2, refine = 4).collect())
+      val adcSec = (System.nanoTime() - t2) / 1e9
+      val adcBytes = bytesReadDrained() - b0 - rawBytes
+      println(f"""{"kind":"ivfpq_store","scale":$k,"build_sec":$buildSec%.3f,"raw_serve_sec_8q":$rawSec%.3f,"adc_serve_sec_8q":$adcSec%.3f,"raw_bytes_8q":$rawBytes,"adc_bytes_8q":$adcBytes}""")
+      (k, buildSec, rawSec, adcSec, rawBytes, adcBytes)
+    }
+
+    // PQ recall knob (the ivf_recall instrument's ADC twin): within the
+    // SAME probed lists, how much of the exact probed top-10 does the
+    // ADC-then-rescore path recover as `refine` grows? Exact probed serve
+    // (topK) is the reference — this isolates the PQ approximation from
+    // the probe-selection loss that ivf_recall already measures.
+    val pqRecallRows = locally {
+      import spark.implicits._
+      val dir = s"$root/ivfpq-store-x1"
+      val embDisk = spark.read.parquet(s"$root/x1/embeddings.parquet")
+      val qvecs = embDisk.filter(col("vec_id") < 8)
+        .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      val exact = qvecs.map { v =>
+        graft.sources.IvfIndexStore.topK(spark, dir, v, k = 10, nprobe = 2)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      }
+      Seq(1, 2, 4, 8).map { refine =>
+        val rs = qvecs.zip(exact).map { case (v, ex) =>
+          val got = graft.sources.IvfIndexStore
+            .adcTopK(spark, dir, v, k = 10, nprobe = 2, refine = refine)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          (ex & got).size.toDouble / ex.size
+        }
+        val recall = rs.sum / rs.size
+        println(f"""{"kind":"ivfpq_recall","refine":$refine,"recall_at_10_vs_exact_probed":$recall%.3f}""")
+        (refine, recall)
+      }
+    }
+
     val dRows = queueDepths.map { n =>
       val sec = (1 to 3).map { _ =>
         val qdir = s"$root/queue$n/event_log"
@@ -838,7 +915,7 @@ object ScaleBench {
       (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, dRows, fRows, rcRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, pqStoreRows, pqRecallRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -944,6 +1021,8 @@ object ScaleBench {
                       kRows: Seq[(Int, Double, Double, Double)],
                       ivfRows: Seq[(Int, Double, Double)],
                       storeRows: Seq[(Int, Double, Double, Double, Int, Int)],
+                      pqStoreRows: Seq[(Int, Double, Double, Double, Long, Long)],
+                      pqRecallRows: Seq[(Int, Double)],
                       dRows: Seq[(Int, Double)],
                       fRows: Seq[(Int, Double, Double, Int)],
                       rcRows: Seq[(Int, Long, Long, Double)]): Unit = {
@@ -1240,6 +1319,30 @@ object ScaleBench {
     sb ++= "ids landing in PartitionFilters). Local wall times are fixed-cost\n"
     sb ++= "dominated — the file ratio is the claim that survives 1000\n"
     sb ++= "executors, where a brute scan reads the corpus per query.\n"
+    sb ++= "\n| IVF-PQ store (q118, m=8 ksub=16, nprobe=2, refine=4, 8 queries) | build sec | raw serve sec | ADC serve sec | raw serve bytes | ADC serve bytes | bytes ratio |\n|---|---|---|---|---|---|---|\n"
+    pqStoreRows.foreach { case (k, b, rs, as_, rb, ab) =>
+      val ratio = if (ab > 0) rb.toDouble / ab else Double.NaN
+      sb ++= f"| ${k}x embeddings | $b%.2f s | $rs%.2f s | $as_%.2f s | ${rb / 1024} KiB | ${ab / 1024} KiB | $ratio%.1fx |\n"
+    }
+    sb ++= "\nSame store, same probed lists, same 8 queries — the two paths\n"
+    sb ++= "differ only in WHAT they read: the raw path scans the probed\n"
+    sb ++= "lists' float32[64] column; the ADC path scans their codes column\n"
+    sb ++= "(column pruning, pinned in IvfPqStoreSpec's ReadSchema test) and\n"
+    sb ++= "re-reads the wide column for just refine*k=40 pushed ids. The\n"
+    sb ++= "bytes ratio is the claim that scales: at a 100 TB corpus the\n"
+    sb ++= "probed lists are nprobe/nlist of 100 TB per query, and reading\n"
+    sb ++= "codes instead of vectors divides exactly that term; local wall\n"
+    sb ++= "clocks are scheduler-dominated at these sizes (the ADC path runs\n"
+    sb ++= "2 jobs per query vs raw's 1, visible at x1, amortized at x10).\n"
+    sb ++= "\n| PQ refine knob (x1, same 2 probed lists, vs exact probed top-10) | recall@10 |\n|---|---|\n"
+    pqRecallRows.foreach { case (r, rec) =>
+      sb ++= f"| refine=$r | ${rec * 100}%.1f%% |\n"
+    }
+    sb ++= "\nIsolates the PQ approximation from probe-selection loss (the\n"
+    sb ++= "ivf_recall table above measures that axis): the rescore is exact\n"
+    sb ++= "over refine*k ADC candidates, so recall climbs with refine and\n"
+    sb ++= "the cost is the rescore's pushed point-read width — the measured\n"
+    sb ++= "quality-vs-bytes knob of the IVF-PQ serving shape (q118/q119).\n"
     sb ++= "\n| dispatcher cycle depth | sec | sec/1k rows |\n|---|---|---|\n"
     dRows.foreach { case (n, s) =>
       sb ++= f"| $n | $s%.2f s | ${s * 1000 / n}%.3f |\n"
