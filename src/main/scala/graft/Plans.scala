@@ -271,6 +271,13 @@ object Plans {
         "for the queries that shortlisted it (broadcast pair join), " +
         "per-query top-k via the bounded aggregator — O(queries·k) " +
         "shuffle, no scan-per-query."),
+    "q120_pq_drift" ->
+      ("PQ drift report over the persisted store: ONE scan of the lists, " +
+        "the per-row quantized reconstruction error (codebooks folded in " +
+        "as literals — map-side, no join) feeds a partial+final aggregate " +
+        "whose exchange carries one row per ingest batch; the batch -1 " +
+        "baseline comes back as a broadcast single row for the drift " +
+        "flag — nothing corpus-sized shuffles."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -176,19 +176,45 @@ object ProductQuantizer {
   /** [[encode]]'s code array as a bare Column, so a persisted layout (the
     * IVF-PQ index store) can carry `codes` BESIDE other columns in one
     * write instead of paying a join against a separate encode pass. */
+  /** The quantized per-code scores `floor((2·a_s·c − c·c)·10⁶)` of one
+    * subspace — the argmax substrate of [[codesCol]] and the lookup table
+    * of [[reconstructionErrCol]]. */
+  private def scoresArr(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
+                        vecCol: String, s: Int): Column = {
+    val sub = subvecCol(vecCol, s, cb.subDim)
+    array((0 until cb.ksub).map { c =>
+      val cc = cb.cents(s)(c).map(x => x.toDouble * x).sum
+      Similarity.quantize(lit(2.0) *
+        GraftFunctions.vecDot(spark, sub, typedLit(cb.cents(s)(c))) - lit(cc))
+    }: _*)
+  }
+
   def codesCol(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
                vecCol: String = "embedding"): Column = {
     val codeCols = (0 until cb.m).map { s =>
-      val sub = subvecCol(vecCol, s, cb.subDim)
-      val scores = array((0 until cb.ksub).map { c =>
-        val cc = cb.cents(s)(c).map(x => x.toDouble * x).sum
-        Similarity.quantize(lit(2.0) *
-          GraftFunctions.vecDot(spark, sub, typedLit(cb.cents(s)(c))) - lit(cc))
-      }: _*)
+      val scores = scoresArr(spark, cb, vecCol, s)
       (call_function("array_position", scores, array_max(scores)) - 1).cast("int")
     }
     array(codeCols: _*)
   }
+
+  /** Quantized reconstruction error of a row against its STORED codes —
+    * the drift instrument of the frozen-codebook maintenance contract:
+    * `Σ_s (floor(a_s·a_s·10⁶) − scores_s[codes_s])`, i.e. the quantized
+    * |a−c|² gap summed over subspaces, evaluated at the code the store
+    * actually carries (a corrupted or stale code surfaces as error just
+    * like drifted data does). Non-negative per subspace when the stored
+    * code is the argmax (floor is monotone); integer-exact, so batch
+    * means replay bit-for-bit in the q120 DuckDB oracle. Map-side only —
+    * the codebooks fold in as literals. */
+  def reconstructionErrCol(spark: org.apache.spark.sql.SparkSession,
+                           cb: Codebooks, vecCol: String = "embedding",
+                           codesCol: Column = col("codes")): Column =
+    (0 until cb.m).map { s =>
+      val sub = subvecCol(vecCol, s, cb.subDim)
+      Similarity.quantize(GraftFunctions.vecDot(spark, sub, sub)) -
+        element_at(scoresArr(spark, cb, vecCol, s), element_at(codesCol, s + 1) + 1)
+    }.reduce(_ + _)
 
   /** The query's per-(subspace, code) dot table — KBs, driver-side by
     * design (folds into the scoring plan as literals). */

@@ -124,6 +124,44 @@ object AdvancedQueries extends graft.QueryModule {
       .orderBy($"query_id", $"rn")
   }
 
+  private val pqDriftMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** q120: the REBUILD SIGNAL of the frozen-codebook maintenance contract
+    * ([[graft.sources.IvfIndexStore.qualityReport]]): a PQ store built on
+    * the first 300 vectors ingests the rest (in-distribution, batch 0)
+    * and a deterministically magnitude-drifted batch (×2-scaled copies —
+    * exact in float, so the DuckDB oracle replays every code and every
+    * flag; batch 1). The report's per-batch mean quantized reconstruction
+    * error — evaluated against the STORED codes, so stale/corrupt codes
+    * surface exactly like drifted data — must flag batch 1 and only
+    * batch 1. Later battery passes re-serve from the memoized store, the
+    * q112 discipline. */
+  def pqDriftReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val keyStr = s"$dir|pqdrift"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val storeDir = "/tmp/graft-ivf-store/" + digest + "_" +
+      ("pqdrift_" + dir).replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (s, keyStr)
+    if (!pqDriftMemo.contains(key)) {
+      val base = emb.filter($"vec_id" < 300)
+      val cb = graft.operators.ProductQuantizer.train(base, m = 8, ksub = 16, iters = 0)
+      graft.sources.IvfIndexStore.build(base, storeDir, nlist = 16, pq = Some(cb))
+      graft.sources.IvfIndexStore.appendBatch(
+        emb.filter($"vec_id" >= 300), storeDir, batchId = 0)
+      val drifted = emb.filter($"vec_id" < 100)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      graft.sources.IvfIndexStore.appendBatch(drifted, storeDir, batchId = 1)
+      pqDriftMemo.add(key)
+    }
+    graft.sources.IvfIndexStore.qualityReport(s, storeDir, factor = 2.0)
+  }
+
   /** Embedding-cosine near-dup on the documents table (§2.9 L1): pairs over
     * threshold joined back to document metadata (broadcast dimension). */
   def docNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -195,7 +233,8 @@ object AdvancedQueries extends graft.QueryModule {
     "q112_ivf_store" -> ivfStoreTopK,
     "q115_ivf_batch" -> ivfStoreBatch,
     "q118_ivfpq_store" -> ivfPqStoreTopK,
-    "q119_ivfpq_batch" -> ivfPqStoreBatch)
+    "q119_ivfpq_batch" -> ivfPqStoreBatch,
+    "q120_pq_drift" -> pqDriftReport)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
@@ -412,6 +451,55 @@ object AdvancedQueries extends graft.QueryModule {
         |  FROM d)
         |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, sim_q
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // q120: the oracle reconstructs the STORE'S CONTENT (base < 300 at
+    // batch -1, the rest at batch 0, ×2-scaled copies at batch 1 — the
+    // scale is exact in float, so the replay is bit-faithful), re-derives
+    // every stored code (q89's argmax rule over the base-seeded
+    // codebooks), the per-row quantized reconstruction error against that
+    // code, the floor-division batch means, and the 2× drift flags
+    "q120_pq_drift" ->
+      """WITH stored AS (
+        |  SELECT vec_id, embedding, -1 AS ingest_batch FROM embeddings WHERE vec_id < 300
+        |  UNION ALL
+        |  SELECT vec_id, embedding, 0 FROM embeddings WHERE vec_id >= 300
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x * 2.0 AS REAL)), 1
+        |  FROM embeddings WHERE vec_id < 100),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |jx AS (SELECT unnest(range(1, 9)) AS j),
+        |pqc AS (
+        |  SELECT sub.s AS sub, CAST(e.vec_id AS INTEGER) AS code, jx.j AS j,
+        |    CAST(e.embedding[CAST(sub.s * 8 + jx.j AS INTEGER)] AS DOUBLE) AS cv
+        |  FROM embeddings e, sub, jx WHERE e.vec_id < 16),
+        |pqscored AS (
+        |  SELECT v.vec_id, v.ingest_batch, c.sub, c.code,
+        |    CAST(floor((2 * sum(CAST(v.embedding[CAST(c.sub * 8 + c.j AS INTEGER)] AS DOUBLE) * c.cv)
+        |                - sum(c.cv * c.cv)) * 1000000) AS BIGINT) AS score_q
+        |  FROM stored v, pqc c
+        |  GROUP BY v.vec_id, v.ingest_batch, c.sub, c.code),
+        |beststored AS (
+        |  SELECT vec_id, ingest_batch, sub, score_q FROM (
+        |    SELECT vec_id, ingest_batch, sub, score_q,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY score_q DESC, code) AS rn
+        |    FROM pqscored) WHERE rn = 1),
+        |aa AS (
+        |  SELECT v.vec_id, s.s AS sub,
+        |    CAST(floor(sum(CAST(v.embedding[CAST(s.s * 8 + j.j AS INTEGER)] AS DOUBLE)
+        |             * CAST(v.embedding[CAST(s.s * 8 + j.j AS INTEGER)] AS DOUBLE)) * 1000000) AS BIGINT) AS aa_q
+        |  FROM stored v, sub s, jx j GROUP BY v.vec_id, s.s),
+        |err AS (
+        |  SELECT b.vec_id, b.ingest_batch, sum(a.aa_q - b.score_q) AS err
+        |  FROM beststored b JOIN aa a ON a.vec_id = b.vec_id AND a.sub = b.sub
+        |  GROUP BY b.vec_id, b.ingest_batch),
+        |rpt AS (
+        |  SELECT ingest_batch, count(*) AS n_vecs,
+        |    CAST(sum(err) // count(*) AS BIGINT) AS mean_err_ppm
+        |  FROM err GROUP BY ingest_batch),
+        |base AS (SELECT mean_err_ppm AS base_err FROM rpt WHERE ingest_batch = -1)
+        |SELECT CAST(r.ingest_batch AS BIGINT) AS ingest_batch, r.n_vecs, r.mean_err_ppm,
+        |  CAST(r.mean_err_ppm AS DOUBLE) > CAST(b.base_err AS DOUBLE) * 2.0 AS drifted
+        |FROM rpt r, base b ORDER BY r.ingest_batch""".stripMargin,
     "q54_doc_neardup" -> (LlmQueries.lshNearDupCte +
       """
         |SELECT d.vec_a AS doc_a, d.vec_b AS doc_b,

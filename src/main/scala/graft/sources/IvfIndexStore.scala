@@ -410,15 +410,54 @@ object IvfIndexStore {
       .limit(limit)
   }
 
+  /** Per-ingest-batch PQ health of the store — the REBUILD SIGNAL of the
+    * frozen-codebook maintenance contract ([[sink]]'s documented trade:
+    * appends encode against build-time codebooks, so a shifting data
+    * distribution degrades silently unless measured). One map-side pass
+    * over the store computes each row's quantized reconstruction error
+    * AGAINST ITS STORED CODES ([[graft.operators.ProductQuantizer
+    * .reconstructionErrCol]] — stale/corrupt codes surface exactly like
+    * drifted data), one partial+final aggregate rolls it up per
+    * `ingest_batch`, and a batch whose mean error exceeds
+    * `factor ×` the bulk build's (batch −1's) mean is flagged `drifted`
+    * — integer arithmetic throughout (floor-division mean), so q120's
+    * DuckDB oracle replays every flag.
+    *
+    * Output: `(ingest_batch, n_vecs, mean_err_ppm, drifted)` ordered by
+    * batch. Nothing corpus-sized shuffles: the exchange carries one row
+    * per batch, the baseline joins back as a broadcast single row. */
+  def qualityReport(spark: SparkSession, dir: String,
+                    factor: Double = 2.0,
+                    vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val err = graft.operators.ProductQuantizer
+      .reconstructionErrCol(spark, cb, vecCol)
+    val perBatch = spark.read.parquet(dir)
+      .select(col(BatchCol).cast("long").as(BatchCol), err.as("err"))
+      .groupBy(col(BatchCol))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("sum_err"))
+      .select(col(BatchCol), col("n_vecs"),
+        expr("sum_err div n_vecs").as("mean_err_ppm"))
+    val base = perBatch.filter(col(BatchCol) === -1L)
+      .select(col("mean_err_ppm").as("base_err"))
+    perBatch.crossJoin(broadcast(base))
+      .select(col(BatchCol), col("n_vecs"), col("mean_err_ppm"),
+        (col("mean_err_ppm").cast("double") >
+          col("base_err").cast("double") * lit(factor)).as("drifted"))
+      .orderBy(col(BatchCol))
+  }
+
   /** The sink's per-batch partition level under each list — the
     * replay-idempotence key ([[VariantEventStore.BatchCol]]'s discipline);
     * the bulk [[build]] is batch -1, below any streaming batch id. Serving never touches it: [[topK]]
     * prunes on `centroid_id` and scans every batch of the probed lists. */
   private[sources] val BatchCol = "ingest_batch"
 
-  /** One micro-batch step of [[sink]], keyed by `batchId` — package-
-    * private so the replay contract is testable without staging a crash. */
-  private[sources] def appendBatch(batch: DataFrame, dir: String,
+  /** One append step, keyed by `batchId` — [[sink]]'s per-micro-batch body,
+    * public because batch pipelines (a scheduled backfill, a q120-style
+    * fixture) append with exactly the same replay contract: same batchId →
+    * same deterministic assignment → rewrite, never a second copy. */
+  def appendBatch(batch: DataFrame, dir: String,
                                    batchId: Long, idCol: String = "vec_id",
                                    vecCol: String = "embedding"): Unit = {
     require(batch.columns.contains(idCol) && batch.columns.contains(vecCol),

@@ -93,19 +93,11 @@ object ScaleBench {
     // (one per-variant projection + one per-id aggregate instead of one
     // groupBy+join per text gate) is meant to cut.
     val jobCount = new java.util.concurrent.atomic.AtomicLong
-    // bytes actually read off storage, task-end granularity — the
-    // ivfpq_store regime's instrument (column pruning is a BYTES claim;
-    // file counts can't see it because codes and vectors share files)
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCount.incrementAndGet()
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
       })
     // Listener-bus delivery is asynchronous: a job-start event can land
     // AFTER the action that spawned it returns, so a bare jobCount.get()
@@ -118,11 +110,6 @@ object ScaleBench {
       if (!org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000L))
         Thread.sleep(100)
       jobCount.get()
-    }
-    def bytesReadDrained(): Long = {
-      if (!org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000L))
-        Thread.sleep(100)
-      bytesRead.get()
     }
 
     val scales = Seq(1, 3, 10)
@@ -760,11 +747,26 @@ object ScaleBench {
 
     // IVF-PQ store regime (q118's substrate): the PQ claim is a BYTES
     // claim — the ADC pass column-prunes to (vec_id, codes), ~32× narrower
-    // than the float32[64] vectors, and the exact rescore reads the wide
-    // column only under a pushed In(refine·k ids). File counts cannot see
-    // this (codes and vectors share the list files), so the instrument is
-    // task inputMetrics.bytesRead: serve the SAME 8 queries from the same
-    // store twice — raw-vector topK vs ADC+rescore — and compare bytes.
+    // than the float32[64] vectors. File counts cannot see it (codes and
+    // vectors share the list files), and task inputMetrics at this corpus
+    // size measure footer/codebook traffic, not data pages — so the
+    // instrument is the LAYOUT itself: the parquet column-chunk bytes of
+    // the probed lists, per column set each serving path scans (read
+    // straight from the footers; this is the term that multiplies by
+    // corpus size, and IvfPqStoreSpec pins that each path's ReadSchema
+    // actually restricts to exactly these columns).
+    def chunkBytes(f: java.io.File, cols: Set[String]): Long = {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(c => cols.contains(c.getPath.toDotString.split('.').head))
+        .map(_.getTotalSize).sum
+      finally r.close()
+    }
     val pqStoreRows = Seq(1, 10).map { k =>
       import spark.implicits._
       val embDisk = spark.read.parquet(s"$root/x$k/embeddings.parquet")
@@ -778,19 +780,32 @@ object ScaleBench {
       val qvecs = embDisk.filter(col("vec_id") < 8)
         .select(col("embedding")).as[Seq[Float]].collect().toSeq
       // raw-vector serving from the PQ store (same lists, wide column)
-      val b0 = bytesReadDrained()
       val t1 = System.nanoTime()
       qvecs.foreach(v => graft.sources.IvfIndexStore
         .topK(spark, dir, v, k = 10, nprobe = 2).collect())
       val rawSec = (System.nanoTime() - t1) / 1e9
-      val rawBytes = bytesReadDrained() - b0
       // ADC + pushed exact rescore
       val t2 = System.nanoTime()
       qvecs.foreach(v => graft.sources.IvfIndexStore
         .adcTopK(spark, dir, v, k = 10, nprobe = 2, refine = 4).collect())
       val adcSec = (System.nanoTime() - t2) / 1e9
-      val adcBytes = bytesReadDrained() - b0 - rawBytes
-      println(f"""{"kind":"ivfpq_store","scale":$k,"build_sec":$buildSec%.3f,"raw_serve_sec_8q":$rawSec%.3f,"adc_serve_sec_8q":$adcSec%.3f,"raw_bytes_8q":$rawBytes,"adc_bytes_8q":$adcBytes}""")
+      // per query: Σ over its probed lists' files of the chunks each path
+      // scans — (vec_id, embedding) for raw topK, (vec_id, codes) for ADC
+      def listFilesOf(p: Long): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+        walk(new java.io.File(dir, s"centroid_id=$p"))
+      }
+      val perQuery = qvecs.map { v =>
+        val files = graft.sources.IvfIndexStore
+          .probeLists(spark, dir, v, nprobe = 2).flatMap(listFilesOf)
+        (files.map(chunkBytes(_, Set("vec_id", "embedding"))).sum,
+          files.map(chunkBytes(_, Set("vec_id", "codes"))).sum)
+      }
+      val rawBytes = perQuery.map(_._1).sum / perQuery.size
+      val adcBytes = perQuery.map(_._2).sum / perQuery.size
+      println(f"""{"kind":"ivfpq_store","scale":$k,"build_sec":$buildSec%.3f,"raw_serve_sec_8q":$rawSec%.3f,"adc_serve_sec_8q":$adcSec%.3f,"raw_scan_bytes_per_q":$rawBytes,"adc_scan_bytes_per_q":$adcBytes}""")
       (k, buildSec, rawSec, adcSec, rawBytes, adcBytes)
     }
 
@@ -1319,21 +1334,25 @@ object ScaleBench {
     sb ++= "ids landing in PartitionFilters). Local wall times are fixed-cost\n"
     sb ++= "dominated — the file ratio is the claim that survives 1000\n"
     sb ++= "executors, where a brute scan reads the corpus per query.\n"
-    sb ++= "\n| IVF-PQ store (q118, m=8 ksub=16, nprobe=2, refine=4, 8 queries) | build sec | raw serve sec | ADC serve sec | raw serve bytes | ADC serve bytes | bytes ratio |\n|---|---|---|---|---|---|---|\n"
+    sb ++= "\n| IVF-PQ store (q118, m=8 ksub=16, nprobe=2, refine=4, 8 queries) | build sec | raw serve sec | ADC serve sec | raw scan KiB/query | ADC scan KiB/query | scan-bytes ratio |\n|---|---|---|---|---|---|---|\n"
     pqStoreRows.foreach { case (k, b, rs, as_, rb, ab) =>
       val ratio = if (ab > 0) rb.toDouble / ab else Double.NaN
       sb ++= f"| ${k}x embeddings | $b%.2f s | $rs%.2f s | $as_%.2f s | ${rb / 1024} KiB | ${ab / 1024} KiB | $ratio%.1fx |\n"
     }
     sb ++= "\nSame store, same probed lists, same 8 queries — the two paths\n"
-    sb ++= "differ only in WHAT they read: the raw path scans the probed\n"
-    sb ++= "lists' float32[64] column; the ADC path scans their codes column\n"
-    sb ++= "(column pruning, pinned in IvfPqStoreSpec's ReadSchema test) and\n"
-    sb ++= "re-reads the wide column for just refine*k=40 pushed ids. The\n"
-    sb ++= "bytes ratio is the claim that scales: at a 100 TB corpus the\n"
-    sb ++= "probed lists are nprobe/nlist of 100 TB per query, and reading\n"
-    sb ++= "codes instead of vectors divides exactly that term; local wall\n"
-    sb ++= "clocks are scheduler-dominated at these sizes (the ADC path runs\n"
-    sb ++= "2 jobs per query vs raw's 1, visible at x1, amortized at x10).\n"
+    sb ++= "differ in WHAT they read off the probed lists: the raw path\n"
+    sb ++= "scans the float32[64] column, the ADC path scans the codes\n"
+    sb ++= "column (column pruning, pinned in IvfPqStoreSpec's ReadSchema\n"
+    sb ++= "test) and re-reads the wide column for just refine*k=40 pushed\n"
+    sb ++= "ids. The scan columns are the parquet column-chunk bytes of the\n"
+    sb ++= "probed lists per column set — the layout's own numbers (task\n"
+    sb ++= "bytesRead at this corpus size measures footers and codebook\n"
+    sb ++= "fetches, not data pages, so the footer-derived figure is the\n"
+    sb ++= "honest one). That ratio is the term that multiplies by corpus\n"
+    sb ++= "size: a probed list at 100 TB is nprobe/nlist of the corpus per\n"
+    sb ++= "query, and codes-instead-of-vectors divides exactly it. Local\n"
+    sb ++= "wall clocks are scheduler/fixed-cost dominated (the ADC path\n"
+    sb ++= "runs 2 jobs per query vs raw's 1 — visible in the absolutes).\n"
     sb ++= "\n| PQ refine knob (x1, same 2 probed lists, vs exact probed top-10) | recall@10 |\n|---|---|\n"
     pqRecallRows.foreach { case (r, rec) =>
       sb ++= f"| refine=$r | ${rec * 100}%.1f%% |\n"

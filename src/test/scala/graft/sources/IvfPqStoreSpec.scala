@@ -170,6 +170,53 @@ class IvfPqStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(inFilter == expected, s"filter lists $inFilter, probes $expected")
   }
 
+  test("qualityReport flags a magnitude-drifted append and only that") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpqdrift").toString
+    val base = emb.filter($"vec_id" < 300)
+    val cbBase = ProductQuantizer.train(base, m = 8, ksub = 16, iters = 0)
+    IvfIndexStore.build(base, d, nlist = 16, pq = Some(cbBase))
+    IvfIndexStore.appendBatch(emb.filter($"vec_id" >= 300), d, batchId = 0)
+    val drifted = emb.filter($"vec_id" < 100)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => (x * org.apache.spark.sql.functions.lit(2.0f)).cast("float"))
+          .as("embedding"))
+    IvfIndexStore.appendBatch(drifted, d, batchId = 1)
+    val rpt = IvfIndexStore.qualityReport(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rpt.map(_._1).toSeq == Seq(-1L, 0L, 1L))
+    val byBatch = rpt.map(t => t._1 -> t).toMap
+    assert(!byBatch(-1L)._4 && !byBatch(0L)._4,
+      s"in-distribution batches must not flag: $rpt")
+    assert(byBatch(1L)._4, s"the x2-scaled batch must flag: $rpt")
+    // replay of the drifted append leaves the report bit-identical
+    IvfIndexStore.appendBatch(drifted, d, batchId = 1)
+    val rpt2 = IvfIndexStore.qualityReport(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rpt2.toSeq == rpt.toSeq)
+  }
+
+  test("reconstruction error evaluates the STORED code: a corrupted code raises it") {
+    import spark.implicits._
+    val sample = emb.filter($"vec_id" < 50)
+    val coded = ProductQuantizer.encode(sample, cb)
+      .join(sample, "vec_id")
+    val okErr = coded.select(org.apache.spark.sql.functions.sum(
+      ProductQuantizer.reconstructionErrCol(spark, cb)).as("e"))
+      .head().getLong(0)
+    assert(okErr >= 0)
+    // rotate every code by one — the error against wrong codes must grow
+    val corrupted = coded.withColumn("codes",
+      org.apache.spark.sql.functions.transform($"codes",
+        c => (c + 1) % cb.ksub))
+    val badErr = corrupted.select(org.apache.spark.sql.functions.sum(
+      ProductQuantizer.reconstructionErrCol(spark, cb)).as("e"))
+      .head().getLong(0)
+    assert(badErr > okErr,
+      s"corrupted codes must raise the error: ok=$okErr bad=$badErr")
+  }
+
   test("codebook round-trips through the persisted relation exactly") {
     val loaded = IvfIndexStore.pqCodebook(spark, store)
     assert(loaded.m == cb.m && loaded.ksub == cb.ksub && loaded.subDim == cb.subDim)
