@@ -217,6 +217,35 @@ class IvfPqStoreSpec extends AnyFunSuite with SparkTestSession {
       s"corrupted codes must raise the error: ok=$okErr bad=$badErr")
   }
 
+  test("streaming sink on a PQ store appends codes per micro-batch; grown serves like one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpqstream").toString
+    IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16, pq = Some(cb))
+    val tail = emb.filter($"vec_id" >= 300)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndexStore.sink(ms.toDF().toDF("vec_id", "embedding"), d)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString)
+      .start()
+    val (h, t) = tail.splitAt(tail.size / 2)
+    ms.addData(h: _*); q.processAllAvailable()
+    ms.addData(t: _*); q.processAllAvailable()
+    q.stop()
+    // every appended row carries codes equal to a fresh encode
+    import org.apache.spark.sql.functions.col
+    val streamed = spark.read.parquet(d).filter(col("ingest_batch") >= 0L)
+    assert(streamed.count() == tail.size)
+    assert(streamed.filter(col("codes").isNull).count() == 0)
+    // and the grown store ADC-serves exactly what the one-shot build does
+    val grown = IvfIndexStore.adcTopK(spark, d, qvec, k = 10, nprobe = 2, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(grown == oneShot)
+  }
+
   test("codebook round-trips through the persisted relation exactly") {
     val loaded = IvfIndexStore.pqCodebook(spark, store)
     assert(loaded.m == cb.m && loaded.ksub == cb.ksub && loaded.subDim == cb.subDim)
