@@ -278,6 +278,13 @@ object Plans {
         "whose exchange carries one row per ingest batch; the batch -1 " +
         "baseline comes back as a broadcast single row for the drift " +
         "flag — nothing corpus-sized shuffles."),
+    "q121_ivf_filtered" ->
+      ("Filtered ANN from the persisted store: the metadata predicate " +
+        "sits in PushedFilters (EqualTo(label,3)) BESIDE the probe-id " +
+        "PartitionFilters literals — metadata rides the list layout, so " +
+        "filtering costs a pushed scan predicate, not a post-serve join; " +
+        "ReadSchema stays pruned to the scored columns, and the result " +
+        "is one TakeOrderedAndProject."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -282,19 +282,28 @@ object Similarity {
 
   /** [[ivfAssign]] against an explicit broadcast codebook
     * `(centroid_id, cvec)`, keeping the winning quantized dot as `cdot_q`
-    * (the per-vector term of the coherence objective). */
+    * (the per-vector term of the coherence objective). EVERY input column
+    * rides through (the argmax groups by the whole input row — `idCol` is
+    * unique by contract, so the wider key changes nothing but lets a
+    * store carry filterable metadata beside its vectors: the filtered-ANN
+    * shape, q121). */
   def ivfAssignWith(emb: DataFrame, codebook: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
+    val reserved = Set("centroid_id", "cvec", "cdot_q", "sc", "m")
+    require(!emb.columns.exists(reserved), // Set extends A => Boolean
+      s"ivfAssignWith: input carries a reserved column name " +
+        s"(${emb.columns.filter(reserved).mkString(", ")})")
+    val inCols = emb.columns.toSeq.map(col)
     emb.crossJoin(broadcast(codebook))
-      .select(col(idCol), col(vecCol),
+      .select(inCols :+
         struct(
           quantize(GraftFunctions.vecDot(spark, col(vecCol), col("cvec"))).as("cdot"),
-          (-col("centroid_id")).as("negc")).as("sc"))
-      .groupBy(col(idCol), col(vecCol))
+          (-col("centroid_id")).as("negc")).as("sc"): _*)
+      .groupBy(inCols: _*)
       .agg(max(col("sc")).as("m"))
-      .select(col(idCol), col(vecCol),
-        (-col("m.negc")).as("centroid_id"), col("m.cdot").as("cdot_q"))
+      .select(inCols ++ Seq(
+        (-col("m.negc")).as("centroid_id"), col("m.cdot").as("cdot_q")): _*)
   }
 
   private def centroids(emb: DataFrame, nlist: Int,

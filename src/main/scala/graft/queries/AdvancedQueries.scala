@@ -124,6 +124,25 @@ object AdvancedQueries extends graft.QueryModule {
       .orderBy($"query_id", $"rn")
   }
 
+  /** q121: FILTERED ANN from the persisted store — the retrieval-service
+    * shape with a metadata predicate (label = 3, ~10% selectivity): the
+    * store lands every input column in its lists, so the filter PUSHES to
+    * the probed scan (PushedFilters beside the PartitionFilters probe
+    * literals — no post-serve join). Semantics are exact top-k over the
+    * filtered rows of the probed lists; the selective predicate thins
+    * candidates, so the query over-probes (nprobe 4 of 16, vs q112's 2)
+    * — the honest knob, and the oracle replays exactly that: 4-list
+    * probe, label-filtered scoring. */
+  def ivfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.sources.IvfIndexStore.layoutFor(s, dir, emb, nlist = 16)
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.topK(s, store, qvec, k = 10, nprobe = 4,
+      where = Some(col("label") === 3))
+  }
+
   private val pqDriftMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
@@ -155,7 +174,8 @@ object AdvancedQueries extends graft.QueryModule {
         emb.filter($"vec_id" >= 300), storeDir, batchId = 0)
       val drifted = emb.filter($"vec_id" < 100)
         .select(($"vec_id" + 1000000L).as("vec_id"),
-          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"))
+          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"),
+          $"label")
       graft.sources.IvfIndexStore.appendBatch(drifted, storeDir, batchId = 1)
       pqDriftMemo.add(key)
     }
@@ -234,7 +254,8 @@ object AdvancedQueries extends graft.QueryModule {
     "q115_ivf_batch" -> ivfStoreBatch,
     "q118_ivfpq_store" -> ivfPqStoreTopK,
     "q119_ivfpq_batch" -> ivfPqStoreBatch,
-    "q120_pq_drift" -> pqDriftReport)
+    "q120_pq_drift" -> pqDriftReport,
+    "q121_ivf_filtered" -> ivfFilteredTopK)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
@@ -451,6 +472,32 @@ object AdvancedQueries extends graft.QueryModule {
         |  FROM d)
         |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, sim_q
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    // q121: q112's replay with the over-probe + metadata filter — 4-list
+    // probe for query 0, scoring restricted to assigned-in-probe vectors
+    // WITH label = 3, exact quantized top-10
+    "q121_ivf_filtered" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probe AS (SELECT centroid_id FROM scored WHERE vec_id = 0
+        |          ORDER BY cdot DESC, centroid_id LIMIT 4),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT a.vec_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM assigned a
+        |  JOIN probe p ON a.centroid_id = p.centroid_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = 3, q, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin,
     // q120: the oracle reconstructs the STORE'S CONTENT (base < 300 at
     // batch -1, the rest at batch 0, ×2-scaled copies at batch 1 — the
     // scale is exact in float, so the replay is bit-faithful), re-derives

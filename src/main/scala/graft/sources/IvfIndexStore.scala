@@ -61,8 +61,14 @@ object IvfIndexStore {
     // doesn't match its lists. The bulk build is batch -1
     // of the ingest_batch partition level that [[sink]] appends into
     // (streaming batch ids start at 0, so no append can collide with it).
+    require(!emb.columns.contains("codes") && !emb.columns.contains(BatchCol),
+      s"ivf store: input must not carry 'codes'/'$BatchCol' (layout-reserved)")
+    // EVERY input column lands in the lists beside the vector (only the
+    // assignment's cdot_q is dropped): metadata rides the layout, so a
+    // filtered-ANN predicate (q121) pushes to the probed scan instead of
+    // paying a post-serve join
     val assigned = Similarity.ivfAssignWith(emb, cents, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .drop("cdot_q")
     // with PQ: the codes column rides the SAME clustered write (map-side
     // argmin against literal codebooks — no second corpus pass, no join),
     // so every list file carries (id, vector, codes) and the ADC serving
@@ -133,13 +139,24 @@ object IvfIndexStore {
   /** Serve one ANN query from the persisted index: probe selection on the
     * codebook, then top-k over ONLY the probed lists. The probe ids land
     * as literals in the scan's partition filter — the nprobe/nlist read
-    * bound is visible in the plan, not just the prose. */
+    * bound is visible in the plan, not just the prose.
+    *
+    * `where` is the FILTERED-ANN knob (q121): a predicate over the store's
+    * metadata columns ([[build]] lands every input column in the lists, so
+    * the filter PUSHES to the probed scan — PushedFilters, no post-serve
+    * join). Semantics are post-filter-within-probed-lists: exact top-k
+    * over the filtered rows of the probed lists, so a selective predicate
+    * thins candidates and the honest remedy is widening `nprobe` (the
+    * over-probe knob; at nprobe = nlist the result is exactly brute force
+    * over the filtered corpus — pinned in IvfIndexStoreSpec). */
   def topK(spark: SparkSession, dir: String, queryVec: Seq[Float],
            k: Int, nprobe: Int = 2, idCol: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
+           vecCol: String = "embedding",
+           where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probes = probeLists(spark, dir, queryVec, nprobe)
-    spark.read.parquet(dir)
+    val pruned = spark.read.parquet(dir)
       .filter(col("centroid_id").isin(probes: _*))
+    where.map(pruned.filter).getOrElse(pruned)
       .select(col(idCol), Similarity.quantize(
         GraftFunctions.vecDot(spark, col(vecCol), typedLit(queryVec))).as("sim_q"))
       .orderBy(col("sim_q").desc, col(idCol))
@@ -498,8 +515,17 @@ object IvfIndexStore {
         require(badCodes == 0,
           s"ivf sink: $badCodes vector(s) in batch $batchId encode to null " +
             "PQ codes (pq codebook dims disagree with the store's vectors)")
-        coded.select(col(idCol), col(vecCol), col("codes"), col("centroid_id"))
-      } else assigned.select(col(idCol), col(vecCol), col("centroid_id"))
+        coded.drop("cdot_q")
+      } else assigned.drop("cdot_q")
+    // layout drift gate (the VariantEventStore discipline): appended rows
+    // must carry exactly the store's columns — a batch missing a metadata
+    // column the build carried (or inventing a new one) would file
+    // mixed-schema leaves no reader can trust, silently
+    val storeCols = batch.sparkSession.read.parquet(dir).columns.toSet
+    val outCols = withCodes.columns.toSet + BatchCol
+    require(outCols == storeCols,
+      s"ivf sink: batch $batchId columns ${outCols.mkString(", ")} drift " +
+        s"from the store layout ${storeCols.mkString(", ")}")
     // dynamic partition overwrite on (list, batch): an at-least-once
     // replay re-derives the SAME deterministic assignment and REWRITES
     // its own (centroid_id, ingest_batch=N) partitions instead of

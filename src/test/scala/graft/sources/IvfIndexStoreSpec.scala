@@ -100,9 +100,10 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
   test("codebook: 16 rows, hidden from list discovery, lists cover the corpus") {
     assert(IvfIndexStore.codebook(spark, store).count() == 16)
     val lists = spark.read.parquet(store)
-    // _codebook must not surface as data or break partition discovery
+    // _codebook must not surface as data or break partition discovery;
+    // every input column (label, the filtered-ANN metadata) rides the lists
     assert(lists.columns.toSet ==
-      Set("vec_id", "embedding", "centroid_id", "ingest_batch"))
+      Set("vec_id", "embedding", "label", "centroid_id", "ingest_batch"))
     assert(lists.count() == emb.count())
     // one directory per non-empty list, each bounded to one task's files
     val listDirs = new java.io.File(store).listFiles
@@ -155,6 +156,55 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("mismatched"))
     // nothing was appended
     assert(!spark.read.parquet(d).filter($"vec_id" === 9001L).collect().nonEmpty)
+  }
+
+  test("filtered serving: predicate pushes to the probed scan; full probe = filtered brute force") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    // the metadata predicate lands in PushedFilters BESIDE the partition
+    // probe literals — no post-serve join, no unfiltered scan
+    val probes = IvfIndexStore.probeLists(spark, store, qvec, nprobe = 4)
+    val df = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 4,
+      where = Some(col("label") === 3))
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+    assert(pushed.exists(_.contains("EqualTo(label,3)")),
+      s"label filter not pushed:\n${pushed.mkString("\n")}")
+    val pfStart = plan.indexOf("PartitionFilters: [centroid_id")
+    assert(pfStart >= 0, plan)
+    val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+    probes.foreach(p => assert(pf.contains(p.toString), s"probe $p not in $pf"))
+    // the over-probe endpoint: nprobe = nlist recovers exact brute force
+    // over the FILTERED corpus
+    val full = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 16,
+      where = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = emb.filter($"label" === 3)
+      .select($"vec_id", graft.operators.Similarity.quantize(
+        GraftFunctions.vecDot(spark, $"embedding",
+          org.apache.spark.sql.functions.typedLit(qvec))).as("sim_q"))
+      .orderBy($"sim_q".desc, $"vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == brute)
+    // and every served row actually satisfies the predicate
+    val servedIds = full.map(_._1).toSet
+    val okIds = emb.filter($"label" === 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(servedIds.subsetOf(okIds))
+  }
+
+  test("append with a drifted column set aborts instead of mixing layouts") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfcoldrift").toString
+    IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16)
+    // batch missing the label column the build carried
+    val stripped = emb.filter($"vec_id" >= 300 && $"vec_id" < 320)
+      .select($"vec_id", $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStore.appendBatch(stripped, d, batchId = 0)
+    }
+    assert(e.getMessage.contains("drift"))
+    assert(spark.read.parquet(d).filter(col("ingest_batch") >= 0L).count() == 0)
   }
 
   test("layoutFor keys on (sfDir, nlist) and skips the rewrite on reuse") {

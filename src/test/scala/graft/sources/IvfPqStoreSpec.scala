@@ -181,7 +181,7 @@ class IvfPqStoreSpec extends AnyFunSuite with SparkTestSession {
       .select(($"vec_id" + 1000000L).as("vec_id"),
         org.apache.spark.sql.functions.transform($"embedding",
           x => (x * org.apache.spark.sql.functions.lit(2.0f)).cast("float"))
-          .as("embedding"))
+          .as("embedding"), $"label")
     IvfIndexStore.appendBatch(drifted, d, batchId = 1)
     val rpt = IvfIndexStore.qualityReport(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
@@ -224,9 +224,10 @@ class IvfPqStoreSpec extends AnyFunSuite with SparkTestSession {
     val d = java.nio.file.Files.createTempDirectory("graft_ivfpqstream").toString
     IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16, pq = Some(cb))
     val tail = emb.filter($"vec_id" >= 300)
-      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
-    val ms = MemoryStream[(Long, Seq[Float])]
-    val q = IvfIndexStore.sink(ms.toDF().toDF("vec_id", "embedding"), d)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val q = IvfIndexStore.sink(ms.toDF().toDF("vec_id", "embedding", "label"), d)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString)
       .start()
