@@ -173,9 +173,6 @@ object ProductQuantizer {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     emb.select(col(idCol), codesCol(emb.sparkSession, cb, vecCol).as("codes"))
 
-  /** [[encode]]'s code array as a bare Column, so a persisted layout (the
-    * IVF-PQ index store) can carry `codes` BESIDE other columns in one
-    * write instead of paying a join against a separate encode pass. */
   /** The quantized per-code scores `floor((2·a_s·c − c·c)·10⁶)` of one
     * subspace — the argmax substrate of [[codesCol]] and the lookup table
     * of [[reconstructionErrCol]]. */
@@ -189,6 +186,9 @@ object ProductQuantizer {
     }: _*)
   }
 
+  /** [[encode]]'s code array as a bare Column, so a persisted layout (the
+    * IVF-PQ index store) can carry `codes` BESIDE other columns in one
+    * write instead of paying a join against a separate encode pass. */
   def codesCol(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
                vecCol: String = "embedding"): Column = {
     val codeCols = (0 until cb.m).map { s =>
@@ -257,6 +257,11 @@ object ProductQuantizer {
     val ksub = rows.map(_._2).max + 1
     require(rows.length == m * ksub,
       s"pq codebook is ragged: ${rows.length} rows for m=$m ksub=$ksub")
+    // a duplicate (sub, code) row offsetting a missing cell passes the
+    // row-count check but leaves a null cell — same ragged verdict
+    require(rows.map(t => (t._1, t._2)).distinct.length == m * ksub,
+      s"pq codebook is ragged: duplicate (sub, code) cells among " +
+        s"${rows.length} rows for m=$m ksub=$ksub")
     val subDim = rows.head._3.length
     val cents = Array.ofDim[Array[Float]](m, ksub)
     rows.foreach { case (s, c, v) =>

@@ -86,6 +86,21 @@ object IvfIndexStore {
       // serving duplicate vectors beside the fresh build.
       .option("partitionOverwriteMode", "static")
       .partitionBy("centroid_id", BatchCol).parquet(dir)
+    // the same null-code gate [[appendBatch]] enforces, for bulk builds: a
+    // null or wrong-dim vector encodes to null codes, which ADC serving
+    // would silently drop (null approx_q sorts last) and qualityReport's
+    // sum would skip. Checked from the WRITTEN lists' codes column (one
+    // narrow columnar scan — no second encode pass over the corpus),
+    // BEFORE the codebooks land, so a failed build is loudly unservable
+    // (missing _codebook/_pq_codebook) rather than silently lossy.
+    if (pq.isDefined) {
+      val badCodes = emb.sparkSession.read.parquet(dir)
+        .filter(exists(col("codes"), _.isNull) || col("codes").isNull).count()
+      require(badCodes == 0,
+        s"ivf build: $badCodes vector(s) encode to null PQ codes (null or " +
+          "wrong-dim input vs the pq codebook) — refusing to publish the " +
+          "codebooks; fix the input and rebuild")
+    }
     // nlist rows — one file keeps the serving read a single footer fetch
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir + "/_codebook")
     // m·ksub rows (KBs), same single-file discipline; last in the write
@@ -99,12 +114,18 @@ object IvfIndexStore {
   private val PqDir = "/_pq_codebook"
 
   /** True iff the store at `dir` was built with PQ codes ([[build]] with
-    * `pq`) — i.e. `_pq_codebook/` exists with files. Hadoop-FS-general,
-    * like every other store-layout check. */
+    * `pq`) — i.e. `_pq_codebook/` exists WITH committed data files (a torn
+    * write that created the dir but no files must read as "no PQ", so
+    * [[pqCodebook]] raises its rebuild-with-pq message instead of an
+    * obscure empty-read failure). Hadoop-FS-general, like every other
+    * store-layout check. */
   def hasPq(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir + PqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** The persisted PQ codebooks — fails loudly when the store was built
@@ -464,6 +485,28 @@ object IvfIndexStore {
       .orderBy(col(BatchCol))
   }
 
+  /** The store's column set from a SINGLE data file's footer plus the
+    * layout's partition columns — [[appendBatch]]'s drift-gate read, O(1)
+    * in store size (every list file carries the full data schema: one
+    * clustered write per build/append, never a projection). */
+  private def storeColumns(spark: SparkSession, dir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).sortBy(_.getPath.getName)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .collectFirst(Function.unlift { st =>
+          if (st.isFile) Some(st.getPath) else firstFile(st.getPath)
+        })
+    val f = firstFile(root).getOrElse(throw new IllegalStateException(
+      s"ivf store at $dir has no committed list files — build() first"))
+    spark.read.parquet(f.toString).schema.fieldNames.toSet +
+      "centroid_id" + BatchCol
+  }
+
   /** The sink's per-batch partition level under each list — the
     * replay-idempotence key ([[VariantEventStore.BatchCol]]'s discipline);
     * the bulk [[build]] is batch -1, below any streaming batch id. Serving never touches it: [[topK]]
@@ -520,8 +563,11 @@ object IvfIndexStore {
     // layout drift gate (the VariantEventStore discipline): appended rows
     // must carry exactly the store's columns — a batch missing a metadata
     // column the build carried (or inventing a new one) would file
-    // mixed-schema leaves no reader can trust, silently
-    val storeCols = batch.sparkSession.read.parquet(dir).columns.toSet
+    // mixed-schema leaves no reader can trust, silently. Derived from ONE
+    // data file's footer — a full spark.read.parquet(dir) here would pay
+    // a store-wide file listing + schema merge on every micro-batch tick,
+    // a cost that grows with the store as batches accumulate.
+    val storeCols = storeColumns(batch.sparkSession, dir)
     val outCols = withCodes.columns.toSet + BatchCol
     require(outCols == storeCols,
       s"ivf sink: batch $batchId columns ${outCols.mkString(", ")} drift " +
