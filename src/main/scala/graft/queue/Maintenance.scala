@@ -40,10 +40,17 @@ object Maintenance {
   }
 
   /** Rewrite `dir` into `targetFilesPerPartition` files (per partition dir
-    * when `partitionCols` is non-empty). Returns the row count rewritten. */
+    * when `partitionCols` is non-empty). Returns the row count rewritten.
+    * `sortCols` sorts rows within each written file (after the partition
+    * columns, so the writer inserts no second sort) and `writeOptions`
+    * pass through to the parquet writer — together they let a registry
+    * whose probe relies on row-group pruning (sorted key ranges + bloom
+    * filters) keep that layout across compactions. */
   def compactParquet(spark: SparkSession, dir: String,
                      partitionCols: Seq[String] = Nil,
-                     targetFilesPerPartition: Int = 1): Long = {
+                     targetFilesPerPartition: Int = 1,
+                     sortCols: Seq[String] = Nil,
+                     writeOptions: Map[String, String] = Map.empty): Long = {
     require(targetFilesPerPartition >= 1, "need at least one output file")
     // Heal replaceDir's between-renames crash window first: a prior
     // compaction that died there left the live dir missing, aside present.
@@ -65,7 +72,11 @@ object Maintenance {
         df.repartition(targetFilesPerPartition,
           partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(targetFilesPerPartition)
-    val writer = repartitioned.write.mode("overwrite")
+    val sorted =
+      if (sortCols.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+    val writer = sorted.write.mode("overwrite").options(writeOptions)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
     replaceDir(tmp, dir)

@@ -124,6 +124,54 @@ class IncrementalContainmentSpec extends AnyFunSuite with SparkTestSession {
     assert(v.collect().isEmpty)
   }
 
+  test("key probe pushes In(shingle_md5, ...) to parquet — eq leaves, not a range") {
+    val reg = tmp("graft_cont_push")
+    IncrementalContainment.seedRegistry(
+      Seq(Doc(1L, quote), Doc(2L, filler("x", 40))).toDF(), reg)
+    // 40 keys: past the 10-value default threshold (which would rewrite
+    // the pushed filter to a useless md5 min/max range), inside the
+    // operator's scoped raise
+    val keys = (1 to 40).map(i => f"${i}%032x")
+    IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = IncrementalContainment
+        .keyProbe(IncrementalContainment.readRegistry(spark, reg), keys)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(shingle_md5"),
+        s"pushed In missing from scan:\n$plan")
+      // partition pruning rides beside it: the driver-derived buckets
+      assert(plan.contains("PartitionFilters"), plan)
+    }
+    // and the probe is exactly the join it replaced: same historical rows
+    val bsh = Seq(Doc(10L, bigDoc)).toDF()
+    val realKeys = Dedup.shingles(bsh).select(md5($"shingle")).distinct()
+      .as[String].collect().toSeq
+    val viaFilter = IncrementalContainment
+      .keyProbe(IncrementalContainment.readRegistry(spark, reg), realKeys)
+      .select($"shingle_md5", $"doc_id", $"set_size").collect().toSet
+    val viaJoin = IncrementalContainment.readRegistry(spark, reg)
+      .join(realKeys.toDF("shingle_md5"), Seq("shingle_md5"))
+      .select($"shingle_md5", $"doc_id", $"set_size").collect().toSet
+    assert(viaFilter == viaJoin && viaFilter.nonEmpty)
+  }
+
+  test("registry files are sorted by shingle_md5 within each bucket file") {
+    val reg = tmp("graft_cont_sorted")
+    IncrementalContainment.seedRegistry(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text").limit(50), reg)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(reg))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var checked = 0
+    files.forEachRemaining { f =>
+      val ks = spark.read.parquet(f.toString)
+        .select($"shingle_md5").as[String].collect().toSeq
+      assert(ks == ks.sorted, s"unsorted keys in $f")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
+
   test("streaming gate writes pair verdicts through foreachBatch") {
     val reg = tmp("graft_cont_reg_s")
     val out = tmp("graft_cont_out") + "/verdicts"
