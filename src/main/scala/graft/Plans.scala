@@ -285,6 +285,22 @@ object Plans {
         "filtering costs a pushed scan predicate, not a post-serve join; " +
         "ReadSchema stays pruned to the scored columns, and the result " +
         "is one TakeOrderedAndProject."),
+    "q122_ivf_deleted" ->
+      ("Serving from a store after delete-by-id: the plan is exactly " +
+        "q112's (probe literals as PartitionFilters, one " +
+        "TakeOrderedAndProject) because deletion is a LAYOUT operation — " +
+        "only the affected list leaves were rewritten through the " +
+        "rename-aside swap, so serving stays a pure pruned scan with no " +
+        "tombstone anti-join tax on any path."),
+    "q123_ivf_adaptive" ->
+      ("Adaptive over-probe endpoint: the selective predicate leaves " +
+        "fewer than k matches, so the loop provably widens to nprobe = " +
+        "nlist and this dump shows that final pass — every list in " +
+        "PartitionFilters, the predicate in PushedFilters, one " +
+        "TakeOrderedAndProject: exactly brute force over the filtered " +
+        "corpus, which is why the oracle needs no probe replay. Earlier " +
+        "passes are the same plan with fewer probe literals, each a " +
+        "bounded serving read."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -143,6 +143,60 @@ object AdvancedQueries extends graft.QueryModule {
       where = Some(col("label") === 3))
   }
 
+  private val deletedStoreMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** q122: DELETION from the persisted store — the takedown/GDPR
+    * maintenance face ([[graft.sources.IvfIndexStore.delete]]): a store
+    * built exactly like q112's has every `vec_id % 5 = 3` vector deleted
+    * (deterministic, so DuckDB replays it as a serving-side exclusion),
+    * then serves q112's query. Only the affected list leaves were
+    * rewritten (rename-aside swap; spec-pinned); the frozen codebook
+    * keeps its centroids — deletion removes servable vectors, not
+    * layout. The oracle is q112's replay minus the deleted ids: a
+    * tombstone leak, a leaf the rewrite missed, or a deleted id
+    * resurfacing in top-k hash-fails here. Later battery passes re-serve
+    * from the memoized deleted store (the q112 discipline). */
+  def ivfDeletedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val keyStr = s"$dir|deleted"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val storeDir = "/tmp/graft-ivf-store/" + digest + "_" +
+      ("deleted_" + dir).replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (s, keyStr)
+    if (!deletedStoreMemo.contains(key)) {
+      graft.sources.IvfIndexStore.build(emb, storeDir, nlist = 16)
+      val ids = emb.filter($"vec_id" % 5 === 3)
+        .select($"vec_id").as[Long].collect().toSeq.sorted
+      graft.sources.IvfIndexStore.delete(s, storeDir, ids)
+      deletedStoreMemo.add(key)
+    }
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.topK(s, storeDir, qvec, k = 10, nprobe = 2)
+  }
+
+  /** q123: ADAPTIVE over-probe for filtered ANN — q121's honest knob,
+    * closed-loop ([[graft.sources.IvfIndexStore.topKAdaptive]]): the
+    * predicate (label = 3 AND vec_id < 40) matches only ~4 vectors at
+    * every SF, fewer than k = 10, so the loop provably widens 2 → 4 → 8
+    * → 16 = nlist and the result is EXACTLY brute force over the
+    * filtered corpus — which is the oracle, with no probe CTE at all:
+    * the escalation endpoint is SQL-expressible precisely because the
+    * spec pins nprobe = nlist ≡ filtered brute force. */
+  def ivfAdaptiveFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val store = graft.sources.IvfIndexStore.layoutFor(s, dir, emb, nlist = 16)
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.topKAdaptive(s, store, qvec, k = 10,
+      where = col("label") === 3 && col("vec_id") < 40, nprobe = 2)
+  }
+
   private val pqDriftMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
@@ -255,14 +309,16 @@ object AdvancedQueries extends graft.QueryModule {
     "q118_ivfpq_store" -> ivfPqStoreTopK,
     "q119_ivfpq_batch" -> ivfPqStoreBatch,
     "q120_pq_drift" -> pqDriftReport,
-    "q121_ivf_filtered" -> ivfFilteredTopK)
+    "q121_ivf_filtered" -> ivfFilteredTopK,
+    "q122_ivf_deleted" -> ivfDeletedTopK,
+    "q123_ivf_adaptive" -> ivfAdaptiveFiltered)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
     * nearest-centroid assignment with lowest-id ties, 2-list probe for
     * query vec 0, quantized-dot top-10 — replayed in portable SQL. */
-  private val ivfOracle =
-    """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+  private def ivfServeOracle(servingFilter: String): String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
       |scored AS (
       |  SELECT e.vec_id, c.centroid_id,
       |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
@@ -282,8 +338,11 @@ object AdvancedQueries extends graft.QueryModule {
       |  FROM assigned a
       |  JOIN probe p ON a.centroid_id = p.centroid_id
       |  JOIN embeddings e ON e.vec_id = a.vec_id, q, (SELECT unnest(range(1, 65)) AS i) r
+      |  WHERE $servingFilter
       |  GROUP BY a.vec_id)
       |SELECT vec_id, sim_q FROM d ORDER BY sim_q DESC, vec_id LIMIT 10""".stripMargin
+
+  private val ivfOracle = ivfServeOracle("TRUE")
 
   def oracles: Map[String, String] = Map(
     "q51_asof_join" ->
@@ -307,6 +366,22 @@ object AdvancedQueries extends graft.QueryModule {
     // identical ANN computation served from the persisted index — a store
     // bug (stale lists, wrong codebook, broken pruning) hash-fails here
     "q112_ivf_store" -> ivfOracle,
+    // q112's replay minus the deleted ids: the deterministic takedown set
+    // (vec_id % 5 = 3) must be gone from serving while the frozen
+    // codebook keeps its centroids — a tombstone leak or a missed leaf
+    // rewrite hash-fails here
+    "q122_ivf_deleted" -> ivfServeOracle("a.vec_id % 5 <> 3"),
+    // adaptive over-probe on a predicate with fewer than k matches: the
+    // loop provably reaches nprobe = nlist, where serving ≡ brute force
+    // over the filtered corpus — so the oracle needs no probe replay
+    "q123_ivf_adaptive" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) r
+        |WHERE e.label = 3 AND e.vec_id < 40
+        |GROUP BY e.vec_id
+        |ORDER BY sim_q DESC, e.vec_id LIMIT 10""".stripMargin,
     // the batched form: per-query probe selection over the same scored
     // CTE, per-query scoring confined to each query's own probed lists,
     // q83's ranked output shape — a cross-query leak (a vector scored

@@ -50,6 +50,9 @@ object IvfIndexStore {
             codebook: Option[DataFrame] = None,
             idCol: String = "vec_id", vecCol: String = "embedding",
             pq: Option[graft.operators.ProductQuantizer.Codebooks] = None): Unit = {
+    require(currentVersion(emb.sparkSession, dir).isEmpty,
+      s"store at $dir is version-managed - build() would write a flat " +
+        "layout readers ignore; use rebuild()")
     val cents = codebook.getOrElse(
       emb.filter(col(idCol) < nlist)
         .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cvec")))
@@ -94,7 +97,8 @@ object IvfIndexStore {
     // BEFORE the codebooks land, so a failed build is loudly unservable
     // (missing _codebook/_pq_codebook) rather than silently lossy.
     if (pq.isDefined) {
-      val badCodes = emb.sparkSession.read.parquet(dir)
+      val badCodes = emb.sparkSession.read
+        .option("basePath", dir).parquet(dir + "/centroid_id=*")
         .filter(exists(col("codes"), _.isNull) || col("codes").isNull).count()
       require(badCodes == 0,
         s"ivf build: $badCodes vector(s) encode to null PQ codes (null or " +
@@ -113,6 +117,122 @@ object IvfIndexStore {
 
   private val PqDir = "/_pq_codebook"
 
+  /** Version-manifest layer — the blue/green REBUILD face ([[graft.queue
+    * .PendingStore]]'s numbered-manifest discipline, specialized to this
+    * store's read shape). [[build]] overwrites in place, so a reader
+    * mid-overwrite sees a torn store: fine for first builds and offline
+    * pipelines, fatal for a serving store that q120's drift report just
+    * told to re-center. [[rebuild]] instead builds the ENTIRE store into
+    * `<dir>/v<N+1>/` — invisible to readers, who resolve through the
+    * manifest — and flips with ONE exclusive file creation:
+    *
+    * {{{
+    *   <dir>/_vlog/<N>   manifest entry N (exclusive create = the commit
+    *                     point; a loser of a concurrent rebuild race
+    *                     fails loudly here, never half-flips)
+    *   <dir>/v<N>/       a complete store layout (lists + _codebook +
+    *                     _pq_codebook), immutable once superseded
+    * }}}
+    *
+    * Every read path resolves the manifest ONCE per serving call
+    * ([[resolveDir]]) and stays on that snapshot for the whole call, so a
+    * flip mid-query is invisible: whole-store-before or whole-store-after,
+    * never a mix. Retention keeps ONE superseded version for in-flight
+    * readers (GC'd at the next flip); a root with no `_vlog` is the
+    * legacy flat layout and resolves to itself, so existing stores read
+    * unchanged and adopt versioning at their first [[rebuild]]. Appends
+    * racing a rebuild land in the version current when they resolved —
+    * the standard rebuild contract: quiesce the sink across the flip, or
+    * re-ingest the window after (same contract as re-centering itself,
+    * which the rebuild's fresh assignment pass subsumes). */
+  private def vlogDir(dir: String) = dir + "/_vlog"
+
+  /** Current committed version at `dir`, or None for a legacy flat store
+    * (no `_vlog` entries). */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(vlogDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).flatMap(st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption) match {
+      case Array() => None
+      case ns => Some(ns.max)
+    }
+  }
+
+  /** The directory a reader serves from: `v<max manifest>` under a
+    * versioned root, the root itself for a legacy flat store. Idempotent
+    * (a `v<N>` snapshot has no `_vlog`), so helpers may re-resolve an
+    * already-resolved path safely; public paths resolve ONCE per call and
+    * thread the snapshot through, which is what makes a concurrent flip
+    * invisible inside a call. */
+  def resolveDir(spark: SparkSession, dir: String): String =
+    currentVersion(spark, dir) match {
+      case Some(n) => s"$dir/v$n"
+      case None => dir
+    }
+
+  /** The list scan of a resolved snapshot, GLOB-SCOPED to the list
+    * partitions: partition discovery must never walk sibling artifacts —
+    * in particular a `v<N>` snapshot materializing beside a legacy flat
+    * layout mid-[[rebuild]] (a bare read of the root would see two
+    * conflicting directory structures and fail the reader the rebuild is
+    * specifically designed not to disturb). */
+  private def readLists(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("basePath", root).parquet(root + "/centroid_id=*")
+
+  /** Blue/green rebuild: a full [[build]] into the next version dir, an
+    * exclusive one-file manifest flip, then GC of everything older than
+    * the version just superseded. Readers are never torn (scaladoc
+    * above); a crash before the flip leaves an orphan `v<N+1>` that the
+    * next rebuild overwrites; a concurrent rebuild loses the exclusive
+    * create and fails loudly. Returns the committed version. */
+  def rebuild(emb: DataFrame, dir: String, nlist: Int = 16,
+              codebook: Option[DataFrame] = None,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              pq: Option[graft.operators.ProductQuantizer.Codebooks] = None): Long = {
+    val spark = emb.sparkSession
+    val cur = currentVersion(spark, dir)
+    val next = cur.getOrElse(0L) + 1L
+    // DOT-prefixed staging (the Maintenance '.compact' convention): Spark
+    // file listing skips it entirely, so a legacy-flat reader mid-build
+    // never sees a second directory structure materializing beside the
+    // live one; the finished snapshot renames into place in one move
+    build(emb, s"$dir/.v$next.build", nlist, codebook, idCol, vecCol, pq)
+    val lp = new org.apache.hadoop.fs.Path(vlogDir(dir) + "/" + next)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.v$next.build"),
+        new org.apache.hadoop.fs.Path(s"$dir/v$next")),
+      s"ivf rebuild: staging rename failed for v$next")
+    fs.mkdirs(lp.getParent)
+    // the COMMIT POINT: exclusive create — two racing rebuilds cannot
+    // both win, and the loser's orphan snapshot is GC'd by the next flip
+    val out = fs.create(lp, false)
+    try out.write(s"v$next\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // retention: keep v<next> and ONE superseded version for in-flight
+    // readers; everything older goes, including the legacy flat leaves
+    // once they are two generations stale
+    val keep = Set(next, next - 1)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("v") && scala.util.Try(n.drop(1).toLong).toOption
+          .exists(v => !keep.contains(v))) ||
+        // legacy flat artifacts: superseded by v1 at the first flip,
+        // GC'd once v2 exists (one-generation retention, same as v dirs)
+        (cur.isDefined && (n.startsWith("centroid_id=") ||
+          n == "_codebook" || n == "_pq_codebook"))
+      if (stale) fs.delete(st.getPath, true)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(vlogDir(dir))).foreach { st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption
+        .filter(v => !keep.contains(v))
+        .foreach(_ => fs.delete(st.getPath, true))
+    }
+    next
+  }
+
   /** True iff the store at `dir` was built with PQ codes ([[build]] with
     * `pq`) — i.e. `_pq_codebook/` exists WITH committed data files (a torn
     * write that created the dir but no files must read as "no PQ", so
@@ -120,7 +240,7 @@ object IvfIndexStore {
     * obscure empty-read failure). Hadoop-FS-general, like every other
     * store-layout check. */
   def hasPq(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir + PqDir)
+    val p = new org.apache.hadoop.fs.Path(resolveDir(spark, dir) + PqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
@@ -132,16 +252,17 @@ object IvfIndexStore {
     * without PQ (or a crash tore the build before the codebook landed). */
   def pqCodebook(spark: SparkSession, dir: String)
       : graft.operators.ProductQuantizer.Codebooks = {
-    require(hasPq(spark, dir),
+    val root = resolveDir(spark, dir)
+    require(hasPq(spark, root),
       s"ivf store at $dir has no _pq_codebook — built without PQ, or the " +
         "build crashed before the codebook write; rebuild with pq=Some(...)")
     graft.operators.ProductQuantizer.codebooksFromDF(
-      spark.read.parquet(dir + PqDir))
+      spark.read.parquet(root + PqDir))
   }
 
   /** The persisted codebook: (centroid_id, cvec), nlist rows. */
   def codebook(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir + "/_codebook")
+    spark.read.parquet(resolveDir(spark, dir) + "/_codebook")
 
   /** The `nprobe` list ids whose centroids score highest against
     * `queryVec` — the driver-side probe-selection step. Quantized-dot
@@ -174,14 +295,47 @@ object IvfIndexStore {
            k: Int, nprobe: Int = 2, idCol: String = "vec_id",
            vecCol: String = "embedding",
            where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val probes = probeLists(spark, dir, queryVec, nprobe)
-    val pruned = spark.read.parquet(dir)
+    val root = resolveDir(spark, dir) // one snapshot for probe AND scan
+    val probes = probeLists(spark, root, queryVec, nprobe)
+    val pruned = readLists(spark, root)
       .filter(col("centroid_id").isin(probes: _*))
     where.map(pruned.filter).getOrElse(pruned)
       .select(col(idCol), Similarity.quantize(
         GraftFunctions.vecDot(spark, col(vecCol), typedLit(queryVec))).as("sim_q"))
       .orderBy(col("sim_q").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Filtered ANN with ADAPTIVE over-probe — the closed-loop form of
+    * [[topK]]'s `where` knob: a selective predicate thins the probed
+    * lists' candidates, so a static nprobe under-fills k and the static
+    * remedy (hand-picking a wider nprobe, q121) needs the operator to
+    * guess selectivity. Here the probe widens geometrically (×2 from
+    * `nprobe`) until the filtered result fills `k` or every list is
+    * probed — at most log₂(nlist) bounded serving passes, each exactly
+    * [[topK]]. The endpoint nprobe = nlist is exactly brute force over
+    * the filtered corpus (the spec-pinned identity), so the loop's
+    * guarantee is honest: k rows when the filtered corpus has k, else
+    * every matching row — while an early stop keeps ANN semantics (k
+    * rows from the probed lists, not necessarily the global top-k; the
+    * trade every IVF query makes).
+    *
+    * The `res.count()` per step is a bounded serving-result count (≤ k
+    * rows), not a corpus action. */
+  def topKAdaptive(spark: SparkSession, dir: String, queryVec: Seq[Float],
+                   k: Int, where: org.apache.spark.sql.Column,
+                   nprobe: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val root = resolveDir(spark, dir) // the whole widening loop serves one snapshot
+    // nlist rows — the same bounded codebook read every probe pays
+    val nlist = codebook(spark, root).count().toInt
+    var np = math.max(1, math.min(nprobe, nlist))
+    var res = topK(spark, root, queryVec, k, np, idCol, vecCol, Some(where))
+    while (np < nlist && res.count() < k) {
+      np = math.min(nlist, np * 2)
+      res = topK(spark, root, queryVec, k, np, idCol, vecCol, Some(where))
+    }
+    res
   }
 
   /** Serve a BATCH of ANN queries from the persisted index in ONE pruned
@@ -219,6 +373,7 @@ object IvfIndexStore {
                 queryVecCol: String = "query_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val root = resolveDir(spark, dir) // one snapshot for probes AND scan
     val rankW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cdot").desc, col("centroid_id"))
     // localCheckpoint(eager): the probe table feeds the driver-side list
@@ -226,7 +381,7 @@ object IvfIndexStore {
     // probe selection
     val probes = queries
       .select(col(queryIdCol), col(queryVecCol))
-      .crossJoin(broadcast(codebook(spark, dir)))
+      .crossJoin(broadcast(codebook(spark, root)))
       .select(col(queryIdCol), col(queryVecCol), col("centroid_id"),
         Similarity.quantize(
           GraftFunctions.vecDot(spark, col("cvec"), col(queryVecCol))).as("cdot"))
@@ -236,7 +391,7 @@ object IvfIndexStore {
       .localCheckpoint(true)
     val probedLists = probes.select(col("centroid_id").cast("long"))
       .distinct().as[Long].collect().toSeq.sorted
-    spark.read.parquet(dir)
+    readLists(spark, root)
       .filter(col("centroid_id").isin(probedLists: _*))
       .join(broadcast(probes), Seq("centroid_id"))
       .select(col(queryIdCol).cast("long").as(queryIdCol),
@@ -282,10 +437,11 @@ object IvfIndexStore {
               k: Int, nprobe: Int = 2, refine: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val probes = probeLists(spark, dir, queryVec, nprobe)
-    val candIds = adcCandidates(spark, dir, queryVec, probes, refine * k, idCol)
+    val root = resolveDir(spark, dir) // one snapshot: probe, ADC, rescore
+    val probes = probeLists(spark, root, queryVec, nprobe)
+    val candIds = adcCandidates(spark, root, queryVec, probes, refine * k, idCol)
       .select(col("id")).as[Long].collect().toSeq.sorted
-    spark.read.parquet(dir)
+    readLists(spark, root)
       .filter(col("centroid_id").isin(probes: _*) && col(idCol).isin(candIds: _*))
       .select(col(idCol), Similarity.quantize(
         GraftFunctions.vecDot(spark, col(vecCol), typedLit(queryVec))).as("sim_q"))
@@ -329,12 +485,13 @@ object IvfIndexStore {
                    queryIdCol: String = "query_id",
                    queryVecCol: String = "query_vec"): DataFrame = {
     import spark.implicits._
-    val ctx = batchCtx(spark, dir, queries, nprobe, queryIdCol, queryVecCol)
-    val candPairs = adcBatchCandidateFrame(spark, dir, ctx, refine * k, idCol)
+    val root = resolveDir(spark, dir) // one snapshot: probes, codes, rescore
+    val ctx = batchCtx(spark, root, queries, nprobe, queryIdCol, queryVecCol)
+    val candPairs = adcBatchCandidateFrame(spark, root, ctx, refine * k, idCol)
       .as[(Long, Long)].collect().toSeq
     val candIds = candPairs.map(_._2).distinct.sorted
     val pairDf = broadcast(candPairs.toDF(queryIdCol, idCol))
-    spark.read.parquet(dir)
+    readLists(spark, root)
       .filter(col("centroid_id").isin(ctx.probedLists: _*) &&
         col(idCol).isin(candIds: _*))
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
@@ -402,7 +559,7 @@ object IvfIndexStore {
                                      idCol: String): DataFrame = {
     import spark.implicits._
     val queryIdCol = ctx.probes.columns.head
-    spark.read.parquet(dir)
+    readLists(spark, dir)
       .filter(col("centroid_id").isin(ctx.probedLists: _*))
       .select(col(idCol).cast("long").as("id"), col("codes"), col("centroid_id"))
       .join(broadcast(ctx.probes), Seq("centroid_id"))
@@ -426,9 +583,11 @@ object IvfIndexStore {
                                           nprobe: Int = 2,
                                           idCol: String = "vec_id",
                                           queryIdCol: String = "query_id",
-                                          queryVecCol: String = "query_vec"): DataFrame =
-    adcBatchCandidateFrame(spark, dir,
-      batchCtx(spark, dir, queries, nprobe, queryIdCol, queryVecCol), limit, idCol)
+                                          queryVecCol: String = "query_vec"): DataFrame = {
+    val root = resolveDir(spark, dir)
+    adcBatchCandidateFrame(spark, root,
+      batchCtx(spark, root, queries, nprobe, queryIdCol, queryVecCol), limit, idCol)
+  }
 
   /** [[adcTopK]]'s codes-only candidate pass, pre-collect — package-
     * private so IvfPqStoreSpec can pin its PLAN (the ADC pass executes
@@ -441,7 +600,7 @@ object IvfIndexStore {
     val cb = pqCodebook(spark, dir)
     val table = graft.operators.ProductQuantizer.adcTable(cb, queryVec.toArray)
     val approx = graft.operators.ProductQuantizer.adcApproxCol(cb, table)
-    spark.read.parquet(dir)
+    readLists(spark, resolveDir(spark, dir))
       .filter(col("centroid_id").isin(probes: _*))
       .select(col(idCol).cast("long").as("id"), Similarity.quantize(approx).as("approx_q"))
       .orderBy(col("approx_q").desc, col("id"))
@@ -467,10 +626,11 @@ object IvfIndexStore {
   def qualityReport(spark: SparkSession, dir: String,
                     factor: Double = 2.0,
                     vecCol: String = "embedding"): DataFrame = {
-    val cb = pqCodebook(spark, dir)
+    val root = resolveDir(spark, dir) // one snapshot: codebook AND lists
+    val cb = pqCodebook(spark, root)
     val err = graft.operators.ProductQuantizer
       .reconstructionErrCol(spark, cb, vecCol)
-    val perBatch = spark.read.parquet(dir)
+    val perBatch = readLists(spark, root)
       .select(col(BatchCol).cast("long").as(BatchCol), err.as("err"))
       .groupBy(col(BatchCol))
       .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("sum_err"))
@@ -483,6 +643,57 @@ object IvfIndexStore {
         (col("mean_err_ppm").cast("double") >
           col("base_err").cast("double") * lit(factor)).as("drifted"))
       .orderBy(col(BatchCol))
+  }
+
+  /** Delete vectors by id from the persisted store — the takedown/GDPR
+    * maintenance face every other persisted layout here has (compaction,
+    * reconcile, heal): a serving store that can only append cannot serve
+    * a corpus with erasure obligations.
+    *
+    * Rewrite, not tombstones, and ONLY the affected leaves: the scan that
+    * finds the deleted ids' `(centroid_id, ingest_batch)` leaves pushes
+    * `In(idCol, ids)` to parquet (row-group stats skip everything else),
+    * then each affected leaf — at most |ids| of them — rewrites through
+    * the established rename-aside swap ([[graft.queue.Maintenance
+    * .replaceDir]]); a leaf left empty is removed outright. Tombstones
+    * were rejected deliberately: every serving path ([[topK]], [[adcTopK]],
+    * both batch forms, [[qualityReport]]) is a pure scan, and a tombstone
+    * design would tax each of them with an anti-join forever to spare the
+    * rare delete a bounded rewrite.
+    *
+    * Swap atomicity is PER LEAF: a reader racing the delete can observe
+    * some leaves rewritten and others not yet — deletes apply id-by-id,
+    * never a torn file (whole-store atomicity is [[rebuild]]'s versioned
+    * flip). Idempotent: re-deleting the same ids finds no affected
+    * leaves. `ids` is a driver-side request payload by contract (the
+    * [[topKBatch]] discipline — takedowns arrive as bounded lists, not
+    * relations). Returns the number of vector rows removed. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long],
+             idCol: String = "vec_id"): Long = {
+    require(ids.nonEmpty, "ivf delete: empty id list")
+    val root = resolveDir(spark, dir) // deletions land in the CURRENT version
+    val affected = readLists(spark, root)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col("centroid_id").cast("long"), col(BatchCol).cast("long"))
+      .groupBy(col("centroid_id"), col(BatchCol))
+      .agg(count(lit(1)).as("n"))
+      // bounded driver pull: ≤ |ids| leaves
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var deleted = 0L
+    affected.foreach { case (cid, b, n) =>
+      val leaf = s"$root/centroid_id=$cid/$BatchCol=$b"
+      val keep = spark.read.parquet(leaf).filter(!col(idCol).isin(ids: _*))
+      if (keep.isEmpty) {
+        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(leaf))
+      } else {
+        val lp = java.nio.file.Paths.get(leaf)
+        val tmp = lp.resolveSibling("." + lp.getFileName.toString + ".swap").toString
+        keep.write.mode(SaveMode.Overwrite).parquet(tmp)
+        graft.queue.Maintenance.replaceDir(tmp, leaf)
+      }
+      deleted += n
+    }
+    deleted
   }
 
   /** The store's column set from a SINGLE data file's footer plus the
@@ -523,10 +734,14 @@ object IvfIndexStore {
     require(batch.columns.contains(idCol) && batch.columns.contains(vecCol),
       s"ivf sink: batch lacks '$idCol'/'$vecCol' (schema drift upstream?) " +
         s"— columns: ${batch.columns.mkString(", ")}")
+    // ONE manifest resolution for the whole append: codebook, drift gate,
+    // and the write all land in the same version snapshot (appends racing
+    // a rebuild follow the quiesce contract in the version-layer scaladoc)
+    val root = resolveDir(batch.sparkSession, dir)
     // the codebook is FROZEN at build time (standard IVF maintenance:
     // appends assign against the existing centroids; re-centering is an
     // offline rebuild) — a missing store fails loudly here
-    val cents = codebook(batch.sparkSession, dir)
+    val cents = codebook(batch.sparkSession, root)
     // checkpoint the assignment so the rows VALIDATED below are the same
     // materialization as the rows WRITTEN — a foreachBatch source that
     // re-read differently between the two actions could otherwise pass
@@ -546,8 +761,8 @@ object IvfIndexStore {
     // surface as null approx scores); encoding uses the store's FROZEN
     // PQ codebook, the same maintenance contract as the coarse centroids
     val withCodes =
-      if (hasPq(batch.sparkSession, dir)) {
-        val cb = pqCodebook(batch.sparkSession, dir)
+      if (hasPq(batch.sparkSession, root)) {
+        val cb = pqCodebook(batch.sparkSession, root)
         val coded = assigned.withColumn("codes",
           graft.operators.ProductQuantizer.codesCol(batch.sparkSession, cb, vecCol))
         // dims vs the COARSE codebook already gated above; a PQ codebook
@@ -567,7 +782,7 @@ object IvfIndexStore {
     // data file's footer — a full spark.read.parquet(dir) here would pay
     // a store-wide file listing + schema merge on every micro-batch tick,
     // a cost that grows with the store as batches accumulate.
-    val storeCols = storeColumns(batch.sparkSession, dir)
+    val storeCols = storeColumns(batch.sparkSession, root)
     val outCols = withCodes.columns.toSet + BatchCol
     require(outCols == storeCols,
       s"ivf sink: batch $batchId columns ${outCols.mkString(", ")} drift " +
@@ -580,7 +795,7 @@ object IvfIndexStore {
       .withColumn(BatchCol, lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("centroid_id", BatchCol).parquet(dir)
+      .partitionBy("centroid_id", BatchCol).parquet(root)
   }
 
   /** Streaming face of [[build]]: assign each micro-batch of new vectors

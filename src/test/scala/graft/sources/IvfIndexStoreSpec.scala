@@ -207,6 +207,116 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(d).filter(col("ingest_batch") >= 0L).count() == 0)
   }
 
+  test("delete: ids vanish from single and batched serving; untouched leaves keep their files; idempotent") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
+    IvfIndexStore.build(emb, d, nlist = 16)
+    IvfIndexStore.appendBatch(
+      emb.filter($"vec_id" < 50).select(($"vec_id" + 5000L).as("vec_id"),
+        $"embedding", $"label"), d, batchId = 0)
+    def leafFiles(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(d)
+      val out = scala.collection.mutable.Map.empty[String, Set[String]]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith(".")) {
+          val leaf = root.relativize(p.getParent).toString
+          out(leaf) = out.getOrElse(leaf, Set.empty) + p.getFileName.toString
+        }
+      }
+      out.toMap
+    }
+    val before = leafFiles()
+    // ids spanning the bulk build (batch -1) and the append (batch 0)
+    val ids = Seq(3L, 8L, 13L, 5003L, 5008L)
+    val affectedLeaves = spark.read.parquet(d)
+      .filter($"vec_id".isin(ids: _*))
+      .select($"centroid_id".cast("long"), $"ingest_batch".cast("long"))
+      .distinct().collect()
+      .map(r => s"centroid_id=${r.getLong(0)}/ingest_batch=${r.getLong(1)}").toSet
+    val n = IvfIndexStore.delete(spark, d, ids)
+    assert(n == ids.length.toLong)
+    val after = leafFiles()
+    // only the affected leaves changed
+    (before.keySet ++ after.keySet).foreach { leaf =>
+      if (affectedLeaves.contains(leaf))
+        assert(before(leaf) != after.getOrElse(leaf, Set.empty), s"leaf $leaf not rewritten")
+      else assert(before.get(leaf) == after.get(leaf), s"untouched leaf $leaf changed")
+    }
+    // full-probe serving ≡ brute force over the REMAINING corpus
+    val remaining = spark.read.parquet(d)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val served = IvfIndexStore.topK(spark, d, qvec, k = 20, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = remaining
+      .select($"vec_id", graft.operators.Similarity.quantize(
+        GraftFunctions.vecDot(spark, $"embedding",
+          org.apache.spark.sql.functions.typedLit(qvec))).as("sim_q"))
+      .orderBy($"sim_q".desc, $"vec_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == brute)
+    assert(!served.exists(t => ids.contains(t._1)))
+    // batched serving excludes them too
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val batchIds = IvfIndexStore.topKBatch(spark, d, queries, k = 20, nprobe = 16)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(batchIds.intersect(ids.toSet).isEmpty)
+    // idempotent: nothing left to delete
+    assert(IvfIndexStore.delete(spark, d, ids) == 0L)
+  }
+
+  test("delete: a fully-emptied leaf is removed and its list serves the rest") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfdel2").toString
+    IvfIndexStore.build(emb, d, nlist = 16)
+    // empty one whole list (centroid partition) of the bulk build
+    val probes = IvfIndexStore.probeLists(spark, d, qvec, nprobe = 1)
+    val listId = probes.head
+    val listIds = spark.read.parquet(d)
+      .filter($"centroid_id" === listId)
+      .select($"vec_id".cast("long")).as[Long].collect().toSeq
+    assert(listIds.nonEmpty)
+    assert(IvfIndexStore.delete(spark, d, listIds) == listIds.length.toLong)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d, s"centroid_id=$listId", "ingest_batch=-1")))
+    // the probed serve of that list returns nothing, and wider serving
+    // still answers from the surviving lists
+    assert(IvfIndexStore.topK(spark, d, qvec, k = 10, nprobe = 1).count() == 0)
+    val wide = IvfIndexStore.topK(spark, d, qvec, k = 10, nprobe = 16)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(wide.nonEmpty && wide.intersect(listIds.toSet).isEmpty)
+  }
+
+  test("adaptive over-probe: selective predicate escalates to filtered brute force; ample predicate stops at the first nprobe") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    // < k matches anywhere: the loop must reach nprobe = nlist, whose
+    // serving is exactly brute force over the filtered corpus
+    val selective = col("label") === 3 && col("vec_id") < 40
+    val got = IvfIndexStore.topKAdaptive(spark, store, qvec, k = 10,
+      where = selective, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = emb.filter($"label" === 3 && $"vec_id" < 40)
+      .select($"vec_id", graft.operators.Similarity.quantize(
+        GraftFunctions.vecDot(spark, $"embedding",
+          org.apache.spark.sql.functions.typedLit(qvec))).as("sim_q"))
+      .orderBy($"sim_q".desc, $"vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == brute && got.nonEmpty && got.length < 10)
+    // ample matches in the first probe window: the loop must NOT widen —
+    // its answer is exactly the static topK at the starting nprobe
+    val ample = col("label") >= 0
+    val adaptive = IvfIndexStore.topKAdaptive(spark, store, qvec, k = 10,
+      where = ample, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val static2 = IvfIndexStore.topK(spark, store, qvec, k = 10, nprobe = 2,
+      where = Some(ample))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(adaptive == static2 && adaptive.length == 10)
+  }
+
   test("layoutFor keys on (sfDir, nlist) and skips the rewrite on reuse") {
     val base = IvfIndexStore.layoutFor(spark, dir, emb, nlist = 16)
     val mtime0 = new java.io.File(base, "_SUCCESS").lastModified

@@ -264,4 +264,41 @@ class IvfPqStoreSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == brute)
   }
+
+  test("delete on a PQ store: ADC single, ADC batch, and qualityReport never see a deleted id") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpqdel").toString
+    IvfIndexStore.build(emb, d, nlist = 16, pq = Some(cb))
+    // delete the current wide-probe full-refine top-2 ids: the strongest
+    // possible probes — if a stale leaf or code survives, the old winners
+    // resurface at the top immediately
+    val n = emb.count().toInt
+    val top = IvfIndexStore.adcTopK(spark, d, qvec, k = 2, nprobe = 16,
+      refine = n).select($"vec_id").as[Long].collect().toSeq
+    val removed = IvfIndexStore.delete(spark, d, top)
+    assert(removed == top.length.toLong)
+    val after = IvfIndexStore.adcTopK(spark, d, qvec, k = 10, nprobe = 16,
+      refine = n).select($"vec_id").as[Long].collect().toSet
+    assert(after.intersect(top.toSet).isEmpty && after.nonEmpty)
+    // the deleted ids were exactly the head of the ranking: the new head
+    // is brute force over the remaining corpus (scored directly — vec 0
+    // itself may be among the deletions, so no corpus self-lookup)
+    val brute = emb.filter(!$"vec_id".isin(top: _*))
+      .select($"vec_id", Similarity.quantize(
+        graft.functions.GraftFunctions.vecDot(spark, $"embedding",
+          org.apache.spark.sql.functions.typedLit(qvec))).as("sim_q"))
+      .orderBy($"sim_q".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(after == brute)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val batchIds = IvfIndexStore.adcTopKBatch(spark, d, queries, k = 10,
+      nprobe = 16, refine = n)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(batchIds.intersect(top.toSet).isEmpty)
+    // the drift report's per-batch counts drop by exactly the deletions
+    val nVecs = IvfIndexStore.qualityReport(spark, d)
+      .select($"n_vecs").as[Long].collect().sum
+    assert(nVecs == emb.count() - top.length)
+  }
 }
