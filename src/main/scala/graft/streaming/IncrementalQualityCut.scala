@@ -219,6 +219,46 @@ object IncrementalQualityCut {
   def rebuildRollup(spark: SparkSession, registryDir: String): Unit =
     writeRollup(histAggregate(spark, registryDir), registryDir)
 
+  /** What [[reconcile]] did: verdict rows kept (after replay dedupe) and
+    * how many admitted flags flipped against the current corpus cut. */
+  final case class ReconcileStats(nVerdicts: Long, nFlipped: Long)
+
+  /** Scheduled verdict reconcile — [[IncrementalDedup.reconcile]]'s
+    * discipline for this gate's one staleness: per-batch verdicts are
+    * provisional (a relative threshold moves as the corpus grows), so a
+    * consumer reading the verdict stream directly gets stale keeps until
+    * now. One pass re-judges every verdict row against the CURRENT
+    * corpus cutoffs ([[cutoffs]] — the O(strata) histogram read, never a
+    * document scan) and swaps the rewritten rows in via rename-aside:
+    * after it, the verdict dir's admitted set IS [[admitted]] — and
+    * therefore the batch q114 — over every document ingested so far
+    * (spec-pinned). Replay-emitted duplicate verdicts (one row per
+    * delivery) collapse on the (source, doc_id) key; any extra columns a
+    * richer verdict stream carries ride through with only `cutoff` and
+    * `admitted` repointed. O(verdicts) rewrite joined against a
+    * broadcast KB-scale cutoff table — pointers-only, no registry scan,
+    * no shuffle beyond the rewrite itself. */
+  def reconcile(spark: SparkSession, registryDir: String, verdictDir: String,
+                frac: Double): ReconcileStats = {
+    val verdicts = spark.read.parquet(verdictDir)
+      .dropDuplicates("source", "doc_id")
+    val cuts = cutoffs(spark, registryDir, frac)
+    val updated = verdicts
+      .withColumnRenamed("cutoff", "stale_cutoff")
+      .withColumnRenamed("admitted", "stale_admitted")
+      .join(broadcast(cuts), Seq("source"))
+      .withColumn("admitted", col("score") >= col("cutoff"))
+      .localCheckpoint(true) // pin stats AND the pre-swap read
+    val nFlipped = updated
+      .filter(col("admitted") =!= col("stale_admitted")).count()
+    val out = updated.select(verdicts.columns.map(col): _*) // original shape
+    val p = java.nio.file.Paths.get(verdictDir.stripSuffix("/"))
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".swap").toString
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    graft.queue.Maintenance.replaceDir(tmp, verdictDir)
+    ReconcileStats(out.count(), nFlipped)
+  }
+
   private val ingestMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
@@ -252,12 +292,14 @@ object IncrementalQualityCut {
 
   /** Streaming face: derive q114's score from `textCol` and wire the
     * stream through [[processBatch]], appending verdicts to `verdictDir`;
-    * `compactEvery` schedules registry compaction as the other registry
-    * gates do. */
+    * `compactEvery` schedules registry compaction and `reconcileEvery`
+    * schedules the verdict [[reconcile]] (stale keeps re-judged against
+    * the moved cut), as the other registry gates' cadence knobs do. */
   def gate(docStream: DataFrame, registryDir: String, verdictDir: String,
            frac: Double, idCol: String = "doc_id",
            sourceCol: String = "source", textCol: String = "text",
-           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+           compactEvery: Int = 0,
+           reconcileEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(
@@ -267,6 +309,10 @@ object IncrementalQualityCut {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.queue.Maintenance.compactParquet(batch.sparkSession,
             registryDir, partitionCols = Seq("sbucket"))
+          ()
+        }
+        if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
+          reconcile(batch.sparkSession, registryDir, verdictDir, frac)
           ()
         }
     }

@@ -149,4 +149,61 @@ class IncrementalQualityCutSpec extends AnyFunSuite with SparkTestSession {
       assert(v(4L)._1 == 4L) // the derived score is the distinct-token count
     } finally q.stop()
   }
+
+  test("reconcile re-judges stale verdicts: verdict dir == admitted() after the pass") {
+    val reg = tmp("graft_qc_rec_reg")
+    val out = tmp("graft_qc_rec_out") + "/verdicts"
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        IncrementalQualityCut.distinctTokenScore($"text").as("score"))
+    // three striped batches: early verdicts judge against early cutoffs,
+    // which MOVE as the later strata arrive — the staleness reconcile fixes
+    (0 until 3).foreach { i =>
+      IncrementalQualityCut.processBatch(docs.filter($"doc_id" % 3 === i),
+          reg, frac = 0.4)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+    }
+    val staleKeeps = spark.read.parquet(out).filter($"admitted")
+      .select($"doc_id", $"source", $"score", $"cutoff").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val truth = admittedSet(reg)
+    assert(staleKeeps != truth, "fixture too weak: no verdict went stale")
+    val stats = IncrementalQualityCut.reconcile(spark, reg, out, frac = 0.4)
+    assert(stats.nFlipped > 0)
+    val afterKeeps = spark.read.parquet(out).filter($"admitted")
+      .select($"doc_id", $"source", $"score", $"cutoff").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(afterKeeps == truth)
+    // idempotent: a second pass flips nothing
+    assert(IncrementalQualityCut.reconcile(spark, reg, out, frac = 0.4).nFlipped == 0L)
+    // one row per document survives the replay-dedupe
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(out).select($"source", $"doc_id").distinct().count())
+  }
+
+  test("gate(reconcileEvery) reconciles on cadence: stream verdicts match admitted() after the tick") {
+    val reg = tmp("graft_qc_rec2_reg")
+    val out = tmp("graft_qc_rec2_out") + "/verdicts"
+    val ms = MemoryStream[QCText]
+    def text(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val q = IncrementalQualityCut.gate(ms.toDF(), reg, out, frac = 0.4,
+        reconcileEvery = 2)
+      .option("checkpointLocation", tmp("graft_qc_rec2_ckpt")).start()
+    try {
+      // batch 0: scores 2..6 → cutoff 5, docs 5,6 admitted
+      ms.addData((2 to 6).map(k => QCText(k.toLong, "s", text(k))): _*)
+      q.processAllAvailable()
+      // batch 1: scores 7..11 push the 40% cut to 9 — batch-0 keeps 5,6
+      // go stale, and (batchId+1) % 2 == 0 fires the reconcile
+      ms.addData((7 to 11).map(k => QCText(k.toLong, "s", text(k))): _*)
+      q.processAllAvailable()
+      val keeps = spark.read.parquet(out).filter($"admitted")
+        .select($"doc_id").as[Long].collect().toSet
+      val truth = IncrementalQualityCut.admitted(spark, reg, 0.4)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(keeps == truth, s"stream keeps $keeps != admitted() $truth")
+      assert(!keeps.contains(5L) && !keeps.contains(6L), s"stale keeps survived: $keeps")
+    } finally q.stop()
+  }
 }
