@@ -30,8 +30,8 @@ import org.apache.spark.sql.types.StructType
   *   2. the registry probe is KEY-PRUNED when the batch carries at most
   *      `probeKeyLimit` distinct fingerprints: the keys push down as an
   *      `In(shingle_md5, …)` over files written SORTED by fingerprint,
-  *      so the scan skips
-  *      whole row groups on footer stats and reads O(matched) postings —
+  *      so the scan skips whole row groups on footer stats and reads
+  *      O(matched) postings —
   *      bucket-level pruning alone saturates at ~100 shingle keys/doc,
   *      which is why the 256-way partitioning needs the row-group tier
   *      beneath it. Past the key limit the probe takes the documented
@@ -70,8 +70,8 @@ import org.apache.spark.sql.types.StructType
   * shape as [[IncrementalSpanDedup]]'s seen-elsewhere join; the
   * aggregation is map-side partial and the registry is never shuffled at
   * corpus width. The probe's scan I/O is O(matched) on the key-pruned
-  * path (sorted row groups + bloom filters make the read key-selective
-  * without changing any semantics); only a batch past `probeKeyLimit`
+  * path (key-sorted row groups make the pushed In selective on footer
+  * stats, without changing any semantics); only a batch past `probeKeyLimit`
   * distinct fingerprints pays the registry-sized scan, and a batch that
   * large amortizes it. ScaleBench's cont_probe table publishes the
   * measured probe cost against growing registries.
