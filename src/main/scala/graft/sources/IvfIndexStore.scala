@@ -718,6 +718,71 @@ object IvfIndexStore {
       "centroid_id" + BatchCol
   }
 
+  /** Drift-driven maintenance, the closed loop: [[qualityReport]] is the
+    * REBUILD SIGNAL of the frozen-codebook contract and [[rebuild]] is
+    * the zero-downtime remedy — this composes them. If any ingest batch's
+    * mean quantized reconstruction error exceeds `factor ×` the bulk
+    * build's, the store re-centers from ITS OWN rows (the lists carry the
+    * raw vectors and every metadata column, so no external corpus handle
+    * is needed): coarse centroids re-train via [[Similarity.ivfTrain]]
+    * and the PQ codebooks re-train at the persisted (m, ksub) over the
+    * CURRENT corpus — drifted appends included, which is the point — then
+    * everything lands as batch −1 of `v<N+1>` behind the manifest flip.
+    * Readers never see a torn store; a clean report returns None and
+    * touches nothing. `trainIters`/`trainFraction` pass through to both
+    * trainers (the sampled-training practice for corpus-scale rebuilds).
+    *
+    * Serving-neutral by design: the rebuilt store answers from retrained
+    * codebooks, so recall recovers on the drifted region; the follow-up
+    * [[qualityReport]] has a single batch (−1) and cannot flag — the
+    * spec pins that the loop terminates. */
+  def rebuildIfDrifted(spark: SparkSession, dir: String, factor: Double = 2.0,
+                       trainIters: Int = 2, trainFraction: Double = 1.0,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Option[Long] = {
+    val report = qualityReport(spark, dir, factor, vecCol)
+    if (report.filter(col("drifted")).isEmpty) None
+    else {
+      val root = resolveDir(spark, dir)
+      val nlist = codebook(spark, root).count().toInt
+      val pqOld = pqCodebook(spark, root)
+      val corpus = readLists(spark, root)
+        .drop("codes", "centroid_id", BatchCol)
+        // pin the training input: the retrain passes and the rebuild's
+        // assignment pass must see one corpus snapshot, not re-list the
+        // store dir per job (an append racing the rebuild would
+        // otherwise train and file DIFFERENT row sets)
+        .localCheckpoint(true)
+      val dims = pqOld.m * pqOld.subDim
+      // the deterministic-seed trainers want ids 0..k-1 present, but a
+      // store that has seen deletions (or never had dense ids) can't
+      // promise that — so the TRAINING VIEW remaps the k smallest ids to
+      // 0..k-1 (a bounded k-row driver pull) and shifts the rest by k;
+      // the store itself keeps its real ids (only `rebuild` below sees
+      // the original corpus)
+      val k = math.max(nlist, pqOld.ksub)
+      val seedIds = corpus.select(col(idCol).cast("long"))
+        .orderBy(col(idCol)).limit(k).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect()
+      require(seedIds.length == k && seedIds.headOption.forall(_ >= 0L),
+        s"ivf rebuild: need >= $k non-negative ids to seed retraining, " +
+          s"got ${seedIds.length}")
+      val rankOf = typedLit(seedIds.zipWithIndex
+        .map { case (id, r) => id -> r.toLong }.toMap)
+      val trainView = corpus.select(
+        coalesce(element_at(rankOf, col(idCol).cast("long")),
+          col(idCol).cast("long") + lit(k.toLong)).as(idCol),
+        col(vecCol))
+      val cents = Similarity.ivfTrain(trainView, nlist = nlist,
+        iters = trainIters, dims = dims, idCol = idCol, vecCol = vecCol,
+        trainFraction = trainFraction)
+      val pqNew = graft.operators.ProductQuantizer.train(trainView, m = pqOld.m,
+        ksub = pqOld.ksub, iters = trainIters, dims = dims, idCol = idCol,
+        vecCol = vecCol, trainFraction = trainFraction)
+      Some(rebuild(corpus, dir, nlist, Some(cents), idCol, vecCol, Some(pqNew)))
+    }
+  }
+
   /** The sink's per-batch partition level under each list — the
     * replay-idempotence key ([[VariantEventStore.BatchCol]]'s discipline);
     * the bulk [[build]] is batch -1, below any streaming batch id. Serving never touches it: [[topK]]

@@ -266,6 +266,19 @@ object IncrementalContainment {
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
     RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("bucket="))
 
+  /** Erase documents from the registry — takedown/GDPR
+    * ([[RegistryIO.eraseDocs]]; rewritten buckets keep the key-sorted
+    * probe layout). Semantics: the erased documents' shingle occurrences
+    * stop existing, so no FUTURE batch pairs against them and their
+    * occurrences no longer count toward df; shingles they alone carried
+    * become novel again. Already-emitted pair verdicts that name the
+    * erased ids live in the consumer's verdict stream and are theirs to
+    * scrub — this registry holds no text, only fingerprints and sizes. */
+  def deleteDocs(spark: SparkSession, registryDir: String,
+                 docIds: Seq[Long]): Long =
+    RegistryIO.eraseDocs(readRegistry(spark, registryDir), registryDir,
+      "bucket", docIds, sortCols = Seq("shingle_md5"))
+
   private val seedMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 

@@ -190,6 +190,39 @@ object IncrementalQualityCut {
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
     RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("sbucket="))
 
+  /** Erase documents from the registry — takedown/GDPR
+    * ([[RegistryIO.eraseDocs]]), with the histogram rollup kept exact:
+    * the erased documents' per-(source, score) cell counts (distinct doc
+    * rows, matching [[histAggregate]]'s replay-absorption — a
+    * blind-seeded registry can carry duplicate doc rows) subtract from
+    * the rollup through the same rename-aside swap the merge path uses,
+    * zeroed cells dropped. After erasure [[cutoffs]]/[[admitted]] judge
+    * the REMAINING corpus exactly (spec-pinned ≡ the batch q114 over the
+    * survivors); a scheduled [[reconcile]] then re-judges any verdicts
+    * stranded above the moved cut. Verdict rows naming the erased ids
+    * are the consumer's stream to scrub (or one [[reconcile]] pass away
+    * from carrying only current flags — the rows themselves persist). */
+  def deleteDocs(spark: SparkSession, registryDir: String,
+                 docIds: Seq[Long]): Long = {
+    val delCells = readRegistry(spark, registryDir)
+      .filter(col("doc_id").isInCollection(docIds))
+      .select(col("source"), col("doc_id"), col("score")).distinct()
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // cells pinned BEFORE the rows vanish
+    val removed = RegistryIO.eraseDocs(readRegistry(spark, registryDir),
+      registryDir, "sbucket", docIds)
+    if (RegistryIO.hasData(rollupDir(registryDir), None)) {
+      val merged = readRollup(spark, registryDir)
+        .join(broadcast(delCells), Seq("source", "score"), "left")
+        .select(col("source"), col("score"),
+          (col("n") - coalesce(col("d"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+      writeRollup(merged, registryDir)
+    }
+    removed
+  }
+
   /** The maintained per-source score histogram — [[cutoffs]]' O(strata)
     * read path; the doc-grained registry stays the source of truth. */
   def readRollup(spark: SparkSession, registryDir: String): DataFrame =

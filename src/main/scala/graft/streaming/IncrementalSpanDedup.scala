@@ -139,6 +139,18 @@ object IncrementalSpanDedup {
   def readRegistry(spark: SparkSession, registryDir: String): DataFrame =
     RegistryIO.readOrEmpty(spark, registryDir, registrySchema, Some("bucket="))
 
+  /** Erase documents from the registry — takedown/GDPR
+    * ([[RegistryIO.eraseDocs]]). Semantics: the erased documents' block
+    * occurrences stop existing, so a block THEY alone carried reads as
+    * novel again (a future arrival keeps it instead of having it removed
+    * as seen-elsewhere) and blocks other documents also carry are
+    * unaffected. Emitted span verdicts naming the erased ids are the
+    * consumer's stream to scrub; the registry holds fingerprints only. */
+  def deleteDocs(spark: SparkSession, registryDir: String,
+                 docIds: Seq[Long]): Long =
+    RegistryIO.eraseDocs(readRegistry(spark, registryDir), registryDir,
+      "bucket", docIds)
+
   /** Streaming face: wire a document stream through [[processBatch]],
     * appending verdicts to `verdictDir`; a consumer keeps
     * `filter($"n_blocks_kept" > 0)`. `compactEvery` schedules registry

@@ -42,4 +42,52 @@ private[graft] object RegistryIO {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dir)
   }
+
+  /** Erase every row of the given documents from a hive-partitioned
+    * registry — the takedown/GDPR face the doc-grained ingest registries
+    * share (the IvfIndexStore.delete discipline): the touched partition
+    * values locate via one pruned-as-possible scan (bounded driver pull —
+    * a doc's rows live in at most a few hundred partitions), then each
+    * touched partition dir rewrites through the rename-aside swap
+    * ([[graft.queue.Maintenance.replaceDir]]); a partition left empty is
+    * removed outright. `sortCols` re-sorts the rewritten files so a
+    * layout whose probe relies on key-sorted row groups (the containment
+    * registry) keeps that property through erasure. Idempotent: erased
+    * ids match no rows. Returns the number of rows removed (file rows —
+    * a registry carrying replay-duplicate files counts each copy).
+    *
+    * Swap atomicity is per partition; a reader racing the erasure can see
+    * some partitions scrubbed and others not yet — erasure converges,
+    * never tears a file. Verdict/audit streams that REFERENCE the erased
+    * doc are the consumer's to scrub (each gate's deleteDocs scaladoc
+    * states what its registry erasure does and does not cover). */
+  def eraseDocs(registry: DataFrame, dir: String, partitionCol: String,
+                docIds: Seq[Long], idCol: String = "doc_id",
+                sortCols: Seq[String] = Nil): Long = {
+    require(docIds.nonEmpty, "registry erase: empty id list")
+    val spark = registry.sparkSession
+    import org.apache.spark.sql.functions.col
+    val touched = registry.filter(col(idCol).isInCollection(docIds))
+      .select(col(partitionCol).cast("int")).distinct()
+      .collect().map(_.getInt(0))
+    var removed = 0L
+    touched.foreach { p =>
+      val leaf = s"${dir.stripSuffix("/")}/$partitionCol=$p"
+      val rows = spark.read.parquet(leaf)
+      removed += rows.filter(col(idCol).isInCollection(docIds)).count()
+      val keep = rows.filter(!col(idCol).isInCollection(docIds))
+      if (keep.isEmpty) {
+        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(leaf))
+      } else {
+        val lp = java.nio.file.Paths.get(leaf)
+        val tmp = lp.resolveSibling("." + lp.getFileName.toString + ".swap").toString
+        val out =
+          if (sortCols.isEmpty) keep
+          else keep.repartition(1).sortWithinPartitions(sortCols.map(col): _*)
+        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        graft.queue.Maintenance.replaceDir(tmp, leaf)
+      }
+    }
+    removed
+  }
 }

@@ -110,6 +110,78 @@ class IvfStoreRebuildSpec extends AnyFunSuite with SparkTestSession {
     assert(!after.contains(9000L) && !after.contains(9001L))
   }
 
+  test("drift-driven rebuild: the q120 signal drives a zero-downtime re-center and the loop terminates") {
+    import graft.operators.ProductQuantizer
+    val d = tmp()
+    val base = emb.filter($"vec_id" < 300)
+    val cb = ProductQuantizer.train(base, m = 8, ksub = 16, iters = 0)
+    IvfIndexStore.build(base, d, nlist = 16, pq = Some(cb))
+    IvfIndexStore.appendBatch(emb.filter($"vec_id" >= 300), d, batchId = 0)
+    // q120's deterministic drift fixture: magnitude-doubled copies
+    val drifted = emb.filter($"vec_id" < 100)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => (x * org.apache.spark.sql.functions.lit(2.0f)).cast("float")).as("embedding"),
+        $"label")
+    IvfIndexStore.appendBatch(drifted, d, batchId = 1)
+    val before = IvfIndexStore.qualityReport(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(before(1L)._2 && !before(0L)._2, s"fixture: $before")
+    // the signal drives the remedy
+    val v = IvfIndexStore.rebuildIfDrifted(spark, d, trainIters = 2)
+    assert(v.contains(1L) && IvfIndexStore.currentVersion(spark, d).contains(1L))
+    // the rebuilt store is ONE bulk batch, nothing flagged, and the
+    // retrained codebooks beat the stale ones on the drifted region
+    val after = IvfIndexStore.qualityReport(spark, d).collect()
+    assert(after.length == 1 && after.head.getLong(0) == -1L &&
+      !after.head.getBoolean(3), after.mkString(", "))
+    assert(after.head.getLong(2) < before(1L)._1,
+      s"retrain did not improve the drifted region: ${after.head.getLong(2)} vs ${before(1L)._1}")
+    // the corpus survived the flip intact (incl. the drifted appends)
+    val n = spark.read.option("basePath", s"$d/v1")
+      .parquet(s"$d/v1/centroid_id=*").count()
+    assert(n == emb.count() + 100)
+    // loop terminates: a clean store rebuilds nothing
+    assert(IvfIndexStore.rebuildIfDrifted(spark, d, trainIters = 2).isEmpty)
+    assert(IvfIndexStore.currentVersion(spark, d).contains(1L))
+  }
+
+  test("full lifecycle: build -> append -> delete -> drift -> rebuild serves exactly the surviving corpus") {
+    import graft.functions.GraftFunctions
+    import graft.operators.ProductQuantizer
+    val d = tmp()
+    val base = emb.filter($"vec_id" < 300)
+    IvfIndexStore.build(base, d, nlist = 16,
+      pq = Some(ProductQuantizer.train(base, m = 8, ksub = 16, iters = 0)))
+    IvfIndexStore.appendBatch(emb.filter($"vec_id" >= 300), d, batchId = 0)
+    val gone = Seq(1L, 7L, 301L)
+    assert(IvfIndexStore.delete(spark, d, gone) == 3L)
+    val drifted = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => (x * org.apache.spark.sql.functions.lit(2.0f)).cast("float")).as("embedding"),
+        $"label")
+    IvfIndexStore.appendBatch(drifted, d, batchId = 1)
+    assert(IvfIndexStore.rebuildIfDrifted(spark, d, trainIters = 1).contains(1L))
+    // full-probe serving from the rebuilt store ≡ brute force over
+    // exactly the surviving corpus: appends present, deletions NOT
+    // resurrected by the rebuild (it re-centered from the store's own
+    // post-delete rows), drifted copies present
+    val survivors = emb.filter(!$"vec_id".isin(gone: _*))
+      .select($"vec_id", $"embedding")
+      .unionByName(drifted.select($"vec_id", $"embedding"))
+    val brute = survivors
+      .select($"vec_id", graft.operators.Similarity.quantize(
+        GraftFunctions.vecDot(spark, $"embedding",
+          org.apache.spark.sql.functions.typedLit(qvec))).as("sim_q"))
+      .orderBy($"sim_q".desc, $"vec_id").limit(15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = IvfIndexStore.topK(spark, d, qvec, k = 15, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == brute)
+    assert(!served.exists(t => gone.contains(t._1)))
+  }
+
   test("concurrent rebuilds: exactly one wins the manifest flip") {
     val d = tmp()
     IvfIndexStore.build(emb.filter($"vec_id" < 300), d, nlist = 16)

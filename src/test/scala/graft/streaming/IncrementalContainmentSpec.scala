@@ -172,6 +172,40 @@ class IncrementalContainmentSpec extends AnyFunSuite with SparkTestSession {
     assert(checked > 0)
   }
 
+  test("deleteDocs: an erased document never pairs again and the sorted layout survives") {
+    val reg = tmp("graft_cont_erase")
+    IncrementalContainment.processBatch(
+      Seq(Doc(1L, quote), Doc(2L, filler("x", 40))).toDF(), reg)
+    // control: a new carrier of the quote pairs against doc 1
+    val ctl = pairs(IncrementalContainment.processBatch(
+      Seq(Doc(20L, bigDoc)).toDF(), reg))
+    assert(ctl.map(t => (t._1, t._2)) == Set((1L, 20L)))
+    // erase docs 1 and 20 (the quote's only carriers)
+    val removed = IncrementalContainment.deleteDocs(spark, reg, Seq(1L, 20L))
+    assert(removed > 0L)
+    assert(IncrementalContainment.readRegistry(spark, reg)
+      .filter($"doc_id".isin(1L, 20L)).count() == 0)
+    // a fresh carrier of the quote pairs against NOTHING - the erased
+    // docs' occurrences are gone, doc 2 shares no shingles
+    val v = IncrementalContainment.processBatch(
+      Seq(Doc(30L, quote)).toDF(), reg)
+    assert(v.collect().isEmpty)
+    // rewritten buckets kept the key-sorted probe layout
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(reg))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var checked = 0
+    files.forEachRemaining { f =>
+      val ks = spark.read.parquet(f.toString)
+        .select($"shingle_md5").as[String].collect().toSeq
+      assert(ks == ks.sorted, s"unsorted keys in $f")
+      checked += 1
+    }
+    assert(checked > 0)
+    // idempotent
+    assert(IncrementalContainment.deleteDocs(spark, reg, Seq(1L, 20L)) == 0L)
+  }
+
   test("streaming gate writes pair verdicts through foreachBatch") {
     val reg = tmp("graft_cont_reg_s")
     val out = tmp("graft_cont_out") + "/verdicts"

@@ -150,6 +150,38 @@ class IncrementalQualityCutSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("deleteDocs: admitted() judges exactly the surviving corpus; the rollup stays exact") {
+    val reg = tmp("graft_qc_erase_reg")
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        IncrementalQualityCut.distinctTokenScore($"text").as("score"))
+    (0 until 3).foreach { i =>
+      IncrementalQualityCut.processBatch(docs.filter($"doc_id" % 3 === i),
+        reg, frac = 0.4)
+    }
+    // erase every 7th doc - including high scorers, so cutoffs MOVE
+    val gone = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long].collect().toSeq
+    val removed = IncrementalQualityCut.deleteDocs(spark, reg, gone)
+    assert(removed == gone.length.toLong)
+    // truth: a registry seeded from only the survivors
+    val regB = tmp("graft_qc_erase_regB")
+    IncrementalQualityCut.processBatch(
+      docs.filter($"doc_id" % 7 =!= 0), regB, frac = 0.4)
+    assert(admittedSet(reg) == admittedSet(regB))
+    assert(admittedSet(reg) != admittedSet(regB) ||
+      IncrementalQualityCut.readRegistry(spark, reg)
+        .filter($"doc_id".isin(gone: _*)).count() == 0)
+    // the delta-subtracted rollup equals a from-scratch registry aggregate
+    val rollup = IncrementalQualityCut.readRollup(spark, reg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    IncrementalQualityCut.rebuildRollup(spark, reg)
+    val rebuilt = IncrementalQualityCut.readRollup(spark, reg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rollup == rebuilt)
+  }
+
   test("reconcile re-judges stale verdicts: verdict dir == admitted() after the pass") {
     val reg = tmp("graft_qc_rec_reg")
     val out = tmp("graft_qc_rec_out") + "/verdicts"

@@ -178,4 +178,23 @@ class IncrementalSpanDedupSpec extends AnyFunSuite with SparkTestSession {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("deleteDocs: a block the erased doc alone carried reads as novel again") {
+    val reg = tmp("graft_span_erase")
+    run(Seq(SpanDoc(1L, blk("secret") + " " + blk("shared")),
+      SpanDoc(2L, blk("shared") + " " + blk("other"))).toDF(), reg)
+    // control: both blocks are history, a new carrier loses them
+    val ctl = run(Seq(SpanDoc(20L, blk("secret") + " " + blk("shared"))).toDF(), reg)
+    assert(ctl(20L)._2 == 0L, s"$ctl")
+    // erase docs 1 and 20: "secret" had no other carrier, "shared" keeps doc 2
+    val removed = IncrementalSpanDedup.deleteDocs(spark, reg, Seq(1L, 20L))
+    assert(removed >= 4L) // 2 blocks x 2 carriers (file rows)
+    assert(IncrementalSpanDedup.readRegistry(spark, reg)
+      .filter($"doc_id".isin(1L, 20L)).count() == 0)
+    val v = run(Seq(SpanDoc(30L, blk("secret") + " " + blk("shared"))).toDF(), reg)
+    // secret is novel again (kept); shared still lives under doc 2 (removed)
+    assert(v(30L)._2 == 1L && v(30L)._5 == Some(md5Hex(blk("secret"))), s"$v")
+    // idempotent
+    assert(IncrementalSpanDedup.deleteDocs(spark, reg, Seq(1L, 20L)) == 0L)
+  }
 }
