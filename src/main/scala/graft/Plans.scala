@@ -301,6 +301,22 @@ object Plans {
         "corpus, which is why the oracle needs no probe replay. Earlier " +
         "passes are the same plan with fewer probe literals, each a " +
         "bounded serving read."),
+    "q124_bm25" ->
+      ("Sparse retrieval: one tokenization pass feeds per-doc lengths " +
+        "(partial+final count) and the query-term postings — the IN " +
+        "filter prunes the exploded token stream BEFORE the tf " +
+        "aggregate, so postings volume is O(matching tokens); per-term " +
+        "df and the 1-row corpus stats come back as broadcasts, the only " +
+        "corpus-keyed shuffle is the tf/doc-length equi-join, and the " +
+        "result is one TakeOrderedAndProject plus a k-row rank window. " +
+        "Per-(doc, term) scores quantize to longs BEFORE the per-doc " +
+        "sum, so aggregation order cannot move the hash."),
+    "q125_rrf_hybrid" ->
+      ("Hybrid fusion: both inputs are bounded top-20 serving results " +
+        "(BM25 and exact dense cosine), so the fusion is KB-scale " +
+        "algebra — union, one aggregate, one TakeOrderedAndProject. " +
+        "Contributions are 1000000 div (60 + rank): integer-exact, no " +
+        "float anywhere in the fused score."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -115,6 +115,36 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q124: BM25 top-k over the corpus — the SPARSE retriever beside the
+    * dense ANN stack ([[graft.operators.Retrieval.bm25TopK]]): one rare
+    * discriminative term ("dup", ~5% df at every SF) and two common ones,
+    * so IDF visibly reorders raw term frequency. Per-(doc, term)
+    * contributions quantize BEFORE the per-doc sum (exact long addition —
+    * no float-order hazard between engines), and the oracle replays the
+    * whole formula with IEEE-identical expression shape; `ln` is the one
+    * libm call, q45's accepted floor-margined tolerance. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(
+      Tables.documents(s, dir), Seq("dup", "vector", "merge"), k = 20)
+
+  /** q125: hybrid retrieval — reciprocal-rank fusion of the sparse list
+    * (q124's BM25 top-20) with the dense list (exact cosine top-20 for
+    * query vector 0; vec_id IS a doc_id, the q54 alignment) via
+    * [[graft.operators.Retrieval.rrfFuse]]. Integer-exact end to end:
+    * contributions are `1000000 div (60 + rank)`, so the oracle replays
+    * the fusion bit-for-bit with no float anywhere. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sparse = bm25Search(s, dir).select($"rnk", $"doc_id")
+    val dense = graft.operators.Similarity
+      .topK(Tables.embeddings(s, dir), queryId = 0L, k = 20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"sim_q".desc, $"vec_id")))
+      .select($"rnk", $"vec_id".as("doc_id"))
+    graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 20)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -574,7 +604,9 @@ object LlmQueries extends graft.QueryModule {
     "q80_token_rarity" -> tokenRarity,
     "q108_keep_best_rep" -> keepBestRep,
     "q113_containment" -> containmentDedup,
-    "q117_containment_ingest" -> containmentIngest)
+    "q117_containment_ingest" -> containmentIngest,
+    "q124_bm25" -> bm25Search,
+    "q125_rrf_hybrid" -> hybridRrf)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -663,7 +695,65 @@ object LlmQueries extends graft.QueryModule {
       |  WHERE a.doc_id < b.doc_id
       |)""".stripMargin
 
+  /** Mirrors [[graft.operators.Retrieval.bm25TopK]] over the battery's
+    * query terms, expression-shape-identical so every IEEE op lands the
+    * same double on both engines (`ln` is the one libm call — q45's
+    * accepted floor-margined tolerance): per-(doc, term) contributions
+    * floor-quantize BEFORE the per-doc long sum. Ends with CTE
+    * `bm(doc_id, n_terms_hit, bm25_q, rnk)`, rnk ≤ 20. */
+  private val bm25Cte =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+      |qt(tok) AS (VALUES ('dup'), ('vector'), ('merge')),
+      |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+      |       FROM toks t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |c AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(
+      |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+      |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      |      * 1000000.0) AS BIGINT) AS contrib_q
+      |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+      |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+      |        FROM c GROUP BY doc_id),
+      |bm AS (SELECT doc_id, n_terms_hit, bm25_q,
+      |         row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
+      |       FROM agg QUALIFY rnk <= 20)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q124_bm25" -> (bm25Cte +
+      """
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin),
+    // the fusion is integer-exact: 1000000 // (60 + rank) summed as longs
+    "q125_rrf_hybrid" -> (bm25Cte +
+      """,
+        |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dsc AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q0.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM embeddings e, q0, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id),
+        |dense AS (SELECT doc_id, row_number() OVER (ORDER BY sim_q DESC, doc_id) AS rnk
+        |          FROM dsc QUALIFY rnk <= 20),
+        |contrib AS (
+        |  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) AS c FROM bm
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) AS c FROM dense),
+        |f AS (SELECT doc_id, count(*) AS n_lists,
+        |             CAST(sum(c) AS BIGINT) AS rrf_q
+        |      FROM contrib GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, n_lists, rrf_q,
+        |             row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
+        |           FROM f QUALIFY rnk <= 20)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_lists, rrf_q
+        |FROM ranked ORDER BY rnk""".stripMargin),
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +
