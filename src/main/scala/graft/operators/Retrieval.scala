@@ -45,7 +45,6 @@ object Retrieval {
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query-term list")
     require(k >= 1, "bm25: k must be positive")
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -55,18 +54,36 @@ object Retrieval {
     val qtf = toks.filter(col("tok").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val qdf = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25Rank(
+      qtf.join(broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), bm25ContribQ(k1, b).as("contrib_q")),
+      k)
+  }
+
+  /** The quantized per-(doc, term) BM25 contribution over columns
+    * `(tf, dl, df, n_docs, total_len)` — ONE definition shared by the
+    * from-corpus scorer above and the persisted-index serving path
+    * ([[graft.sources.PostingsStore.bm25TopK]]), so the two paths are
+    * expression-shape-identical by construction: same casts, same
+    * operation order, same IEEE doubles, same floored millionths. */
+  private[graft] def bm25ContribQ(k1: Double, b: Double): Column = {
     val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
-    qtf.join(broadcast(qdf), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(contrib * lit(1000000.0)).cast("long").as("contrib_q"))
-      .groupBy(col("doc_id"))
+    floor(contrib * lit(1000000.0)).cast("long")
+  }
+
+  /** [[bm25TopK]]'s shared tail over `(doc_id, contrib_q)` rows: exact
+    * long-sum per document, bounded top-k, rank window over the k
+    * survivors only. */
+  private[graft] def bm25Rank(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
       .orderBy(col("bm25_q").desc, col("doc_id"))
       .limit(k)

@@ -145,6 +145,71 @@ object LlmQueries extends graft.QueryModule {
     graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 20)
   }
 
+  /** q126: the same BM25 query served from the PERSISTED inverted index
+    * ([[graft.sources.PostingsStore]], ingested as three striped
+    * micro-batches once per JVM) — q124's terms, q124's oracle, so the
+    * append→stats-rollup→probe→score chain is hash-gated end-to-end
+    * against the from-corpus scorer: a stale posting, a drifted stats
+    * row, or a dropped row group hash-fails here. */
+  def bm25StoreSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopK(
+      s, store, Seq("dup", "vector", "merge"), k = 20)
+  }
+
+  /** q127: serving after TAKEDOWN + COMPACTION — the striped store with
+    * the deterministic erasure set (doc_id % 97 = 3) deleted and the
+    * batches folded. The oracle is BM25 over the surviving corpus, so
+    * the erasure's exact df shrink and stats delta AND the fold's
+    * key-sorted rewrite are all inside the hash gate — a leaked posting,
+    * an over- or under-subtracted stats row, or a lost row hash-fails. */
+  def bm25ErasedSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.erasedLayoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopK(
+      s, store, Seq("dup", "vector", "merge"), k = 20)
+  }
+
+  /** q128: hybrid retrieval served ENTIRELY from the two persisted
+    * stores — the sparse list from the postings store (q126's layout),
+    * the dense list from the IVF store (q112's layout, nprobe = 2 — real
+    * ANN semantics, so the oracle replays probe selection exactly as
+    * q112's does) — fused with the integer-exact RRF. The production
+    * shape: no query-time corpus pass anywhere; both reads are
+    * layout-bounded. */
+  def hybridStoreRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val sparse = bm25StoreSearch(s, dir).select($"rnk", $"doc_id")
+    val ivf = graft.sources.IvfIndexStore.layoutFor(s, dir, emb, nlist = 16)
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    val dense = graft.sources.IvfIndexStore
+      .topK(s, ivf, qvec, k = 20, nprobe = 2)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"sim_q".desc, $"vec_id")))
+      .select($"rnk", $"vec_id".as("doc_id"))
+    graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 20)
+  }
+
+  /** q129: BATCHED BM25 serving from the postings store — q115's
+    * request-batch shape for the sparse half: three queries' terms
+    * answered from ONE probe over the union (per-term df and the corpus
+    * stats computed once and shared; per-query scoring via the broadcast
+    * request relation; per-query rank windows). Query 1 mixes a rare
+    * discriminative term with the corpus-common "the", so shared-df
+    * correctness is visible in the gate — a df computed per query
+    * instead of per corpus, or a cross-query contribution leak,
+    * hash-fails. */
+  def bm25BatchSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"), (1L, "the"),
+      (2L, "dup"), (2L, "merge")).toDF("query_id", "term")
+    graft.sources.PostingsStore.bm25TopKBatch(s, store, req, k = 10)
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -606,7 +671,11 @@ object LlmQueries extends graft.QueryModule {
     "q113_containment" -> containmentDedup,
     "q117_containment_ingest" -> containmentIngest,
     "q124_bm25" -> bm25Search,
-    "q125_rrf_hybrid" -> hybridRrf)
+    "q125_rrf_hybrid" -> hybridRrf,
+    "q126_bm25_store" -> bm25StoreSearch,
+    "q127_bm25_erased" -> bm25ErasedSearch,
+    "q128_hybrid_store" -> hybridStoreRrf,
+    "q129_bm25_batch" -> bm25BatchSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -701,8 +770,12 @@ object LlmQueries extends graft.QueryModule {
     * accepted floor-margined tolerance): per-(doc, term) contributions
     * floor-quantize BEFORE the per-doc long sum. Ends with CTE
     * `bm(doc_id, n_terms_hit, bm25_q, rnk)`, rnk ≤ 20. */
-  private val bm25Cte =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+  private val bm25Cte = bm25CteFor("")
+
+  /** The CTE over a filtered corpus — q127 replays takedown erasure as
+    * BM25 over the SURVIVORS (N, avgdl, df, postings all shrink). */
+  private def bm25CteFor(docFilter: String): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents$docFilter),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
       |qt(tok) AS (VALUES ('dup'), ('vector'), ('merge')),
@@ -754,6 +827,92 @@ object LlmQueries extends graft.QueryModule {
         |           FROM f QUALIFY rnk <= 20)
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_lists, rrf_q
         |FROM ranked ORDER BY rnk""".stripMargin),
+    // identical BM25 computation served from the persisted postings
+    // store — a store bug (stale posting, drifted stats row, broken
+    // pruning) hash-fails against the from-corpus replay
+    "q126_bm25_store" -> (bm25Cte +
+      """
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin),
+    // serving after takedown + compaction ≡ BM25 over the survivors:
+    // df, N, avgdl and the postings all shrink exactly
+    "q127_bm25_erased" -> (bm25CteFor(" WHERE doc_id % 97 <> 3") +
+      """
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin),
+    // hybrid from the two persisted stores: the dense half replays the
+    // IVF probe selection (q112's discipline — nprobe = 2, REAL ANN
+    // semantics), the sparse half is the bm CTE, fused integer-exactly
+    "q128_hybrid_store" -> (bm25Cte +
+      """,
+        |cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(c.cvec[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS cdot
+        |  FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY e.vec_id, c.centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probe AS (SELECT centroid_id FROM scored WHERE vec_id = 0
+        |          ORDER BY cdot DESC, centroid_id LIMIT 2),
+        |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dsc AS (
+        |  SELECT a.vec_id AS doc_id,
+        |    CAST(floor(sum(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q0.qv[r.i] AS DOUBLE)) * 1000000) AS BIGINT) AS sim_q
+        |  FROM assigned a
+        |  JOIN probe p ON a.centroid_id = p.centroid_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id, q0, (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY a.vec_id),
+        |dense AS (SELECT doc_id, row_number() OVER (ORDER BY sim_q DESC, doc_id) AS rnk
+        |          FROM dsc QUALIFY rnk <= 20),
+        |contrib AS (
+        |  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) AS c FROM bm
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rnk) AS c FROM dense),
+        |f AS (SELECT doc_id, count(*) AS n_lists,
+        |             CAST(sum(c) AS BIGINT) AS rrf_q
+        |      FROM contrib GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, n_lists, rrf_q,
+        |             row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
+        |           FROM f QUALIFY rnk <= 20)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_lists, rrf_q
+        |FROM ranked ORDER BY rnk""".stripMargin),
+    // the batched serving shape: ONE shared df/stats computation over
+    // the term union, per-query scoring through the request relation —
+    // per-query-df or cross-query-leak bugs hash-fail
+    "q129_bm25_batch" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        |qt(query_id, tok) AS (VALUES (0, 'dup'), (0, 'vector'), (1, 'merge'),
+        |                             (1, 'the'), (2, 'dup'), (2, 'merge')),
+        |terms AS (SELECT DISTINCT tok FROM qt),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |       FROM toks t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |c AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS contrib_q
+        |  FROM tf t JOIN qt q USING (tok) JOIN df d USING (tok)
+        |  JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, count(*) AS n_terms_hit,
+        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+        |        FROM c GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, n_terms_hit, bm25_q,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS rnk
+        |           FROM agg QUALIFY rnk <= 10)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+        |  doc_id, n_terms_hit, bm25_q
+        |FROM ranked ORDER BY query_id, rnk""".stripMargin,
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +

@@ -140,7 +140,7 @@ object IncrementalContainment {
     * spans the whole key space and prunes nothing. Restored after `body`
     * (the probe materializes eagerly inside, so the setting never leaks
     * into caller plans). */
-  private[streaming] def withInPushdown[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withInPushdown[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, n.toString)

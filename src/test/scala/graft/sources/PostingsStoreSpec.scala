@@ -1,0 +1,212 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[PostingsStore]]'s layout contract — what q126/q127's SQL gates
+  * cannot see: that serving actually PRUNES (term-bucket partition
+  * filter + pushed In(tok) over key-sorted files), that multi-batch
+  * append, replay, erasure, and compaction all preserve exact equality
+  * with the from-corpus scorer, and that a torn append fails loudly
+  * instead of serving an under-counted corpus. */
+class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, sfDir)
+  private val terms = Seq("dup", "vector", "merge")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private def serveRows(dir: String, ts: Seq[String] = terms, k: Int = 20) =
+    PostingsStore.bm25TopK(spark, dir, ts, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  private def corpusRows(d: org.apache.spark.sql.DataFrame,
+                         ts: Seq[String] = terms, k: Int = 20) =
+    Retrieval.bm25TopK(d, ts, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  private lazy val bulk = {
+    val d = tmp("graft_postings_bulk")
+    PostingsStore.build(docs, d)
+    d
+  }
+
+  test("driver-side term bucket equals the layout's md5 bucket column") {
+    val got = Seq("dup", "vector", "merge", "the", "a").toDF("tok")
+      .select($"tok", conv(substring(md5($"tok"), 1, 2), 16, 10).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    got.foreach { case (t, b) => assert(PostingsStore.bucketOf(t) == b, t) }
+  }
+
+  test("served BM25 equals the from-corpus scorer row for row") {
+    assert(serveRows(bulk) == corpusRows(docs))
+    assert(serveRows(bulk).nonEmpty)
+  }
+
+  test("three striped appends serve identically to the bulk build") {
+    val d = tmp("graft_postings_striped")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    assert(serveRows(d) == serveRows(bulk))
+  }
+
+  test("a replayed micro-batch overwrites itself - serving unchanged") {
+    val d = tmp("graft_postings_replay")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    val before = serveRows(d)
+    PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === 1), d, 1L)
+    assert(serveRows(d) == before)
+  }
+
+  test("a torn append (postings without stats) fails loudly at serve time") {
+    val d = tmp("graft_postings_torn")
+    PostingsStore.build(docs.limit(30), d)
+    // simulate the crash window: batch 5's postings land, stats never do
+    PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === 1).limit(10), d, 5L)
+    graft.queue.Maintenance.deleteRec(
+      java.nio.file.Paths.get(d, "_stats", "ingest_batch=5"))
+    val e = intercept[IllegalArgumentException](serveRows(d))
+    assert(e.getMessage.contains("torn append"), e.getMessage)
+  }
+
+  test("the probe prunes: tbucket partition literals + pushed In(tok) eq leaves") {
+    graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = PostingsStore.probe(spark, bulk, terms)
+        .queryExecution.executedPlan.toString
+      val pfStart = plan.indexOf("PartitionFilters: [")
+      assert(pfStart >= 0, plan)
+      val pf = plan.substring(pfStart,
+        plan.indexOf("]", pfStart) max (pfStart + 1))
+      terms.map(PostingsStore.bucketOf).distinct
+        .foreach(b => assert(pf.contains(b.toString), s"bucket $b not in $pf"))
+      assert(plan.contains("PushedFilters: [In(tok"), s"pushed In missing:\n$plan")
+    }
+  }
+
+  test("postings files are sorted by tok within each leaf file") {
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(bulk))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var checked = 0
+    files.forEachRemaining { f =>
+      val ks = spark.read.parquet(f.toString).select($"tok").as[String].collect().toSeq
+      assert(ks == ks.sorted, s"unsorted keys in $f")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
+
+  test("erasure: serving equals BM25 over the survivors, exactly") {
+    val d = tmp("graft_postings_erase")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    val erased = docs.filter($"doc_id" % 97 === 3)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val removed = PostingsStore.deleteDocs(spark, d, erased)
+    assert(removed > 0)
+    val after = serveRows(d)
+    assert(after == corpusRows(docs.filter($"doc_id" % 97 =!= 3)))
+    assert(after.map(_._2).toSet.intersect(erased.toSet).isEmpty)
+    // idempotent: the ids match nothing now, stats untouched
+    assert(PostingsStore.deleteDocs(spark, d, erased) == 0L)
+    assert(serveRows(d) == after)
+  }
+
+  test("erasing a batch's every document removes the batch and its stats row") {
+    val d = tmp("graft_postings_erase_batch")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 5), d, 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 5 && $"doc_id" < 10), d, 1L)
+    PostingsStore.deleteDocs(spark, d,
+      docs.filter($"doc_id" < 5).select($"doc_id".cast("long")).as[Long].collect().toSeq)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "ingest_batch=0")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d, "_stats", "ingest_batch=0")))
+    assert(serveRows(d) == corpusRows(docs.filter($"doc_id" >= 5 && $"doc_id" < 10)))
+  }
+
+  test("compaction folds batches, keeps serving identical, and refuses a folded replay") {
+    val d = tmp("graft_postings_compact")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    val before = serveRows(d)
+    PostingsStore.compact(spark, d)
+    assert(serveRows(d) == before)
+    // one folded batch dir remains (plus _stats and the watermark)
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      .filter(p => p.getFileName.toString.startsWith("ingest_batch="))
+      .count()
+    assert(batchDirs == 1L)
+    // a post-crash replay of a folded batch must refuse, not double-count
+    val e = intercept[IllegalArgumentException](
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === 1), d, 1L))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    // but the NEXT batch appends fine and serving stays exact
+    PostingsStore.appendBatch(docs.limit(0), d, 3L)
+    assert(serveRows(d) == before)
+  }
+
+  test("batched serving equals per-query serving row for row") {
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"), (1L, "the"),
+      (2L, "dup"), (2L, "merge")).toDF("query_id", "term")
+    val got = PostingsStore.bm25TopKBatch(spark, bulk, req, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val perQuery = Seq(
+      0L -> Seq("dup", "vector"), 1L -> Seq("merge", "the"),
+      2L -> Seq("dup", "merge")).flatMap { case (qid, ts) =>
+      serveRows(bulk, ts, k = 10).map(t => (qid, t._1, t._2, t._3, t._4))
+    }.toSet
+    assert(got == perQuery && got.nonEmpty)
+  }
+
+  test("a duplicated request row does not double a term's contribution") {
+    val req = Seq((0L, "dup"), (0L, "dup"), (0L, "vector")).toDF("query_id", "term")
+    val got = PostingsStore.bm25TopKBatch(spark, bulk, req, k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == serveRows(bulk, Seq("dup", "vector"), k = 10))
+  }
+
+  test("streaming sink maintains the index batch by batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = tmp("graft_postings_sink")
+    val rows = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = PostingsStore.sink(
+      stream.toDF().toDF("doc_id", "text"), d)
+      .option("checkpointLocation", d + "_ckpt").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { g =>
+        stream.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(serveRows(d) == corpusRows(docs))
+  }
+
+  test("compacted files keep the key-sorted probe layout") {
+    val d = tmp("graft_postings_compact_sort")
+    PostingsStore.build(docs.limit(50), d)
+    PostingsStore.compact(spark, d)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var checked = 0
+    files.forEachRemaining { f =>
+      val ks = spark.read.parquet(f.toString).select($"tok").as[String].collect().toSeq
+      assert(ks == ks.sorted, s"unsorted keys in $f")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
+}
