@@ -317,6 +317,41 @@ object Plans {
         "algebra — union, one aggregate, one TakeOrderedAndProject. " +
         "Contributions are 1000000 div (60 + rank): integer-exact, no " +
         "float anywhere in the fused score."),
+    "q126_bm25_store" ->
+      ("BM25 served from the PERSISTED postings store: the corpus read " +
+        "is the probe — tbucket partition literals (3 of 256 bucket " +
+        "dirs) beside a pushed In(tok, …) of eq leaves over key-sorted " +
+        "files (row-group pruning on footer stats), with the doc length " +
+        "DENORMALIZED onto every posting so no corpus-sized doc-length " +
+        "join exists anywhere. df comes from the matched postings " +
+        "themselves, N/avgdl from the KB-scale _stats sum — both " +
+        "broadcasts. Compare q124's plan: the tokenization pass and its " +
+        "two corpus aggregates are gone. The probe executes eagerly " +
+        "inside the serving checkpoint, so THIS dump shows the scorer " +
+        "above it (the adcCandidates convention) — the probe scan's " +
+        "PartitionFilters literals and pushed In(tok) are pinned " +
+        "machine-checked in PostingsStoreSpec."),
+    "q127_bm25_erased" ->
+      ("The same serving plan over the ERASED + COMPACTED store: one " +
+        "folded ingest_batch=-1 tier (the compaction fold), same probe " +
+        "shape. Correctness of the maintenance chain lives in the " +
+        "oracle (BM25 over the survivors, exactly); the plan's claim is " +
+        "that takedowns and folds leave the serving read untouched."),
+    "q128_hybrid_store" ->
+      ("Hybrid retrieval with NO query-time corpus pass: the sparse " +
+        "list reads 3 probed term buckets of the postings store, the " +
+        "dense list reads 2 probed centroid partitions of the IVF store " +
+        "(nprobe=2 — real ANN semantics, the oracle replays probe " +
+        "selection), and the fusion is the same KB-scale integer-exact " +
+        "RRF algebra as q125."),
+    "q129_bm25_batch" ->
+      ("Batched sparse serving — q115's shape for the postings store: " +
+        "ONE probe over the UNION of three queries' terms (4 bucket " +
+        "dirs, one pushed In), df and corpus stats computed once and " +
+        "shared, per-query scoring through the broadcast request " +
+        "relation, per-query rank windows over matched postings " +
+        "(bounded by the union terms' df). A fourth query would add " +
+        "rows to a broadcast, not a scan."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +
