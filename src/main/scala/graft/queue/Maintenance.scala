@@ -33,10 +33,30 @@ object Maintenance {
     * mistakes that window for an empty dataset. If both target and aside
     * exist the swap completed; the stale aside is left for the next swap's
     * cleanup. */
-  private[queue] def healAside(target: java.nio.file.Path): Unit = swapLock.synchronized {
+  private[graft] def healAside(target: java.nio.file.Path): Unit = swapLock.synchronized {
     val aside = target.resolveSibling("." + target.getFileName.toString + ".old")
     if (!Files.exists(target) && Files.exists(aside))
       Files.move(aside, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The ONE copy of the leaf-erase rewrite idiom (RegistryIO.eraseDocs
+    * and PostingsStore.deleteDocs share it): replace a partition/leaf dir
+    * with `keep`'s rows through the rename-aside swap — one file,
+    * re-sorted when the layout's probe relies on key-sorted row groups —
+    * or remove the leaf outright when nothing survives. */
+  private[graft] def rewriteLeaf(leaf: String, keep: org.apache.spark.sql.DataFrame,
+                                 sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (keep.isEmpty) deleteRec(Paths.get(leaf))
+    else {
+      val lp = Paths.get(leaf)
+      val tmp = lp.resolveSibling("." + lp.getFileName.toString + ".swap").toString
+      val out =
+        if (sortCols.isEmpty) keep
+        else keep.repartition(1).sortWithinPartitions(sortCols.map(col): _*)
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      replaceDir(tmp, leaf)
+    }
   }
 
   /** Rewrite `dir` into `targetFilesPerPartition` files (per partition dir

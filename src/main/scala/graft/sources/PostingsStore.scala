@@ -51,14 +51,40 @@ import org.apache.spark.sql.types.StructType
   *
   * Replay/maintenance contract: [[appendBatch]] is idempotent (a
   * replayed micro-batch overwrites its own `ingest_batch=N` subtree and
-  * `_stats` row with byte-identical content). A batch folded by
-  * [[compact]] is refused on replay rather than double-counted —
-  * compaction inside a live `foreachBatch` is safe only AFTER the sink's
-  * checkpoint commits, so [[sink]]'s `compactEvery` documents that the
-  * post-crash replay of a just-compacted batch fails loudly for the
-  * operator to resolve (the store itself is intact and correct). A torn
-  * append (postings written, crash before stats) is detected at serve
-  * time by the batch-set equality gate, not served silently.
+  * `_stats` row). A batch folded by [[compact]] is refused on replay
+  * rather than double-counted — compaction inside a live `foreachBatch`
+  * is safe only AFTER the sink's checkpoint commits, so [[sink]]'s
+  * `compactEvery` documents that the post-crash replay of a
+  * just-compacted batch fails loudly for the operator to resolve (the
+  * store itself is intact and correct). A torn append (postings
+  * written, crash before stats) is detected at serve time by the
+  * batch-set equality gate, not served silently.
+  *
+  * Crash-window discipline (every window is HEALED or LOUD, never a
+  * silent wrong answer):
+  *
+  *   - the whole-root swap ([[compact]]) and every leaf swap share
+  *     `replaceDir`'s one non-atomic window; every public face heals
+  *     the root aside on entry (`Maintenance.healAside`), and a crashed
+  *     erase's leaf/stats asides heal in its recovery pass;
+  *   - [[deleteDocs]] tombstones first, then stages an `_erase_inflight`
+  *     marker recording the ids and touched leaves BEFORE any rewrite,
+  *     and removes it last; serving and compaction REFUSE while it
+  *     exists, and the next [[deleteDocs]] call COMPLETES the recorded
+  *     erase first (heals asides, replays the leaf rewrites, recomputes
+  *     the touched batches' stats rows from their surviving postings —
+  *     exact by construction, so a crash between a batch's leaf rewrites
+  *     and its stats rewrite can never leave drifted corpus stats);
+  *   - erased ids land in a `_erased/` TOMBSTONE registry consulted by
+  *     every append: an upstream replay of a pre-erase batch re-registers
+  *     only the survivors, so a checkpoint replay cannot resurrect a
+  *     takedown. This is deliberately stronger than the dedup
+  *     registries' "novel again" erase semantics
+  *     ([[graft.streaming.IncrementalContainment.deleteDocs]]): a
+  *     SERVING store must not let a replay undo a legal takedown, so
+  *     the tombstones filter every future append until the takedown is
+  *     lifted by clearing `_erased/`. The tombstone set is
+  *     takedown-request-sized by contract, broadcast-joined at append.
   */
 object PostingsStore {
 
@@ -103,6 +129,7 @@ object PostingsStore {
   def appendBatch(docs: DataFrame, dir: String, batchId: Long,
                   idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(batchId >= 0, "appendBatch: batch ids are >= 0 (build uses -1)")
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
     require(batchId > compactedThrough(dir),
       s"postings store at $dir: batch $batchId was already folded by " +
         "compact() - replaying it would double-count its documents; " +
@@ -110,9 +137,25 @@ object PostingsStore {
     writeBatch(docs, dir, batchId, idCol, textCol)
   }
 
+  private val ErasedDir = "/_erased"
+
+  /** The takedown tombstone registry: one `doc_id` row per erased id
+    * (duplicates from a re-run recovery are harmless — consumers read it
+    * distinct). See the crash-window discipline in the object scaladoc
+    * for why appends consult it. */
+  private[sources] def erasedIds(spark: SparkSession, dir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, dir.stripSuffix("/") + ErasedDir,
+      StructType.fromDDL("doc_id BIGINT"), None).distinct()
+
   private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
                          idCol: String, textCol: String): Unit = {
-    val toks = docs.dropDuplicates(idCol)
+    // the tombstone gate: a replayed pre-erase batch re-registers only
+    // the survivors (takedown-request-sized broadcast by contract)
+    val live = docs.join(
+      broadcast(erasedIds(docs.sparkSession, dir)
+        .withColumnRenamed("doc_id", idCol + "__erased")),
+      docs(idCol).cast("long") === col(idCol + "__erased"), "left_anti")
+    val toks = live.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -161,10 +204,24 @@ object PostingsStore {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 serve: empty query-term list")
     require(k >= 1, "bm25 serve: k must be positive")
+    Retrieval.bm25Rank(
+      servingScored(spark, dir, terms, k1, b)
+        .select(col("doc_id"), col("contrib_q")),
+      k)
+  }
+
+  /** The ONE serving assembly the single and batched serves share (the
+    * `Retrieval.bm25ContribQ` rule one level up — the two read paths
+    * must not drift apart): consistency gate, the pruned probe over
+    * `terms` (one snapshot feeds the df count and the scorer; parquet's
+    * In pushdown must not rewrite the key set to a useless min/max range
+    * past the default threshold — the containment-probe rule), per-term
+    * df counted from the matched postings, the KB-scale stats sum.
+    * Returns `(tok, doc_id, contrib_q)`. */
+  private def servingScored(spark: SparkSession, dir: String,
+                            terms: Seq[String], k1: Double,
+                            b: Double): DataFrame = {
     checkConsistent(dir)
-    // one snapshot feeds the df count and the scorer (and parquet's In
-    // pushdown must not rewrite the key set to a useless min/max range
-    // past the default threshold — the containment-probe rule)
     val matched = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       probe(spark, dir, terms).localCheckpoint(true)
@@ -173,11 +230,10 @@ object PostingsStore {
     val stats = readStats(spark, dir)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
-    Retrieval.bm25Rank(
-      matched.join(broadcast(dfs), "tok")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q")),
-      k)
+    matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
   }
 
   /** BATCHED BM25 serving — the [[IvfIndexStore.topKBatch]] shape for the
@@ -195,7 +251,6 @@ object PostingsStore {
                     termCol: String = "term"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "bm25 batch serve: k must be positive")
-    checkConsistent(dir)
     val qt = queries
       .select(col(queryIdCol).cast("long").as(queryIdCol),
         col(termCol).cast("string").as("tok"))
@@ -206,20 +261,9 @@ object PostingsStore {
     val terms = qt.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25 batch serve: no query terms")
-    val matched = IncrementalContainment.withInPushdown(
-      spark, math.max(terms.size, 10)) {
-      probe(spark, dir, terms).localCheckpoint(true)
-    }
-    val dfs = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = readStats(spark, dir)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_len")).as("total_len"))
     val rankW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("bm25_q").desc, col("doc_id"))
-    matched.join(broadcast(dfs), "tok")
-      .crossJoin(broadcast(stats))
-      .select(col("tok"), col("doc_id"),
-        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+    servingScored(spark, dir, terms, k1, b)
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col(queryIdCol), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
@@ -229,11 +273,19 @@ object PostingsStore {
         col("n_terms_hit"), col("bm25_q"))
   }
 
-  /** Serve-time torn-append gate: the postings and stats batch sets must
-    * be EQUAL — [[writeBatch]] writes postings first, so a crash between
-    * the writes leaves a batch that fails here loudly (and heals on
-    * replay) instead of serving with an under-counted corpus. */
+  /** Serve-time consistency gate: heals a crashed root swap first, then
+    * refuses (a) a store with an in-flight or crashed ERASE (the marker
+    * names its touched batches — the next [[deleteDocs]] call recovers),
+    * and (b) a torn append — the postings and stats batch sets must be
+    * EQUAL ([[writeBatch]] writes postings first, so a crash between the
+    * writes fails here loudly, and heals on replay, instead of serving
+    * an under-counted corpus). */
   private def checkConsistent(dir: String): Unit = {
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, EraseMarker)),
+      s"postings store at $dir: an erase is in flight or crashed - " +
+        "call deleteDocs to recover before serving")
     val p = batchIds(dir)
     val s = batchIds(dir.stripSuffix("/") + "/_stats")
     require(p == s,
@@ -297,10 +349,17 @@ object PostingsStore {
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
       .coalesce(1).write.parquet(s"$tmp/_stats/ingest_batch=-1")
+    // tombstones ride the fold: a takedown must survive compaction, or
+    // the first post-fold append replay could resurrect it
+    val erased = erasedIds(spark, dir)
+    if (!erased.isEmpty)
+      erased.coalesce(1).write.parquet(s"$tmp$ErasedDir")
     java.nio.file.Files.write(tmp.resolve(CompactMarker),
       watermark.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.queue.Maintenance.replaceDir(tmp.toString, dir)
   }
+
+  private val EraseMarker = "_erase_inflight"
 
   /** Takedown/GDPR erasure ([[IvfIndexStore.delete]]'s discipline over
     * the two-level layout): the erased documents' postings stop existing
@@ -308,73 +367,145 @@ object PostingsStore {
     * erasure is EXACTLY BM25 over the surviving corpus (q127's gate).
     * The locate pass is one full postings scan (`doc_id` is not the sort
     * key — takedowns are rare and batched by contract; the bounded pull
-    * is one row per touched leaf plus one per erased document). Each
-    * touched `(ingest_batch, tbucket)` leaf rewrites through the
-    * rename-aside swap keeping the key sort; an emptied leaf (and an
-    * emptied batch) is removed outright; the touched batches' stats rows
-    * rewrite with the EXACT per-document deltas (the
-    * [[graft.streaming.IncrementalQualityCut]] histogram-subtraction
-    * rule). Idempotent: erased ids match no rows. Returns postings rows
-    * removed. */
+    * is one row per touched leaf). The erase then tombstones the ids in
+    * `_erased/` (future appends filter them — see the object scaladoc),
+    * stages an intent marker recording the ids and touched leaves,
+    * rewrites each touched leaf through the rename-aside swap keeping
+    * the key sort (emptied leaves and batches removed outright),
+    * RECOMPUTES each touched batch's stats row from its surviving
+    * postings (exact by construction — no delta bookkeeping to drift),
+    * and drops the marker last. A crash anywhere in between leaves the
+    * marker: serving refuses loudly and the next call here COMPLETES the
+    * recorded erase from the marker before starting its own. Idempotent:
+    * erased ids match no rows. Returns postings rows removed. */
   def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Long = {
     require(docIds.nonEmpty, "postings erase: empty id list")
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
+    recoverCrashedErase(spark, dir)
     checkConsistent(dir)
     val post = readPostings(spark, dir)
       .filter(col("doc_id").isInCollection(docIds))
-      .localCheckpoint(true) // one locate scan feeds leaves, deltas, count
+      .localCheckpoint(true) // one locate scan feeds leaves and the count
     val leaves = post.select(col("ingest_batch"), col("tbucket")).distinct()
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     val removed = post.count()
-    // exact stats delta: one (batch, doc, dl) row per erased document
-    val deltas = post.select(col("ingest_batch"), col("doc_id"), col("dl"))
-      .distinct()
-      .groupBy(col("ingest_batch"))
-      .agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("d_len"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val base = dir.stripSuffix("/")
-    leaves.foreach { case (b, tb) =>
-      val leaf = s"$base/ingest_batch=$b/tbucket=$tb"
-      val rows = spark.read.parquet(leaf)
-      val keep = rows.filter(!col("doc_id").isInCollection(docIds))
-      if (keep.isEmpty) {
-        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(leaf))
-      } else {
-        val lp = java.nio.file.Paths.get(leaf)
-        val tmp = lp.resolveSibling("." + lp.getFileName.toString + ".swap")
-        keep.repartition(1).sortWithinPartitions(col("tok"))
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        graft.queue.Maintenance.replaceDir(tmp.toString, leaf)
-      }
-    }
-    deltas.foreach { case (b, (dDocs, dLen)) =>
-      val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
-      val statsDir = s"$base/_stats/ingest_batch=$b"
-      // emptied = no tbucket leaves left (the writer's _SUCCESS marker
-      // does not keep a batch alive)
-      val emptied = !java.nio.file.Files.exists(batchDir) || {
-        val s = java.nio.file.Files.list(batchDir)
-        try {
-          var hasLeaf = false
-          val it = s.iterator()
-          while (!hasLeaf && it.hasNext)
-            hasLeaf = it.next().getFileName.toString.startsWith("tbucket=")
-          !hasLeaf
-        } finally s.close()
-      }
-      if (emptied) {
-        graft.queue.Maintenance.deleteRec(batchDir)
-        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(statsDir))
-      } else {
-        val sp = java.nio.file.Paths.get(statsDir)
-        val tmp = sp.resolveSibling("." + sp.getFileName.toString + ".swap")
-        spark.read.parquet(statsDir)
-          .select((col("n_docs") - lit(dDocs)).as("n_docs"),
-            (col("total_len") - lit(dLen)).as("total_len"))
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        graft.queue.Maintenance.replaceDir(tmp.toString, statsDir)
-      }
+    if (leaves.nonEmpty) {
+      // tombstones FIRST: whatever happens below, no append can ever
+      // re-register these ids (a crash here leaves the rows serving —
+      // the call did not return, the retry finishes; the reverse order
+      // would let a completed recovery precede the tombstones and a
+      // replay silently resurrect a takedown). Re-run duplicates are
+      // absorbed by the reader's distinct.
+      import spark.implicits._
+      docIds.toDF("doc_id").coalesce(1)
+        .write.mode(SaveMode.Append)
+        .parquet(dir.stripSuffix("/") + ErasedDir)
+      // then the intent marker: a crash below recovers from this record
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, EraseMarker),
+        (s"ids=${docIds.mkString(",")}\n" +
+          s"leaves=${leaves.map(l => s"${l._1}:${l._2}").mkString(",")}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      applyErase(spark, dir, docIds, leaves)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, EraseMarker))
     }
     removed
+  }
+
+  /** The erase's mutation step, replayable from the intent marker: leaf
+    * rewrites grouped by batch, then that batch's stats recompute. */
+  private def applyErase(spark: SparkSession, dir: String, docIds: Seq[Long],
+                         leaves: Seq[(Long, Int)]): Unit = {
+    val base = dir.stripSuffix("/")
+    leaves.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, ls) =>
+      ls.foreach { case (_, tb) =>
+        val leaf = s"$base/ingest_batch=$b/tbucket=$tb"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(leaf)))
+          graft.queue.Maintenance.rewriteLeaf(leaf,
+            spark.read.parquet(leaf)
+              .filter(!col("doc_id").isInCollection(docIds)),
+            Seq("tok"))
+      }
+      recomputeBatchStats(spark, dir, b)
+    }
+  }
+
+  /** Rebuild one batch's `_stats` row from its SURVIVING postings — the
+    * erase path's exactness rule (recompute, never delta: replaying it
+    * after a crash converges, and the corpus stats cannot drift). Every
+    * ingested document has at least one posting (the tokenizer emits at
+    * least one token per document), so distinct `(doc_id, dl)` rebuilds
+    * the row exactly. Removes an emptied batch and its stats row. */
+  private def recomputeBatchStats(spark: SparkSession, dir: String,
+                                  b: Long): Unit = {
+    val base = dir.stripSuffix("/")
+    val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
+    val statsDir = s"$base/_stats/ingest_batch=$b"
+    // emptied = no tbucket leaves left (the writer's _SUCCESS marker
+    // does not keep a batch alive)
+    val emptied = !java.nio.file.Files.exists(batchDir) || {
+      val s = java.nio.file.Files.list(batchDir)
+      try {
+        var hasLeaf = false
+        val it = s.iterator()
+        while (!hasLeaf && it.hasNext)
+          hasLeaf = it.next().getFileName.toString.startsWith("tbucket=")
+        !hasLeaf
+      } finally s.close()
+    }
+    if (emptied) {
+      graft.queue.Maintenance.deleteRec(batchDir)
+      graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(statsDir))
+    } else {
+      graft.queue.Maintenance.rewriteLeaf(statsDir,
+        spark.read.parquet(batchDir.toString)
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+          .coalesce(1),
+        Nil)
+    }
+  }
+
+  /** Complete a crashed [[deleteDocs]] from its intent marker: heal the
+    * touched leaves' and stats rows' swap asides, replay the recorded
+    * erase (idempotent — a leaf already scrubbed rewrites to itself),
+    * recompute the touched batches' stats, drop the marker. */
+  private def recoverCrashedErase(spark: SparkSession, dir: String): Unit = {
+    val marker = java.nio.file.Paths.get(dir, EraseMarker)
+    if (!java.nio.file.Files.exists(marker)) return
+    val lines = new String(java.nio.file.Files.readAllBytes(marker),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n")
+    def field(name: String): String = lines
+      .find(_.startsWith(name + "=")).map(_.drop(name.length + 1)).getOrElse("")
+    val ids = field("ids").split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    val leaves = field("leaves").split(",").filter(_.nonEmpty).map { s =>
+      val Array(b, tb) = s.split(":"); (b.toLong, tb.toInt)
+    }.toSeq
+    val base = dir.stripSuffix("/")
+    leaves.map(_._1).distinct.foreach { b =>
+      healAsidesUnder(java.nio.file.Paths.get(s"$base/ingest_batch=$b"))
+      graft.queue.Maintenance.healAside(
+        java.nio.file.Paths.get(s"$base/_stats/ingest_batch=$b"))
+    }
+    if (ids.nonEmpty && leaves.nonEmpty) applyErase(spark, dir, ids, leaves)
+    java.nio.file.Files.delete(marker)
+  }
+
+  /** Heal every `.name.old` swap aside directly under `p`. */
+  private def healAsidesUnder(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val s = java.nio.file.Files.list(p)
+    try {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith(".") && name.endsWith(".old"))
+          names += name.stripPrefix(".").stripSuffix(".old")
+      }
+      names.foreach(n => graft.queue.Maintenance.healAside(p.resolve(n)))
+    } finally s.close()
   }
 
   /** Streaming face: maintain the index from a document stream.
@@ -410,6 +541,11 @@ object PostingsStore {
     if (!layoutMemo.contains(key)) {
       val marker = java.nio.file.Paths.get(dir, "_built")
       if (!java.nio.file.Files.exists(marker)) {
+        // a dir without its marker is a seed that died mid-way — the
+        // erased variant's compact watermark would refuse a re-seed's
+        // appends, so start over instead of resuming into a poisoned
+        // layout
+        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(dir))
         seed(dir)
         java.nio.file.Files.createFile(marker)
       }

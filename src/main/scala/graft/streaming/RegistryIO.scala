@@ -75,18 +75,8 @@ private[graft] object RegistryIO {
       val leaf = s"${dir.stripSuffix("/")}/$partitionCol=$p"
       val rows = spark.read.parquet(leaf)
       removed += rows.filter(col(idCol).isInCollection(docIds)).count()
-      val keep = rows.filter(!col(idCol).isInCollection(docIds))
-      if (keep.isEmpty) {
-        graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(leaf))
-      } else {
-        val lp = java.nio.file.Paths.get(leaf)
-        val tmp = lp.resolveSibling("." + lp.getFileName.toString + ".swap").toString
-        val out =
-          if (sortCols.isEmpty) keep
-          else keep.repartition(1).sortWithinPartitions(sortCols.map(col): _*)
-        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-        graft.queue.Maintenance.replaceDir(tmp, leaf)
-      }
+      graft.queue.Maintenance.rewriteLeaf(leaf,
+        rows.filter(!col(idCol).isInCollection(docIds)), sortCols)
     }
     removed
   }

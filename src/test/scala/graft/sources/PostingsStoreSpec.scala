@@ -193,6 +193,61 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(serveRows(d) == corpusRows(docs))
   }
 
+  test("a crashed root swap (aside present, root missing) heals on the next call") {
+    val d = tmp("graft_postings_heal")
+    PostingsStore.build(docs.limit(40), d)
+    val before = serveRows(d)
+    // simulate replaceDir's between-renames window
+    val root = java.nio.file.Paths.get(d)
+    val aside = root.resolveSibling("." + root.getFileName.toString + ".old")
+    java.nio.file.Files.move(root, aside)
+    assert(serveRows(d) == before)
+  }
+
+  test("an in-flight erase marker blocks serving loudly; deleteDocs completes it") {
+    val d = tmp("graft_postings_recover")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 1L)
+    // simulate a crash right after the marker write: ids recorded, no
+    // leaf rewritten yet
+    val leaves = spark.read.parquet(d)
+      .filter($"doc_id" === 3L)
+      .select($"ingest_batch".cast("long"), $"tbucket".cast("int"))
+      .distinct().collect().map(r => s"${r.getLong(0)}:${r.getInt(1)}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "_erase_inflight"),
+      s"ids=3\nleaves=${leaves.mkString(",")}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](serveRows(d))
+    assert(e.getMessage.contains("erase is in flight"), e.getMessage)
+    // the next deleteDocs call completes the recorded erase, then its own
+    PostingsStore.deleteDocs(spark, d, Seq(15L))
+    assert(serveRows(d) == corpusRows(
+      docs.filter($"doc_id" < 20 && $"doc_id" =!= 3L && $"doc_id" =!= 15L)))
+  }
+
+  test("a replayed pre-erase batch cannot resurrect a takedown") {
+    val d = tmp("graft_postings_tombstone")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 1L)
+    PostingsStore.deleteDocs(spark, d, Seq(12L))
+    // upstream redelivers batch 1 from a pre-erase checkpoint
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 1L)
+    val after = serveRows(d)
+    assert(after == corpusRows(docs.filter($"doc_id" < 20 && $"doc_id" =!= 12L)))
+    assert(!after.map(_._2).contains(12L))
+  }
+
+  test("tombstones survive compaction: a post-fold append still filters them") {
+    val d = tmp("graft_postings_tombstone_fold")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    PostingsStore.deleteDocs(spark, d, Seq(4L))
+    PostingsStore.compact(spark, d)
+    // a NEW batch tries to re-ingest the taken-down document
+    PostingsStore.appendBatch(
+      docs.filter($"doc_id" === 4L || ($"doc_id" >= 10 && $"doc_id" < 15)), d, 1L)
+    val after = serveRows(d)
+    assert(after == corpusRows(docs.filter($"doc_id" < 15 && $"doc_id" =!= 4L)))
+  }
+
   test("compacted files keep the key-sorted probe layout") {
     val d = tmp("graft_postings_compact_sort")
     PostingsStore.build(docs.limit(50), d)
