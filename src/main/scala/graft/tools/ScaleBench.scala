@@ -1480,7 +1480,14 @@ object ScaleBench {
     sb ++= "store scan (doc_id is not the sort key — takedowns are rare\n"
     sb ++= "and batched by contract; the wall above is the honest price),\n"
     sb ++= "then <= touched leaves rewrite; compact folds the batch tier\n"
-    sb ++= "in one offline pass behind a whole-root swap.\n"
+    sb ++= "in one offline pass behind a whole-root swap. The erase wall\n"
+    sb ++= "at local scale is per-leaf JOB overhead, not bytes: each of\n"
+    sb ++= "the ~min(256, ids x terms-per-doc) touched buckets pays one\n"
+    sb ++= "bounded rewrite job (~0.2 s of scheduler cost apiece), which\n"
+    sb ++= "is why 51 ids cost ~6x what 6 ids do while the data moved is\n"
+    sb ++= "KBs. The scale-safe claim is the leaf-count bound, not the\n"
+    sb ++= "toy-scale wall; a store ingested in batches touches only the\n"
+    sb ++= "erased docs' own (batch, bucket) leaves.\n"
     sb ++= "\n| IVF-PQ store (q118, m=8 ksub=16, nprobe=2, refine=4, 8 queries) | build sec | raw serve sec | ADC serve sec | raw scan KiB/query | ADC scan KiB/query | scan-bytes ratio |\n|---|---|---|---|---|---|---|\n"
     pqStoreRows.foreach { case (k, b, rs, as_, rb, ab) =>
       val ratio = if (ab > 0) rb.toDouble / ab else Double.NaN
