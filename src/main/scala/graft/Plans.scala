@@ -351,7 +351,22 @@ object Plans {
         "shared, per-query scoring through the broadcast request " +
         "relation, per-query rank windows over matched postings " +
         "(bounded by the union terms' df). A fourth query would add " +
-        "rows to a broadcast, not a scan."),
+        "rows to a broadcast, not a scan. The df bound is honest but " +
+        "weak for a stop-word term — q130 is the bounded-tier answer."),
+    "q130_bm25_pruned" ->
+      ("TIERED BM25 serving — the common-term bound: the probe's " +
+        "PartitionFilters carry tier=0 beside the tbucket literals, so " +
+        "the stop word's tail partitions are never listed, let alone " +
+        "read — per term per batch the scan is <= headSize (64) postings " +
+        "no matter the df (q129's 'the' reads ~3800 postings on the " +
+        "exact path, <=192 here). df stays EXACT via the _termmeta " +
+        "sidecar probe (same bucket pruning + pushed In(tok), O(vocab) " +
+        "rows), N/avgdl from _stats — both broadcasts; the per-doc sum " +
+        "shuffles O(headSize x terms x batches) rows, corpus-free. The " +
+        "cut is deterministic integer arithmetic, replayed verbatim by " +
+        "the oracle; PostingsStoreSpec pins the tier literal in the plan " +
+        "and poisons the tail files to prove they are never opened; " +
+        "recall vs the exact scorer is published in SCALE.md."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -210,6 +210,22 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** q130: TIERED BM25 serving — the bounded answer to the common-term
+    * problem q129 deliberately exposes: "the" (df ≈ 78% of the corpus)
+    * beside the rare "dup", served from the HEAD TIER only (per term per
+    * batch, the top-64 postings by the integer-exact static impact
+    * [[graft.sources.PostingsStore.simpactQ]]; `tier = 0` is a partition
+    * literal in the scan, so the stop word's tail is never even listed).
+    * df stays EXACT via the `_termmeta` sidecar — the only approximation
+    * is a tail doc losing that term's contribution, and the cut is
+    * deterministic, so the oracle replays it bit-for-bit (the q112
+    * probe-replay discipline); recall vs the exact scorer is published in
+    * SCALE.md. */
+  def bm25PrunedSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopKPruned(s, store, Seq("dup", "the"), k = 10)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -675,7 +691,8 @@ object LlmQueries extends graft.QueryModule {
     "q126_bm25_store" -> bm25StoreSearch,
     "q127_bm25_erased" -> bm25ErasedSearch,
     "q128_hybrid_store" -> hybridStoreRrf,
-    "q129_bm25_batch" -> bm25BatchSearch)
+    "q129_bm25_batch" -> bm25BatchSearch,
+    "q130_bm25_pruned" -> bm25PrunedSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -913,6 +930,47 @@ object LlmQueries extends graft.QueryModule {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
         |  doc_id, n_terms_hit, bm25_q
         |FROM ranked ORDER BY query_id, rnk""".stripMargin,
+    // the tiered serve replayed exactly: per (term, stripe) the head is
+    // the top-64 postings by the integer static impact (tf·10⁹ //
+    // (1000·tf + 300 + 9·dl), ties (tf desc, dl asc, doc_id asc)); df
+    // stays EXACT over ALL postings (the _termmeta sidecar), stats over
+    // the full corpus; only head rows contribute — a serve that read a
+    // tail row, miscounted df, or mis-cut the tier hash-fails here
+    "q130_bm25_pruned" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        |qt(tok) AS (VALUES ('dup'), ('the')),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |       FROM toks t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |head AS (
+        |  SELECT doc_id, tok, tf, dl FROM (
+        |    SELECT t.doc_id, t.tok, t.tf, l.dl,
+        |      row_number() OVER (
+        |        PARTITION BY t.tok, t.doc_id % 3
+        |        ORDER BY (t.tf * 1000000000) // (1000 * t.tf + 300 + 9 * l.dl) DESC,
+        |                 t.tf DESC, l.dl ASC, t.doc_id ASC) AS rnk_impact
+        |    FROM tf t JOIN dl l USING (doc_id))
+        |  WHERE rnk_impact <= 64),
+        |c AS (
+        |  SELECT h.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(h.dl AS DOUBLE)
+        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS contrib_q
+        |  FROM head h JOIN df d USING (tok) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+        |        FROM c GROUP BY doc_id),
+        |bm AS (SELECT doc_id, n_terms_hit, bm25_q,
+        |         row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
+        |       FROM agg QUALIFY rnk <= 10)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin,
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +

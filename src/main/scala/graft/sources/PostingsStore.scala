@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.{Retrieval, TextAnalysis}
 import graft.streaming.{IncrementalContainment, RegistryIO}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -17,16 +17,32 @@ import org.apache.spark.sql.types.StructType
   * Layout (the occurrence-registry discipline of
   * [[graft.streaming.IncrementalContainment]], carried over terms):
   *
-  *   - `ingest_batch=N/tbucket=B/` — postings `(tok, doc_id, tf, dl)`,
-  *     one row per distinct (document, term), hive-partitioned by the
-  *     term fingerprint's first hex byte (256 buckets) under the batch,
-  *     files SORTED by `tok` so a pushed `In(tok, …)` prunes at
-  *     ROW-GROUP level on footer stats (no parquet bloom filters, for
-  *     the measured reasons on `IncrementalContainment.writeOccurrences`).
-  *     The document's token count `dl` is DENORMALIZED onto every posting
-  *     — BM25's length normalization needs no corpus-sized doc-length
-  *     join at serve time, exactly as the containment registry
-  *     denormalizes `set_size`.
+  *   - `ingest_batch=N/tbucket=B/tier=T/` — postings
+  *     `(tok, doc_id, tf, dl)`, one row per distinct (document, term),
+  *     hive-partitioned by the term fingerprint's first hex byte (256
+  *     buckets) and an IMPACT TIER under the batch. Tier 0 (head) holds,
+  *     per term per batch, the `headSize` postings of highest static
+  *     impact ([[simpactQ]] — integer-exact, so an oracle replays the cut
+  *     bit-for-bit); tier 1 (tail) holds the rest, so a term is tailed
+  *     only when its in-batch df exceeds `headSize`. Files are SORTED by
+  *     `tok` so a pushed `In(tok, …)` prunes at ROW-GROUP level on footer
+  *     stats (no parquet bloom filters, for the measured reasons on
+  *     `IncrementalContainment.writeOccurrences`). The document's token
+  *     count `dl` is DENORMALIZED onto every posting — BM25's length
+  *     normalization needs no corpus-sized doc-length join at serve time.
+  *   - `_termmeta/ingest_batch=N/tbucket=B/` — one `(tok, df)` row per
+  *     distinct term in the batch, key-sorted like the postings. This is
+  *     what makes the TIERED serve ([[bm25TopKPruned]]) honest: df stays
+  *     EXACT even when only the head tier is read (df counted from a
+  *     truncated probe would silently inflate every idf). O(vocab) rows —
+  *     metadata-scale beside the postings.
+  *   - `_docidx/ingest_batch=N/dbucket=D/` — one `(doc_id, tbuckets)` row
+  *     per ingested document, hive-partitioned by `doc_id mod 256` and
+  *     sorted by `doc_id`, recording which term buckets carry the doc's
+  *     postings. Erasure's locate resolves here in O(touched leaves) —
+  *     dbucket partition filter + pushed `In(doc_id)` — instead of the
+  *     full-store scan the pre-r18 layout paid, and appends consult it as
+  *     the cross-batch duplicate tripwire (contract below).
   *   - `_stats/ingest_batch=N/` — ONE `(n_docs, total_len)` row per
   *     batch (underscore-prefixed: invisible to postings scans). Serving
   *     sums this KB-scale relation for N and avgdl; a replayed batch
@@ -36,45 +52,84 @@ import org.apache.spark.sql.types.StructType
   *   - `_compacted_through` — highest batch id folded by [[compact]];
   *     [[appendBatch]] REFUSES a batch at or below it (loud, not a
   *     silent double count — see the compaction contract below).
+  *   - `_vlog/<N>` + `v<N>/` — the version-manifest layer [[compact]]
+  *     flips through (the [[IvfIndexStore.rebuild]] discipline): a fold
+  *     builds the ENTIRE next layout into `v<N+1>`, invisible to readers,
+  *     and commits with ONE exclusive file creation. Every public face
+  *     resolves the manifest ONCE per call and stays on that snapshot, so
+  *     a fold mid-query is whole-old or whole-new, never a mix; one
+  *     superseded version is retained for in-flight readers and GC'd at
+  *     the next flip. A root with no `_vlog` is the flat layout and
+  *     resolves to itself. Unlike the IVF store's rebuild snapshots,
+  *     a postings version is a LIVE tree — appends and erasures mutate
+  *     the current version in place; the manifest isolates only the fold.
   *
-  * Per-term document frequency is deliberately NOT a stored aggregate:
-  * serving counts df from the probed postings themselves — exact under
-  * append, erasure, and compaction, with nothing to reconcile.
+  * EXACT serving ([[bm25TopK]], [[bm25TopKBatch]]) reads both tiers:
+  * per-term document frequency is counted from the probed postings
+  * themselves — exact under append, erasure, and compaction, with nothing
+  * to reconcile. TIERED serving ([[bm25TopKPruned]]) reads tier 0 only
+  * with df from `_termmeta`: a corpus-common query term ("the", df ≈
+  * corpus) costs O(headSize · batches) postings instead of O(df) — the
+  * impact-ordered-postings answer to the stop-word serving problem, with
+  * its recall vs the exact scorer published in SCALE.md (the
+  * ivfpq_recall discipline: approximation is opt-in and measured, never
+  * silent).
   *
   * Why this is the 100 TB shape: a query for `t` terms reads
   * ≤ `t` of 256 term buckets (partition filter) and, within them,
   * row groups whose sorted key range covers a query term (pushed In) —
-  * I/O is O(matched postings + footers), never the corpus. Stats is one
-  * KB-scale scan. The only corpus-keyed shuffle in serving is the
-  * per-document sum over matched postings, bounded by the query terms'
-  * df. [[compact]] bounds the footer tier (batches fold into one).
+  * I/O is O(matched postings + footers), never the corpus; the tiered
+  * serve caps even the matched-postings term at O(headSize · batches).
+  * Stats is one KB-scale scan. The only corpus-keyed shuffle in serving
+  * is the per-document sum over the postings actually read. [[compact]]
+  * bounds the footer tier (batches fold into one) and re-tiers globally,
+  * so a long-lived store's head is the corpus-wide impact cut, not the
+  * union of per-batch cuts.
   *
   * Replay/maintenance contract: [[appendBatch]] is idempotent (a
-  * replayed micro-batch overwrites its own `ingest_batch=N` subtree and
-  * `_stats` row). A batch folded by [[compact]] is refused on replay
-  * rather than double-counted — compaction inside a live `foreachBatch`
-  * is safe only AFTER the sink's checkpoint commits, so [[sink]]'s
-  * `compactEvery` documents that the post-crash replay of a
-  * just-compacted batch fails loudly for the operator to resolve (the
-  * store itself is intact and correct). A torn append (postings
-  * written, crash before stats) is detected at serve time by the
-  * batch-set equality gate, not served silently.
+  * replayed micro-batch overwrites its own `ingest_batch=N` subtree, its
+  * `_termmeta`/`_docidx` partitions, and its `_stats` row). Cross-batch
+  * doc-id uniqueness is an explicit caller contract: a doc_id may appear
+  * in at most ONE batch id (re-emitting an updated document under a new
+  * batch would double-count its postings into df, the corpus stats, and
+  * every bm25 sum). [[appendBatch]] enforces it with a `_docidx`
+  * anti-probe and REFUSES loudly on violation (`checkDupIds = false`
+  * skips the probe for callers with an upstream uniqueness guarantee).
+  * A batch folded by [[compact]] is refused on replay rather than
+  * double-counted — compaction inside a live `foreachBatch` is safe only
+  * AFTER the sink's checkpoint commits, so [[sink]]'s `compactEvery`
+  * documents that the post-crash replay of a just-compacted batch fails
+  * loudly for the operator to resolve (the store itself is intact and
+  * correct). A batch's `_stats` row is its COMMIT RECORD ([[writeBatch]]
+  * writes it last): serving restricts every scan to the committed batch
+  * set, so an in-flight or torn append (postings written, crash before
+  * stats) is INVISIBLE — readers racing a live append serve the
+  * committed prefix consistently, and the stream's replay lands the
+  * batch (healed, never an error mid-append and never a silent
+  * under-count). Only [[compact]] demands set equality: the maintainer
+  * must see a complete store, and refuses a torn one loudly.
   *
   * Crash-window discipline (every window is HEALED or LOUD, never a
   * silent wrong answer):
   *
-  *   - the whole-root swap ([[compact]]) and every leaf swap share
-  *     `replaceDir`'s one non-atomic window; every public face heals
-  *     the root aside on entry (`Maintenance.healAside`), and a crashed
-  *     erase's leaf/stats asides heal in its recovery pass;
-  *   - [[deleteDocs]] tombstones first, then stages an `_erase_inflight`
-  *     marker recording the ids and touched leaves BEFORE any rewrite,
-  *     and removes it last; serving and compaction REFUSE while it
-  *     exists, and the next [[deleteDocs]] call COMPLETES the recorded
-  *     erase first (heals asides, replays the leaf rewrites, recomputes
-  *     the touched batches' stats rows from their surviving postings —
-  *     exact by construction, so a crash between a batch's leaf rewrites
-  *     and its stats rewrite can never leave drifted corpus stats);
+  *   - the leaf swaps share `replaceDir`'s one non-atomic window; every
+  *     public face heals the root aside on entry (`Maintenance
+  *     .healAside`), and a crashed erase's leaf/stats asides heal in its
+  *     recovery pass; the whole-store fold has NO such window anymore —
+  *     the `_vlog` flip is one exclusive create;
+  *   - [[deleteDocs]] stages the `_erase_inflight` intent marker (ids +
+  *     touched leaves) BEFORE any mutation, then appends the `_erased/`
+  *     tombstones, then rewrites; serving and compaction REFUSE while the
+  *     marker exists, and the next [[deleteDocs]] call COMPLETES the
+  *     recorded erase first — re-appending the tombstones from the marker
+  *     (duplicates are absorbed by the reader's distinct), healing
+  *     asides, replaying the leaf rewrites, and recomputing the touched
+  *     batches' stats and termmeta rows from their surviving postings
+  *     (exact by construction, so a crash between a batch's leaf rewrites
+  *     and its stats rewrite can never leave drifted corpus stats). With
+  *     the marker written first, every crash window is recoverable from
+  *     the marker alone: there is no instant where tombstones exist
+  *     without a marker or a rewrite ran without tombstones recorded;
   *   - erased ids land in a `_erased/` TOMBSTONE registry consulted by
   *     every append: an upstream replay of a pre-erase batch re-registers
   *     only the survivors, so a checkpoint replay cannot resurrect a
@@ -88,17 +143,29 @@ import org.apache.spark.sql.types.StructType
   */
 object PostingsStore {
 
+  /** Head-tier size: per term per batch, the top `DefaultHeadSize`
+    * postings by static impact live in tier 0. 64 keeps every battery
+    * fixture's common terms honestly tailed at all gated SFs; production
+    * would size it to the serving k budget (thousands). */
+  val DefaultHeadSize: Int = 64
+
   private val postingsSchema: StructType = StructType.fromDDL(
     "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-      "ingest_batch BIGINT, tbucket INT")
+      "ingest_batch BIGINT, tbucket INT, tier INT")
 
   private val statsSchema: StructType = StructType.fromDDL(
     "n_docs BIGINT, total_len BIGINT, ingest_batch BIGINT")
 
+  private val termMetaSchema: StructType = StructType.fromDDL(
+    "tok STRING, df BIGINT, ingest_batch BIGINT, tbucket INT")
+
+  private val docIdxSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, tbuckets ARRAY<INT>, ingest_batch BIGINT, dbucket INT")
+
   /** Term bucket: first hex byte of md5(tok), 0..255 — a pure function
     * of the probe key, so pruning never drops a match (the
     * [[graft.streaming.IncrementalContainment]] bucketing). */
-  private def bucketCol(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def bucketCol(tok: Column): Column =
     conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
 
   /** Driver-side twin of [[bucketCol]] for query terms. */
@@ -108,33 +175,118 @@ object PostingsStore {
     d(0) & 0xff
   }
 
-  /** Bulk build — batch -1 of the layout [[appendBatch]] appends into
-    * (streaming batch ids start at 0, the [[IvfIndexStore.build]]
-    * convention), so no append can collide with it. */
-  def build(docs: DataFrame, dir: String,
-            idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    require(!RegistryIO.hasData(dir, Some("ingest_batch=")),
-      s"postings store at $dir already has data - append or compact instead")
-    writeBatch(docs, dir, -1L, idCol, textCol)
+  /** Doc bucket for the `_docidx` sidecar: `doc_id mod 256` — a pure
+    * function of the erase request's ids, so the locate's partition
+    * pruning never drops a row. */
+  private def dbucketCol(docId: Column): Column = pmod(docId, lit(256)).cast("int")
+
+  private[sources] def dbucketOf(id: Long): Int = (((id % 256) + 256) % 256).toInt
+
+  /** Static impact of one posting, integer-exact: the BM25 tf-saturation
+    * factor at the default (k1 = 1.2, b = 0.75) and a fixed reference
+    * avgdl of 100 — `tf / (tf + k1(1−b) + k1·b·dl/100)`, scaled to parts
+    * per billion with exact long arithmetic:
+    * `tf·10⁹ div (1000·tf + 300 + 9·dl)`. Monotone up in tf and down in
+    * dl like the true serve-time contribution; a DETERMINISTIC proxy for
+    * it, not a replica (the true factor needs the serve-time avgdl, which
+    * appends move) — correctness never depends on the ordering, only the
+    * head tier's RECALL does, and the cut replays bit-for-bit in any
+    * engine (q130's oracle does). Ties break (tf desc, dl asc, doc_id
+    * asc) — total, because (doc, term) is unique. */
+  private[sources] def simpactQ: Column =
+    expr("tf * 1000000000L div (1000L * tf + 300L + 9L * dl)")
+
+  private def tierCol(headSize: Int): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tok")).orderBy(
+      simpactQ.desc, col("tf").desc, col("dl").asc, col("doc_id").asc)
+    when(row_number().over(w) <= headSize, lit(0)).otherwise(lit(1))
   }
 
-  /** One micro-batch append: postings under `ingest_batch=N/tbucket=B`
-    * (key-sorted files), then the batch's `_stats` row. Overwrite of the
-    * batch's own subtrees makes replay idempotent; the write ORDER makes
-    * a crash window detectable (postings without stats fails the serve
-    * gate loudly; stats are never written first, so an overcount is
-    * impossible). Refuses a batch id at or below the compaction
-    * watermark — a replayed already-folded batch must not double its
-    * documents' postings. */
+  // Version-manifest layer ----------------------------------------------------
+
+  /** Highest committed `_vlog` entry, or None for a flat (never-compacted)
+    * root. */
+  private def currentVersion(dir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(dir, "_vlog")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = java.nio.file.Files.list(p)
+      try {
+        var max = Option.empty[Long]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val n = scala.util.Try(it.next().getFileName.toString.toLong).toOption
+          if (n.exists(v => max.forall(v > _))) max = n
+        }
+        max
+      } finally s.close()
+    }
+  }
+
+  /** The tree a call serves from or mutates: `v<max manifest>` under a
+    * versioned root, the root itself for a flat store. Resolved ONCE per
+    * public call and threaded through, so a concurrent [[compact]] flip
+    * is invisible inside the call (whole-old or whole-new — the hammer
+    * spec pins it). Idempotent: a `v<N>` tree has no `_vlog`. */
+  private[graft] def resolveDir(dir: String): String =
+    currentVersion(dir.stripSuffix("/")) match {
+      case Some(n) => s"${dir.stripSuffix("/")}/v$n"
+      case None => dir.stripSuffix("/")
+    }
+
+  /** Bulk build — batch -1 of the layout [[appendBatch]] appends into
+    * (streaming batch ids start at 0, the [[IvfIndexStore.build]]
+    * convention), so no append can collide with it. Fresh roots only. */
+  def build(docs: DataFrame, dir: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            headSize: Int = DefaultHeadSize): Unit = {
+    require(currentVersion(dir).isEmpty &&
+      !RegistryIO.hasData(dir, Some("ingest_batch=")),
+      s"postings store at $dir already has data - append or compact instead")
+    writeBatch(docs, dir, -1L, idCol, textCol, headSize)
+  }
+
+  /** One micro-batch append: postings under
+    * `ingest_batch=N/tbucket=B/tier=T` (key-sorted files), the batch's
+    * `_termmeta` and `_docidx` partitions, then its `_stats` row.
+    * Overwrite of the batch's own subtrees makes replay idempotent; the
+    * write ORDER makes a crash window detectable (postings without stats
+    * fails the serve gate loudly; stats are never written first, so an
+    * overcount is impossible). Refuses a batch id at or below the
+    * compaction watermark — a replayed already-folded batch must not
+    * double its documents' postings — and, unless `checkDupIds = false`,
+    * a batch carrying a doc_id already ingested under a DIFFERENT batch
+    * (the cross-batch uniqueness contract in the object scaladoc; the
+    * probe is one doc_id-column scan of the metadata-scale `_docidx`,
+    * never the postings). */
   def appendBatch(docs: DataFrame, dir: String, batchId: Long,
-                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  headSize: Int = DefaultHeadSize,
+                  checkDupIds: Boolean = true): Unit = {
     require(batchId >= 0, "appendBatch: batch ids are >= 0 (build uses -1)")
-    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
-    require(batchId > compactedThrough(dir),
+    val root = resolveDir(dir)
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(root))
+    require(batchId > compactedThrough(root),
       s"postings store at $dir: batch $batchId was already folded by " +
         "compact() - replaying it would double-count its documents; " +
         "resolve the stream checkpoint instead")
-    writeBatch(docs, dir, batchId, idCol, textCol)
+    if (checkDupIds) {
+      val clash = readDocIdx(docs.sparkSession, root)
+        .filter(col("ingest_batch") =!= batchId)
+        .join(broadcast(docs.select(col(idCol).cast("long").as("doc_id"))
+          .distinct()), Seq("doc_id"))
+        .select(col("doc_id"), col("ingest_batch"))
+        .limit(5).collect()
+      require(clash.isEmpty,
+        s"postings store at $dir: batch $batchId re-ingests doc ids " +
+          s"already registered under other batches (e.g. ${clash.map(r =>
+            s"${r.getLong(0)} in batch ${r.getLong(1)}").mkString(", ")}) - " +
+          "cross-batch doc-id uniqueness is the append contract; erase the " +
+          "old rows first or pass checkDupIds = false if uniqueness is " +
+          "guaranteed upstream")
+    }
+    writeBatch(docs, root, batchId, idCol, textCol, headSize)
   }
 
   private val ErasedDir = "/_erased"
@@ -142,55 +294,110 @@ object PostingsStore {
   /** The takedown tombstone registry: one `doc_id` row per erased id
     * (duplicates from a re-run recovery are harmless — consumers read it
     * distinct). See the crash-window discipline in the object scaladoc
-    * for why appends consult it. */
-  private[sources] def erasedIds(spark: SparkSession, dir: String): DataFrame =
-    RegistryIO.readOrEmpty(spark, dir.stripSuffix("/") + ErasedDir,
+    * for why appends consult it. `root` must be resolved. */
+  private[sources] def erasedIds(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + ErasedDir,
       StructType.fromDDL("doc_id BIGINT"), None).distinct()
 
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-                         idCol: String, textCol: String): Unit = {
+  /** `root` must be resolved. Write order postings → termmeta → docidx →
+    * stats: the serve gate checks set equality, so stats-present implies
+    * the whole batch landed. */
+  private def writeBatch(docs: DataFrame, root: String, batchId: Long,
+                         idCol: String, textCol: String, headSize: Int): Unit = {
+    require(headSize >= 1, "postings store: headSize must be positive")
     // the tombstone gate: a replayed pre-erase batch re-registers only
     // the survivors (takedown-request-sized broadcast by contract)
     val live = docs.join(
-      broadcast(erasedIds(docs.sparkSession, dir)
+      broadcast(erasedIds(docs.sparkSession, root)
         .withColumnRenamed("doc_id", idCol + "__erased")),
       docs(idCol).cast("long") === col(idCol + "__erased"), "left_anti")
     val toks = live.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        bucketCol(col("tok")).as("tbucket"))
+      .localCheckpoint(true) // feeds postings, termmeta, and docidx once
+    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        bucketCol(col("tok")).as("tbucket"), tierCol(headSize).as("tier"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tbucket", "tier")
+      .parquet(s"$root/ingest_batch=$batchId")
+    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
       .repartition(col("tbucket"))
       .sortWithinPartitions(col("tbucket"), col("tok"))
       .write.mode(SaveMode.Overwrite).partitionBy("tbucket")
-      .parquet(s"${dir.stripSuffix("/")}/ingest_batch=$batchId")
+      .parquet(s"$root/_termmeta/ingest_batch=$batchId")
+    tf.select(col("doc_id"), bucketCol(col("tok")).as("tbucket"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tbucket"))).as("tbuckets"))
+      .select(col("doc_id"), col("tbuckets"),
+        dbucketCol(col("doc_id")).as("dbucket"))
+      .repartition(col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
+      .parquet(s"$root/_docidx/ingest_batch=$batchId")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"${dir.stripSuffix("/")}/_stats/ingest_batch=$batchId")
+      .parquet(s"$root/_stats/ingest_batch=$batchId")
   }
 
-  /** The postings relation (explicit schema — [[RegistryIO]] rules). */
-  private[sources] def readPostings(spark: SparkSession, dir: String): DataFrame =
-    RegistryIO.readOrEmpty(spark, dir, postingsSchema, Some("ingest_batch="))
+  /** The postings relation (explicit schema — [[RegistryIO]] rules).
+    * `root` must be resolved. */
+  private[sources] def readPostings(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root, postingsSchema, Some("ingest_batch="))
 
-  private[sources] def readStats(spark: SparkSession, dir: String): DataFrame =
-    RegistryIO.readOrEmpty(spark, dir.stripSuffix("/") + "/_stats",
+  private[sources] def readStats(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + "/_stats",
       statsSchema, Some("ingest_batch="))
 
+  private[sources] def readTermMeta(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + "/_termmeta",
+      termMetaSchema, Some("ingest_batch="))
+
+  private[sources] def readDocIdx(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + "/_docidx",
+      docIdxSchema, Some("ingest_batch="))
+
+  /** The batches whose `_stats` row landed — the batch COMMIT RECORD
+    * ([[writeBatch]] writes it last): serving restricts every scan to
+    * this set, so an in-flight or torn append is INVISIBLE (the
+    * committed prefix serves consistently; the stream's replay lands the
+    * batch) rather than an error mid-append. `root` must be resolved. */
+  private def committedBatches(root: String): Seq[Long] =
+    batchIds(root.stripSuffix("/") + "/_stats").toSeq.sorted
+
   /** The probe scan, pre-aggregation — package-private so the spec can
-    * pin its PLAN: `tbucket` literals in PartitionFilters (≤ |terms| of
-    * 256 buckets) and the key set as an `In(tok, …)` of eq leaves in
-    * PushedFilters (row-group tier over the key-sorted files). */
-  private[sources] def probe(spark: SparkSession, dir: String,
+    * pin its PLAN: `ingest_batch` committed-set and `tbucket` literals in
+    * PartitionFilters (≤ |terms| of 256 buckets) and the key set as an
+    * `In(tok, …)` of eq leaves in PushedFilters (row-group tier over the
+    * key-sorted files). Reads BOTH tiers — the exact-serving probe.
+    * `root` must be resolved. */
+  private[sources] def probe(spark: SparkSession, root: String,
                              terms: Seq[String]): DataFrame = {
     val buckets = terms.map(bucketOf).distinct
-    readPostings(spark, dir)
-      .filter(col("tbucket").isInCollection(buckets) &&
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+        col("tbucket").isInCollection(buckets) &&
         col("tok").isInCollection(terms))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** The TIERED probe: tier 0 only — per term per batch, at most
+    * `headSize` postings regardless of df. The tier literal lands in
+    * PartitionFilters beside the buckets, so a stop-word term's tail is
+    * never listed, let alone read (the spec poisons a tail leaf to pin
+    * it). `root` must be resolved. */
+  private[sources] def probeHead(spark: SparkSession, root: String,
+                                 terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+        col("tbucket").isInCollection(buckets) &&
+        col("tier") === 0 && col("tok").isInCollection(terms))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
   }
 
@@ -205,29 +412,75 @@ object PostingsStore {
     require(terms.nonEmpty, "bm25 serve: empty query-term list")
     require(k >= 1, "bm25 serve: k must be positive")
     Retrieval.bm25Rank(
-      servingScored(spark, dir, terms, k1, b)
+      servingScored(spark, resolveDir(dir), terms, k1, b)
         .select(col("doc_id"), col("contrib_q")),
       k)
   }
 
-  /** The ONE serving assembly the single and batched serves share (the
-    * `Retrieval.bm25ContribQ` rule one level up — the two read paths
+  /** TIERED BM25 top-k — the common-term serving bound: reads the HEAD
+    * tier only (≤ `headSize` postings per term per batch, enforced by
+    * the layout: `tier = 0` is a partition literal in the scan), with
+    * per-term df taken EXACTLY from `_termmeta` and N/avgdl from
+    * `_stats`, so every idf and length normalization is identical to the
+    * exact scorer's — the only approximation is that a document whose
+    * posting for some term fell in that term's tail scores without that
+    * term's contribution. A term with df ≤ headSize per batch is
+    * entirely head, so rare discriminative terms score exactly; the cut
+    * is deterministic and integer-exact ([[simpactQ]]), so q130's oracle
+    * replays it bit-for-bit, and SCALE.md publishes recall@k vs
+    * [[bm25TopK]] as the common term's df grows (the ivfpq_recall
+    * discipline). Output shape = [[bm25TopK]]'s; `n_terms_hit` counts
+    * head-matched terms. */
+  def bm25TopKPruned(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 tiered serve: empty query-term list")
+    require(k >= 1, "bm25 tiered serve: k must be positive")
+    val root = resolveDir(dir)
+    checkConsistent(root)
+    val buckets = terms.map(bucketOf).distinct
+    val matched = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probeHead(spark, root, terms).localCheckpoint(true)
+    }
+    // exact df from the metadata sidecar — NEVER from the truncated probe
+    // (a head-counted df would inflate idf exactly when pruning engages)
+    val dfs = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      readTermMeta(spark, root)
+        .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+          col("tbucket").isInCollection(buckets) &&
+          col("tok").isInCollection(terms))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .localCheckpoint(true)
+    }
+    val stats = readStats(spark, root)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    Retrieval.bm25Rank(
+      matched.join(broadcast(dfs), "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q")),
+      k)
+  }
+
+  /** The ONE serving assembly the single and batched EXACT serves share
+    * (the `Retrieval.bm25ContribQ` rule one level up — the two read paths
     * must not drift apart): consistency gate, the pruned probe over
     * `terms` (one snapshot feeds the df count and the scorer; parquet's
     * In pushdown must not rewrite the key set to a useless min/max range
     * past the default threshold — the containment-probe rule), per-term
     * df counted from the matched postings, the KB-scale stats sum.
-    * Returns `(tok, doc_id, contrib_q)`. */
-  private def servingScored(spark: SparkSession, dir: String,
+    * Returns `(tok, doc_id, contrib_q)`. `root` must be resolved. */
+  private def servingScored(spark: SparkSession, root: String,
                             terms: Seq[String], k1: Double,
                             b: Double): DataFrame = {
-    checkConsistent(dir)
+    checkConsistent(root)
     val matched = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
-      probe(spark, dir, terms).localCheckpoint(true)
+      probe(spark, root, terms).localCheckpoint(true)
     }
     val dfs = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = readStats(spark, dir)
+    val stats = readStats(spark, root)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
     matched.join(broadcast(dfs), "tok")
@@ -263,7 +516,7 @@ object PostingsStore {
     require(terms.nonEmpty, "bm25 batch serve: no query terms")
     val rankW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("bm25_q").desc, col("doc_id"))
-    servingScored(spark, dir, terms, k1, b)
+    servingScored(spark, resolveDir(dir), terms, k1, b)
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col(queryIdCol), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
@@ -273,24 +526,46 @@ object PostingsStore {
         col("n_terms_hit"), col("bm25_q"))
   }
 
-  /** Serve-time consistency gate: heals a crashed root swap first, then
-    * refuses (a) a store with an in-flight or crashed ERASE (the marker
-    * names its touched batches — the next [[deleteDocs]] call recovers),
-    * and (b) a torn append — the postings and stats batch sets must be
-    * EQUAL ([[writeBatch]] writes postings first, so a crash between the
-    * writes fails here loudly, and heals on replay, instead of serving
-    * an under-counted corpus). */
-  private def checkConsistent(dir: String): Unit = {
-    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
+  /** Serve-time consistency gate on a RESOLVED root: heals a crashed
+    * leaf-swap aside first, then refuses (a) a store with an in-flight or
+    * crashed ERASE (the marker names its touched batches — the next
+    * [[deleteDocs]] call recovers), and (b) the impossible inversion — a
+    * batch with a `_stats` commit record but missing postings, termmeta,
+    * or docidx ([[writeBatch]] writes stats LAST, so this can only be
+    * corruption or a manual deletion, never a crash window). A batch the
+    * other way around — postings landed, stats not yet — is an IN-FLIGHT
+    * append: serving restricts itself to [[committedBatches]] and stays
+    * consistent on the committed prefix (healed by the stream's replay,
+    * never an error mid-append and never a silent under-count). */
+  private def checkConsistent(root: String): Unit = {
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(root))
     require(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, EraseMarker)),
-      s"postings store at $dir: an erase is in flight or crashed - " +
+        java.nio.file.Paths.get(root, EraseMarker)),
+      s"postings store at $root: an erase is in flight or crashed - " +
         "call deleteDocs to recover before serving")
-    val p = batchIds(dir)
-    val s = batchIds(dir.stripSuffix("/") + "/_stats")
+    val p = batchIds(root)
+    val tm = batchIds(root.stripSuffix("/") + "/_termmeta")
+    val dx = batchIds(root.stripSuffix("/") + "/_docidx")
+    val s = batchIds(root.stripSuffix("/") + "/_stats")
+    require(s.subsetOf(p) && s.subsetOf(tm) && s.subsetOf(dx),
+      s"postings store at $root: committed batches $s missing postings " +
+        s"($p), termmeta ($tm), or docidx ($dx) subtrees - stats are " +
+        "written last, so this is corruption, not a crash window")
+  }
+
+  /** [[compact]]'s strict gate: the maintainer must see a COMPLETE store
+    * — a torn or in-flight append at fold time violates the
+    * single-maintainer contract and would either lose the batch's tail
+    * (fold misses it, GC deletes it) or double it (replay after the
+    * fold's watermark refuses it). Loud, with the heal path named. */
+  private def checkComplete(root: String): Unit = {
+    checkConsistent(root)
+    val p = batchIds(root)
+    val s = batchIds(root.stripSuffix("/") + "/_stats")
     require(p == s,
-      s"postings store at $dir: torn append - postings batches $p vs " +
-        s"stats batches $s; replay the missing batch or erase the orphan")
+      s"postings store at $root: torn append - postings batches $p vs " +
+        s"stats batches $s; replay the missing batch (or erase the " +
+        "orphan subtree) before compacting")
   }
 
   private def batchIds(dir: String): Set[Long] = {
@@ -313,121 +588,248 @@ object PostingsStore {
 
   private val CompactMarker = "_compacted_through"
 
-  private def compactedThrough(dir: String): Long = {
-    val m = java.nio.file.Paths.get(dir, CompactMarker)
+  private def compactedThrough(root: String): Long = {
+    val m = java.nio.file.Paths.get(root, CompactMarker)
     if (java.nio.file.Files.exists(m))
       new String(java.nio.file.Files.readAllBytes(m),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     else -1L
   }
 
-  /** Fold every batch into one `ingest_batch=-1` layout (re-sorted by
-    * key, so row-group pruning survives — the
-    * `Maintenance.compactParquet` rule), sum the stats rows, and swap the
-    * WHOLE store root in one [[graft.queue.Maintenance.replaceDir]] —
-    * readers see whole-old or whole-new. The watermark file rides the
-    * staged root so a later replay of a folded batch is refused loudly
-    * by [[appendBatch]] instead of double-counting (the compaction
-    * contract in the object scaladoc). Cost: one store scan — the
-    * offline maintenance pass that bounds serving's per-batch footer
-    * tier. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    checkConsistent(dir)
-    val batches = batchIds(dir)
+  /** The flat-layout artifacts that constitute one store version — what
+    * a fold stages into the next `v<N>` and what GC removes from a root
+    * two generations stale. Never touches `_vlog`, `v<N>` trees, or
+    * caller-owned markers beside the store. */
+  private val StoreArtifacts =
+    Seq("_stats", "_termmeta", "_docidx", "_erased", CompactMarker)
+
+  /** Fold every batch into one `ingest_batch=-1` layout — re-sorted by
+    * key and RE-TIERED globally (the per-batch impact cuts collapse into
+    * one corpus-wide cut, so a long-lived store's head tier is the
+    * `headSize` best postings per term, not `headSize · batches`) — sum
+    * the stats rows, rebuild `_termmeta`/`_docidx`, and COMMIT through
+    * the `_vlog` manifest: the whole next layout stages invisibly under
+    * `.v<N+1>.build`, renames to `v<N+1>`, and one exclusive file
+    * creation flips readers to it (see the version layer in the object
+    * scaladoc — readers resolve once per call and see whole-old or
+    * whole-new; one superseded version is retained for in-flight reads
+    * and GC'd at the next flip). The watermark file rides the staged
+    * root so a later replay of a folded batch is refused loudly by
+    * [[appendBatch]] instead of double-counting. Cost: one store scan —
+    * the offline maintenance pass that bounds serving's per-batch footer
+    * tier. Single-maintainer like every mutating face; a concurrent
+    * compact loses the exclusive create and fails loudly. */
+  def compact(spark: SparkSession, dir: String,
+              headSize: Int = DefaultHeadSize): Unit = {
+    val base = dir.stripSuffix("/")
+    val root = resolveDir(base)
+    checkComplete(root)
+    val batches = batchIds(root)
     require(batches.nonEmpty, s"postings store at $dir: nothing to compact")
-    val watermark = math.max(batches.max, compactedThrough(dir))
-    val root = java.nio.file.Paths.get(dir)
-    val tmp = root.resolveSibling("." + root.getFileName.toString + ".compact")
+    val watermark = math.max(batches.max, compactedThrough(root))
+    val next = currentVersion(base).getOrElse(0L) + 1L
+    val tmp = java.nio.file.Paths.get(base, s".v$next.build")
     graft.queue.Maintenance.deleteRec(tmp)
-    readPostings(spark, dir)
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("tbucket"))
+    readPostings(spark, root)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("tbucket"),
+        tierCol(headSize).as("tier"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+      .write.partitionBy("tbucket", "tier")
+      .parquet(s"$tmp/ingest_batch=-1")
+    readTermMeta(spark, root)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
       .repartition(col("tbucket"))
       .sortWithinPartitions(col("tbucket"), col("tok"))
       .write.partitionBy("tbucket")
-      .parquet(s"$tmp/ingest_batch=-1")
-    readStats(spark, dir)
+      .parquet(s"$tmp/_termmeta/ingest_batch=-1")
+    readDocIdx(spark, root)
+      .select(col("doc_id"), col("tbuckets"), col("dbucket"))
+      .repartition(col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.partitionBy("dbucket")
+      .parquet(s"$tmp/_docidx/ingest_batch=-1")
+    readStats(spark, root)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
       .coalesce(1).write.parquet(s"$tmp/_stats/ingest_batch=-1")
     // tombstones ride the fold: a takedown must survive compaction, or
     // the first post-fold append replay could resurrect it
-    val erased = erasedIds(spark, dir)
+    val erased = erasedIds(spark, root)
     if (!erased.isEmpty)
       erased.coalesce(1).write.parquet(s"$tmp$ErasedDir")
     java.nio.file.Files.write(tmp.resolve(CompactMarker),
       watermark.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.queue.Maintenance.replaceDir(tmp.toString, dir)
+    // COMMIT: stage rename + exclusive manifest create (the commit point —
+    // a racing compact fails loudly here, never half-flips)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, s"v$next"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val vlog = java.nio.file.Paths.get(base, "_vlog")
+    java.nio.file.Files.createDirectories(vlog)
+    try java.nio.file.Files.createFile(vlog.resolve(next.toString))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"postings store at $dir: concurrent compact committed v$next " +
+            "first - this fold loses (its staged snapshot was renamed; " +
+            "re-run compact against the winner)")
+    }
+    // retention: keep v<next> and ONE superseded version for in-flight
+    // readers; everything two generations stale goes — including the flat
+    // layout (version 0) once v2 commits
+    val keepFlat = next - 1 <= 0
+    if (!keepFlat) StoreArtifacts.foreach(a =>
+      graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(base, a)))
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+    val stale = try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val c = it.next(); val name = c.getFileName.toString
+        val oldVersion = name.startsWith("v") &&
+          scala.util.Try(name.stripPrefix("v").toLong).toOption
+            .exists(_ < next - 1)
+        if (oldVersion || (!keepFlat && name.startsWith("ingest_batch=")))
+          b += c
+      }
+      b.result()
+    } finally s.close()
+    stale.foreach(graft.queue.Maintenance.deleteRec)
   }
 
   private val EraseMarker = "_erase_inflight"
 
   /** Takedown/GDPR erasure ([[IvfIndexStore.delete]]'s discipline over
     * the two-level layout): the erased documents' postings stop existing
-    * — df shrinks, their dl leaves the corpus stats — so serving after
-    * erasure is EXACTLY BM25 over the surviving corpus (q127's gate).
-    * The locate pass is one full postings scan (`doc_id` is not the sort
-    * key — takedowns are rare and batched by contract; the bounded pull
-    * is one row per touched leaf). The erase then tombstones the ids in
-    * `_erased/` (future appends filter them — see the object scaladoc),
-    * stages an intent marker recording the ids and touched leaves,
-    * rewrites each touched leaf through the rename-aside swap keeping
-    * the key sort (emptied leaves and batches removed outright),
-    * RECOMPUTES each touched batch's stats row from its surviving
-    * postings (exact by construction — no delta bookkeeping to drift),
-    * and drops the marker last. A crash anywhere in between leaves the
-    * marker: serving refuses loudly and the next call here COMPLETES the
-    * recorded erase from the marker before starting its own. Idempotent:
-    * erased ids match no rows. Returns postings rows removed. */
+    * — df shrinks (postings AND `_termmeta`), their dl leaves the corpus
+    * stats — so serving after erasure is EXACTLY BM25 over the surviving
+    * corpus (q127's gate). The locate resolves through the `_docidx`
+    * sidecar — dbucket partition filter + pushed `In(doc_id)` over
+    * doc_id-sorted files, O(touched leaves), never a store scan (the
+    * poisoned-partition spec pins it). The erase then stages the
+    * `_erase_inflight` intent marker (ids + touched leaves) BEFORE any
+    * mutation, tombstones the ids in `_erased/` (future appends filter
+    * them — see the object scaladoc), rewrites each touched leaf through
+    * the rename-aside swap keeping the key sort and tier assignment
+    * (emptied leaves and batches removed outright; tiers do NOT promote
+    * on erase — the head may under-fill until the next [[compact]]
+    * re-tiers), RECOMPUTES each touched batch's `_termmeta` partitions
+    * and stats row from its surviving postings (exact by construction —
+    * no delta bookkeeping to drift), scrubs the ids from `_docidx`, and
+    * drops the marker last. A crash anywhere after the marker leaves it:
+    * serving refuses loudly and the next call here COMPLETES the
+    * recorded erase from the marker — tombstones included — before
+    * starting its own; a crash before the marker mutated nothing (the
+    * call did not return; the caller retries). Idempotent: erased ids
+    * match no rows. Returns postings rows removed. */
   def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Long = {
     require(docIds.nonEmpty, "postings erase: empty id list")
-    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(dir))
-    recoverCrashedErase(spark, dir)
-    checkConsistent(dir)
-    val post = readPostings(spark, dir)
-      .filter(col("doc_id").isInCollection(docIds))
-      .localCheckpoint(true) // one locate scan feeds leaves and the count
-    val leaves = post.select(col("ingest_batch"), col("tbucket")).distinct()
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    val removed = post.count()
-    if (leaves.nonEmpty) {
-      // tombstones FIRST: whatever happens below, no append can ever
-      // re-register these ids (a crash here leaves the rows serving —
-      // the call did not return, the retry finishes; the reverse order
-      // would let a completed recovery precede the tombstones and a
-      // replay silently resurrect a takedown). Re-run duplicates are
-      // absorbed by the reader's distinct.
-      import spark.implicits._
-      docIds.toDF("doc_id").coalesce(1)
-        .write.mode(SaveMode.Append)
-        .parquet(dir.stripSuffix("/") + ErasedDir)
-      // then the intent marker: a crash below recovers from this record
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, EraseMarker),
-        (s"ids=${docIds.mkString(",")}\n" +
-          s"leaves=${leaves.map(l => s"${l._1}:${l._2}").mkString(",")}\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      applyErase(spark, dir, docIds, leaves)
-      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, EraseMarker))
+    val root = resolveDir(dir)
+    graft.queue.Maintenance.healAside(java.nio.file.Paths.get(root))
+    recoverCrashedErase(spark, root)
+    checkConsistent(root)
+    // locate through the doc-keyed sidecar: O(touched leaves), not a scan
+    val dbuckets = docIds.map(dbucketOf).distinct
+    val located = IncrementalContainment.withInPushdown(
+      spark, math.max(docIds.size, 10)) {
+      readDocIdx(spark, root)
+        .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+          col("dbucket").isInCollection(dbuckets) &&
+          col("doc_id").isInCollection(docIds))
+        .select(col("ingest_batch"), explode(col("tbuckets")).as("tbucket"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     }
+    if (located.isEmpty) return 0L
+    val touchedBatches = located.map(_._1).distinct
+    // removed count from the touched partitions only (partition-pruned)
+    val removed = readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(touchedBatches) &&
+        col("doc_id").isInCollection(docIds))
+      .count()
+    // intent marker FIRST: every mutation below is replayable from it,
+    // including the tombstone append — so no crash window can leave a
+    // mutation without a recovery record (r17 ADVICE: the old
+    // tombstones-then-marker order had one)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, EraseMarker),
+      (s"ids=${docIds.mkString(",")}\n" +
+        s"leaves=${located.map(l => s"${l._1}:${l._2}").mkString(",")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    appendTombstones(spark, root, docIds)
+    applyErase(spark, root, docIds, located)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, EraseMarker))
     removed
   }
 
+  /** Tombstone append, shared by the erase and its crash recovery:
+    * re-run duplicates are absorbed by the reader's distinct. */
+  private def appendTombstones(spark: SparkSession, root: String,
+                               docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(root.stripSuffix("/") + ErasedDir)
+  }
+
   /** The erase's mutation step, replayable from the intent marker: leaf
-    * rewrites grouped by batch, then that batch's stats recompute. */
-  private def applyErase(spark: SparkSession, dir: String, docIds: Seq[Long],
+    * rewrites (per tier — assignment is append-time static) grouped by
+    * batch, then that batch's `_termmeta`, `_docidx`, and stats
+    * recomputes. `root` must be resolved. */
+  private def applyErase(spark: SparkSession, root: String, docIds: Seq[Long],
                          leaves: Seq[(Long, Int)]): Unit = {
-    val base = dir.stripSuffix("/")
+    val base = root.stripSuffix("/")
+    val dbuckets = docIds.map(dbucketOf).distinct
     leaves.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, ls) =>
       ls.foreach { case (_, tb) =>
-        val leaf = s"$base/ingest_batch=$b/tbucket=$tb"
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(leaf)))
-          graft.queue.Maintenance.rewriteLeaf(leaf,
-            spark.read.parquet(leaf)
-              .filter(!col("doc_id").isInCollection(docIds)),
-            Seq("tok"))
+        val leaf = java.nio.file.Paths.get(s"$base/ingest_batch=$b/tbucket=$tb")
+        Seq(0, 1).foreach { t =>
+          val tierDir = leaf.resolve(s"tier=$t")
+          if (java.nio.file.Files.exists(tierDir))
+            graft.queue.Maintenance.rewriteLeaf(tierDir.toString,
+              spark.read.parquet(tierDir.toString)
+                .filter(!col("doc_id").isInCollection(docIds)),
+              Seq("tok"))
+        }
+        // a leaf whose every tier emptied goes outright (partition
+        // discovery must not trip on a hollow tbucket dir)
+        if (java.nio.file.Files.exists(leaf) && !hasChildWithPrefix(leaf, "tier="))
+          graft.queue.Maintenance.deleteRec(leaf)
+        // exact df recompute for the touched (batch, tbucket) partition
+        val metaLeaf = s"$base/_termmeta/ingest_batch=$b/tbucket=$tb"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaLeaf))) {
+          if (!java.nio.file.Files.exists(leaf))
+            graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaLeaf))
+          else
+            graft.queue.Maintenance.rewriteLeaf(metaLeaf,
+              spark.read.parquet(leaf.toString)
+                .groupBy(col("tok")).agg(count(lit(1)).as("df")),
+              Seq("tok"))
+        }
       }
-      recomputeBatchStats(spark, dir, b)
+      dbuckets.foreach { d =>
+        val dxLeaf = s"$base/_docidx/ingest_batch=$b/dbucket=$d"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(dxLeaf)))
+          graft.queue.Maintenance.rewriteLeaf(dxLeaf,
+            spark.read.parquet(dxLeaf)
+              .filter(!col("doc_id").isInCollection(docIds)),
+            Seq("doc_id"))
+      }
+      recomputeBatchStats(spark, root, b)
     }
+  }
+
+  private def hasChildWithPrefix(p: java.nio.file.Path, prefix: String): Boolean = {
+    if (!java.nio.file.Files.exists(p)) return false
+    val s = java.nio.file.Files.list(p)
+    try {
+      var found = false
+      val it = s.iterator()
+      while (!found && it.hasNext)
+        found = it.next().getFileName.toString.startsWith(prefix)
+      found
+    } finally s.close()
   }
 
   /** Rebuild one batch's `_stats` row from its SURVIVING postings — the
@@ -435,27 +837,22 @@ object PostingsStore {
     * after a crash converges, and the corpus stats cannot drift). Every
     * ingested document has at least one posting (the tokenizer emits at
     * least one token per document), so distinct `(doc_id, dl)` rebuilds
-    * the row exactly. Removes an emptied batch and its stats row. */
-  private def recomputeBatchStats(spark: SparkSession, dir: String,
+    * the row exactly. Removes an emptied batch and its stats, termmeta,
+    * and docidx subtrees. */
+  private def recomputeBatchStats(spark: SparkSession, root: String,
                                   b: Long): Unit = {
-    val base = dir.stripSuffix("/")
+    val base = root.stripSuffix("/")
     val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
     val statsDir = s"$base/_stats/ingest_batch=$b"
     // emptied = no tbucket leaves left (the writer's _SUCCESS marker
     // does not keep a batch alive)
-    val emptied = !java.nio.file.Files.exists(batchDir) || {
-      val s = java.nio.file.Files.list(batchDir)
-      try {
-        var hasLeaf = false
-        val it = s.iterator()
-        while (!hasLeaf && it.hasNext)
-          hasLeaf = it.next().getFileName.toString.startsWith("tbucket=")
-        !hasLeaf
-      } finally s.close()
-    }
-    if (emptied) {
+    if (!hasChildWithPrefix(batchDir, "tbucket=")) {
       graft.queue.Maintenance.deleteRec(batchDir)
       graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(statsDir))
+      graft.queue.Maintenance.deleteRec(
+        java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
+      graft.queue.Maintenance.deleteRec(
+        java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
     } else {
       graft.queue.Maintenance.rewriteLeaf(statsDir,
         spark.read.parquet(batchDir.toString)
@@ -468,11 +865,12 @@ object PostingsStore {
   }
 
   /** Complete a crashed [[deleteDocs]] from its intent marker: heal the
-    * touched leaves' and stats rows' swap asides, replay the recorded
-    * erase (idempotent — a leaf already scrubbed rewrites to itself),
-    * recompute the touched batches' stats, drop the marker. */
-  private def recoverCrashedErase(spark: SparkSession, dir: String): Unit = {
-    val marker = java.nio.file.Paths.get(dir, EraseMarker)
+    * touched leaves' and stats rows' swap asides, re-append the recorded
+    * tombstones (idempotent — the reader distincts), replay the recorded
+    * erase (a leaf already scrubbed rewrites to itself), recompute the
+    * touched batches' stats, drop the marker. `root` must be resolved. */
+  private def recoverCrashedErase(spark: SparkSession, root: String): Unit = {
+    val marker = java.nio.file.Paths.get(root, EraseMarker)
     if (!java.nio.file.Files.exists(marker)) return
     val lines = new String(java.nio.file.Files.readAllBytes(marker),
       java.nio.charset.StandardCharsets.UTF_8).split("\n")
@@ -482,13 +880,29 @@ object PostingsStore {
     val leaves = field("leaves").split(",").filter(_.nonEmpty).map { s =>
       val Array(b, tb) = s.split(":"); (b.toLong, tb.toInt)
     }.toSeq
-    val base = dir.stripSuffix("/")
+    val base = root.stripSuffix("/")
     leaves.map(_._1).distinct.foreach { b =>
-      healAsidesUnder(java.nio.file.Paths.get(s"$base/ingest_batch=$b"))
+      val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
+      healAsidesUnder(batchDir)
+      // tier-level asides live one level down
+      if (java.nio.file.Files.exists(batchDir)) {
+        val s = java.nio.file.Files.list(batchDir)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            if (c.getFileName.toString.startsWith("tbucket="))
+              healAsidesUnder(c)
+          }
+        } finally s.close()
+      }
+      healAsidesUnder(java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
+      healAsidesUnder(java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
       graft.queue.Maintenance.healAside(
         java.nio.file.Paths.get(s"$base/_stats/ingest_batch=$b"))
     }
-    if (ids.nonEmpty && leaves.nonEmpty) applyErase(spark, dir, ids, leaves)
+    if (ids.nonEmpty) appendTombstones(spark, root, ids)
+    if (ids.nonEmpty && leaves.nonEmpty) applyErase(spark, root, ids, leaves)
     java.nio.file.Files.delete(marker)
   }
 
@@ -514,17 +928,21 @@ object PostingsStore {
     * replay semantics (refused loudly, never double-counted). */
   def sink(docStream: DataFrame, dir: String,
            idCol: String = "doc_id", textCol: String = "text",
-           compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+           compactEvery: Int = 0,
+           headSize: Int = DefaultHeadSize): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, dir, batchId, idCol, textCol)
+        appendBatch(batch, dir, batchId, idCol, textCol, headSize)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compact(batch.sparkSession, dir)
+          compact(batch.sparkSession, dir, headSize)
     }
 
   // Battery-entry layouts (the IvfIndexStore.layoutFor discipline:
   // built once per (session, sfDir) per /tmp lifetime, marker-gated so a
   // warm /tmp re-run replays the ingest instead of duplicating it).
+  // Path carries the layout-format generation ("postings2" = the tiered
+  // r18 layout) so a warm /tmp from an earlier round can never serve a
+  // pre-tier store to a tier-aware reader.
 
   private val layoutMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
@@ -535,7 +953,7 @@ object PostingsStore {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
-    val dir = "/tmp/graft-postings/" + digest + "_" + variant + "_" +
+    val dir = "/tmp/graft-postings2/" + digest + "_" + variant + "_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val key = (spark, keyStr)
     if (!layoutMemo.contains(key)) {

@@ -68,11 +68,19 @@ object IncrementalDedup {
                    bands: Int = 4, idCol: String = "doc_id",
                    pruneMaxBuckets: Int = 1024): DataFrame = {
     val spark = batch.sparkSession
+    // the takedown tombstone gate ([[eraseAndReconcile]]): an erased doc
+    // re-delivered by an at-least-once replay must not re-register its
+    // signatures or re-enter the verdict stream — the takedown-sized
+    // tombstone set broadcasts, the anti-join is O(batch)
+    val live = batch.join(
+      broadcast(erasedIds(spark, registryDir)
+        .withColumnRenamed("doc_id", idCol + "__erased")),
+      batch(idCol).cast("long") === col(idCol + "__erased"), "left_anti")
     // localCheckpoint(eager): the signature pipeline feeds FIVE consumers
     // (touched-set pull, registry probe, both sides of the intra-batch
     // self-join, registration) — materialize the small batch once instead
     // of recomputing shingle+md5 per consumer
-    val sigs = Dedup.minhashSignatures(Dedup.shingles(batch, idCol = idCol), bands, idCol)
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(live, idCol = idCol), bands, idCol)
       .withColumn("bucket", bucketOf(col("minhash")))
       .localCheckpoint(true)
     val touched = sigs.select(col("band"), col("bucket")).distinct()
@@ -106,7 +114,9 @@ object IncrementalDedup {
     // verdicts capture the PRE-batch registry: their scan's file listing is
     // fixed here, before the append below, so a later materialization (the
     // caller's sink write) still judges against the state this batch saw.
-    val verdicts = batch.select(col(idCol))
+    // Tombstoned docs get NO verdict row (they are not re-admitted and not
+    // re-judged — the takedown stands until _erased/ is cleared).
+    val verdicts = live.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
     // fresh documents' buckets become part of the corpus state, laid out in
@@ -124,11 +134,30 @@ object IncrementalDedup {
     * its own representative (run the batch dedup battery first if the
     * corpus should be deduplicated before gating). */
   def seedRegistry(docs: DataFrame, registryDir: String,
-                   bands: Int = 4, idCol: String = "doc_id"): Unit =
-    Dedup.minhashSignatures(Dedup.shingles(docs, idCol = idCol), bands, idCol)
+                   bands: Int = 4, idCol: String = "doc_id"): Unit = {
+    val live = docs.join(
+      broadcast(erasedIds(docs.sparkSession, registryDir)
+        .withColumnRenamed("doc_id", idCol + "__erased")),
+      docs(idCol).cast("long") === col(idCol + "__erased"), "left_anti")
+    Dedup.minhashSignatures(Dedup.shingles(live, idCol = idCol), bands, idCol)
       .select(col("band"), bucketOf(col("minhash")).as("bucket"),
         col("minhash"), col(idCol).as("rep_doc_id"))
       .write.mode(SaveMode.Append).partitionBy("band", "bucket").parquet(registryDir)
+  }
+
+  /** The registry's takedown tombstone dir ([[eraseAndReconcile]]): a
+    * SIBLING of the registry, not a child — [[reconcileImpl]] and the
+    * gate's compaction rewrite the registry through whole-dir
+    * `replaceDir` swaps, and a takedown must survive every one of them
+    * without each rewriter having to know to carry it. Duplicates from
+    * re-run erasures are absorbed by the distinct; the takedown lifts by
+    * deleting the dir. */
+  private def erasedDir(registryDir: String): String =
+    registryDir.stripSuffix("/") + ".erased"
+
+  private def erasedIds(spark: SparkSession, registryDir: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, erasedDir(registryDir),
+      StructType.fromDDL("doc_id BIGINT"), None).distinct()
 
   /** The raw append-only registry, schema supplied explicitly (no footer
     * inference — only partitions a query actually filters to are ever
@@ -258,13 +287,89 @@ object IncrementalDedup {
     * of corpus-grained frames on their ids — no broadcast of anything
     * corpus-derived, no driver pull beyond the returned counts. */
   def reconcile(spark: SparkSession, registryDir: String,
-                verdictDir: String, idCol: String = "doc_id"): ReconcileStats = {
+                verdictDir: String, idCol: String = "doc_id"): ReconcileStats =
+    reconcileImpl(spark, registryDir, verdictDir, idCol, Nil).reconcile
+
+  /** Audit shape of one [[eraseAndReconcile]] run. */
+  case class EraseStats(nVerdictRowsErased: Long, nRegistryRowsErased: Long,
+                        reconcile: ReconcileStats)
+
+  /** Takedown/GDPR erasure COMPOSED with chain reconciliation — the one
+    * erase the per-gate `deleteDocs` sweep deliberately left to this
+    * operator (deleting a bucket representative orphans `dup_of` chains;
+    * a standalone row-eraser here would be wrong by construction). One
+    * pass, in order:
+    *
+    *   1. TOMBSTONE the ids in `_erased/` first ([[processBatch]] and
+    *      [[seedRegistry]] anti-join every future batch against it, so a
+    *      pre-erase checkpoint replay cannot re-register the doc or
+    *      re-emit a verdict for it — the serving-store discipline of
+    *      [[graft.sources.PostingsStore.deleteDocs]], stronger than the
+    *      doc-grained registries' "novel again" semantics because a
+    *      chain eraser that lets replays resurrect its own subject never
+    *      converges); a crash mid-erase retries into convergence — every
+    *      rewrite below is idempotent;
+    *   2. cluster ALL accumulated links ([[reconcile]]'s edge set —
+    *      including the erased docs' own links, which is what routes an
+    *      orphaned chain to its successor), with the canonical
+    *      representative now the smallest KEPT, NON-ERASED doc; a
+    *      cluster whose every kept doc is erased falls back to its
+    *      smallest surviving member — the SUCCESSION representative,
+    *      whose own verdict then points at itself (`dup_of = doc_id`,
+    *      `is_dup` untouched: admission history is immutable, and the
+    *      self-pointer is the explicit "my representative was erased; I
+    *      anchor the chain now" marker);
+    *   3. rewrite the verdict dir: the erased docs' rows DELETED (their
+    *      ids, flags, and pointers stop existing), every surviving
+    *      `dup_of` repointed through the mapping — same crash-safe swap
+    *      and audit-column preservation as [[reconcile]];
+    *   4. rewrite the registry: the erased docs' signature rows DELETED
+    *      (the minhashes derive from the erased content — they must go),
+    *      surviving `rep_doc_id`s repointed. The erased rep's
+    *      NEIGHBORHOOD COVERAGE goes with its rows, by design: the
+    *      successor's signatures are not reconstructible from the
+    *      registry (its text was never stored); re-guarding the
+    *      neighborhood is a corpus-side [[seedRegistry]] pass on the
+    *      successor, the caller's call.
+    *
+    * Downstream `admitted()`/audit streams that REFERENCE the erased doc
+    * remain the consumer's to scrub, as with every registry erasure here.
+    * Idempotent: a re-run finds no rows to erase and no pointer to move. */
+  def eraseAndReconcile(spark: SparkSession, registryDir: String,
+                        verdictDir: String, docIds: Seq[Long],
+                        idCol: String = "doc_id"): EraseStats = {
+    require(docIds.nonEmpty, "dedup registry erase: empty id list")
+    import spark.implicits._
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode(SaveMode.Append)
+      .parquet(erasedDir(registryDir))
+    reconcileImpl(spark, registryDir, verdictDir, idCol, docIds)
+  }
+
+  private def reconcileImpl(spark: SparkSession, registryDir: String,
+                            verdictDir: String, idCol: String,
+                            erase: Seq[Long]): EraseStats = {
     // the FULL verdict relation rides through to the rewrite — a richer
     // verdict dir (IngestCuration's 30-column audit rows) keeps every
-    // column, with only dup_of repointed
-    val allVerdicts = spark.read.parquet(verdictDir)
-    val verdicts = allVerdicts.select(col(idCol), col("is_dup"), col("dup_of"))
-    val registry = readRegistry(spark, registryDir)
+    // column, with only dup_of repointed (and, under an erase, the erased
+    // docs' rows dropped)
+    val allRead = spark.read.parquet(verdictDir)
+    val allVerdicts =
+      if (erase.isEmpty) allRead
+      else allRead.filter(!col(idCol).isInCollection(erase))
+    val nVerdictsErased =
+      if (erase.isEmpty) 0L
+      else allRead.filter(col(idCol).isInCollection(erase)).count()
+    // edges and nodes come from the PRE-erase relations: the erased docs'
+    // own links are what route an orphaned chain to its successor
+    val verdicts = allRead.select(col(idCol), col("is_dup"), col("dup_of"))
+    val registryAll = readRegistry(spark, registryDir)
+    val registry =
+      if (erase.isEmpty) registryAll
+      else registryAll.filter(!col("rep_doc_id").isInCollection(erase))
+    val nRegistryErased =
+      if (erase.isEmpty) 0L
+      else registryAll.filter(col("rep_doc_id").isInCollection(erase)).count()
 
     val verdictEdges = verdicts.filter(col("is_dup"))
       .select(col(idCol).as("doc_a"), col("dup_of").as("doc_b")).distinct()
@@ -283,16 +388,31 @@ object IncrementalDedup {
       verdictEdges.union(registryEdges), idCol)
 
     // kept = never flagged dup by any verdict (seeded registry reps have
-    // no verdict row and count as kept); canonical = min kept id. Every
-    // cluster contains at least one kept doc — chains terminate at a
-    // registered representative — but a pathological all-dup cluster
-    // (hand-edited state) falls back to the min id rather than dropping.
+    // no verdict row and count as kept) and NOT erased; canonical = min
+    // kept id. Every cluster contains at least one kept doc — chains
+    // terminate at a registered representative — but erasing that
+    // representative (or a pathological all-dup cluster from hand-edited
+    // state) falls back to the smallest surviving member: the SUCCESSION
+    // representative. The erased ids themselves never become canonical.
     val dupIds = verdicts.filter(col("is_dup")).select(col(idCol)).distinct()
-    val canon = clusters.join(dupIds, Seq(idCol), "left_anti")
-      .groupBy(col("cluster_rep")).agg(min(col(idCol)).as("canon_rep"))
-    val mapping = clusters.join(canon, Seq("cluster_rep"), "left")
+    val excluded =
+      if (erase.isEmpty) dupIds
+      else {
+        import spark.implicits._
+        dupIds.union(erase.toDF(idCol)).distinct()
+      }
+    val canonKept = clusters.join(excluded, Seq(idCol), "left_anti")
+      .groupBy(col("cluster_rep")).agg(min(col(idCol)).as("canon_kept"))
+    val canonAlive =
+      (if (erase.isEmpty) clusters
+       else clusters.filter(!col(idCol).isInCollection(erase)))
+        .groupBy(col("cluster_rep")).agg(min(col(idCol)).as("canon_alive"))
+    val mapping = clusters
+      .join(canonKept, Seq("cluster_rep"), "left")
+      .join(canonAlive, Seq("cluster_rep"), "left")
       .select(col(idCol),
-        coalesce(col("canon_rep"), col("cluster_rep")).as("canon_rep"))
+        coalesce(col("canon_kept"), col("canon_alive"), col("cluster_rep"))
+          .as("canon_rep"))
       .persist()
 
     val newVerdicts = allVerdicts
@@ -323,7 +443,9 @@ object IncrementalDedup {
     // already-swapped verdict dir and die with FileNotFoundException.
     val verdictTmp = verdictDir.stripSuffix("/") + ".reconciling"
     val registryTmp = registryDir.stripSuffix("/") + ".reconciling"
-    if (nLinks > 0) {
+    val rewriteVerdicts = nLinks > 0 || nVerdictsErased > 0
+    val rewriteRegistry = nRegRows > 0 || nRegistryErased > 0
+    if (rewriteVerdicts) {
       val outCols = allVerdicts.columns.map {
         case "dup_of" => col("new_dup_of").as("dup_of")
         case c => col(c)
@@ -331,7 +453,7 @@ object IncrementalDedup {
       newVerdicts.select(outCols.toSeq: _*)
         .write.mode(SaveMode.Overwrite).parquet(verdictTmp)
     }
-    if (nRegRows > 0) {
+    if (rewriteRegistry) {
       // distinct: collapsed sibling reps leave byte-identical rows per
       // (band, minhash) — without it the duplicates would persist forever
       // (the idempotent second run rewrites nothing) and inflate exactly
@@ -343,9 +465,10 @@ object IncrementalDedup {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("band", "bucket").parquet(registryTmp)
     }
-    if (nLinks > 0) graft.queue.Maintenance.replaceDir(verdictTmp, verdictDir)
-    if (nRegRows > 0) graft.queue.Maintenance.replaceDir(registryTmp, registryDir)
+    if (rewriteVerdicts) graft.queue.Maintenance.replaceDir(verdictTmp, verdictDir)
+    if (rewriteRegistry) graft.queue.Maintenance.replaceDir(registryTmp, registryDir)
     mapping.unpersist()
-    ReconcileStats(nDocs, nClusters, nLinks, nRegRows)
+    EraseStats(nVerdictsErased, nRegistryErased,
+      ReconcileStats(nDocs, nClusters, nLinks, nRegRows))
   }
 }

@@ -65,15 +65,27 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(serveRows(d) == before)
   }
 
-  test("a torn append (postings without stats) fails loudly at serve time") {
+  test("a torn append (postings without stats) is invisible to serving, " +
+    "refused loudly by compact, and healed by the replay") {
     val d = tmp("graft_postings_torn")
-    PostingsStore.build(docs.limit(30), d)
+    val base = docs.filter($"doc_id" < 30)
+    PostingsStore.build(base, d)
+    val committed = serveRows(d)
     // simulate the crash window: batch 5's postings land, stats never do
-    PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === 1).limit(10), d, 5L)
+    val tail = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+    PostingsStore.appendBatch(tail, d, 5L)
     graft.queue.Maintenance.deleteRec(
       java.nio.file.Paths.get(d, "_stats", "ingest_batch=5"))
-    val e = intercept[IllegalArgumentException](serveRows(d))
+    // the stats row is the batch's COMMIT RECORD: the uncommitted batch is
+    // invisible — serving stays exactly the committed prefix, never an
+    // error and never a half-counted corpus
+    assert(serveRows(d) == committed)
+    // the maintainer's gate stays strict: a fold must not lose the tail
+    val e = intercept[IllegalArgumentException](PostingsStore.compact(spark, d))
     assert(e.getMessage.contains("torn append"), e.getMessage)
+    // the stream's replay of batch 5 heals: now it serves
+    PostingsStore.appendBatch(tail, d, 5L)
+    assert(serveRows(d) == corpusRows(docs.filter($"doc_id" < 40)))
   }
 
   test("the probe prunes: tbucket partition literals + pushed In(tok) eq leaves") {
@@ -91,9 +103,12 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("postings files are sorted by tok within each leaf file") {
+    // _termmeta is key-sorted too and stays in the walk; _docidx sorts by
+    // doc_id and _stats/_erased carry no key — excluded
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(bulk))
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !p.toString.contains("_stats"))
+        !p.toString.contains("_stats") && !p.toString.contains("_docidx") &&
+        !p.toString.contains("_erased"))
       .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var checked = 0
     files.forEachRemaining { f =>
@@ -139,8 +154,13 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     val before = serveRows(d)
     PostingsStore.compact(spark, d)
     assert(serveRows(d) == before)
-    // one folded batch dir remains (plus _stats and the watermark)
-    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+    // the fold committed through the version manifest: readers resolve to
+    // v1, which holds exactly one folded batch dir (plus the sidecars and
+    // watermark); the flat pre-fold tree is retained one generation for
+    // in-flight readers
+    val resolved = PostingsStore.resolveDir(d)
+    assert(resolved == d + "/v1", resolved)
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(resolved))
       .filter(p => p.getFileName.toString.startsWith("ingest_batch="))
       .count()
     assert(batchDirs == 1L)
@@ -222,6 +242,11 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     PostingsStore.deleteDocs(spark, d, Seq(15L))
     assert(serveRows(d) == corpusRows(
       docs.filter($"doc_id" < 20 && $"doc_id" =!= 3L && $"doc_id" =!= 15L)))
+    // recovery re-derived the TOMBSTONES from the marker (the r18
+    // marker-first ordering): a pre-erase replay cannot resurrect id 3
+    // even though the simulated crash died before the tombstone append
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    assert(!serveRows(d).map(_._2).contains(3L))
   }
 
   test("a replayed pre-erase batch cannot resurrect a takedown") {
@@ -252,9 +277,11 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     val d = tmp("graft_postings_compact_sort")
     PostingsStore.build(docs.limit(50), d)
     PostingsStore.compact(spark, d)
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    val files = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(PostingsStore.resolveDir(d)))
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !p.toString.contains("_stats"))
+        !p.toString.contains("_stats") && !p.toString.contains("_docidx") &&
+        !p.toString.contains("_erased"))
       .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var checked = 0
     files.forEachRemaining { f =>
@@ -263,5 +290,160 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       checked += 1
     }
     assert(checked > 0)
+  }
+
+  // ---- r18: impact tiers, the doc-keyed locate, and the version flip ----
+
+  test("tier cut: per (term, batch) the head holds min(df, headSize) postings " +
+    "ranked by the integer impact order") {
+    val post = PostingsStore.readPostings(spark, bulk)
+    val byTier = post.groupBy($"tok", $"ingest_batch", $"tier")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    val dfs = post.groupBy($"tok", $"ingest_batch").agg(count(lit(1)).as("df"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(dfs.nonEmpty)
+    var sawTail = false
+    dfs.foreach { case ((tok, b), df) =>
+      val head = byTier.getOrElse((tok, b, 0), 0L)
+      val tail = byTier.getOrElse((tok, b, 1), 0L)
+      assert(head == math.min(df, PostingsStore.DefaultHeadSize.toLong),
+        s"$tok head=$head df=$df")
+      assert(head + tail == df, s"$tok tiers don't partition df")
+      sawTail ||= tail > 0
+    }
+    assert(sawTail, "fixture never exercised a tail - headSize too large")
+    // the head is the TOP of the deterministic impact order: for a tailed
+    // term, every head posting's (simpact, tf, -dl, -doc_id) dominates
+    // every tail posting's
+    val tailed = post.filter($"tier" === 1).select($"tok").distinct()
+      .as[String].collect().head
+    val rows = post.filter($"tok" === tailed && $"ingest_batch" === -1L)
+      .select(PostingsStore.simpactQ.as("si"), $"tf", $"dl", $"doc_id", $"tier")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), -r.getLong(2), -r.getLong(3)), r.getInt(4)))
+    val worstHead = rows.filter(_._2 == 0).map(_._1).min
+    val bestTail = rows.filter(_._2 == 1).map(_._1).max
+    assert(Ordering[(Long, Long, Long, Long)].gt(worstHead, bestTail),
+      s"head/tail order violated: $worstHead vs $bestTail")
+  }
+
+  test("tiered serve plan: tier=0 partition literal beside the term buckets") {
+    graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = PostingsStore.probeHead(spark, bulk, Seq("dup", "the"))
+        .queryExecution.executedPlan.toString
+      val pfStart = plan.indexOf("PartitionFilters: [")
+      assert(pfStart >= 0, plan)
+      val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+      assert(pf.contains("tier"), s"tier literal not in PartitionFilters: $pf")
+      assert(plan.contains("PushedFilters: [In(tok"), s"pushed In missing:\n$plan")
+    }
+  }
+
+  test("tiered serve never reads a tail: poisoned tail files are invisible, " +
+    "head scores are exact, df comes from _termmeta") {
+    val d = tmp("graft_postings_tiered")
+    PostingsStore.build(docs, d)
+    // corrupt EVERY tail file of the common term's bucket: the exact serve
+    // must now fail (it reads both tiers), the tiered serve must not notice
+    val b = PostingsStore.bucketOf("the")
+    val tails = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .filter(p => p.toString.contains(s"tbucket=$b/tier=1") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var poisoned = 0
+    tails.forEachRemaining { f =>
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(0x7f)); poisoned += 1
+    }
+    assert(poisoned > 0, "fixture has no tail for 'the' - headSize too large")
+    val pruned = PostingsStore.bm25TopKPruned(spark, d, Seq("dup", "the"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pruned.nonEmpty)
+    intercept[Throwable](serveRows(d, Seq("dup", "the"), k = 10))
+    // head contributions are EXACTLY the full scorer's (same df via
+    // _termmeta, same stats): single-term pruned scores must match the
+    // exact full ranking's score for every doc both rank
+    val d2 = tmp("graft_postings_tiered_exact")
+    PostingsStore.build(docs, d2)
+    val exactAll = serveRows(d2, Seq("the"), k = 100000).map(t => t._2 -> t._4).toMap
+    val prunedThe = PostingsStore.bm25TopKPruned(spark, d2, Seq("the"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toSeq
+    prunedThe.foreach { case (id, q) =>
+      assert(exactAll(id) == q, s"head score drifted for doc $id") }
+  }
+
+  test("tiered serve equals the exact serve when every term fits the head") {
+    val d = tmp("graft_postings_allhead")
+    val small = docs.limit(50) // every df <= 50 < DefaultHeadSize
+    PostingsStore.build(small, d)
+    val pruned = PostingsStore.bm25TopKPruned(spark, d, terms, k = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pruned == corpusRows(small) && pruned.nonEmpty)
+  }
+
+  test("cross-batch doc-id re-ingest refuses loudly; checkDupIds=false skips") {
+    val d = tmp("graft_postings_dupid")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    val e = intercept[IllegalArgumentException](
+      PostingsStore.appendBatch(docs.filter($"doc_id" === 5L), d, 1L))
+    assert(e.getMessage.contains("cross-batch doc-id uniqueness"), e.getMessage)
+    // the refused append left nothing torn: batch 1 never landed
+    assert(serveRows(d) == corpusRows(docs.filter($"doc_id" < 10)))
+    // an upstream-guaranteed caller can skip the probe (and owns the risk)
+    PostingsStore.appendBatch(docs.filter($"doc_id" === 5L), d, 1L,
+      checkDupIds = false)
+  }
+
+  test("erase locate is doc-keyed: a poisoned untouched batch is never read") {
+    val d = tmp("graft_postings_locate")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 1L)
+    // poison every postings file of batch 1 AND its docidx partitions
+    // outside the erased ids' dbuckets: the pre-r18 locate (one full store
+    // scan) would die here; the doc-keyed locate must not open any of it
+    val poisonedFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(d, "ingest_batch=1"))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var n = 0
+    poisonedFiles.forEachRemaining { f =>
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(0x11)); n += 1 }
+    assert(n > 0)
+    val removed = PostingsStore.deleteDocs(spark, d, Seq(3L))
+    assert(removed > 0)
+    // and the docidx partition pruning: poison a dbucket the ids don't touch
+    java.nio.file.Files.walk(java.nio.file.Paths.get(d, "_docidx", "ingest_batch=0"))
+      .filter(p => p.toString.contains("dbucket=7") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining(f => java.nio.file.Files.write(f, Array.fill[Byte](8)(0x22)))
+    assert(PostingsStore.deleteDocs(spark, d, Seq(4L)) > 0)
+  }
+
+  test("reader hammer across a LIVE compact: every serve is whole-old or " +
+    "whole-new, never torn") {
+    val d = tmp("graft_postings_hammer")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    val expected = serveRows(d)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = serveRows(d)
+          if (got != expected) failures.add(s"torn read: $got")
+        } catch { case e: Throwable => failures.add(e.toString) }
+      }
+    })
+    reader.start()
+    try {
+      PostingsStore.compact(spark, d)   // flat -> v1
+      PostingsStore.appendBatch(docs.limit(0), d, 3L) // lands in v1
+      PostingsStore.compact(spark, d)   // v1 -> v2 (GCs the flat tree)
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    assert(serveRows(d) == expected)
+    assert(PostingsStore.resolveDir(d) == d + "/v2")
   }
 }

@@ -109,4 +109,51 @@ class ReconcileSpec extends AnyFunSuite with SparkTestSession {
     assert(st2.nVerdictLinksCanonicalized == 0 &&
       st2.nRegistryRowsRemapped == 0, st2)
   }
+
+  // ---- r18: registry erasure composed with reconcile (the GDPR gap) ----
+
+  test("erasing a representative: rows gone, orphaned chains re-point to " +
+    "the succession rep, replay cannot resurrect, idempotent") {
+    val reg = tmp("graft_rec_ereg"); val vd = tmp("graft_rec_evd")
+    step(Seq(Doc(100L, base)).toDF(), reg, vd)
+    step(Seq(Doc(50L, base), Doc(60L, base)).toDF(), reg, vd)
+    // chain on disk: 50 -> 100, 60 -> 50; registry carries only 100's rows
+    val st = IncrementalDedup.eraseAndReconcile(spark, reg, vd, Seq(100L))
+    assert(st.nRegistryRowsErased == 4, st) // 100's four band rows
+    assert(st.nVerdictRowsErased == 1, st)  // 100's verdict row
+    // the erased doc's rows stop existing in BOTH relations
+    assert(IncrementalDedup.readRegistry(spark, reg)
+      .filter($"rep_doc_id" === 100L).count() == 0)
+    // succession: 50 is the smallest survivor — it anchors the chain with
+    // the explicit self-pointer; 60 re-points to it; flags untouched
+    assert(verdicts(vd) == Map(
+      50L -> (true, Some(50L)), 60L -> (true, Some(50L))))
+    // a pre-erase checkpoint replay cannot resurrect the takedown: the
+    // tombstone filters the doc before signatures, verdicts, registration
+    step(Seq(Doc(100L, base)).toDF(), reg, vd)
+    assert(!verdicts(vd).contains(100L))
+    assert(IncrementalDedup.readRegistry(spark, reg)
+      .filter($"rep_doc_id" === 100L).count() == 0)
+    // idempotent: nothing left to erase or move
+    val st2 = IncrementalDedup.eraseAndReconcile(spark, reg, vd, Seq(100L))
+    assert(st2.nVerdictRowsErased == 0 && st2.nRegistryRowsErased == 0, st2)
+    assert(st2.reconcile.nVerdictLinksCanonicalized == 0 &&
+      st2.reconcile.nRegistryRowsRemapped == 0, st2)
+  }
+
+  test("erasing a chain MEMBER leaves the kept representative canonical") {
+    val reg = tmp("graft_rec_ereg2"); val vd = tmp("graft_rec_evd2")
+    step(Seq(Doc(100L, base)).toDF(), reg, vd)
+    step(Seq(Doc(50L, base), Doc(60L, base)).toDF(), reg, vd)
+    // erase the middle link 50: 60's pointer must route THROUGH the erased
+    // doc's own link to the kept rep 100, and 50's rows must go
+    val st = IncrementalDedup.eraseAndReconcile(spark, reg, vd, Seq(50L))
+    assert(st.nVerdictRowsErased == 1, st)
+    assert(st.nRegistryRowsErased == 0, st) // 50 was a dup: never registered
+    assert(verdicts(vd) == Map(
+      100L -> (false, None), 60L -> (true, Some(100L))))
+    // the kept rep still guards the neighborhood
+    step(Seq(Doc(70L, base)).toDF(), reg, vd)
+    assert(verdicts(vd)(70L) == (true, Some(100L)))
+  }
 }
