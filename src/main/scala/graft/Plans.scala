@@ -359,7 +359,8 @@ object Plans {
         "the stop word's tail partitions are never listed, let alone " +
         "read — per term per batch the scan is <= headSize (64) postings " +
         "no matter the df (q129's 'the' reads ~3800 postings on the " +
-        "exact path, <=192 here). df stays EXACT via the _termmeta " +
+        "exact path, <=768 here; discriminative terms with df <= 256 " +
+        "serve exactly). df stays EXACT via the _termmeta " +
         "sidecar probe (same bucket pruning + pushed In(tok), O(vocab) " +
         "rows), N/avgdl from _stats — both broadcasts; the per-doc sum " +
         "shuffles O(headSize x terms x batches) rows, corpus-free. The " +
@@ -367,6 +368,14 @@ object Plans {
         "the oracle; PostingsStoreSpec pins the tier literal in the plan " +
         "and poisons the tail files to prove they are never opened; " +
         "recall vs the exact scorer is published in SCALE.md."),
+    "q131_bm25_pruned_batch" ->
+      ("q129's batched request served from the HEAD TIER (q130's probe " +
+        "shape shared through the one prunedScored assembly): the " +
+        "per-query rank window's input is bounded by headSize x batches " +
+        "per union term regardless of df — exactly the bound q129's " +
+        "exact path cannot offer for its stop-word term. One tier=0 " +
+        "probe over the term union, _termmeta df and stats broadcast, " +
+        "per-query scoring through the broadcast request relation."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

@@ -213,7 +213,7 @@ object LlmQueries extends graft.QueryModule {
   /** q130: TIERED BM25 serving — the bounded answer to the common-term
     * problem q129 deliberately exposes: "the" (df ≈ 78% of the corpus)
     * beside the rare "dup", served from the HEAD TIER only (per term per
-    * batch, the top-64 postings by the integer-exact static impact
+    * batch, the top-256 postings by the integer-exact static impact
     * [[graft.sources.PostingsStore.simpactQ]]; `tier = 0` is a partition
     * literal in the scan, so the stop word's tail is never even listed).
     * df stays EXACT via the `_termmeta` sidecar — the only approximation
@@ -224,6 +224,23 @@ object LlmQueries extends graft.QueryModule {
   def bm25PrunedSearch(s: SparkSession, dir: String): DataFrame = {
     val store = graft.sources.PostingsStore.layoutFor(s, dir)
     graft.sources.PostingsStore.bm25TopKPruned(s, store, Seq("dup", "the"), k = 10)
+  }
+
+  /** q131: TIERED BATCHED serving — q129's request fixture (three
+    * queries, one carrying the corpus-common "the") answered from the
+    * head tier only via
+    * [[graft.sources.PostingsStore.bm25TopKPrunedBatch]]: the per-query
+    * rank window's input is bounded by headSize·batches per union term
+    * no matter the df — the piece q129's exact path cannot promise for a
+    * stop word. Oracle = q129's replay with the deterministic head cut
+    * (exact df over ALL postings). */
+  def bm25PrunedBatchSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"), (1L, "the"),
+      (2L, "dup"), (2L, "merge")).toDF("query_id", "term")
+    graft.sources.PostingsStore.bm25TopKPrunedBatch(s, store, req, k = 10)
+      .orderBy($"query_id", $"rnk")
   }
 
   /** Character-level verification beside the token-level Jaccard (q33):
@@ -692,7 +709,8 @@ object LlmQueries extends graft.QueryModule {
     "q127_bm25_erased" -> bm25ErasedSearch,
     "q128_hybrid_store" -> hybridStoreRrf,
     "q129_bm25_batch" -> bm25BatchSearch,
-    "q130_bm25_pruned" -> bm25PrunedSearch)
+    "q130_bm25_pruned" -> bm25PrunedSearch,
+    "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -931,7 +949,7 @@ object LlmQueries extends graft.QueryModule {
         |  doc_id, n_terms_hit, bm25_q
         |FROM ranked ORDER BY query_id, rnk""".stripMargin,
     // the tiered serve replayed exactly: per (term, stripe) the head is
-    // the top-64 postings by the integer static impact (tf·10⁹ //
+    // the top-256 postings by the integer static impact (tf·10⁹ //
     // (1000·tf + 300 + 9·dl), ties (tf desc, dl asc, doc_id asc)); df
     // stays EXACT over ALL postings (the _termmeta sidecar), stats over
     // the full corpus; only head rows contribute — a serve that read a
@@ -952,7 +970,7 @@ object LlmQueries extends graft.QueryModule {
         |        ORDER BY (t.tf * 1000000000) // (1000 * t.tf + 300 + 9 * l.dl) DESC,
         |                 t.tf DESC, l.dl ASC, t.doc_id ASC) AS rnk_impact
         |    FROM tf t JOIN dl l USING (doc_id))
-        |  WHERE rnk_impact <= 64),
+        |  WHERE rnk_impact <= 256),
         |c AS (
         |  SELECT h.doc_id,
         |    CAST(floor(
@@ -971,6 +989,48 @@ object LlmQueries extends graft.QueryModule {
         |       FROM agg QUALIFY rnk <= 10)
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
         |FROM bm ORDER BY rnk""".stripMargin,
+    // q129's batched replay through the same deterministic head cut:
+    // per-query scoring joins the request relation over HEAD rows only,
+    // df exact over all postings
+    "q131_bm25_pruned_batch" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        |qt(query_id, tok) AS (VALUES (0, 'dup'), (0, 'vector'), (1, 'merge'),
+        |                             (1, 'the'), (2, 'dup'), (2, 'merge')),
+        |terms AS (SELECT DISTINCT tok FROM qt),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |       FROM toks t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |head AS (
+        |  SELECT doc_id, tok, tf, dl FROM (
+        |    SELECT t.doc_id, t.tok, t.tf, l.dl,
+        |      row_number() OVER (
+        |        PARTITION BY t.tok, t.doc_id % 3
+        |        ORDER BY (t.tf * 1000000000) // (1000 * t.tf + 300 + 9 * l.dl) DESC,
+        |                 t.tf DESC, l.dl ASC, t.doc_id ASC) AS rnk_impact
+        |    FROM tf t JOIN dl l USING (doc_id))
+        |  WHERE rnk_impact <= 256),
+        |c AS (
+        |  SELECT q.query_id, h.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(h.dl AS DOUBLE)
+        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS contrib_q
+        |  FROM head h JOIN qt q USING (tok) JOIN df d USING (tok)
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, count(*) AS n_terms_hit,
+        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+        |        FROM c GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, n_terms_hit, bm25_q,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS rnk
+        |           FROM agg QUALIFY rnk <= 10)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+        |  doc_id, n_terms_hit, bm25_q
+        |FROM ranked ORDER BY query_id, rnk""".stripMargin,
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +

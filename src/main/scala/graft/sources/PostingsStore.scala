@@ -144,10 +144,21 @@ import org.apache.spark.sql.types.StructType
 object PostingsStore {
 
   /** Head-tier size: per term per batch, the top `DefaultHeadSize`
-    * postings by static impact live in tier 0. 64 keeps every battery
-    * fixture's common terms honestly tailed at all gated SFs; production
-    * would size it to the serving k budget (thousands). */
-  val DefaultHeadSize: Int = 64
+    * postings by static impact live in tier 0. Sized so DISCRIMINATIVE
+    * terms (df ≤ headSize) serve exactly from the head while corpus
+    * stop words are capped — 256 keeps the battery's rare "dup" family
+    * fully head at every SF and still cuts "the" ~15× at the bench
+    * corpus. The measured price (SCALE.md `tiered_serve`): when a query
+    * MIXES a discriminative term with a stop word whose per-doc
+    * contribution rivals the score gaps near the top-k cut line,
+    * head-only serving reorders the boundary — recall@10 = 0.4 at the
+    * bench corpus for "dup"+"the" (1.0 at 10×) — the structural limit
+    * of impact-ordered tiers without WAND-style bound certificates
+    * (named as the next step); single-term queries with df ≤ headSize
+    * serve exactly by construction, and the oracle gates the cut
+    * itself, so the approximation is never silent. Production would
+    * size the head to the serving k budget (thousands). */
+  val DefaultHeadSize: Int = 256
 
   private val postingsSchema: StructType = StructType.fromDDL(
     "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
@@ -435,15 +446,59 @@ object PostingsStore {
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 tiered serve: empty query-term list")
     require(k >= 1, "bm25 tiered serve: k must be positive")
-    val root = resolveDir(dir)
+    Retrieval.bm25Rank(
+      prunedScored(spark, resolveDir(dir), terms, k1, b)
+        .select(col("doc_id"), col("contrib_q")),
+      k)
+  }
+
+  /** TIERED BATCHED serving — [[bm25TopKBatch]]'s shape over the head
+    * tier: the per-query rank window's input is now bounded by
+    * headSize · batches per union term NO MATTER the terms' df, which is
+    * the piece the exact batch path cannot promise for a stop-word term
+    * (q129 deliberately carries one). Same output shape. */
+  def bm25TopKPrunedBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                          k: Int, k1: Double = 1.2, b: Double = 0.75,
+                          queryIdCol: String = "query_id",
+                          termCol: String = "term"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "bm25 tiered batch serve: k must be positive")
+    val qt = queries
+      .select(col(queryIdCol).cast("long").as(queryIdCol),
+        col(termCol).cast("string").as("tok"))
+      .dropDuplicates(queryIdCol, "tok")
+      .localCheckpoint(true)
+    val terms = qt.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25 tiered batch serve: no query terms")
+    val rankW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("bm25_q").desc, col("doc_id"))
+    prunedScored(spark, resolveDir(dir), terms, k1, b)
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy(col(queryIdCol), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col(queryIdCol), col("rnk"), col("doc_id"),
+        col("n_terms_hit"), col("bm25_q"))
+  }
+
+  /** The ONE tiered-serving assembly the single and batched pruned
+    * serves share (mirroring [[servingScored]] for the exact pair):
+    * consistency gate, the HEAD-TIER probe, exact df from the
+    * `_termmeta` sidecar — NEVER from the truncated probe (a
+    * head-counted df would inflate idf exactly when pruning engages) —
+    * and the KB-scale stats sum. Returns `(tok, doc_id, contrib_q)`.
+    * `root` must be resolved. */
+  private def prunedScored(spark: SparkSession, root: String,
+                           terms: Seq[String], k1: Double,
+                           b: Double): DataFrame = {
     checkConsistent(root)
     val buckets = terms.map(bucketOf).distinct
     val matched = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       probeHead(spark, root, terms).localCheckpoint(true)
     }
-    // exact df from the metadata sidecar — NEVER from the truncated probe
-    // (a head-counted df would inflate idf exactly when pruning engages)
     val dfs = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       readTermMeta(spark, root)
@@ -456,11 +511,10 @@ object PostingsStore {
     val stats = readStats(spark, root)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
-    Retrieval.bm25Rank(
-      matched.join(broadcast(dfs), "tok")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q")),
-      k)
+    matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
   }
 
   /** The ONE serving assembly the single and batched EXACT serves share
@@ -773,39 +827,83 @@ object PostingsStore {
       .parquet(root.stripSuffix("/") + ErasedDir)
   }
 
-  /** The erase's mutation step, replayable from the intent marker: leaf
-    * rewrites (per tier — assignment is append-time static) grouped by
-    * batch, then that batch's `_termmeta`, `_docidx`, and stats
-    * recomputes. `root` must be resolved. */
+  /** Per batch, the leaf count above which the erase rewrites the WHOLE
+    * batch subtree in a handful of jobs instead of per-leaf: a document
+    * with hundreds of distinct terms touches most of the 256 buckets, so
+    * the "touched leaves" of a typical takedown ARE the batch — and a
+    * per-leaf swap then pays hundreds of bounded Spark jobs (~0.2 s of
+    * scheduler cost apiece, measured 95 s for 6 ids) for the same bytes
+    * four whole-batch jobs move. Short documents (few buckets) keep the
+    * per-leaf path and its O(touched leaves) I/O bound. */
+  private val WholeBatchEraseLeaves = 32
+
+  /** The erase's mutation step, replayable from the intent marker: per
+    * touched batch, either per-leaf rewrites (per tier — assignment is
+    * append-time static) or one whole-batch rewrite (threshold above),
+    * then that batch's `_termmeta`, `_docidx`, and stats recomputes.
+    * Every swap is a rename-aside the recovery pass heals. `root` must
+    * be resolved. */
   private def applyErase(spark: SparkSession, root: String, docIds: Seq[Long],
                          leaves: Seq[(Long, Int)]): Unit = {
     val base = root.stripSuffix("/")
     val dbuckets = docIds.map(dbucketOf).distinct
     leaves.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, ls) =>
-      ls.foreach { case (_, tb) =>
-        val leaf = java.nio.file.Paths.get(s"$base/ingest_batch=$b/tbucket=$tb")
-        Seq(0, 1).foreach { t =>
-          val tierDir = leaf.resolve(s"tier=$t")
-          if (java.nio.file.Files.exists(tierDir))
-            graft.queue.Maintenance.rewriteLeaf(tierDir.toString,
-              spark.read.parquet(tierDir.toString)
-                .filter(!col("doc_id").isInCollection(docIds)),
-              Seq("tok"))
+      val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
+      if (ls.size >= WholeBatchEraseLeaves &&
+          java.nio.file.Files.exists(batchDir)) {
+        // whole-batch path: one read, one partitioned write, one swap —
+        // then ONE termmeta and ONE docidx rewrite for the batch
+        val survivors = spark.read.parquet(batchDir.toString)
+          .filter(!col("doc_id").isInCollection(docIds))
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+            col("tbucket").cast("int").as("tbucket"),
+            col("tier").cast("int").as("tier"))
+          .localCheckpoint(true) // feeds the batch rewrite AND termmeta
+        if (survivors.isEmpty) graft.queue.Maintenance.deleteRec(batchDir)
+        else {
+          val tmp = batchDir.resolveSibling(
+            "." + batchDir.getFileName.toString + ".swap")
+          graft.queue.Maintenance.deleteRec(tmp)
+          survivors.repartition(col("tbucket"))
+            .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+            .write.partitionBy("tbucket", "tier").parquet(tmp.toString)
+          graft.queue.Maintenance.replaceDir(tmp.toString, batchDir.toString)
+          val metaTmp = s"$base/_termmeta/.ingest_batch=$b.swap"
+          graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaTmp))
+          survivors.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+            .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
+            .repartition(col("tbucket"))
+            .sortWithinPartitions(col("tbucket"), col("tok"))
+            .write.partitionBy("tbucket").parquet(metaTmp)
+          graft.queue.Maintenance.replaceDir(metaTmp,
+            s"$base/_termmeta/ingest_batch=$b")
         }
-        // a leaf whose every tier emptied goes outright (partition
-        // discovery must not trip on a hollow tbucket dir)
-        if (java.nio.file.Files.exists(leaf) && !hasChildWithPrefix(leaf, "tier="))
-          graft.queue.Maintenance.deleteRec(leaf)
-        // exact df recompute for the touched (batch, tbucket) partition
-        val metaLeaf = s"$base/_termmeta/ingest_batch=$b/tbucket=$tb"
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaLeaf))) {
-          if (!java.nio.file.Files.exists(leaf))
-            graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaLeaf))
-          else
-            graft.queue.Maintenance.rewriteLeaf(metaLeaf,
-              spark.read.parquet(leaf.toString)
-                .groupBy(col("tok")).agg(count(lit(1)).as("df")),
-              Seq("tok"))
+      } else {
+        ls.foreach { case (_, tb) =>
+          val leaf = java.nio.file.Paths.get(s"$base/ingest_batch=$b/tbucket=$tb")
+          Seq(0, 1).foreach { t =>
+            val tierDir = leaf.resolve(s"tier=$t")
+            if (java.nio.file.Files.exists(tierDir))
+              graft.queue.Maintenance.rewriteLeaf(tierDir.toString,
+                spark.read.parquet(tierDir.toString)
+                  .filter(!col("doc_id").isInCollection(docIds)),
+                Seq("tok"))
+          }
+          // a leaf whose every tier emptied goes outright (partition
+          // discovery must not trip on a hollow tbucket dir)
+          if (java.nio.file.Files.exists(leaf) && !hasChildWithPrefix(leaf, "tier="))
+            graft.queue.Maintenance.deleteRec(leaf)
+          // exact df recompute for the touched (batch, tbucket) partition
+          val metaLeaf = s"$base/_termmeta/ingest_batch=$b/tbucket=$tb"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaLeaf))) {
+            if (!java.nio.file.Files.exists(leaf))
+              graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaLeaf))
+            else
+              graft.queue.Maintenance.rewriteLeaf(metaLeaf,
+                spark.read.parquet(leaf.toString)
+                  .groupBy(col("tok")).agg(count(lit(1)).as("df")),
+                Seq("tok"))
+          }
         }
       }
       dbuckets.foreach { d =>
@@ -883,6 +981,13 @@ object PostingsStore {
     val base = root.stripSuffix("/")
     leaves.map(_._1).distinct.foreach { b =>
       val batchDir = java.nio.file.Paths.get(s"$base/ingest_batch=$b")
+      // whole-batch swap asides live one level UP (the batch dir itself
+      // and its termmeta/docidx batch dirs are the swap targets)
+      graft.queue.Maintenance.healAside(batchDir)
+      graft.queue.Maintenance.healAside(
+        java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
+      graft.queue.Maintenance.healAside(
+        java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
       healAsidesUnder(batchDir)
       // tier-level asides live one level down
       if (java.nio.file.Files.exists(batchDir)) {
@@ -949,7 +1054,9 @@ object PostingsStore {
 
   private def layoutImpl(spark: SparkSession, sfDir: String,
                          variant: String)(seed: String => Unit): String = {
-    val keyStr = s"$sfDir|$variant"
+    // headSize is part of the persisted format — a warm /tmp layout cut
+    // at a different head must rebuild, not serve
+    val keyStr = s"$sfDir|$variant|h$DefaultHeadSize"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString

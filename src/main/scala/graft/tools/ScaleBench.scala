@@ -804,9 +804,9 @@ object ScaleBench {
     // matched postings stay FIXED while the store grows 10x — the
     // registry-probe experiment (cont_probe's), with the layout bound
     // published beside the wall: the probe reads <= |term buckets| of
-    // 256 bucket dirs. Erasure (locate is one store scan — doc_id is
-    // not the sort key; honest O(store)) and the compaction fold ride
-    // beside as the maintenance faces.
+    // 256 bucket dirs. Erasure (doc-keyed locate through _docidx;
+    // whole-batch rewrites past the touched-leaf threshold) and the
+    // compaction fold ride beside as the maintenance faces.
     val postingsRows = Seq(1, 10).map { k =>
       import spark.implicits._
       val docsDisk = spark.read.parquet(s"$root/x$k/documents.parquet")
@@ -1014,11 +1014,15 @@ object ScaleBench {
     val rgContRows = scales.map { k =>
       val regDir = s"$root/registry-cont-x$k" // seeded by the cont_probe regime
       val rgDir = s"$root/registry-cont-rg-x$k"
-      if (!Files.exists(Paths.get(rgDir)))
-        graft.streaming.IncrementalContainment.readRegistry(spark, regDir)
-          .repartition(col("bucket"))
-          .sortWithinPartitions(col("bucket"), col("shingle_md5"))
-          .write.options(smallGroups).partitionBy("bucket").parquet(rgDir)
+      // fresh rebuild every run: the timing probes below APPEND their
+      // batch registrations (processBatch's contract), so a reused dir
+      // would carry the previous run's single-row-group append files and
+      // dilute the groups/file density the files column is here to show
+      graft.queue.Maintenance.deleteRec(Paths.get(rgDir))
+      graft.streaming.IncrementalContainment.readRegistry(spark, regDir)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("shingle_md5"))
+        .write.options(smallGroups).partitionBy("bucket").parquet(rgDir)
       val (files, groups) = rowGroupsOf(new java.io.File(rgDir))
       val docs = spark.read.parquet(s"$root/x$k/documents.parquet")
       val batch = docs.filter(col("doc_id") % 200 === 0)
@@ -1636,7 +1640,15 @@ object ScaleBench {
     sb ++= "I/O the tier cut removes from the hot path; recall vs the\n"
     sb ++= "exact top-10 is the measured price (df stays exact via the\n"
     sb ++= "_termmeta sidecar, so only tail-resident contributions are\n"
-    sb ++= "lost). At these sizes both serves are footer/scheduler-bound —\n"
+    sb ++= "lost). Read the recall column honestly: a query MIXING a\n"
+    sb ++= "discriminative term with a stop word whose per-doc\n"
+    sb ++= "contribution rivals the score gaps near the top-k cut line\n"
+    sb ++= "gets its boundary reordered (the structural limit of\n"
+    sb ++= "impact-ordered tiers without WAND bound certificates — the\n"
+    sb ++= "named next step); single-term queries with df <= headSize\n"
+    sb ++= "serve exactly by construction, and q130's oracle gates the\n"
+    sb ++= "cut itself, so the approximation is never silent. At these\n"
+    sb ++= "sizes both serves are footer/scheduler-bound —\n"
     sb ++= "the BYTES columns are the 100 TB claim, the walls the sanity\n"
     sb ++= "check.\n"
     sb ++= "\n| containment probe over ~16 KiB row groups (25-doc batch) | files | row groups | probe sec |\n|---|---|---|---|\n"
@@ -1647,6 +1659,12 @@ object ScaleBench {
     rgPostRows.foreach { case (k, files, groups, s) =>
       sb ++= f"| ${k}x store | $files | $groups | $s%.2f s |\n"
     }
+    sb ++= "\n(The containment files column counts the COMPACTED base files\n"
+    sb ++= "plus the single-group registration files the timing probes\n"
+    sb ++= "themselves append — processBatch registers its batch, the\n"
+    sb ++= "cont_probe house behavior — so groups/file density lives in\n"
+    sb ++= "the compacted base: subtract one single-group file per\n"
+    sb ++= "appended registration.)\n"
     sb ++= "\nThe row-group tier engaged FOR REAL (the r17 verdict's named\n"
     sb ++= "gap): both key-sorted stores rewritten into ~16 KiB row groups —\n"
     sb ++= "groups/file >> 1 above, vs the single-group toy files every\n"

@@ -372,6 +372,22 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       assert(exactAll(id) == q, s"head score drifted for doc $id") }
   }
 
+  test("tiered batched serving equals per-query tiered serving row for row") {
+    val req = Seq((0L, "dup"), (0L, "the"), (1L, "merge"), (1L, "the"))
+      .toDF("query_id", "term")
+    val got = PostingsStore.bm25TopKPrunedBatch(spark, bulk, req, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val perQuery = Seq(0L -> Seq("dup", "the"), 1L -> Seq("merge", "the"))
+      .flatMap { case (qid, ts) =>
+        PostingsStore.bm25TopKPruned(spark, bulk, ts, k = 10)
+          .collect()
+          .map(r => (qid, r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toSet
+    assert(got == perQuery && got.nonEmpty)
+  }
+
   test("tiered serve equals the exact serve when every term fits the head") {
     val d = tmp("graft_postings_allhead")
     val small = docs.limit(50) // every df <= 50 < DefaultHeadSize
