@@ -357,7 +357,7 @@ object Plans {
       ("TIERED BM25 serving — the common-term bound: the probe's " +
         "PartitionFilters carry tier=0 beside the tbucket literals, so " +
         "the stop word's tail partitions are never listed, let alone " +
-        "read — per term per batch the scan is <= headSize (64) postings " +
+        "read — per term per batch the scan is <= headSize (256) postings " +
         "no matter the df (q129's 'the' reads ~3800 postings on the " +
         "exact path, <=768 here; discriminative terms with df <= 256 " +
         "serve exactly). df stays EXACT via the _termmeta " +
