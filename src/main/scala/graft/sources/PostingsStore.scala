@@ -283,8 +283,13 @@ object PostingsStore {
         "compact() - replaying it would double-count its documents; " +
         "resolve the stream checkpoint instead")
     if (checkDupIds) {
+      // only COMMITTED registrations can refuse an append: a torn batch's
+      // leftover _docidx rows (postings landed, stats never did) will be
+      // overwritten by that batch's own replay, so they must not block a
+      // different batch from legitimately carrying the doc
       val clash = readDocIdx(docs.sparkSession, root)
-        .filter(col("ingest_batch") =!= batchId)
+        .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+          col("ingest_batch") =!= batchId)
         .join(broadcast(docs.select(col(idCol).cast("long").as("doc_id"))
           .distinct()), Seq("doc_id"))
         .select(col("doc_id"), col("ingest_batch"))
@@ -386,12 +391,17 @@ object PostingsStore {
     * PartitionFilters (≤ |terms| of 256 buckets) and the key set as an
     * `In(tok, …)` of eq leaves in PushedFilters (row-group tier over the
     * key-sorted files). Reads BOTH tiers — the exact-serving probe.
-    * `root` must be resolved. */
+    * `root` must be resolved; `batches` is the serving call's PINNED
+    * committed-batch snapshot (resolved once per call and threaded into
+    * every relation the serve touches — postings, `_termmeta`, `_stats` —
+    * so a batch committing mid-serve is whole-visible or whole-invisible,
+    * never stats-only). */
   private[sources] def probe(spark: SparkSession, root: String,
-                             terms: Seq[String]): DataFrame = {
+                             terms: Seq[String],
+                             batches: Seq[Long]): DataFrame = {
     val buckets = terms.map(bucketOf).distinct
     readPostings(spark, root)
-      .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+      .filter(col("ingest_batch").isInCollection(batches) &&
         col("tbucket").isInCollection(buckets) &&
         col("tok").isInCollection(terms))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
@@ -401,12 +411,13 @@ object PostingsStore {
     * `headSize` postings regardless of df. The tier literal lands in
     * PartitionFilters beside the buckets, so a stop-word term's tail is
     * never listed, let alone read (the spec poisons a tail leaf to pin
-    * it). `root` must be resolved. */
+    * it). `root` must be resolved, `batches` the pinned committed set. */
   private[sources] def probeHead(spark: SparkSession, root: String,
-                                 terms: Seq[String]): DataFrame = {
+                                 terms: Seq[String],
+                                 batches: Seq[Long]): DataFrame = {
     val buckets = terms.map(bucketOf).distinct
     readPostings(spark, root)
-      .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+      .filter(col("ingest_batch").isInCollection(batches) &&
         col("tbucket").isInCollection(buckets) &&
         col("tier") === 0 && col("tok").isInCollection(terms))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
@@ -494,21 +505,27 @@ object PostingsStore {
                            terms: Seq[String], k1: Double,
                            b: Double): DataFrame = {
     checkConsistent(root)
+    // ONE committed-batch snapshot per serving call, threaded into the
+    // probe, the _termmeta df filter, and the stats sum — a batch
+    // committing mid-serve must not inflate N/avgdl/df against postings
+    // the probe already excluded
+    val batches = committedBatches(root)
     val buckets = terms.map(bucketOf).distinct
     val matched = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
-      probeHead(spark, root, terms).localCheckpoint(true)
+      probeHead(spark, root, terms, batches).localCheckpoint(true)
     }
     val dfs = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       readTermMeta(spark, root)
-        .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
+        .filter(col("ingest_batch").isInCollection(batches) &&
           col("tbucket").isInCollection(buckets) &&
           col("tok").isInCollection(terms))
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
         .localCheckpoint(true)
     }
     val stats = readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
     matched.join(broadcast(dfs), "tok")
@@ -529,12 +546,16 @@ object PostingsStore {
                             terms: Seq[String], k1: Double,
                             b: Double): DataFrame = {
     checkConsistent(root)
+    // the pinned snapshot (prunedScored's rule): probe and stats see the
+    // SAME committed-batch set even if an append commits mid-serve
+    val batches = committedBatches(root)
     val matched = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
-      probe(spark, root, terms).localCheckpoint(true)
+      probe(spark, root, terms, batches).localCheckpoint(true)
     }
     val dfs = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
     matched.join(broadcast(dfs), "tok")
@@ -682,6 +703,16 @@ object PostingsStore {
     require(batches.nonEmpty, s"postings store at $dir: nothing to compact")
     val watermark = math.max(batches.max, compactedThrough(root))
     val next = currentVersion(base).getOrElse(0L) + 1L
+    // heal the one formerly-unhealed crash window: a crash between the
+    // staged snapshot's ATOMIC_MOVE to v<next> and its _vlog entry leaves
+    // an orphan v<next> no reader ever resolved to (the manifest entry IS
+    // the commit). Without this, every later compact would stage and then
+    // die on the move — maintenance permanently blocked. The orphan never
+    // committed, so deleting it is safe; single-maintainer contract means
+    // no concurrent compact can be mid-flight here.
+    val orphan = java.nio.file.Paths.get(base, s"v$next")
+    if (java.nio.file.Files.exists(orphan))
+      graft.queue.Maintenance.deleteRec(orphan)
     val tmp = java.nio.file.Paths.get(base, s".v$next.build")
     graft.queue.Maintenance.deleteRec(tmp)
     readPostings(spark, root)
@@ -775,7 +806,10 @@ object PostingsStore {
     * serving refuses loudly and the next call here COMPLETES the
     * recorded erase from the marker — tombstones included — before
     * starting its own; a crash before the marker mutated nothing (the
-    * call did not return; the caller retries). Idempotent: erased ids
+    * call did not return; the caller retries). Ids the committed-batch
+    * locate does NOT find are still TOMBSTONED before the early return:
+    * they may live in a torn append whose stats never committed, and its
+    * replay must not resurrect the takedown. Idempotent: erased ids
     * match no rows. Returns postings rows removed. */
   def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Long = {
     require(docIds.nonEmpty, "postings erase: empty id list")
@@ -795,7 +829,15 @@ object PostingsStore {
         .distinct()
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     }
-    if (located.isEmpty) return 0L
+    if (located.isEmpty) {
+      // tombstone even when the locate (restricted to COMMITTED batches)
+      // finds nothing: the ids may live in a torn append whose stats never
+      // committed — its replay must re-register only the survivors, so a
+      // takedown filed during the crash window still sticks. Duplicates
+      // are absorbed by the reader's distinct; nothing else to mutate.
+      appendTombstones(spark, root, docIds)
+      return 0L
+    }
     val touchedBatches = located.map(_._1).distinct
     // removed count from the touched partitions only (partition-pruned)
     val removed = readPostings(spark, root)

@@ -373,7 +373,12 @@ object IncrementalDedup {
 
     val verdictEdges = verdicts.filter(col("is_dup"))
       .select(col(idCol).as("doc_a"), col("dup_of").as("doc_b")).distinct()
-    val regReps = registry
+    // registry edges come from the PRE-erase rows too (registryAll, the
+    // verdictEdges rule): a chain connected to a surviving kept rep only
+    // through the erased rep's (band, minhash) co-bucket rows must repoint
+    // to that kept rep, not mint a succession rep — the erase filter
+    // applies to the REWRITE and the canonical exclusion, never the edges
+    val regReps = registryAll
       .select(col("band"), col("minhash"), col("rep_doc_id")).distinct()
     val bucketMin = regReps.groupBy(col("band"), col("minhash"))
       .agg(min(col("rep_doc_id")).as("min_rep"))
@@ -383,7 +388,7 @@ object IncrementalDedup {
       .distinct()
 
     val nodes = verdicts.select(col(idCol))
-      .union(registry.select(col("rep_doc_id").as(idCol))).distinct()
+      .union(registryAll.select(col("rep_doc_id").as(idCol))).distinct()
     val clusters = Dedup.clusterPairs(nodes,
       verdictEdges.union(registryEdges), idCol)
 

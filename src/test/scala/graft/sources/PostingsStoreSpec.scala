@@ -90,7 +90,7 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
 
   test("the probe prunes: tbucket partition literals + pushed In(tok) eq leaves") {
     graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
-      val plan = PostingsStore.probe(spark, bulk, terms)
+      val plan = PostingsStore.probe(spark, bulk, terms, Seq(-1L))
         .queryExecution.executedPlan.toString
       val pfStart = plan.indexOf("PartitionFilters: [")
       assert(pfStart >= 0, plan)
@@ -330,7 +330,7 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
 
   test("tiered serve plan: tier=0 partition literal beside the term buckets") {
     graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
-      val plan = PostingsStore.probeHead(spark, bulk, Seq("dup", "the"))
+      val plan = PostingsStore.probeHead(spark, bulk, Seq("dup", "the"), Seq(-1L))
         .queryExecution.executedPlan.toString
       val pfStart = plan.indexOf("PartitionFilters: [")
       assert(pfStart >= 0, plan)
@@ -461,5 +461,85 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(failures.isEmpty, failures.toArray.mkString("\n"))
     assert(serveRows(d) == expected)
     assert(PostingsStore.resolveDir(d) == d + "/v2")
+  }
+
+  // ---- r19: snapshot pinning, orphan-version heal, torn-batch semantics ----
+
+  test("one serve = one committed-batch snapshot: a batch committing " +
+    "mid-serve cannot inflate stats against an already-pinned probe") {
+    val d = tmp("graft_postings_pin")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 100), d, 0L)
+    val expected = corpusRows(docs.filter($"doc_id" < 100))
+    // the serving DataFrame pins its committed set (and probes) at CALL
+    // time; the stats sum evaluates at collect time — after the append
+    val served = PostingsStore.bm25TopK(spark, d, terms, k = 20)
+    PostingsStore.appendBatch(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 200), d, 1L)
+    val got = served.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "stats drifted to a batch the probe never saw")
+    // same pin on the tiered path (its _termmeta df probe included)
+    val pruned = PostingsStore.bm25TopKPruned(spark, d, Seq("dup", "the"), k = 10)
+    PostingsStore.appendBatch(
+      docs.filter($"doc_id" >= 200 && $"doc_id" < 300), d, 2L)
+    val prunedGot = pruned.collect().map(_.getLong(1)).toSeq
+    val prunedNow = PostingsStore
+      .bm25TopKPruned(spark, d, Seq("dup", "the"), k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(prunedGot.nonEmpty)
+    // the pinned serve is internally consistent; a FRESH serve sees batch 2
+    assert(PostingsStore.bm25TopK(spark, d, terms, k = 20)
+      .collect().length == corpusRows(docs.filter($"doc_id" < 300)).length)
+    assert(prunedNow.nonEmpty)
+  }
+
+  test("compact heals an orphan v<next> left by a crash between the " +
+    "snapshot move and its manifest entry") {
+    val d = tmp("graft_postings_orphanv")
+    PostingsStore.build(docs.limit(60), d)
+    PostingsStore.compact(spark, d) // -> v1
+    val before = serveRows(d)
+    // simulate the crash window: v2 renamed into place, _vlog/2 never
+    // created — readers still resolve v1; pre-fix, the next compact staged
+    // and died on the ATOMIC_MOVE forever
+    val orphan = java.nio.file.Paths.get(d, "v2")
+    java.nio.file.Files.createDirectories(orphan.resolve("ingest_batch=-1"))
+    java.nio.file.Files.write(orphan.resolve("junk"), Array[Byte](1, 2, 3))
+    assert(PostingsStore.resolveDir(d) == d + "/v1")
+    PostingsStore.compact(spark, d) // must heal the orphan and commit v2
+    assert(PostingsStore.resolveDir(d) == d + "/v2")
+    assert(serveRows(d) == before)
+  }
+
+  test("a torn batch's _docidx rows cannot refuse a legitimate append " +
+    "of the same doc under a different batch") {
+    val d = tmp("graft_postings_torndup")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    // batch 1 lands postings + docidx, crashes before its stats commit
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 1L)
+    graft.queue.Maintenance.deleteRec(
+      java.nio.file.Paths.get(d, "_stats", "ingest_batch=1"))
+    // a different batch legitimately carries doc 15: only COMMITTED
+    // registrations may refuse — this must append, not throw
+    PostingsStore.appendBatch(docs.filter($"doc_id" === 15L), d, 2L)
+    assert(serveRows(d) == corpusRows(
+      docs.filter($"doc_id" < 10 || $"doc_id" === 15L)))
+  }
+
+  test("a takedown filed while its batch is torn still sticks: the empty " +
+    "locate tombstones, so the batch's replay re-registers only survivors") {
+    val d = tmp("graft_postings_torntakedown")
+    PostingsStore.appendBatch(docs.filter($"doc_id" < 10), d, 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 5L)
+    graft.queue.Maintenance.deleteRec(
+      java.nio.file.Paths.get(d, "_stats", "ingest_batch=5"))
+    // doc 12 lives only in the torn (uncommitted) batch: the locate finds
+    // nothing — pre-fix this returned 0 WITHOUT a tombstone and the replay
+    // silently resurrected the doc
+    assert(PostingsStore.deleteDocs(spark, d, Seq(12L)) == 0L)
+    PostingsStore.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), d, 5L)
+    val after = serveRows(d)
+    assert(after == corpusRows(docs.filter($"doc_id" < 20 && $"doc_id" =!= 12L)))
+    assert(!after.map(_._2).contains(12L))
   }
 }

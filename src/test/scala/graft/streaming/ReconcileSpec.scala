@@ -141,6 +141,37 @@ class ReconcileSpec extends AnyFunSuite with SparkTestSession {
       st2.reconcile.nRegistryRowsRemapped == 0, st2)
   }
 
+  test("a chain connected to a surviving kept rep ONLY through the erased " +
+    "rep's co-bucket rows repoints to that kept rep, not a succession rep") {
+    import org.apache.spark.sql.functions.col
+    val reg = tmp("graft_rec_bridge_reg") + "/r"
+    val vd = tmp("graft_rec_bridge_vd") + "/v"
+    // hand-laid registry (the clusterable shape, minus minhash physics):
+    // rep 20 bridges two neighborhoods — it co-buckets with kept rep 10 in
+    // (band 0, m1) and with rep 30 in (band 1, m2); 10 and 30 never share.
+    // Erasing 20 must still route 30's side to the surviving kept rep 10:
+    // edges come from the PRE-erase registry (the erased doc's own links
+    // are what route an orphaned chain), only the rewrite and canonical
+    // exclusion see the erase filter.
+    Seq((0, 17, "m1", 10L), (0, 17, "m1", 20L), (1, 42, "m2", 20L),
+        (1, 42, "m2", 30L))
+      .toDF("band", "bucket", "minhash", "rep_doc_id")
+      .write.partitionBy("band", "bucket").parquet(reg)
+    Seq((40L, true, Some(30L))).toDF("doc_id", "is_dup", "dup_of")
+      .write.parquet(vd)
+    val st = IncrementalDedup.eraseAndReconcile(spark, reg, vd, Seq(20L))
+    assert(st.nRegistryRowsErased == 2, st)
+    // 30's registry row repoints THROUGH the erased bridge to 10, and the
+    // verdict chain 40 -> 30 canonicalizes to 10 with it
+    assert(IncrementalDedup.readRegistry(spark, reg)
+      .select("rep_doc_id").as[Long].collect().toSet == Set(10L))
+    assert(verdicts(vd) == Map(40L -> (true, Some(10L))))
+    // idempotent: the erased rows are gone, nothing left to move
+    val st2 = IncrementalDedup.eraseAndReconcile(spark, reg, vd, Seq(20L))
+    assert(st2.nRegistryRowsErased == 0 &&
+      st2.reconcile.nRegistryRowsRemapped == 0, st2)
+  }
+
   test("erasing a chain MEMBER leaves the kept representative canonical") {
     val reg = tmp("graft_rec_ereg2"); val vd = tmp("graft_rec_evd2")
     step(Seq(Doc(100L, base)).toDF(), reg, vd)
