@@ -18,24 +18,35 @@ import org.apache.spark.sql.types.StructType
   * [[graft.streaming.IncrementalContainment]], carried over terms):
   *
   *   - `ingest_batch=N/tbucket=B/tier=T/` — postings
-  *     `(tok, doc_id, tf, dl)`, one row per distinct (document, term),
+  *     `(tok, doc_id, tf, dl, positions)`, one row per distinct
+  *     (document, term) with the term's DELTA-ENCODED in-document token
+  *     offsets (the phrase-serving substrate — [[phraseTopK]] verifies
+  *     adjacency from them at serve time; BM25 probes never select the
+  *     column, so parquet column pruning keeps it off the scoring path),
   *     hive-partitioned by the term fingerprint's first hex byte (256
   *     buckets) and an IMPACT TIER under the batch. Tier 0 (head) holds,
   *     per term per batch, the `headSize` postings of highest static
   *     impact ([[simpactQ]] — integer-exact, so an oracle replays the cut
   *     bit-for-bit); tier 1 (tail) holds the rest, so a term is tailed
   *     only when its in-batch df exceeds `headSize`. Files are SORTED by
-  *     `tok` so a pushed `In(tok, …)` prunes at ROW-GROUP level on footer
-  *     stats (no parquet bloom filters, for the measured reasons on
-  *     `IncrementalContainment.writeOccurrences`). The document's token
+  *     `(tok, doc_id)` so a pushed `In(tok, …)` prunes at ROW-GROUP level
+  *     on footer stats (no parquet bloom filters, for the measured reasons
+  *     on `IncrementalContainment.writeOccurrences`), and WITHIN a term's
+  *     run a pushed `In(doc_id, …)` prunes the same way — the WAND
+  *     candidate fetch's bound ([[bm25TopKWand]]). The document's token
   *     count `dl` is DENORMALIZED onto every posting — BM25's length
   *     normalization needs no corpus-sized doc-length join at serve time.
-  *   - `_termmeta/ingest_batch=N/tbucket=B/` — one `(tok, df)` row per
-  *     distinct term in the batch, key-sorted like the postings. This is
-  *     what makes the TIERED serve ([[bm25TopKPruned]]) honest: df stays
-  *     EXACT even when only the head tier is read (df counted from a
-  *     truncated probe would silently inflate every idf). O(vocab) rows —
-  *     metadata-scale beside the postings.
+  *   - `_termmeta/ingest_batch=N/tbucket=B/` — one
+  *     `(tok, df, tail_max_tf, tail_min_dl)` row per distinct term in the
+  *     batch, key-sorted like the postings. df is what makes the TIERED
+  *     serve ([[bm25TopKPruned]]) honest: it stays EXACT even when only
+  *     the head tier is read (df counted from a truncated probe would
+  *     silently inflate every idf). The tail columns are the per-(term,
+  *     batch) MAX-SCORE CERTIFICATES: max tf / min dl over the tier-1
+  *     postings (null when untailed) — `contrib(tail_max_tf, tail_min_dl)`
+  *     at serve-time (df, N, avgdl) upper-bounds every tail contribution,
+  *     which is what lets [[bm25TopKWand]] prove a tail needs no opening.
+  *     O(vocab) rows — metadata-scale beside the postings.
   *   - `_docidx/ingest_batch=N/dbucket=D/` — one `(doc_id, tbuckets)` row
   *     per ingested document, hive-partitioned by `doc_id mod 256` and
   *     sorted by `doc_id`, recording which term buckets carry the doc's
@@ -162,13 +173,14 @@ object PostingsStore {
 
   private val postingsSchema: StructType = StructType.fromDDL(
     "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-      "ingest_batch BIGINT, tbucket INT, tier INT")
+      "positions ARRAY<BIGINT>, ingest_batch BIGINT, tbucket INT, tier INT")
 
   private val statsSchema: StructType = StructType.fromDDL(
     "n_docs BIGINT, total_len BIGINT, ingest_batch BIGINT")
 
   private val termMetaSchema: StructType = StructType.fromDDL(
-    "tok STRING, df BIGINT, ingest_batch BIGINT, tbucket INT")
+    "tok STRING, df BIGINT, tail_max_tf BIGINT, tail_min_dl BIGINT, " +
+      "ingest_batch BIGINT, tbucket INT")
 
   private val docIdxSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, tbuckets ARRAY<INT>, ingest_batch BIGINT, dbucket INT")
@@ -213,6 +225,51 @@ object PostingsStore {
       simpactQ.desc, col("tf").desc, col("dl").asc, col("doc_id").asc)
     when(row_number().over(w) <= headSize, lit(0)).otherwise(lit(1))
   }
+
+  /** [[tierCol]] with a PER-TERM capacity column instead of one constant —
+    * the erase path's refill cut: each term's head refills to its ORIGINAL
+    * head capacity (`capCol` = the batch's pre-erase tier-0 count, which is
+    * min(df, headSize) by construction), so re-tiering at erase needs no
+    * headSize parameter and lands EXACTLY the fresh-build cut over the
+    * survivors: min(surviving df, headSize). */
+  private def tierColCapped(capCol: Column): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tok")).orderBy(
+      simpactQ.desc, col("tf").desc, col("dl").asc, col("doc_id").asc)
+    when(row_number().over(w) <= capCol, lit(0)).otherwise(lit(1))
+  }
+
+  /** Token positions, DELTA-ENCODED for the posting lists: ascending
+    * absolute 0-based offsets in, `[p0, p1-p0, p2-p1, …]` out — the
+    * standard posting-list gap encoding (small positive ints compress far
+    * better under parquet's integer encodings than raw offsets, and the
+    * decode is a per-posting prefix sum bounded by tf). */
+  private def deltaEncode(ps: Column): Column =
+    transform(ps, (p, i) => when(i === 0, p).otherwise(p - element_at(ps, i)))
+
+  /** Inverse of [[deltaEncode]]: gaps back to ascending absolute offsets —
+    * a running sum over ≤ tf elements per posting. */
+  private[sources] def decodePositions(deltas: Column): Column = {
+    val zero = struct(lit(0L).as("last"),
+      array().cast("array<bigint>").as("arr"))
+    aggregate(deltas, zero,
+      (acc, x) => struct((acc.getField("last") + x).as("last"),
+        array_append(acc.getField("arr"), acc.getField("last") + x).as("arr")),
+      acc => acc.getField("arr"))
+  }
+
+  /** One batch's `_termmeta` rows from its TIERED postings: the exact df
+    * plus the tail BOUND CERTIFICATES ([[bm25TopKWand]]'s substrate) —
+    * max tf and min dl over the tier-1 postings, null when the term has
+    * no tail. The BM25 contribution is monotone UP in tf and DOWN in dl,
+    * so `contrib(tail_max_tf, tail_min_dl)` evaluated at the serve-time
+    * (df, N, avgdl) upper-bounds every tail posting's contribution —
+    * a valid max-score certificate no matter how appends move avgdl. */
+  private def termMetaFor(tiered: DataFrame): DataFrame =
+    tiered.groupBy(col("tok")).agg(
+      count(lit(1)).as("df"),
+      max(when(col("tier") === 1, col("tf"))).as("tail_max_tf"),
+      min(when(col("tier") === 1, col("dl"))).as("tail_min_dl"))
 
   // Version-manifest layer ----------------------------------------------------
 
@@ -329,24 +386,36 @@ object PostingsStore {
       docs(idCol).cast("long") === col(idCol + "__erased"), "left_anti")
     val toks = live.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("abs_pos"))
+      .withColumn("positions", deltaEncode(col("abs_pos"))).drop("abs_pos")
       .join(dl, "doc_id")
-      .localCheckpoint(true) // feeds postings, termmeta, and docidx once
-    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        bucketCol(col("tok")).as("tbucket"), tierCol(headSize).as("tier"))
+    val tiered = tf
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), bucketCol(col("tok")).as("tbucket"),
+        tierCol(headSize).as("tier"))
+      .localCheckpoint(true) // feeds postings, termmeta, docidx, stats once
+    // files sort by (tok, doc_id): tok runs give the In(tok) row-group
+    // pruning, and WITHIN a run doc_id footer stats give the WAND
+    // candidate fetch its In(doc_id) row-group pruning
+    tiered
       .repartition(col("tbucket"))
-      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("tbucket", "tier")
       .parquet(s"$root/ingest_batch=$batchId")
-    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
+    termMetaFor(tiered)
+      .select(col("tok"), col("df"), col("tail_max_tf"), col("tail_min_dl"),
+        bucketCol(col("tok")).as("tbucket"))
       .repartition(col("tbucket"))
       .sortWithinPartitions(col("tbucket"), col("tok"))
       .write.mode(SaveMode.Overwrite).partitionBy("tbucket")
       .parquet(s"$root/_termmeta/ingest_batch=$batchId")
-    tf.select(col("doc_id"), bucketCol(col("tok")).as("tbucket"))
+    tiered.select(col("doc_id"), col("tbucket"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("tbucket"))).as("tbuckets"))
       .select(col("doc_id"), col("tbuckets"),
@@ -355,7 +424,8 @@ object PostingsStore {
       .sortWithinPartitions(col("dbucket"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
       .parquet(s"$root/_docidx/ingest_batch=$batchId")
-    dl.agg(count(lit(1)).as("n_docs"),
+    tiered.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/_stats/ingest_batch=$batchId")
@@ -715,16 +785,21 @@ object PostingsStore {
       graft.queue.Maintenance.deleteRec(orphan)
     val tmp = java.nio.file.Paths.get(base, s".v$next.build")
     graft.queue.Maintenance.deleteRec(tmp)
-    readPostings(spark, root)
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("tbucket"),
-        tierCol(headSize).as("tier"))
+    // the global re-tier changes the tail set, so `_termmeta`'s tail
+    // certificates must recompute from the FOLDED postings (never a sum of
+    // the per-batch sidecars); one materialization feeds both writes
+    val folded = readPostings(spark, root)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), col("tbucket"), tierCol(headSize).as("tier"))
+      .localCheckpoint(true)
+    folded
       .repartition(col("tbucket"))
-      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"), col("doc_id"))
       .write.partitionBy("tbucket", "tier")
       .parquet(s"$tmp/ingest_batch=-1")
-    readTermMeta(spark, root)
-      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
+    termMetaFor(folded)
+      .select(col("tok"), col("df"), col("tail_max_tf"), col("tail_min_dl"),
+        bucketCol(col("tok")).as("tbucket"))
       .repartition(col("tbucket"))
       .sortWithinPartitions(col("tbucket"), col("tok"))
       .write.partitionBy("tbucket")
@@ -796,10 +871,16 @@ object PostingsStore {
     * `_erase_inflight` intent marker (ids + touched leaves) BEFORE any
     * mutation, tombstones the ids in `_erased/` (future appends filter
     * them — see the object scaladoc), rewrites each touched leaf through
-    * the rename-aside swap keeping the key sort and tier assignment
-    * (emptied leaves and batches removed outright; tiers do NOT promote
-    * on erase — the head may under-fill until the next [[compact]]
-    * re-tiers), RECOMPUTES each touched batch's `_termmeta` partitions
+    * the rename-aside swap keeping the key sort (emptied leaves and
+    * batches removed outright). Tier refill: the WHOLE-BATCH rewrite path
+    * RE-TIERS the survivors — each term's head refills to its original
+    * capacity, exactly the fresh-build cut over the survivors, so a
+    * head-hitting takedown cannot silently dent tiered recall (the spec
+    * pins the equivalence and q134 hash-gates it); the per-leaf path keeps
+    * static tiers and may leave the head UNDER-FILLED until the next
+    * [[compact]] re-tiers (documented at the branch; exact serving is
+    * unaffected either way). It then RECOMPUTES each touched batch's
+    * `_termmeta` partitions
     * and stats row from its surviving postings (exact by construction —
     * no delta bookkeeping to drift), scrubs the ids from `_docidx`, and
     * drops the marker last. A crash anywhere after the marker leaves it:
@@ -894,12 +975,25 @@ object PostingsStore {
       if (ls.size >= WholeBatchEraseLeaves &&
           java.nio.file.Files.exists(batchDir)) {
         // whole-batch path: one read, one partitioned write, one swap —
-        // then ONE termmeta and ONE docidx rewrite for the batch
-        val survivors = spark.read.parquet(batchDir.toString)
-          .filter(!col("doc_id").isInCollection(docIds))
+        // then ONE termmeta and ONE docidx rewrite for the batch. The
+        // survivors RE-TIER here (each term's head refills to its original
+        // capacity — pre-erase tier-0 count = min(df, headSize) — so the
+        // result is EXACTLY the fresh-build cut over the survivors, and a
+        // head-hitting takedown cannot silently under-fill tiered recall);
+        // the survivors are already in hand, so the recompute is one
+        // window over rows this path rewrites anyway.
+        val all = spark.read.parquet(batchDir.toString)
           .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-            col("tbucket").cast("int").as("tbucket"),
+            col("positions"), col("tbucket").cast("int").as("tbucket"),
             col("tier").cast("int").as("tier"))
+        val headCap = all.filter(col("tier") === 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("head_cap"))
+        val survivors = all
+          .filter(!col("doc_id").isInCollection(docIds))
+          .join(headCap, Seq("tok"), "left")
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+            col("positions"), col("tbucket"),
+            tierColCapped(coalesce(col("head_cap"), lit(0L))).as("tier"))
           .localCheckpoint(true) // feeds the batch rewrite AND termmeta
         if (survivors.isEmpty) graft.queue.Maintenance.deleteRec(batchDir)
         else {
@@ -907,13 +1001,15 @@ object PostingsStore {
             "." + batchDir.getFileName.toString + ".swap")
           graft.queue.Maintenance.deleteRec(tmp)
           survivors.repartition(col("tbucket"))
-            .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"))
+            .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"),
+              col("doc_id"))
             .write.partitionBy("tbucket", "tier").parquet(tmp.toString)
           graft.queue.Maintenance.replaceDir(tmp.toString, batchDir.toString)
           val metaTmp = s"$base/_termmeta/.ingest_batch=$b.swap"
           graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaTmp))
-          survivors.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-            .select(col("tok"), col("df"), bucketCol(col("tok")).as("tbucket"))
+          termMetaFor(survivors)
+            .select(col("tok"), col("df"), col("tail_max_tf"),
+              col("tail_min_dl"), bucketCol(col("tok")).as("tbucket"))
             .repartition(col("tbucket"))
             .sortWithinPartitions(col("tbucket"), col("tok"))
             .write.partitionBy("tbucket").parquet(metaTmp)
@@ -921,6 +1017,11 @@ object PostingsStore {
             s"$base/_termmeta/ingest_batch=$b")
         }
       } else {
+        // per-leaf path (short documents, few touched buckets): tier
+        // assignment stays STATIC — a head-tier erasure leaves the head
+        // UNDER-FILLED for the touched terms until the next compact()
+        // re-tiers (the whole-batch path above does refill); exact serving
+        // is unaffected either way
         ls.foreach { case (_, tb) =>
           val leaf = java.nio.file.Paths.get(s"$base/ingest_batch=$b/tbucket=$tb")
           Seq(0, 1).foreach { t =>
@@ -929,21 +1030,21 @@ object PostingsStore {
               graft.queue.Maintenance.rewriteLeaf(tierDir.toString,
                 spark.read.parquet(tierDir.toString)
                   .filter(!col("doc_id").isInCollection(docIds)),
-                Seq("tok"))
+                Seq("tok", "doc_id"))
           }
           // a leaf whose every tier emptied goes outright (partition
           // discovery must not trip on a hollow tbucket dir)
           if (java.nio.file.Files.exists(leaf) && !hasChildWithPrefix(leaf, "tier="))
             graft.queue.Maintenance.deleteRec(leaf)
-          // exact df recompute for the touched (batch, tbucket) partition
+          // exact df + tail-certificate recompute for the touched
+          // (batch, tbucket) partition
           val metaLeaf = s"$base/_termmeta/ingest_batch=$b/tbucket=$tb"
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaLeaf))) {
             if (!java.nio.file.Files.exists(leaf))
               graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(metaLeaf))
             else
               graft.queue.Maintenance.rewriteLeaf(metaLeaf,
-                spark.read.parquet(leaf.toString)
-                  .groupBy(col("tok")).agg(count(lit(1)).as("df")),
+                termMetaFor(spark.read.parquet(leaf.toString)),
                 Seq("tok"))
           }
         }
@@ -1087,9 +1188,10 @@ object PostingsStore {
   // Battery-entry layouts (the IvfIndexStore.layoutFor discipline:
   // built once per (session, sfDir) per /tmp lifetime, marker-gated so a
   // warm /tmp re-run replays the ingest instead of duplicating it).
-  // Path carries the layout-format generation ("postings2" = the tiered
-  // r18 layout) so a warm /tmp from an earlier round can never serve a
-  // pre-tier store to a tier-aware reader.
+  // Path carries the layout-format generation ("postings3" = the r19
+  // layout: delta-encoded position arrays + _termmeta tail certificates)
+  // so a warm /tmp from an earlier round can never serve a stale format
+  // to a newer reader.
 
   private val layoutMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
@@ -1102,7 +1204,7 @@ object PostingsStore {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
-    val dir = "/tmp/graft-postings2/" + digest + "_" + variant + "_" +
+    val dir = "/tmp/graft-postings3/" + digest + "_" + variant + "_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val key = (spark, keyStr)
     if (!layoutMemo.contains(key)) {

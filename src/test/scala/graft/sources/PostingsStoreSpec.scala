@@ -526,6 +526,77 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       docs.filter($"doc_id" < 10 || $"doc_id" === 15L)))
   }
 
+  test("positions delta-encode round-trips to the absolute token offsets") {
+    val expected = docs.limit(50)
+      .select($"doc_id".cast("long").as("doc_id"),
+        posexplode(graft.operators.TextAnalysis.tokens($"text")))
+      .groupBy($"doc_id", $"col".as("tok"))
+      .agg(sort_array(collect_list($"pos".cast("long"))).as("abs_pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    val d = tmp("graft_postings_positions")
+    PostingsStore.build(docs.limit(50), d)
+    val got = PostingsStore.readPostings(spark, d)
+      .select($"doc_id", $"tok",
+        PostingsStore.decodePositions($"positions").as("abs_pos"),
+        $"positions", $"tf")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val abs = r.getSeq[Long](2).toSeq
+      val deltas = r.getSeq[Long](3).toSeq
+      assert(abs == expected(key), s"positions drifted for $key")
+      // the stored form is genuinely the GAP encoding, tf gaps per posting
+      assert(deltas.size == r.getLong(4), key)
+      assert(deltas.tail.forall(_ > 0), s"non-positive gap for $key")
+      assert(deltas == (abs.head +: abs.sliding(2).toSeq
+        .collect { case Seq(a, b) => b - a }), key)
+    }
+  }
+
+  test("whole-batch erase RE-TIERS: the store after a head-hitting " +
+    "takedown is tier-identical to a fresh build of the survivors") {
+    val d = tmp("graft_postings_retier")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    // take down docs that hold HEAD postings of the common term in every
+    // stripe — pre-r19 the head stayed under-filled until compact
+    val headIds = PostingsStore.readPostings(spark, d)
+      .filter($"tok" === "the" && $"tier" === 0)
+      .select($"doc_id").as[Long].collect().sorted.take(12).toSeq
+    assert(headIds.size == 12)
+    assert(PostingsStore.deleteDocs(spark, d, headIds) > 0)
+    val fresh = tmp("graft_postings_retier_fresh")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(
+        docs.filter($"doc_id" % 3 === b && !$"doc_id".isin(headIds: _*)),
+        fresh, b.toLong))
+    def tiers(dir: String) = PostingsStore.readPostings(spark, dir)
+      .select($"tok", $"doc_id", $"tf", $"dl", $"ingest_batch", $"tier")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(tiers(d) == tiers(fresh), "erase refill drifted from the fresh cut")
+    // and the tiered serve over the erased store equals the fresh build's
+    def pruned(dir: String) = PostingsStore
+      .bm25TopKPruned(spark, dir, Seq("dup", "the"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pruned(d) == pruned(fresh) && pruned(d).nonEmpty)
+    // the refilled head is FULL again: per (term, batch), tier-0 count is
+    // min(surviving df, original capacity)
+    val counts = PostingsStore.readPostings(spark, d)
+      .filter($"tok" === "the")
+      .groupBy($"ingest_batch")
+      .agg(sum(when($"tier" === 0, 1).otherwise(0)).as("head"),
+        count(lit(1)).as("df"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    counts.foreach { case (head, df) =>
+      assert(head == math.min(df, PostingsStore.DefaultHeadSize.toLong),
+        s"head=$head df=$df under-filled") }
+  }
+
   test("a takedown filed while its batch is torn still sticks: the empty " +
     "locate tombstones, so the batch's replay re-registers only survivors") {
     val d = tmp("graft_postings_torntakedown")
