@@ -243,6 +243,25 @@ object LlmQueries extends graft.QueryModule {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** q132: WAND/max-score EXACT serving — q130's stop-word fixture
+    * ("dup" + "the") answered EXACTLY from the tiered layout via
+    * [[graft.sources.PostingsStore.bm25TopKWand]]: head tier first, then
+    * a term's tail opened only for the candidate documents whose
+    * `_termmeta` max-score certificate cannot exclude them. The oracle is
+    * the EXACT from-corpus BM25 (q126's replay re-targeted at these
+    * terms), so the whole certificate algebra — θ from the head partials,
+    * per-term tail upper bounds through the shared scorer, the candidate
+    * cut, the restricted tail fetch — is inside the hash gate: a bound
+    * that excluded a true top-k doc, a missed tail contribution, or a
+    * drifted df hash-fails. Exactness holds at every SF; the tail only
+    * EXISTS where a stripe's df("the") exceeds headSize (sf0.1 here —
+    * smaller SFs gate the all-head degenerate case, the spec gates the
+    * candidate path on a bulk store). */
+  def bm25WandSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopKWand(s, store, Seq("dup", "the"), k = 10)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -710,7 +729,8 @@ object LlmQueries extends graft.QueryModule {
     "q128_hybrid_store" -> hybridStoreRrf,
     "q129_bm25_batch" -> bm25BatchSearch,
     "q130_bm25_pruned" -> bm25PrunedSearch,
-    "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch)
+    "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch,
+    "q132_bm25_wand" -> bm25WandSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -808,12 +828,15 @@ object LlmQueries extends graft.QueryModule {
   private val bm25Cte = bm25CteFor("")
 
   /** The CTE over a filtered corpus — q127 replays takedown erasure as
-    * BM25 over the SURVIVORS (N, avgdl, df, postings all shrink). */
-  private def bm25CteFor(docFilter: String): String =
+    * BM25 over the SURVIVORS (N, avgdl, df, postings all shrink); q132
+    * re-targets the terms and k at the WAND serve's stop-word fixture. */
+  private def bm25CteFor(docFilter: String,
+                         terms: Seq[String] = Seq("dup", "vector", "merge"),
+                         k: Int = 20): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents$docFilter),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-      |qt(tok) AS (VALUES ('dup'), ('vector'), ('merge')),
+      |qt(tok) AS (VALUES ${terms.map(t => s"('$t')").mkString(", ")}),
       |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
       |       FROM toks t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
@@ -832,7 +855,7 @@ object LlmQueries extends graft.QueryModule {
       |        FROM c GROUP BY doc_id),
       |bm AS (SELECT doc_id, n_terms_hit, bm25_q,
       |         row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
-      |       FROM agg QUALIFY rnk <= 20)""".stripMargin
+      |       FROM agg QUALIFY rnk <= $k)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q124_bm25" -> (bm25Cte +
@@ -1031,6 +1054,13 @@ object LlmQueries extends graft.QueryModule {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
         |  doc_id, n_terms_hit, bm25_q
         |FROM ranked ORDER BY query_id, rnk""".stripMargin,
+    // WAND serving is EXACT by construction: the oracle is the plain
+    // from-corpus BM25 replay (q126's discipline) over the stop-word
+    // fixture — the certificate algebra must reproduce it bit for bit
+    "q132_bm25_wand" -> (bm25CteFor("", Seq("dup", "the"), 10) +
+      """
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin),
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +

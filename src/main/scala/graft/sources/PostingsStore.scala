@@ -564,6 +564,148 @@ object PostingsStore {
         col("n_terms_hit"), col("bm25_q"))
   }
 
+  /** EXACT BM25 top-k at (near-)tiered cost — WAND/max-score serving over
+    * the impact-tiered layout: serve the HEAD tier first, then open a
+    * term's tail ONLY for the documents whose max-score upper bound says
+    * the tail could still matter. Output is bit-identical to [[bm25TopK]]
+    * (q132 hash-gates it against the exact from-corpus oracle) — the
+    * exactness the impact tiers traded away, bought back with the
+    * `_termmeta` tail certificates instead of an O(df) stop-word read:
+    *
+    *   1. HEAD pass ([[probeHead]], tier=0 partition literal): per-doc
+    *      partial scores `s_head(d)` and each doc's head-matched term
+    *      set; df EXACT from `_termmeta`, stats from `_stats` — idf and
+    *      length normalization identical to the exact scorer's.
+    *   2. CERTIFICATES: per tail-bearing term,
+    *      `UB_t = max over batches of contrib(tail_max_tf, tail_min_dl)`
+    *      at the serve-time (df, N, avgdl) — an upper bound on every tail
+    *      contribution (the scorer is monotone up in tf, down in dl),
+    *      floored into the same quantized millionths BY the same shared
+    *      Spark expression, so the bound is exactly comparable to the
+    *      contributions it bounds.
+    *   3. THRESHOLD `θ` = the k-th largest `s_head` — a lower bound on
+    *      the k-th largest TRUE score. An unseen document's true score is
+    *      ≤ Σ_t UB_t; below θ, no unseen document can reach the top k. A
+    *      seen document's true score is ≤ `UB(d) = s_head(d) + Σ UB_t`
+    *      over the tail terms it did NOT match in head; `UB(d) < θ`
+    *      excludes it — and every true top-k document survives the cut
+    *      (true ≥ k-th-true ≥ θ, and UB ≥ true).
+    *   4. TAIL FETCH: for each tail term, the surviving candidates' rows
+    *      only — `tier=1` and the term's bucket as PARTITION literals,
+    *      the term a pushed eq leaf, `In(doc_id, candidates)` pruning row
+    *      groups inside the term's (tok, doc_id)-sorted run. A term with
+    *      NO surviving candidate is never listed, let alone read — the
+    *      certificate skip the poisoned-tail spec pins. Fetched
+    *      contributions complete the candidates' scores exactly; every
+    *      excluded document ranks strictly below θ and cannot enter or
+    *      perturb the top k, so the ranked output (scores, n_terms_hit,
+    *      ties) is the exact serve's bit for bit.
+    *
+    * Fallback: fewer than k head documents, or Σ UB_t ≥ θ (unseen
+    * documents not excludable) → the exact both-tier path — still exact,
+    * just no savings; deterministic either way. Driver-side state is
+    * bounded by the LAYOUT, never the corpus: the per-doc head summary is
+    * ≤ headSize · batches · |terms| rows, the certificates ≤ |terms|. */
+  def bm25TopKWand(spark: SparkSession, dir: String, terms: Seq[String],
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 wand serve: empty query-term list")
+    require(k >= 1, "bm25 wand serve: k must be positive")
+    val root = resolveDir(dir)
+    checkConsistent(root)
+    val batches = committedBatches(root)
+    val buckets = terms.map(bucketOf).distinct
+    val matched = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probeHead(spark, root, terms, batches).localCheckpoint(true)
+    }
+    val meta = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      readTermMeta(spark, root)
+        .filter(col("ingest_batch").isInCollection(batches) &&
+          col("tbucket").isInCollection(buckets) &&
+          col("tok").isInCollection(terms))
+        .localCheckpoint(true)
+    }
+    val dfs = meta.groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val stats = readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    val headScored = matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      .localCheckpoint(true) // feeds the summary pull AND the final rank
+    // per-term tail upper bounds through the SHARED scorer expression
+    // (≤ |terms| rows — certificate-scale)
+    val tailUB: Map[String, Long] = meta
+      .filter(col("tail_max_tf").isNotNull)
+      .select(col("tok"), col("tail_max_tf").as("tf"),
+        col("tail_min_dl").as("dl"))
+      .join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), Retrieval.bm25ContribQ(k1, b).as("ub_q"))
+      .groupBy(col("tok")).agg(max(col("ub_q")).as("ub_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (tailUB.isEmpty)
+      // no query term has a tail anywhere: the head IS the exact probe
+      return Retrieval.bm25Rank(
+        headScored.select(col("doc_id"), col("contrib_q")), k)
+    // per-doc head summary (≤ headSize · batches · |terms| rows by layout)
+    val headDocs = headScored.groupBy(col("doc_id"))
+      .agg(sum(col("contrib_q")).as("s_head"),
+        collect_set(col("tok")).as("hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).toSet))
+    val totalUB = tailUB.values.sum
+    val theta: Long =
+      if (headDocs.length < k) Long.MinValue
+      else headDocs.map(_._2).sorted(Ordering[Long].reverse).apply(k - 1)
+    if (headDocs.length < k || totalUB >= theta)
+      // certificates cannot exclude unseen documents — exact both-tier
+      // serve (same pinned-snapshot discipline inside servingScored)
+      return Retrieval.bm25Rank(
+        servingScored(spark, root, terms, k1, b)
+          .select(col("doc_id"), col("contrib_q")), k)
+    def ubOf(sHead: Long, hit: Set[String]): Long =
+      sHead + tailUB.collect { case (t, u) if !hit(t) => u }.sum
+    val candByTerm: Seq[(String, Seq[Long])] = tailUB.keys.toSeq.sorted.map {
+      t => t -> headDocs.collect {
+        case (id, s, hit) if !hit(t) && ubOf(s, hit) >= theta => id
+      }.toSeq
+    }.filter(_._2.nonEmpty)
+    val tailScored = candByTerm.map { case (t, ids) =>
+      IncrementalContainment.withInPushdown(spark, math.max(ids.size, 10)) {
+        probeTail(spark, root, t, ids, batches).localCheckpoint(true)
+      }
+    } match {
+      case Nil => spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("contrib_q")).limit(0)
+      case fetches => fetches.reduce(_ unionByName _)
+        .join(broadcast(dfs), "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+    }
+    Retrieval.bm25Rank(
+      headScored.select(col("doc_id"), col("contrib_q"))
+        .unionByName(tailScored), k)
+  }
+
+  /** The WAND candidate fetch: ONE term's tail rows for the named
+    * documents — `tier=1` + the term's bucket in PartitionFilters, the
+    * term and `In(doc_id, …)` pushed to the (tok, doc_id)-sorted files so
+    * row groups outside the candidates' id range never decompress.
+    * Package-private so the spec can pin the plan. `root` resolved,
+    * `batches` the serve's pinned committed set. */
+  private[sources] def probeTail(spark: SparkSession, root: String,
+                                 term: String, docIds: Seq[Long],
+                                 batches: Seq[Long]): DataFrame =
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches) &&
+        col("tbucket") === bucketOf(term) && col("tier") === 1 &&
+        col("tok") === term && col("doc_id").isInCollection(docIds))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+
   /** The ONE tiered-serving assembly the single and batched pruned
     * serves share (mirroring [[servingScored]] for the exact pair):
     * consistency gate, the HEAD-TIER probe, exact df from the

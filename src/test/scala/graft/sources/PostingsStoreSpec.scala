@@ -597,6 +597,81 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
         s"head=$head df=$df under-filled") }
   }
 
+  // ---- r19: WAND/max-score exact serving over the tiered layout ----
+
+  private def wandRows(dir: String, ts: Seq[String], k: Int) =
+    PostingsStore.bm25TopKWand(spark, dir, ts, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("WAND serving equals the exact serve bit for bit — mixed, " +
+    "stop-word-only, rare-only, and fallback-k queries") {
+    // bulk store at sf0.001: df('the') ~ 390 > headSize, so the stop word
+    // IS tailed and the certificate path actually runs
+    val tailed = PostingsStore.readPostings(spark, bulk)
+      .filter($"tok" === "the" && $"tier" === 1).count()
+    assert(tailed > 0, "fixture lost its tail - headSize too large")
+    for (ts <- Seq(Seq("dup", "the"), Seq("the"), Seq("dup", "vector", "merge"),
+      Seq("merge", "the", "dup"))) {
+      assert(wandRows(bulk, ts, 10) == serveRows(bulk, ts, 10), ts)
+    }
+    // k past the head forces the exact fallback — still exact
+    assert(wandRows(bulk, Seq("the"), 400) == serveRows(bulk, Seq("the"), 400))
+  }
+
+  test("WAND certificate skip: a stop-word-only query never opens the " +
+    "tail — poisoned tail files are invisible AND the result stays exact") {
+    val d = tmp("graft_postings_wand_skip")
+    PostingsStore.build(docs, d)
+    // the exact answer, computed while the tail is still readable
+    val exact = serveRows(d, Seq("the"), 10)
+    val b = PostingsStore.bucketOf("the")
+    val tails = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .filter(p => p.toString.contains(s"tbucket=$b/tier=1") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var poisoned = 0
+    tails.forEachRemaining { f =>
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(0x7f)); poisoned += 1
+    }
+    assert(poisoned > 0)
+    // single-term head serve: every head doc matched the term, so no
+    // candidate has it unmatched, and θ (10th head partial) dominates the
+    // tail certificate — the tail is provably skippable, and skipped
+    assert(wandRows(d, Seq("the"), 10) == exact)
+    // the exact both-tier serve DOES need those files - sanity
+    intercept[Throwable](serveRows(d, Seq("the"), 10))
+  }
+
+  test("WAND candidate fetch plan: tier=1 + term bucket partition " +
+    "literals, pushed term eq + In(doc_id)") {
+    graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = PostingsStore
+        .probeTail(spark, bulk, "the", Seq(3L, 7L, 11L), Seq(-1L))
+        .queryExecution.executedPlan.toString
+      val pfStart = plan.indexOf("PartitionFilters: [")
+      assert(pfStart >= 0, plan)
+      val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+      assert(pf.contains("tier"), s"tier literal not in PartitionFilters: $pf")
+      assert(pf.contains("tbucket"), s"tbucket literal not in PartitionFilters: $pf")
+      assert(plan.contains("In(doc_id"), s"pushed In(doc_id) missing:\n$plan")
+    }
+  }
+
+  test("WAND serves exactly across erase and compaction") {
+    val d = tmp("graft_postings_wand_maint")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    val erased = docs.filter($"doc_id" % 97 === 3)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    PostingsStore.deleteDocs(spark, d, erased)
+    val survivors = docs.filter($"doc_id" % 97 =!= 3)
+    assert(wandRows(d, Seq("dup", "the"), 10) ==
+      corpusRows(survivors, Seq("dup", "the"), 10))
+    PostingsStore.compact(spark, d)
+    assert(wandRows(d, Seq("dup", "the"), 10) ==
+      corpusRows(survivors, Seq("dup", "the"), 10))
+  }
+
   test("a takedown filed while its batch is torn still sticks: the empty " +
     "locate tombstones, so the batch's replay re-registers only survivors") {
     val d = tmp("graft_postings_torntakedown")
