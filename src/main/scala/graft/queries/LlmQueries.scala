@@ -262,6 +262,19 @@ object LlmQueries extends graft.QueryModule {
     graft.sources.PostingsStore.bm25TopKWand(s, store, Seq("dup", "the"), k = 10)
   }
 
+  /** q133: PHRASE serving from the positional postings — the next thing a
+    * retrieval user actually types after bag-of-words: the exact
+    * consecutive sequence "the fast" (the stop word keeps the probe
+    * honest across both tiers; phrase_tf reaches 2, so the occurrence
+    * COUNT is inside the gate, not just membership), ranked
+    * (phrase_tf desc, doc_id). The oracle replays adjacency over the raw
+    * corpus in DuckDB — a drifted position delta, a lost occurrence, or a
+    * tier-truncated probe hash-fails. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.phraseTopK(s, store, Seq("the", "fast"), k = 20)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -730,7 +743,8 @@ object LlmQueries extends graft.QueryModule {
     "q129_bm25_batch" -> bm25BatchSearch,
     "q130_bm25_pruned" -> bm25PrunedSearch,
     "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch,
-    "q132_bm25_wand" -> bm25WandSearch)
+    "q132_bm25_wand" -> bm25WandSearch,
+    "q133_phrase_topk" -> phraseSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -1061,6 +1075,20 @@ object LlmQueries extends graft.QueryModule {
       """
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
         |FROM bm ORDER BY rnk""".stripMargin),
+    // phrase adjacency replayed over the raw corpus: a start index i
+    // matches iff toks[i]='the' and toks[i+1]='fast' (1-based DuckDB list
+    // indexing; the store's 0-based offsets cancel out of adjacency)
+    "q133_phrase_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, count(*) AS phrase_tf
+        |      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |      WHERE toks[i] = 'the' AND toks[i+1] = 'fast'
+        |      GROUP BY doc_id),
+        |r AS (SELECT doc_id, phrase_tf,
+        |        row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rnk
+        |      FROM p QUALIFY rnk <= 20)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, phrase_tf
+        |FROM r ORDER BY rnk""".stripMargin,
     "q86_lsh_capped" -> (cappedCandCte +
       "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     "q87_jaccard_capped" -> (cappedCandCte +

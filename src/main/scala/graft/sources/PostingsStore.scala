@@ -813,6 +813,69 @@ object PostingsStore {
         col("n_terms_hit"), col("bm25_q"))
   }
 
+  /** PHRASE top-k — the positional face of the store: documents
+    * containing the exact consecutive token sequence `phrase`, ranked
+    * (occurrence count desc, doc_id asc). One probe over the phrase's
+    * DISTINCT terms reads both tiers (a posting's positions live wherever
+    * its impact landed it; phrase semantics are tier-blind), bounded the
+    * usual way — ≤ |terms| bucket partitions + pushed `In(tok)` row-group
+    * pruning — then per-posting positions decode (a prefix sum bounded by
+    * tf) and adjacency verifies INSIDE codegen: a start position `p`
+    * matches iff slot `i`'s array contains `p + i` for every following
+    * slot, all higher-order array functions, no UDF, no re-tokenization.
+    * The per-doc join fan-in is one row per (doc, phrase slot) — postings
+    * volume, never the corpus token stream. Output
+    * `(rnk, doc_id, phrase_tf)`, exactly `k` rows or every matching
+    * document if fewer (q133 hash-gates it against a DuckDB replay of the
+    * adjacency over the raw corpus). */
+  def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.size >= 2, "phrase serve: need at least two tokens")
+    require(k >= 1, "phrase serve: k must be positive")
+    val root = resolveDir(dir)
+    checkConsistent(root)
+    val batches = committedBatches(root)
+    val terms = phrase.distinct
+    val probed = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probePositions(spark, root, terms, batches).localCheckpoint(true)
+    }
+    // slot i = the phrase's i-th token's position set per doc; a doc
+    // missing any slot term cannot match (inner joins drop it)
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      probed.filter(col("tok") === t)
+        .select(col("doc_id"), col("abs_pos").as(s"pos_$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val starts = filter(col("pos_0"), p =>
+      (1 until phrase.size).map(i => array_contains(col(s"pos_$i"), p + i))
+        .reduce(_ && _))
+    joined.select(col("doc_id"), size(starts).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") >= 1)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("phrase_tf"))
+  }
+
+  /** The phrase probe: both tiers of the terms' buckets with positions
+    * DECODED to absolute offsets — package-private so the spec can pin
+    * the plan (bucket partition literals + pushed `In(tok)`). `root`
+    * resolved, `batches` pinned. */
+  private[sources] def probePositions(spark: SparkSession, root: String,
+                                      terms: Seq[String],
+                                      batches: Seq[Long]): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches) &&
+        col("tbucket").isInCollection(buckets) &&
+        col("tok").isInCollection(terms))
+      .select(col("tok"), col("doc_id"),
+        decodePositions(col("positions")).as("abs_pos"))
+  }
+
   /** Serve-time consistency gate on a RESOLVED root: heals a crashed
     * leaf-swap aside first, then refuses (a) a store with an in-flight or
     * crashed ERASE (the marker names its touched batches — the next

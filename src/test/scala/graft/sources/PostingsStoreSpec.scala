@@ -672,6 +672,81 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       corpusRows(survivors, Seq("dup", "the"), 10))
   }
 
+  // ---- r19: positional postings + phrase serving ----
+
+  private def brutePhrase(d: org.apache.spark.sql.DataFrame,
+                          phrase: Seq[String], k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select($"doc_id".cast("long").as("doc_id"),
+        posexplode(graft.operators.TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("long").as("p"), $"col".as("tok"))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter($"tok" === t).select($"doc_id", ($"p" - i).as("start")) }
+    slots.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("phrase_tf"))
+      .orderBy($"phrase_tf".desc, $"doc_id").limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"phrase_tf".desc, $"doc_id")))
+      .select($"rnk", $"doc_id", $"phrase_tf")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def phraseRows(dir: String, phrase: Seq[String], k: Int) =
+    PostingsStore.phraseTopK(spark, dir, phrase, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("phrase serving equals brute-force adjacency over the corpus — " +
+    "bigram, trigram, repeated-token, and no-match phrases") {
+    for (ph <- Seq(Seq("the", "fast"), Seq("table", "hash", "scan"),
+      Seq("batch", "batch"), Seq("scan", "merge"))) {
+      val got = phraseRows(bulk, ph, 20)
+      assert(got == brutePhrase(docs, ph, 20), ph)
+    }
+    assert(phraseRows(bulk, Seq("the", "fast"), 20).nonEmpty)
+    // multi-occurrence docs rank first: the fixture must exercise tf > 1
+    assert(phraseRows(bulk, Seq("batch", "batch"), 20).exists(_._3 > 1),
+      "repeated-token fixture never hit phrase_tf > 1")
+    assert(phraseRows(bulk, Seq("zzz_not_a_token", "the"), 5).isEmpty)
+  }
+
+  test("phrase serving across striped appends, erase, and compaction") {
+    val d = tmp("graft_postings_phrase_maint")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    assert(phraseRows(d, Seq("the", "fast"), 20) ==
+      brutePhrase(docs, Seq("the", "fast"), 20))
+    val victim = brutePhrase(docs, Seq("the", "fast"), 1).head._2
+    PostingsStore.deleteDocs(spark, d, Seq(victim))
+    val afterErase = phraseRows(d, Seq("the", "fast"), 20)
+    assert(afterErase == brutePhrase(
+      docs.filter($"doc_id" =!= victim), Seq("the", "fast"), 20))
+    assert(!afterErase.map(_._2).contains(victim))
+    PostingsStore.compact(spark, d)
+    assert(phraseRows(d, Seq("the", "fast"), 20) == afterErase)
+  }
+
+  test("the phrase probe prunes like every probe: bucket partition " +
+    "literals + pushed In(tok); BM25 probes never read positions") {
+    graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = PostingsStore
+        .probePositions(spark, bulk, Seq("the", "fast"), Seq(-1L))
+        .queryExecution.executedPlan.toString
+      val pfStart = plan.indexOf("PartitionFilters: [")
+      assert(pfStart >= 0, plan)
+      val pf = plan.substring(pfStart, plan.indexOf("]", pfStart) max (pfStart + 1))
+      Seq("the", "fast").map(PostingsStore.bucketOf).distinct
+        .foreach(b => assert(pf.contains(b.toString), s"bucket $b not in $pf"))
+      assert(plan.contains("In(tok"), s"pushed In missing:\n$plan")
+      assert(plan.contains("positions"), "phrase probe must read positions")
+      // and the scoring probe's ReadSchema PRUNES the positions column —
+      // the weight of the phrase substrate never taxes BM25
+      val bm25Plan = PostingsStore.probe(spark, bulk, terms, Seq(-1L))
+        .queryExecution.executedPlan.toString
+      assert(!bm25Plan.contains("positions"),
+        s"BM25 probe reads positions:\n$bm25Plan")
+    }
+  }
+
   test("a takedown filed while its batch is torn still sticks: the empty " +
     "locate tombstones, so the batch's replay re-registers only survivors") {
     val d = tmp("graft_postings_torntakedown")
