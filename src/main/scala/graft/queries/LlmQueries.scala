@@ -275,6 +275,20 @@ object LlmQueries extends graft.QueryModule {
     graft.sources.PostingsStore.phraseTopK(s, store, Seq("the", "fast"), k = 20)
   }
 
+  /** q134: TIERED serving after TAKEDOWN, no compaction — q130's query
+    * over the striped store with the q127 erasure set deleted and the
+    * batches left UNFOLDED, so the hash gate sits on the ERASE path's
+    * tier refill: the oracle replays the per-stripe head cut over the
+    * SURVIVORS (df/N/avgdl shrunk exactly), which only matches if
+    * deleteDocs re-tiered each touched term's head to the fresh-build cut
+    * (a store that kept stale tier assignments would serve an
+    * under-filled head and hash-fail wherever a stripe's df exceeds
+    * headSize — sf0.1's stop word does). */
+  def bm25PrunedErasedSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.erasedTieredLayoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopKPruned(s, store, Seq("dup", "the"), k = 10)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -744,7 +758,8 @@ object LlmQueries extends graft.QueryModule {
     "q130_bm25_pruned" -> bm25PrunedSearch,
     "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch,
     "q132_bm25_wand" -> bm25WandSearch,
-    "q133_phrase_topk" -> phraseSearch)
+    "q133_phrase_topk" -> phraseSearch,
+    "q134_bm25_pruned_erased" -> bm25PrunedErasedSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -1075,6 +1090,47 @@ object LlmQueries extends graft.QueryModule {
       """
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
         |FROM bm ORDER BY rnk""".stripMargin),
+    // q130's deterministic head cut replayed over the SURVIVORS of the
+    // q127 takedown, batches left unfolded: per (term, stripe) the head is
+    // the top-256 surviving postings by the integer static impact — the
+    // cut deleteDocs' tier refill must land; stale tiers (an under-filled
+    // head) or drifted df/stats hash-fail
+    "q134_bm25_pruned_erased" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents WHERE doc_id % 97 <> 3),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        |qt(tok) AS (VALUES ('dup'), ('the')),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |       FROM toks t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |head AS (
+        |  SELECT doc_id, tok, tf, dl FROM (
+        |    SELECT t.doc_id, t.tok, t.tf, l.dl,
+        |      row_number() OVER (
+        |        PARTITION BY t.tok, t.doc_id % 3
+        |        ORDER BY (t.tf * 1000000000) // (1000 * t.tf + 300 + 9 * l.dl) DESC,
+        |                 t.tf DESC, l.dl ASC, t.doc_id ASC) AS rnk_impact
+        |    FROM tf t JOIN dl l USING (doc_id))
+        |  WHERE rnk_impact <= 256),
+        |c AS (
+        |  SELECT h.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(h.dl AS DOUBLE)
+        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS contrib_q
+        |  FROM head h JOIN df d USING (tok) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+        |        FROM c GROUP BY doc_id),
+        |bm AS (SELECT doc_id, n_terms_hit, bm25_q,
+        |         row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
+        |       FROM agg QUALIFY rnk <= 10)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin,
     // phrase adjacency replayed over the raw corpus: a start index i
     // matches iff toks[i]='the' and toks[i+1]='fast' (1-based DuckDB list
     // indexing; the store's 0-based offsets cancel out of adjacency)

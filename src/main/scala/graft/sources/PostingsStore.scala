@@ -1077,14 +1077,15 @@ object PostingsStore {
     * mutation, tombstones the ids in `_erased/` (future appends filter
     * them — see the object scaladoc), rewrites each touched leaf through
     * the rename-aside swap keeping the key sort (emptied leaves and
-    * batches removed outright). Tier refill: the WHOLE-BATCH rewrite path
-    * RE-TIERS the survivors — each term's head refills to its original
-    * capacity, exactly the fresh-build cut over the survivors, so a
-    * head-hitting takedown cannot silently dent tiered recall (the spec
-    * pins the equivalence and q134 hash-gates it); the per-leaf path keeps
-    * static tiers and may leave the head UNDER-FILLED until the next
-    * [[compact]] re-tiers (documented at the branch; exact serving is
-    * unaffected either way). It then RECOMPUTES each touched batch's
+    * batches removed outright). Tier refill: BOTH rewrite paths RE-TIER
+    * the survivors — each term's head refills to its original capacity
+    * (its pre-erase tier-0 count), which is EXACTLY the fresh-build cut
+    * over the survivors, so a head-hitting takedown cannot silently dent
+    * tiered recall (the spec pins the equivalence; q134 hash-gates tiered
+    * serving over an erased, uncompacted store). The refill is free where
+    * it runs: a term's per-batch postings all live in one tbucket, so the
+    * per-leaf cut is leaf-local, and the whole-batch path already holds
+    * the survivors in hand. It then RECOMPUTES each touched batch's
     * `_termmeta` partitions
     * and stats row from its surviving postings (exact by construction —
     * no delta bookkeeping to drift), scrubs the ids from `_docidx`, and
@@ -1222,25 +1223,39 @@ object PostingsStore {
             s"$base/_termmeta/ingest_batch=$b")
         }
       } else {
-        // per-leaf path (short documents, few touched buckets): tier
-        // assignment stays STATIC — a head-tier erasure leaves the head
-        // UNDER-FILLED for the touched terms until the next compact()
-        // re-tiers (the whole-batch path above does refill); exact serving
-        // is unaffected either way
+        // per-leaf path (few touched buckets): a term's every posting in
+        // a batch lives in ONE tbucket (the bucket is a function of the
+        // term), so the refill re-tier is LEAF-LOCAL — each touched
+        // tbucket rewrites both tier dirs in one swap with the same
+        // capped cut as the whole-batch path (identical semantics, O(
+        // touched leaves) I/O, and ONE job per leaf where the pre-r19
+        // per-tier rewrites paid two)
         ls.foreach { case (_, tb) =>
           val leaf = java.nio.file.Paths.get(s"$base/ingest_batch=$b/tbucket=$tb")
-          Seq(0, 1).foreach { t =>
-            val tierDir = leaf.resolve(s"tier=$t")
-            if (java.nio.file.Files.exists(tierDir))
-              graft.queue.Maintenance.rewriteLeaf(tierDir.toString,
-                spark.read.parquet(tierDir.toString)
-                  .filter(!col("doc_id").isInCollection(docIds)),
-                Seq("tok", "doc_id"))
+          if (java.nio.file.Files.exists(leaf)) {
+            val all = spark.read.parquet(leaf.toString)
+              .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+                col("positions"), col("tier").cast("int").as("tier"))
+            val headCap = all.filter(col("tier") === 0)
+              .groupBy(col("tok")).agg(count(lit(1)).as("head_cap"))
+            val survivors = all.filter(!col("doc_id").isInCollection(docIds))
+              .join(headCap, Seq("tok"), "left")
+              .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+                col("positions"),
+                tierColCapped(coalesce(col("head_cap"), lit(0L))).as("tier"))
+            // a leaf whose every posting erased goes outright (partition
+            // discovery must not trip on a hollow tbucket dir)
+            if (survivors.isEmpty) graft.queue.Maintenance.deleteRec(leaf)
+            else {
+              val tmp = leaf.resolveSibling(
+                "." + leaf.getFileName.toString + ".swap")
+              graft.queue.Maintenance.deleteRec(tmp)
+              survivors.repartition(1)
+                .sortWithinPartitions(col("tier"), col("tok"), col("doc_id"))
+                .write.partitionBy("tier").parquet(tmp.toString)
+              graft.queue.Maintenance.replaceDir(tmp.toString, leaf.toString)
+            }
           }
-          // a leaf whose every tier emptied goes outright (partition
-          // discovery must not trip on a hollow tbucket dir)
-          if (java.nio.file.Files.exists(leaf) && !hasChildWithPrefix(leaf, "tier="))
-            graft.queue.Maintenance.deleteRec(leaf)
           // exact df + tail-certificate recompute for the touched
           // (batch, tbucket) partition
           val metaLeaf = s"$base/_termmeta/ingest_batch=$b/tbucket=$tb"
@@ -1454,5 +1469,23 @@ object PostingsStore {
         .select(col("doc_id").cast("long")).as[Long].collect().toSeq
       deleteDocs(spark, dir, takedown)
       compact(spark, dir)
+    }
+
+  /** q134's store: the striped ingest with the deterministic takedown
+    * (doc_id % 97 = 3) erased and NO compaction — tiered serving straight
+    * over the erased batches, so the ERASE path's tier refill (not the
+    * fold's global re-tier) is what the hash gate sees: the oracle
+    * replays the per-stripe head cut over the SURVIVORS, which only
+    * matches if the erase refilled each term's head to the fresh-build
+    * cut. Single-threaded callers only. */
+  def erasedTieredLayoutFor(spark: SparkSession, sfDir: String): String =
+    layoutImpl(spark, sfDir, "erasednc") { dir =>
+      val docs = graft.Tables.documents(spark, sfDir)
+      (0 to 2).foreach(b =>
+        appendBatch(docs.filter(col("doc_id") % 3 === b), dir, b.toLong))
+      import spark.implicits._
+      val takedown = docs.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSeq
+      deleteDocs(spark, dir, takedown)
     }
 }

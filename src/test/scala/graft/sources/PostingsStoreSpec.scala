@@ -556,45 +556,46 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("whole-batch erase RE-TIERS: the store after a head-hitting " +
-    "takedown is tier-identical to a fresh build of the survivors") {
+  test("erase RE-TIERS: the store after a head-hitting takedown is " +
+    "tier-identical to a fresh build of the survivors (tails promote)") {
+    // the bulk store is where the stop word is actually TAILED at this SF
+    // (df('the') ~ 390 in one batch; striped stripes stay under headSize)
     val d = tmp("graft_postings_retier")
-    (0 to 2).foreach(b =>
-      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
-    // take down docs that hold HEAD postings of the common term in every
-    // stripe — pre-r19 the head stayed under-filled until compact
+    PostingsStore.build(docs, d)
+    // take down docs that hold HEAD postings of the common term — pre-r19
+    // the head stayed under-filled until compact
     val headIds = PostingsStore.readPostings(spark, d)
       .filter($"tok" === "the" && $"tier" === 0)
       .select($"doc_id").as[Long].collect().sorted.take(12).toSeq
     assert(headIds.size == 12)
     assert(PostingsStore.deleteDocs(spark, d, headIds) > 0)
     val fresh = tmp("graft_postings_retier_fresh")
-    (0 to 2).foreach(b =>
-      PostingsStore.appendBatch(
-        docs.filter($"doc_id" % 3 === b && !$"doc_id".isin(headIds: _*)),
-        fresh, b.toLong))
+    PostingsStore.build(docs.filter(!$"doc_id".isin(headIds: _*)), fresh)
     def tiers(dir: String) = PostingsStore.readPostings(spark, dir)
-      .select($"tok", $"doc_id", $"tf", $"dl", $"ingest_batch", $"tier")
+      .select($"tok", $"doc_id", $"tf", $"dl", $"tier")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getInt(5))).toSet
+        r.getInt(4))).toSet
     assert(tiers(d) == tiers(fresh), "erase refill drifted from the fresh cut")
+    // the refill PROMOTED tail postings: 'the' head is full again
+    val counts = PostingsStore.readPostings(spark, d)
+      .filter($"tok" === "the")
+      .agg(sum(when($"tier" === 0, 1).otherwise(0)).as("head"),
+        count(lit(1)).as("df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(counts._2 > PostingsStore.DefaultHeadSize,
+      "fixture lost its tail - headSize too large")
+    assert(counts._1 == PostingsStore.DefaultHeadSize.toLong,
+      s"head=${counts._1} under-filled after erase")
     // and the tiered serve over the erased store equals the fresh build's
     def pruned(dir: String) = PostingsStore
       .bm25TopKPruned(spark, dir, Seq("dup", "the"), k = 10)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(pruned(d) == pruned(fresh) && pruned(d).nonEmpty)
-    // the refilled head is FULL again: per (term, batch), tier-0 count is
-    // min(surviving df, original capacity)
-    val counts = PostingsStore.readPostings(spark, d)
-      .filter($"tok" === "the")
-      .groupBy($"ingest_batch")
-      .agg(sum(when($"tier" === 0, 1).otherwise(0)).as("head"),
-        count(lit(1)).as("df"))
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
-    counts.foreach { case (head, df) =>
-      assert(head == math.min(df, PostingsStore.DefaultHeadSize.toLong),
-        s"head=$head df=$df under-filled") }
+    // the _termmeta tail certificates refreshed with the cut: WAND over
+    // the erased store stays exact
+    assert(wandRows(d, Seq("dup", "the"), 10) ==
+      corpusRows(docs.filter(!$"doc_id".isin(headIds: _*)), Seq("dup", "the"), 10))
   }
 
   // ---- r19: WAND/max-score exact serving over the tiered layout ----
