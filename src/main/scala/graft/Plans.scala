@@ -376,6 +376,36 @@ object Plans {
         "exact path cannot offer for its stop-word term. One tier=0 " +
         "probe over the term union, _termmeta df and stats broadcast, " +
         "per-query scoring through the broadcast request relation."),
+    "q132_bm25_wand" ->
+      ("WAND/max-score EXACT serving — this dump shows the final rank " +
+        "assembly (the head probe and the certificate pulls execute " +
+        "eagerly inside the serving checkpoints, the adcCandidates " +
+        "convention; their plans — tier=0 + bucket PartitionFilters for " +
+        "the head, tier=1 + bucket literals with pushed In(doc_id) for a " +
+        "candidate tail fetch — are pinned machine-checked in " +
+        "PostingsStoreSpec): the union under the rank is head partials " +
+        "plus ONLY the certificate-surviving candidates' tail rows, so " +
+        "the stop word's O(df) tail never streams through the plan; " +
+        "output is bit-identical to the exact serve (q132's oracle is " +
+        "q126's replay re-targeted), with driver state bounded by " +
+        "headSize x batches x terms."),
+    "q133_phrase_topk" ->
+      ("Phrase serving from positional postings: ONE probe over the " +
+        "phrase's distinct terms (bucket partition literals + pushed " +
+        "In(tok) — the standard probe bound), positions gap-decode and " +
+        "adjacency verify inside a codegen'd projection (higher-order " +
+        "array functions, no UDF, no re-tokenization), the per-doc join " +
+        "fans in one row per (doc, phrase slot) — postings volume, never " +
+        "the corpus token stream — and the result is one " +
+        "TakeOrderedAndProject plus the k-row rank window."),
+    "q134_bm25_pruned_erased" ->
+      ("q130's tiered serving plan over the ERASED, UNCOMPACTED store: " +
+        "same tier=0 partition literal, same _termmeta df broadcast — " +
+        "the plan's claim is that a takedown leaves the tiered read " +
+        "untouched; the REFILL correctness (erase re-tiers each touched " +
+        "term's head to the fresh-build cut over the survivors) lives in " +
+        "the oracle, which replays the per-stripe head cut over the " +
+        "surviving corpus."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

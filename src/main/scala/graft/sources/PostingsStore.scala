@@ -159,16 +159,19 @@ object PostingsStore {
     * terms (df ≤ headSize) serve exactly from the head while corpus
     * stop words are capped — 256 keeps the battery's rare "dup" family
     * fully head at every SF and still cuts "the" ~15× at the bench
-    * corpus. The measured price (SCALE.md `tiered_serve`): when a query
-    * MIXES a discriminative term with a stop word whose per-doc
-    * contribution rivals the score gaps near the top-k cut line,
-    * head-only serving reorders the boundary — recall@10 = 0.4 at the
-    * bench corpus for "dup"+"the" (1.0 at 10×) — the structural limit
-    * of impact-ordered tiers without WAND-style bound certificates
-    * (named as the next step); single-term queries with df ≤ headSize
-    * serve exactly by construction, and the oracle gates the cut
-    * itself, so the approximation is never silent. Production would
-    * size the head to the serving k budget (thousands). */
+    * corpus; SCALE.md's headSize-vs-recall table (64/128/256/512 at 1×
+    * and 10× df) is the measured sizing evidence — the knee sits where
+    * the head stops truncating the discriminative term's df, and 256
+    * clears it at both scales. The measured price of TIERED serving
+    * (SCALE.md `tiered_serve`): when a query MIXES a discriminative term
+    * with a stop word whose per-doc contribution rivals the score gaps
+    * near the top-k cut line, head-only serving reorders the boundary —
+    * the structural limit of impact-ordered tiers ALONE; single-term
+    * queries with df ≤ headSize serve exactly by construction, the
+    * oracle gates the cut itself, and when exactness is required
+    * [[bm25TopKWand]] buys it back at near-tiered cost through the
+    * `_termmeta` certificates. Production would size the head to
+    * max(expected discriminative df per batch, serving k budget). */
   val DefaultHeadSize: Int = 256
 
   private val postingsSchema: StructType = StructType.fromDDL(

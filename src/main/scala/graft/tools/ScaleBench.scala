@@ -844,9 +844,19 @@ object ScaleBench {
       val t4 = System.nanoTime()
       graft.sources.PostingsStore.compact(spark, dir)
       val compactSec = (System.nanoTime() - t4) / 1e9
-      println(f"""{"kind":"postings","scale":$k,"build_sec":$buildSec%.3f,"serve_sec":$serveSec%.3f,"corpus_bm25_sec":$corpusSec%.3f,"probed_files":$probedFiles,"total_files":$totalFiles,"erase_ids":${ids.size},"erase_rows":$removed,"erase_sec":$delSec%.3f,"compact_sec":$compactSec%.3f}""")
+      // TAKEDOWN-BATCH throughput: a real GDPR batch is hundreds to
+      // thousands of ids, not single digits — erase doc_id % 100 = 7
+      // (50 ids at 1x, 500 at 10x) against the compacted store, so the
+      // ids->wall slope of the whole-batch rewrite is a measured row
+      // instead of an extrapolation from the 6-id case
+      val bulkIds = docsDisk.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSeq
+      val t5 = System.nanoTime()
+      val bulkRemoved = graft.sources.PostingsStore.deleteDocs(spark, dir, bulkIds)
+      val bulkSec = (System.nanoTime() - t5) / 1e9
+      println(f"""{"kind":"postings","scale":$k,"build_sec":$buildSec%.3f,"serve_sec":$serveSec%.3f,"corpus_bm25_sec":$corpusSec%.3f,"probed_files":$probedFiles,"total_files":$totalFiles,"erase_ids":${ids.size},"erase_rows":$removed,"erase_sec":$delSec%.3f,"compact_sec":$compactSec%.3f,"bulk_erase_ids":${bulkIds.size},"bulk_erase_rows":$bulkRemoved,"bulk_erase_sec":$bulkSec%.3f}""")
       (k, buildSec, serveSec, corpusSec, probedFiles, totalFiles,
-        ids.size, removed, delSec, compactSec)
+        ids.size, removed, delSec, compactSec, bulkIds.size, bulkRemoved, bulkSec)
     }
 
     // IVF-PQ store regime (q118's substrate): the PQ claim is a BYTES
@@ -972,18 +982,60 @@ object ScaleBench {
         .bm25TopK(spark, dir, terms, k = 10).collect())
       val prunedSec = minOf3(graft.sources.PostingsStore
         .bm25TopKPruned(spark, dir, terms, k = 10).collect())
-      val exactIds = graft.sources.PostingsStore
-        .bm25TopK(spark, dir, terms, k = 10)
-        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // the r19 WAND serve: exact output, tail reads bounded by the
+      // certificate candidates instead of df
+      val wandSec = minOf3(graft.sources.PostingsStore
+        .bm25TopKWand(spark, dir, terms, k = 10).collect())
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val exactRows = rows(graft.sources.PostingsStore
+        .bm25TopK(spark, dir, terms, k = 10))
+      val exactIds = exactRows.map(_._2).toSet
       val prunedIds = graft.sources.PostingsStore
         .bm25TopKPruned(spark, dir, terms, k = 10)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       val recall = (exactIds & prunedIds).size.toDouble / exactIds.size
+      // wand is exact BY CONSTRUCTION — assert it, don't chart it
+      val wandExact = rows(graft.sources.PostingsStore
+        .bm25TopKWand(spark, dir, terms, k = 10)) == exactRows
+      require(wandExact, s"WAND drifted from exact at scale $k")
       val tb = graft.sources.PostingsStore.bucketOf("the")
       val headBytes = dirBytes(new java.io.File(s"$dir/ingest_batch=-1/tbucket=$tb/tier=0"))
       val tailBytes = dirBytes(new java.io.File(s"$dir/ingest_batch=-1/tbucket=$tb/tier=1"))
-      println(f"""{"kind":"tiered_serve","scale":$k,"df_the":$dfThe,"exact_sec":$exactSec%.3f,"pruned_sec":$prunedSec%.3f,"recall_at_10":$recall%.3f,"head_bytes":$headBytes,"tail_bytes":$tailBytes}""")
-      (k, dfThe, exactSec, prunedSec, recall, headBytes, tailBytes)
+      println(f"""{"kind":"tiered_serve","scale":$k,"df_the":$dfThe,"exact_sec":$exactSec%.3f,"pruned_sec":$prunedSec%.3f,"wand_sec":$wandSec%.3f,"wand_exact":$wandExact,"recall_at_10":$recall%.3f,"head_bytes":$headBytes,"tail_bytes":$tailBytes}""")
+      (k, dfThe, exactSec, prunedSec, wandSec, recall, headBytes, tailBytes)
+    }
+
+    // HEAD-SIZE curve (headSize-vs-recall, the sizing evidence): the
+    // tiered serve's recall@10 vs the exact top-10 as headSize sweeps
+    // 64..512 over the same unsuffixed corpora — so the 256 default is a
+    // measured choice on the honest worst case (the mixed "dup"+"the"
+    // query whose stop-word contributions sit near the cut line), not the
+    // one value a retune landed on. Each store is built fresh at its head
+    // and deleted after measuring.
+    val headCurveRows = Seq(1, 10).flatMap { k =>
+      val docsBase = spark.read.parquet(s"$root/x1/documents.parquet")
+      val docsK = (0 until k).map(c => docsBase.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      Seq(64, 128, 256, 512).map { hs =>
+        val dir = s"$root/postings-hs$hs-x$k"
+        graft.queue.Maintenance.deleteRec(Paths.get(dir))
+        graft.sources.PostingsStore.build(docsK, dir, headSize = hs)
+        val terms = Seq("dup", "the")
+        val exactIds = graft.sources.PostingsStore
+          .bm25TopK(spark, dir, terms, k = 10)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val prunedIds = graft.sources.PostingsStore
+          .bm25TopKPruned(spark, dir, terms, k = 10)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val recall = (exactIds & prunedIds).size.toDouble / exactIds.size
+        val dfDup = spark.read.parquet(dir)
+          .filter(col("tok") === "dup").count()
+        graft.queue.Maintenance.deleteRec(Paths.get(dir))
+        println(f"""{"kind":"head_curve","scale":$k,"head_size":$hs,"df_dup":$dfDup,"recall_at_10":$recall%.3f}""")
+        (k, hs, dfDup, recall)
+      }
     }
 
     // ROW-GROUP-TIER regime (the r17 verdict's named evidence gap): the
@@ -1161,7 +1213,7 @@ object ScaleBench {
       (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, maintRows, postingsRows, pqStoreRows, pqRecallRows, tieredRows, rgContRows, rgPostRows, recallRows, dRows, fRows, rcRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, maintRows, postingsRows, pqStoreRows, pqRecallRows, tieredRows, headCurveRows, rgContRows, rgPostRows, recallRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -1268,10 +1320,11 @@ object ScaleBench {
                       ivfRows: Seq[(Int, Double, Double)],
                       storeRows: Seq[(Int, Double, Double, Double, Int, Int)],
                       maintRows: Seq[(Int, Int, Long, Long, Double, Double)],
-                      postingsRows: Seq[(Int, Double, Double, Double, Int, Int, Int, Long, Double, Double)],
+                      postingsRows: Seq[(Int, Double, Double, Double, Int, Int, Int, Long, Double, Double, Int, Long, Double)],
                       pqStoreRows: Seq[(Int, Double, Double, Double, Long, Long)],
                       pqRecallRows: Seq[(Int, Double)],
-                      tieredRows: Seq[(Int, Long, Double, Double, Double, Long, Long)],
+                      tieredRows: Seq[(Int, Long, Double, Double, Double, Double, Long, Long)],
+                      headCurveRows: Seq[(Int, Int, Long, Double)],
                       rgContRows: Seq[(Int, Int, Int, Double)],
                       rgPostRows: Seq[(Int, Int, Int, Double)],
                       recallRows: Seq[(String, Long, Long, Int)],
@@ -1600,9 +1653,9 @@ object ScaleBench {
     sb ++= "construction — the snapshot stages dot-prefixed, flips via one\n"
     sb ++= "exclusive manifest entry, and IvfStoreRebuildSpec hammers a live\n"
     sb ++= "reader across the flip.\n"
-    sb ++= "\n| postings store (q126, 3-term BM25 k=20) | build sec | serve sec | from-corpus sec | probed files | total files | erase ids | erase rows | erase sec | compact sec |\n|---|---|---|---|---|---|---|---|---|---|\n"
-    postingsRows.foreach { case (k, b, sv, cs, pf, tf, ei, er, es, cps) =>
-      sb ++= f"| ${k}x documents | $b%.2f s | $sv%.2f s | $cs%.2f s | $pf | $tf | $ei | $er | $es%.2f s | $cps%.2f s |\n"
+    sb ++= "\n| postings store (q126, 3-term BM25 k=20) | build sec | serve sec | from-corpus sec | probed files | total files | erase ids | erase rows | erase sec | compact sec | bulk-erase ids | bulk rows | bulk-erase sec |\n|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+    postingsRows.foreach { case (k, b, sv, cs, pf, tf, ei, er, es, cps, bi, br, bs) =>
+      sb ++= f"| ${k}x documents | $b%.2f s | $sv%.2f s | $cs%.2f s | $pf | $tf | $ei | $er | $es%.2f s | $cps%.2f s | $bi | $br | $bs%.2f s |\n"
     }
     sb ++= "\nThe SPARSE serving twin (q126): build pays one tokenization +\n"
     sb ++= "clustered write; every serve reads the KB-scale stats sidecar\n"
@@ -1616,20 +1669,23 @@ object ScaleBench {
     sb ++= "re-tokenizes the corpus per query. Erasure's locate resolves\n"
     sb ++= "through the _docidx sidecar (dbucket partition filter + pushed\n"
     sb ++= "In(doc_id) over doc_id-sorted files — O(touched leaves), the\n"
-    sb ++= "poisoned-partition spec pins it), then <= touched leaves\n"
-    sb ++= "rewrite; compact folds the batch tier in one offline pass\n"
+    sb ++= "poisoned-partition spec pins it); the rewrite takes the\n"
+    sb ++= "whole-batch path past the touched-leaf threshold (>= 32), so an\n"
+    sb ++= "erase wall is a handful of batch-sized jobs, NOT one job per\n"
+    sb ++= "touched bucket — which is why the erase columns above track the\n"
+    sb ++= "batch rewrite size, not the id count (compare the erase-sec\n"
+    sb ++= "column across the two id columns in THIS table; the pre-r18\n"
+    sb ++= "per-leaf scheduler wall went with that path). The bulk-erase\n"
+    sb ++= "columns are the takedown-BATCH claim: ~10x the ids against the\n"
+    sb ++= "10x store lands in the same whole-batch rewrite, so the\n"
+    sb ++= "ids->wall slope stays far under linear — the wall is bounded by\n"
+    sb ++= "the store rewrite, the right bound for a GDPR batch of\n"
+    sb ++= "thousands. compact folds the batch tier in one offline pass\n"
     sb ++= "behind the _vlog version flip (readers whole-old or whole-new,\n"
-    sb ++= "hammer-spec pinned). The erase wall\n"
-    sb ++= "at local scale is per-leaf JOB overhead, not bytes: each of\n"
-    sb ++= "the ~min(256, ids x terms-per-doc) touched buckets pays one\n"
-    sb ++= "bounded rewrite job (~0.2 s of scheduler cost apiece), which\n"
-    sb ++= "is why 51 ids cost ~6x what 6 ids do while the data moved is\n"
-    sb ++= "KBs. The scale-safe claim is the leaf-count bound, not the\n"
-    sb ++= "toy-scale wall; a store ingested in batches touches only the\n"
-    sb ++= "erased docs' own (batch, bucket) leaves.\n"
-    sb ++= "\n| tiered BM25 serve ('dup'+'the', k=10, unsuffixed copies) | df('the') | exact serve | tiered serve | recall@10 vs exact | head bytes ('the' bucket) | tail bytes (never read) |\n|---|---|---|---|---|---|---|\n"
-    tieredRows.foreach { case (k, dfThe, es, ps, rec, hb, tb) =>
-      sb ++= f"| ${k}x documents | $dfThe | $es%.2f s | $ps%.2f s | ${rec * 100}%.0f%% | ${hb / 1024} KiB | ${tb / 1024} KiB |\n"
+    sb ++= "hammer-spec pinned).\n"
+    sb ++= "\n| tiered BM25 serve ('dup'+'the', k=10, unsuffixed copies) | df('the') | exact serve | tiered serve | WAND serve (exact) | tiered recall@10 | head bytes ('the' bucket) | tail bytes (tiered never reads) |\n|---|---|---|---|---|---|---|---|\n"
+    tieredRows.foreach { case (k, dfThe, es, ps, ws, rec, hb, tb) =>
+      sb ++= f"| ${k}x documents | $dfThe | $es%.2f s | $ps%.2f s | $ws%.2f s | ${rec * 100}%.0f%% | ${hb / 1024} KiB | ${tb / 1024} KiB |\n"
     }
     sb ++= "\nThe q130 bound made a line: df('the') grows 10x for real here\n"
     sb ++= "(unsuffixed copies), the exact path's stop-word read grows with\n"
@@ -1637,20 +1693,41 @@ object ScaleBench {
     sb ++= "<= headSize postings, the partition literal pinned in\n"
     sb ++= "PostingsStoreSpec (which also poisons the tail files to prove\n"
     sb ++= "they are never opened). The tail-bytes column is exactly the\n"
-    sb ++= "I/O the tier cut removes from the hot path; recall vs the\n"
-    sb ++= "exact top-10 is the measured price (df stays exact via the\n"
+    sb ++= "I/O the tier cut removes from the hot path; tiered recall vs\n"
+    sb ++= "the exact top-10 is the measured price (df stays exact via the\n"
     sb ++= "_termmeta sidecar, so only tail-resident contributions are\n"
-    sb ++= "lost). Read the recall column honestly: a query MIXING a\n"
-    sb ++= "discriminative term with a stop word whose per-doc\n"
-    sb ++= "contribution rivals the score gaps near the top-k cut line\n"
-    sb ++= "gets its boundary reordered (the structural limit of\n"
-    sb ++= "impact-ordered tiers without WAND bound certificates — the\n"
-    sb ++= "named next step); single-term queries with df <= headSize\n"
-    sb ++= "serve exactly by construction, and q130's oracle gates the\n"
-    sb ++= "cut itself, so the approximation is never silent. At these\n"
-    sb ++= "sizes both serves are footer/scheduler-bound —\n"
-    sb ++= "the BYTES columns are the 100 TB claim, the walls the sanity\n"
-    sb ++= "check.\n"
+    sb ++= "lost): a query MIXING a discriminative term with a stop word\n"
+    sb ++= "whose per-doc contribution rivals the score gaps near the cut\n"
+    sb ++= "line gets its boundary reordered — the structural limit of\n"
+    sb ++= "impact-ordered tiers alone. The WAND column (r19) CLOSES it:\n"
+    sb ++= "bm25TopKWand serves the EXACT top-10 (asserted row-identical to\n"
+    sb ++= "the exact serve at both scales before this table is written) by\n"
+    sb ++= "reading the head, excluding docs through the _termmeta\n"
+    sb ++= "max-score certificates, and opening a tail ONLY for surviving\n"
+    sb ++= "candidate docs — a pushed In(doc_id) over the (tok, doc_id)-\n"
+    sb ++= "sorted run, so its wall tracks the CANDIDATE count (flat-ish in\n"
+    sb ++= "df) instead of the stop word's O(df) postings; the q132 oracle\n"
+    sb ++= "gates the exactness, the poisoned-tail WAND spec pins the skip\n"
+    sb ++= "when certificates allow it. At these sizes all three serves are\n"
+    sb ++= "footer/scheduler-bound — the BYTES columns are the 100 TB\n"
+    sb ++= "claim, the walls the sanity check.\n"
+    sb ++= "\n| tiered recall@10 vs headSize ('dup'+'the', k=10) | head 64 | head 128 | head 256 | head 512 |\n|---|---|---|---|---|\n"
+    headCurveRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, rows) =>
+      val byHs = rows.map(r => r._2 -> r._4).toMap
+      val dfDup = rows.head._3
+      sb ++= f"| ${k}x documents (df('dup') = $dfDup) | ${byHs(64) * 100}%.0f%% | ${byHs(128) * 100}%.0f%% | ${byHs(256) * 100}%.0f%% | ${byHs(512) * 100}%.0f%% |\n"
+    }
+    sb ++= "\nThe headSize-sizing evidence: the 256 default is a measured\n"
+    sb ++= "choice on the honest worst case, not the one value a retune\n"
+    sb ++= "landed on. The knee is where the head stops truncating the\n"
+    sb ++= "DISCRIMINATIVE term (df('dup') in the row label): a head below\n"
+    sb ++= "df('dup') drops rare-term postings — the r17 retune's lesson —\n"
+    sb ++= "while heads past it only trim the stop word's boundary\n"
+    sb ++= "reordering (the mixed-query caveat above, priced in the tiered\n"
+    sb ++= "recall column and CLOSED by the WAND column when exactness is\n"
+    sb ++= "required). Production sizes the head to max(expected\n"
+    sb ++= "discriminative df per batch, serving k budget); the scaladoc on\n"
+    sb ++= "DefaultHeadSize cites this table.\n"
     sb ++= "\n| containment probe over ~16 KiB row groups (25-doc batch) | files | row groups | probe sec |\n|---|---|---|---|\n"
     rgContRows.foreach { case (k, files, groups, s) =>
       sb ++= f"| ${k}x registry | $files | $groups | $s%.2f s |\n"
