@@ -160,9 +160,11 @@ object PostingsStore {
     * stop words are capped — 256 keeps the battery's rare "dup" family
     * fully head at every SF and still cuts "the" ~15× at the bench
     * corpus; SCALE.md's headSize-vs-recall table (64/128/256/512 at 1×
-    * and 10× df) is the measured sizing evidence — the knee sits where
-    * the head stops truncating the discriminative term's df, and 256
-    * clears it at both scales. The measured price of TIERED serving
+    * and 10× df) is the measured sizing evidence — recall@10 is nearly
+    * INSENSITIVE to the head size there (the tiered loss is boundary
+    * reorder, not head starvation), so what the default actually buys
+    * is the df ≤ headSize EXACTNESS class that q130's oracle leans on,
+    * at ~KiB head bytes. The measured price of TIERED serving
     * (SCALE.md `tiered_serve`): when a query MIXES a discriminative term
     * with a stop word whose per-doc contribution rivals the score gaps
     * near the top-k cut line, head-only serving reorders the boundary —
