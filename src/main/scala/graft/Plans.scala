@@ -406,6 +406,16 @@ object Plans {
         "term's head to the fresh-build cut over the survivors) lives in " +
         "the oracle, which replays the per-stripe head cut over the " +
         "surviving corpus."),
+    "q135_bm25_wand_batch" ->
+      ("Batched WAND — q129's exact answer at certificate-bounded cost: " +
+        "the rank assembly unions the head partials with ONLY the " +
+        "per-term fetch decisions' tail rows (candidate-restricted " +
+        "In(doc_id) fetches, whole-tail only for a query whose " +
+        "certificates cannot exclude unseen docs, never listed when no " +
+        "query needs it — the probes execute eagerly, plans pinned in " +
+        "PostingsStoreSpec); per-query attribution through the broadcast " +
+        "request relation, per-query rank windows over certificate-" +
+        "bounded input instead of the union terms' O(df)."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

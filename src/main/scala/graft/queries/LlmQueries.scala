@@ -275,6 +275,25 @@ object LlmQueries extends graft.QueryModule {
     graft.sources.PostingsStore.phraseTopK(s, store, Seq("the", "fast"), k = 20)
   }
 
+  /** q135: BATCHED WAND serving — q129's request fixture (the one that
+    * deliberately carries the corpus-common "the") answered EXACTLY at
+    * certificate-bounded cost via
+    * [[graft.sources.PostingsStore.bm25TopKWandBatch]]: one head probe
+    * over the term union, per-query thresholds, and a per-term fetch
+    * decision (candidate-restricted, whole-tail only for queries whose
+    * certificates cannot exclude unseen docs, never listed when no query
+    * needs it). Oracle = q129's VERBATIM — the exact batched answer — so
+    * a bound that excluded a true top-k doc for any query, a cross-query
+    * attribution leak, or a missed tail contribution hash-fails. */
+  def bm25WandBatchSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"), (1L, "the"),
+      (2L, "dup"), (2L, "merge")).toDF("query_id", "term")
+    graft.sources.PostingsStore.bm25TopKWandBatch(s, store, req, k = 10)
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** q134: TIERED serving after TAKEDOWN, no compaction — q130's query
     * over the striped store with the q127 erasure set deleted and the
     * batches left UNFOLDED, so the hash gate sits on the ERASE path's
@@ -759,7 +778,8 @@ object LlmQueries extends graft.QueryModule {
     "q131_bm25_pruned_batch" -> bm25PrunedBatchSearch,
     "q132_bm25_wand" -> bm25WandSearch,
     "q133_phrase_topk" -> phraseSearch,
-    "q134_bm25_pruned_erased" -> bm25PrunedErasedSearch)
+    "q134_bm25_pruned_erased" -> bm25PrunedErasedSearch,
+    "q135_bm25_wand_batch" -> bm25WandBatchSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -886,6 +906,41 @@ object LlmQueries extends graft.QueryModule {
       |         row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
       |       FROM agg QUALIFY rnk <= $k)""".stripMargin
 
+  /** The exact BATCHED BM25 replay over q129's request fixture — shared
+    * VERBATIM by q129 (exact batched serving) and q135 (batched WAND,
+    * exact by construction): ONE df/stats computation over the term
+    * union, per-query scoring through the request relation. */
+  private val bm25BatchOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+      |qt(query_id, tok) AS (VALUES (0, 'dup'), (0, 'vector'), (1, 'merge'),
+      |                             (1, 'the'), (2, 'dup'), (2, 'merge')),
+      |terms AS (SELECT DISTINCT tok FROM qt),
+      |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+      |       FROM toks t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |c AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(floor(
+      |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+      |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      |      * 1000000.0) AS BIGINT) AS contrib_q
+      |  FROM tf t JOIN qt q USING (tok) JOIN df d USING (tok)
+      |  JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |agg AS (SELECT query_id, doc_id, count(*) AS n_terms_hit,
+      |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+      |        FROM c GROUP BY query_id, doc_id),
+      |ranked AS (SELECT query_id, doc_id, n_terms_hit, bm25_q,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS rnk
+      |           FROM agg QUALIFY rnk <= 10)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+      |  doc_id, n_terms_hit, bm25_q
+      |FROM ranked ORDER BY query_id, rnk""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q124_bm25" -> (bm25Cte +
       """
@@ -970,36 +1025,12 @@ object LlmQueries extends graft.QueryModule {
     // the batched serving shape: ONE shared df/stats computation over
     // the term union, per-query scoring through the request relation —
     // per-query-df or cross-query-leak bugs hash-fail
-    "q129_bm25_batch" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-        |qt(query_id, tok) AS (VALUES (0, 'dup'), (0, 'vector'), (1, 'merge'),
-        |                             (1, 'the'), (2, 'dup'), (2, 'merge')),
-        |terms AS (SELECT DISTINCT tok FROM qt),
-        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
-        |       FROM toks t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |c AS (
-        |  SELECT q.query_id, t.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
-        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-        |      * 1000000.0) AS BIGINT) AS contrib_q
-        |  FROM tf t JOIN qt q USING (tok) JOIN df d USING (tok)
-        |  JOIN dl l USING (doc_id) CROSS JOIN stats s),
-        |agg AS (SELECT query_id, doc_id, count(*) AS n_terms_hit,
-        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
-        |        FROM c GROUP BY query_id, doc_id),
-        |ranked AS (SELECT query_id, doc_id, n_terms_hit, bm25_q,
-        |             row_number() OVER (PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS rnk
-        |           FROM agg QUALIFY rnk <= 10)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
-        |  doc_id, n_terms_hit, bm25_q
-        |FROM ranked ORDER BY query_id, rnk""".stripMargin,
+    "q129_bm25_batch" -> bm25BatchOracle,
+    // batched WAND is EXACT by construction: q129's oracle VERBATIM —
+    // the certificate algebra (per-query thresholds, per-term fetch
+    // decisions, cross-query over-fetch soundness) must reproduce the
+    // exact batched answer bit for bit
+    "q135_bm25_wand_batch" -> bm25BatchOracle,
     // the tiered serve replayed exactly: per (term, stripe) the head is
     // the top-256 postings by the integer static impact (tf·10⁹ //
     // (1000·tf + 300 + 9·dl), ties (tf desc, dl asc, doc_id asc)); df

@@ -711,6 +711,155 @@ object PostingsStore {
         col("tok") === term && col("doc_id").isInCollection(docIds))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
 
+  /** One term's WHOLE tail — the batched WAND's per-term fallback when a
+    * query's certificates cannot exclude unseen documents for it (the
+    * single serve falls back to the exact both-tier path; the batch
+    * degrades only the term that needs it). Same partition bounds minus
+    * the id restriction. */
+  private def probeTailAll(spark: SparkSession, root: String, term: String,
+                           batches: Seq[Long]): DataFrame =
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches) &&
+        col("tbucket") === bucketOf(term) && col("tier") === 1 &&
+        col("tok") === term)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+
+  /** BATCHED WAND serving — [[bm25TopKBatch]]'s exact output (q135
+    * hash-gates it against q129's oracle VERBATIM) at certificate-bounded
+    * cost: ONE head probe over the union of the queries' terms, per-query
+    * thresholds `θ_q` from the per-(query, doc) head partials, the shared
+    * per-term tail bounds, and then a PER-TERM fetch decision:
+    *
+    *   - a term's tail is fetched for the UNION of its surviving
+    *     candidates across queries (`tier=1` + bucket partition literals,
+    *     pushed `In(doc_id)`), or
+    *   - fetched WHOLE only for terms of a query whose certificates
+    *     cannot exclude unseen documents (Σ tail UBs over the query's
+    *     terms ≥ θ_q, or fewer than k head docs) — the batch's fallback
+    *     degrades one term, never the whole serve, and
+    *   - never even LISTED when no query needs it (the certificate skip).
+    *
+    * Over-fetch is sound by monotonicity: an extra tail row only moves a
+    * document's displayed score TOWARD its true score, and every
+    * certificate-excluded document's true score sits strictly below its
+    * query's θ_q — so per-query attribution through the broadcast request
+    * relation stays exact for every query even when one query's fetch
+    * carries rows another query's certificate had excluded. Driver-side
+    * state is request-scaled: the per-(query, doc) head summary is
+    * ≤ |queries| · headSize · batches · |terms| rows by the layout. */
+  def bm25TopKWandBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75,
+                        queryIdCol: String = "query_id",
+                        termCol: String = "term"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "bm25 wand batch serve: k must be positive")
+    val qt = queries
+      .select(col(queryIdCol).cast("long").as(queryIdCol),
+        col(termCol).cast("string").as("tok"))
+      .dropDuplicates(queryIdCol, "tok")
+      .localCheckpoint(true)
+    val request: Map[Long, Set[String]] = qt.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getString(1)).toSet }
+    val terms = request.values.flatten.toSeq.distinct
+    require(terms.nonEmpty, "bm25 wand batch serve: no query terms")
+    val root = resolveDir(dir)
+    checkConsistent(root)
+    val batches = committedBatches(root)
+    val buckets = terms.map(bucketOf).distinct
+    val matched = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probeHead(spark, root, terms, batches).localCheckpoint(true)
+    }
+    val meta = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      readTermMeta(spark, root)
+        .filter(col("ingest_batch").isInCollection(batches) &&
+          col("tbucket").isInCollection(buckets) &&
+          col("tok").isInCollection(terms))
+        .localCheckpoint(true)
+    }
+    val dfs = meta.groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val stats = readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    val headScored = matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      .localCheckpoint(true)
+    val tailUB: Map[String, Long] = meta
+      .filter(col("tail_max_tf").isNotNull)
+      .select(col("tok"), col("tail_max_tf").as("tf"),
+        col("tail_min_dl").as("dl"))
+      .join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), Retrieval.bm25ContribQ(k1, b).as("ub_q"))
+      .groupBy(col("tok")).agg(max(col("ub_q")).as("ub_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rank(scored: DataFrame): DataFrame = {
+      val rankW = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("bm25_q").desc, col("doc_id"))
+      scored.join(broadcast(qt), Seq("tok"))
+        .groupBy(col(queryIdCol), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= k)
+        .select(col(queryIdCol), col("rnk"), col("doc_id"),
+          col("n_terms_hit"), col("bm25_q"))
+    }
+    val allScored = headScored.select(col("tok"), col("doc_id"), col("contrib_q"))
+    if (tailUB.isEmpty) return rank(allScored)
+    // per-(query, doc) head summary — request-scaled by the layout
+    val perQueryDoc = headScored.join(broadcast(qt), Seq("tok"))
+      .groupBy(col(queryIdCol), col("doc_id"))
+      .agg(sum(col("contrib_q")).as("s_head"),
+        collect_set(col("tok")).as("hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toSet))
+    val byQuery = perQueryDoc.groupBy(_._1)
+    // per term: Left(full tail) if any query falls back on it, else the
+    // union of the queries' surviving candidates (possibly empty = skip)
+    val fullTails = scala.collection.mutable.Set.empty[String]
+    val candByTerm = scala.collection.mutable.Map.empty[String, Set[Long]]
+    request.toSeq.sortBy(_._1).foreach { case (q, qTerms) =>
+      val qTail = qTerms.filter(tailUB.contains).toSeq.sorted
+      if (qTail.nonEmpty) {
+        val docs = byQuery.getOrElse(q, Array.empty)
+        val theta: Long =
+          if (docs.length < k) Long.MinValue
+          else docs.map(_._3).sorted(Ordering[Long].reverse).apply(k - 1)
+        val qTotalUB = qTail.map(tailUB).sum
+        if (docs.length < k || qTotalUB >= theta)
+          fullTails ++= qTail // unseen docs not excludable for this query
+        else qTail.foreach { t =>
+          val cands = docs.collect {
+            case (_, id, s, hit) if !hit(t) &&
+              s + qTail.collect { case t2 if !hit(t2) => tailUB(t2) }.sum >= theta => id
+          }
+          if (cands.nonEmpty)
+            candByTerm(t) = candByTerm.getOrElse(t, Set.empty) ++ cands
+        }
+      }
+    }
+    val fetches =
+      fullTails.toSeq.sorted.map(t => probeTailAll(spark, root, t, batches)) ++
+        (candByTerm.keySet -- fullTails).toSeq.sorted.map { t =>
+          val ids = candByTerm(t).toSeq.sorted
+          IncrementalContainment.withInPushdown(spark, math.max(ids.size, 10)) {
+            probeTail(spark, root, t, ids, batches).localCheckpoint(true)
+          }
+        }
+    if (fetches.isEmpty) return rank(allScored)
+    val tailScored = fetches.reduce(_ unionByName _)
+      .join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+    rank(allScored.unionByName(tailScored))
+  }
+
   /** The ONE tiered-serving assembly the single and batched pruned
     * serves share (mirroring [[servingScored]] for the exact pair):
     * consistency gate, the HEAD-TIER probe, exact df from the

@@ -673,6 +673,47 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       corpusRows(survivors, Seq("dup", "the"), 10))
   }
 
+  test("batched WAND equals the exact batched serve row for row — " +
+    "including the stop-word query and a single-term-only batch") {
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"), (1L, "the"),
+      (2L, "dup"), (2L, "merge")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val exact = rows(PostingsStore.bm25TopKBatch(spark, bulk, req, k = 10))
+    val wand = rows(PostingsStore.bm25TopKWandBatch(spark, bulk, req, k = 10))
+    assert(wand == exact && wand.nonEmpty)
+    // a batch where one query needs candidates ('dup'+'the') and another
+    // a whole-tail fallback ('the' alone at large k)
+    val req2 = Seq((0L, "dup"), (0L, "the"), (1L, "the")).toDF("query_id", "term")
+    assert(rows(PostingsStore.bm25TopKWandBatch(spark, bulk, req2, k = 300)) ==
+      rows(PostingsStore.bm25TopKBatch(spark, bulk, req2, k = 300)))
+  }
+
+  test("batched WAND certificate skip: a skip-certified batch never " +
+    "opens a tail — poisoned tails invisible, result exact") {
+    val d = tmp("graft_postings_wandb_skip")
+    PostingsStore.build(docs, d)
+    val req = Seq((0L, "the"), (1L, "dup")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val exact = rows(PostingsStore.bm25TopKBatch(spark, d, req, k = 10))
+    val b = PostingsStore.bucketOf("the")
+    val tails = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .filter(p => p.toString.contains(s"tbucket=$b/tier=1") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var poisoned = 0
+    tails.forEachRemaining { f =>
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(0x7f)); poisoned += 1
+    }
+    assert(poisoned > 0)
+    // q0 is single-term 'the' (head-complete, certificate skip), q1 has
+    // no tail at all: the batch provably never lists a tail partition
+    assert(rows(PostingsStore.bm25TopKWandBatch(spark, d, req, k = 10)) == exact)
+  }
+
   // ---- r19: positional postings + phrase serving ----
 
   private def brutePhrase(d: org.apache.spark.sql.DataFrame,
