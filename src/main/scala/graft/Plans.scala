@@ -416,6 +416,13 @@ object Plans {
         "PostingsStoreSpec); per-query attribution through the broadcast " +
         "request relation, per-query rank windows over certificate-" +
         "bounded input instead of the union terms' O(df)."),
+    "q136_phrase_near" ->
+      ("Proximity (sloppy phrase): q133's probe and join shape exactly — " +
+        "same bucket partition literals, same one-row-per-(doc, slot) " +
+        "fan-in — with the adjacency predicate generalized to the " +
+        "ordered-chain window as nested exists higher-order functions, " +
+        "still one codegen'd projection; widening the window costs ZERO " +
+        "additional I/O or shuffle, only per-row predicate work."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

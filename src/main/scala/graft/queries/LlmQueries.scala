@@ -275,6 +275,21 @@ object LlmQueries extends graft.QueryModule {
     graft.sources.PostingsStore.phraseTopK(s, store, Seq("the", "fast"), k = 20)
   }
 
+  /** q136: PROXIMITY (sloppy-phrase) serving — q133's machinery with the
+    * ordered-chain gap bound: "table … merge" within slop 2 (a start
+    * matches iff a "merge" follows within 1+slop positions). The fixture
+    * distinguishes for real: at sf0.01 the exact phrase matches 42 docs,
+    * the slop-2 window 84, with chain counts up to 3 — so both the window
+    * arithmetic and the occurrence COUNT are inside the hash gate. Oracle
+    * replays the window as a positions self-join counting DISTINCT start
+    * positions with at least one partner — exactly the serve's exists
+    * semantics. */
+  def phraseNearSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.phraseTopK(
+      s, store, Seq("table", "merge"), k = 20, slop = 2)
+  }
+
   /** q135: BATCHED WAND serving — q129's request fixture (the one that
     * deliberately carries the corpus-common "the") answered EXACTLY at
     * certificate-bounded cost via
@@ -779,7 +794,8 @@ object LlmQueries extends graft.QueryModule {
     "q132_bm25_wand" -> bm25WandSearch,
     "q133_phrase_topk" -> phraseSearch,
     "q134_bm25_pruned_erased" -> bm25PrunedErasedSearch,
-    "q135_bm25_wand_batch" -> bm25WandBatchSearch)
+    "q135_bm25_wand_batch" -> bm25WandBatchSearch,
+    "q136_phrase_near" -> phraseNearSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -1162,6 +1178,23 @@ object LlmQueries extends graft.QueryModule {
         |       FROM agg QUALIFY rnk <= 10)
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
         |FROM bm ORDER BY rnk""".stripMargin,
+    // the proximity window replayed as a positions self-join: a start i
+    // counts iff SOME j with toks[j]='merge' sits in (i, i + 1 + slop] —
+    // count(DISTINCT i) is exactly the serve's exists-chain semantics
+    "q136_phrase_near" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, count(DISTINCT i) AS phrase_tf
+        |      FROM t,
+        |        UNNEST(generate_series(1, len(toks))) AS u(i),
+        |        UNNEST(generate_series(1, len(toks))) AS v(j)
+        |      WHERE toks[i] = 'table' AND toks[j] = 'merge'
+        |        AND j > i AND j - i <= 3
+        |      GROUP BY doc_id),
+        |r AS (SELECT doc_id, phrase_tf,
+        |        row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rnk
+        |      FROM p QUALIFY rnk <= 20)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, phrase_tf
+        |FROM r ORDER BY rnk""".stripMargin,
     // phrase adjacency replayed over the raw corpus: a start index i
     // matches iff toks[i]='the' and toks[i+1]='fast' (1-based DuckDB list
     // indexing; the store's 0-based offsets cancel out of adjacency)

@@ -981,12 +981,20 @@ object PostingsStore {
     * volume, never the corpus token stream. Output
     * `(rnk, doc_id, phrase_tf)`, exactly `k` rows or every matching
     * document if fewer (q133 hash-gates it against a DuckDB replay of the
-    * adjacency over the raw corpus). */
+    * adjacency over the raw corpus).
+    *
+    * PROXIMITY: `slop` relaxes adjacency to an ordered chain — a start
+    * position matches iff there exist p₀ < p₁ < … with pᵢ in slot i and
+    * every gap ≤ 1 + slop (slop = 0 forces pᵢ = pᵢ₋₁ + 1, the exact
+    * phrase; the count stays "start positions with at least one valid
+    * chain", so the slop = 0 count is unchanged by construction). q136
+    * hash-gates the sloppy bigram the same way. */
   def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
-                 k: Int): DataFrame = {
+                 k: Int, slop: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phrase.size >= 2, "phrase serve: need at least two tokens")
     require(k >= 1, "phrase serve: k must be positive")
+    require(slop >= 0, "phrase serve: slop must be >= 0")
     val root = resolveDir(dir)
     checkConsistent(root)
     val batches = committedBatches(root)
@@ -995,6 +1003,16 @@ object PostingsStore {
       spark, math.max(terms.size, 10)) {
       probePositions(spark, root, terms, batches).localCheckpoint(true)
     }
+    // layout guard (the readRegistry legacy-guard discipline): a store
+    // written by the pre-positions format reads `positions` as NULL on
+    // every row — adjacency over nulls would return silently EMPTY, the
+    // one wrong answer worse than an error. Refuse loudly instead; the
+    // heal path is a rebuild (or compact after re-ingest) on the current
+    // layout. One pass over the already-checkpointed bounded probe.
+    require(probed.filter(col("abs_pos").isNull).isEmpty,
+      s"postings store at $dir: postings lack the positions column " +
+        "(pre-gen-3 layout) - phrase serving needs a store rebuilt on " +
+        "the positional format")
     // slot i = the phrase's i-th token's position set per doc; a doc
     // missing any slot term cannot match (inner joins drop it)
     val slots = phrase.zipWithIndex.map { case (t, i) =>
@@ -1002,9 +1020,13 @@ object PostingsStore {
         .select(col("doc_id"), col("abs_pos").as(s"pos_$i"))
     }
     val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
-    val starts = filter(col("pos_0"), p =>
-      (1 until phrase.size).map(i => array_contains(col(s"pos_$i"), p + i))
-        .reduce(_ && _))
+    // ordered-chain match, all inside codegen'd higher-order functions:
+    // nested exists over each slot's position set, gap bound 1 + slop
+    def chain(i: Int, prev: Column): Column =
+      if (i == phrase.size) lit(true)
+      else exists(col(s"pos_$i"), p =>
+        p > prev && p - prev <= lit((1 + slop).toLong) && chain(i + 1, p))
+    val starts = filter(col("pos_0"), p => chain(1, p))
     joined.select(col("doc_id"), size(starts).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") >= 1)
       .orderBy(col("phrase_tf").desc, col("doc_id"))

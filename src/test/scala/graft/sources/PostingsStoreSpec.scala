@@ -767,6 +767,66 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(phraseRows(d, Seq("the", "fast"), 20) == afterErase)
   }
 
+  private def bruteNear(d: org.apache.spark.sql.DataFrame,
+                        phrase: Seq[String], k: Int, slop: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select($"doc_id".cast("long").as("doc_id"),
+        posexplode(graft.operators.TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("long").as("p"), $"col".as("tok"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getString(2))) }
+    // driver-side reference: count start positions with a valid ordered
+    // chain (gaps <= 1 + slop) — independent of the serve's HOF algebra
+    def chains(ps: Seq[(Long, String)]): Long = {
+      val bySlot = phrase.map(t => ps.collect { case (p, tk) if tk == t => p }.sorted)
+      def ok(i: Int, prev: Long): Boolean =
+        i == phrase.size ||
+          bySlot(i).exists(p => p > prev && p - prev <= 1 + slop && ok(i + 1, p))
+      bySlot.head.count(p0 => ok(1, p0))
+    }
+    toks.toSeq.map { case (id, ps) => (id, chains(ps)) }
+      .filter(_._2 >= 1).sortBy { case (id, tf) => (-tf, id) }.take(k)
+      .zipWithIndex.map { case ((id, tf), i) => (i + 1, id, tf) }
+  }
+
+  test("sloppy phrase equals a driver-side chain reference — bigram and " +
+    "trigram windows; slop=0 degenerates to the exact phrase") {
+    for ((ph, slop) <- Seq((Seq("table", "merge"), 2),
+      (Seq("scan", "merge"), 1), (Seq("the", "fast", "key"), 3))) {
+      val got = PostingsStore.phraseTopK(spark, bulk, ph, 20, slop)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == bruteNear(docs, ph, 20, slop), s"$ph slop=$slop")
+    }
+    assert(PostingsStore.phraseTopK(spark, bulk, Seq("the", "fast"), 20, slop = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      phraseRows(bulk, Seq("the", "fast"), 20))
+    // the window genuinely widens the match set on this corpus
+    assert(PostingsStore.phraseTopK(spark, bulk, Seq("table", "merge"), 200, 2).count() >
+      PostingsStore.phraseTopK(spark, bulk, Seq("table", "merge"), 200, 0).count())
+  }
+
+  test("phrase serving REFUSES a pre-positions legacy store loudly; " +
+    "BM25 (which never reads positions) still serves it") {
+    val d = tmp("graft_postings_legacy")
+    PostingsStore.build(docs.limit(60), d)
+    // strip the positions column — the pre-gen-3 on-disk shape
+    val batchDir = java.nio.file.Paths.get(d, "ingest_batch=-1")
+    val legacy = spark.read.parquet(batchDir.toString)
+      .drop("positions")
+      .select($"tok", $"doc_id", $"tf", $"dl",
+        $"tbucket".cast("int").as("tbucket"), $"tier".cast("int").as("tier"))
+      .localCheckpoint(true)
+    graft.queue.Maintenance.deleteRec(batchDir)
+    legacy.repartition(1)
+      .sortWithinPartitions($"tbucket", $"tier", $"tok", $"doc_id")
+      .write.partitionBy("tbucket", "tier").parquet(batchDir.toString)
+    assert(serveRows(d, Seq("dup"), 10).nonEmpty)
+    // adjacency over null positions would be silently EMPTY — refuse
+    val e = intercept[IllegalArgumentException](
+      PostingsStore.phraseTopK(spark, d, Seq("the", "fast"), 10))
+    assert(e.getMessage.contains("positional format"), e.getMessage)
+  }
+
   test("the phrase probe prunes like every probe: bucket partition " +
     "literals + pushed In(tok); BM25 probes never read positions") {
     graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
