@@ -680,7 +680,7 @@ object PostingsStore {
       }.toSeq
     }.filter(_._2.nonEmpty)
     val tailScored = candByTerm.map { case (t, ids) =>
-      IncrementalContainment.withInPushdown(spark, math.max(ids.size, 10)) {
+      IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
         probeTail(spark, root, t, ids, batches).localCheckpoint(true)
       }
     } match {
@@ -847,7 +847,7 @@ object PostingsStore {
       fullTails.toSeq.sorted.map(t => probeTailAll(spark, root, t, batches)) ++
         (candByTerm.keySet -- fullTails).toSeq.sorted.map { t =>
           val ids = candByTerm(t).toSeq.sorted
-          IncrementalContainment.withInPushdown(spark, math.max(ids.size, 10)) {
+          IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
             probeTail(spark, root, t, ids, batches).localCheckpoint(true)
           }
         }
@@ -969,16 +969,21 @@ object PostingsStore {
 
   /** PHRASE top-k — the positional face of the store: documents
     * containing the exact consecutive token sequence `phrase`, ranked
-    * (occurrence count desc, doc_id asc). One probe over the phrase's
-    * DISTINCT terms reads both tiers (a posting's positions live wherever
-    * its impact landed it; phrase semantics are tier-blind), bounded the
-    * usual way — ≤ |terms| bucket partitions + pushed `In(tok)` row-group
-    * pruning — then per-posting positions decode (a prefix sum bounded by
-    * tf) and adjacency verifies INSIDE codegen: a start position `p`
-    * matches iff slot `i`'s array contains `p + i` for every following
-    * slot, all higher-order array functions, no UDF, no re-tokenization.
-    * The per-doc join fan-in is one row per (doc, phrase slot) — postings
-    * volume, never the corpus token stream. Output
+    * (occurrence count desc, doc_id asc). The probe reads both tiers of
+    * the phrase terms' buckets (a posting's positions live wherever its
+    * impact landed it; phrase semantics are tier-blind) with SEED-TERM
+    * candidate pruning: every slot must be present in a matching doc, so
+    * the rarest term (exact df from `_termmeta`) probes fully and — when
+    * its df fits a driver In list (`seedMaxDf`) — every OTHER slot
+    * fetches only the seed's doc ids via pushed `In(doc_id)` over the
+    * (tok, doc_id)-sorted runs: a stop-word slot costs O(seed df), never
+    * its own O(df) positions run. Then per-posting positions decode (a
+    * prefix sum bounded by tf) and adjacency verifies INSIDE codegen: a
+    * start position `p` matches iff slot `i`'s array contains `p + i`
+    * for every following slot, all higher-order array functions, no UDF,
+    * no re-tokenization. The per-doc join fan-in is one row per
+    * (doc, phrase slot) — postings volume, never the corpus token
+    * stream. Output
     * `(rnk, doc_id, phrase_tf)`, exactly `k` rows or every matching
     * document if fewer (q133 hash-gates it against a DuckDB replay of the
     * adjacency over the raw corpus).
@@ -990,7 +995,8 @@ object PostingsStore {
     * chain", so the slop = 0 count is unchanged by construction). q136
     * hash-gates the sloppy bigram the same way. */
   def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
-                 k: Int, slop: Int = 0): DataFrame = {
+                 k: Int, slop: Int = 0,
+                 seedMaxDf: Long = DefaultPhraseSeedMaxDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phrase.size >= 2, "phrase serve: need at least two tokens")
     require(k >= 1, "phrase serve: k must be positive")
@@ -999,10 +1005,49 @@ object PostingsStore {
     checkConsistent(root)
     val batches = committedBatches(root)
     val terms = phrase.distinct
-    val probed = IncrementalContainment.withInPushdown(
+    val buckets = terms.map(bucketOf).distinct
+    // SEED-TERM candidate pruning (the WAND candidate-fetch trick applied
+    // to phrases): every slot must be present in a matching doc, so the
+    // RAREST phrase term bounds the candidates. df comes from the exact
+    // `_termmeta` sidecar (metadata-scale); when the seed's df fits a
+    // driver In list, the seed slot probes fully and every OTHER slot
+    // fetches only the seed's doc ids — pushed In(doc_id) pruning row
+    // groups inside each term's (tok, doc_id)-sorted run — so a
+    // stop-word slot costs O(candidates), not its O(df) positions run.
+    // Past the threshold the probe falls back to the full O(Σ df) read
+    // (honest and stated; at that seed df the request is no longer
+    // driver-bounded).
+    val metaDf: Map[String, Long] = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      readTermMeta(spark, root)
+        .filter(col("ingest_batch").isInCollection(batches) &&
+          col("tbucket").isInCollection(buckets) &&
+          col("tok").isInCollection(terms))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    if (terms.exists(t => metaDf.getOrElse(t, 0L) == 0L))
+      // a slot term absent from the corpus: no document can match
+      return spark.emptyDataFrame.select(lit(0).cast("int").as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
+    val seed = terms.sortBy(t => (metaDf(t), t)).head
+    val probed = (if (metaDf(seed) <= seedMaxDf) {
+      val seedRows = IncrementalContainment.withInPushdown(spark, 10) {
+        probePositions(spark, root, Seq(seed), batches).localCheckpoint(true)
+      }
+      val ids = seedRows.select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // ≤ seed df by contract
+      val others = terms.filterNot(_ == seed)
+      if (others.isEmpty || ids.isEmpty) seedRows
+      else IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
+        seedRows.unionByName(
+          probePositionsForDocs(spark, root, others, ids, batches))
+          .localCheckpoint(true)
+      }
+    } else IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       probePositions(spark, root, terms, batches).localCheckpoint(true)
-    }
+    })
     // layout guard (the readRegistry legacy-guard discipline): a store
     // written by the pre-positions format reads `positions` as NULL on
     // every row — adjacency over nulls would return silently EMPTY, the
@@ -1034,6 +1079,48 @@ object PostingsStore {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
       .select(col("rnk"), col("doc_id"), col("phrase_tf"))
+  }
+
+  /** Seed-df ceiling for [[phraseTopK]]'s candidate pruning: the seed's
+    * doc ids become a driver-side In list, so the cap is the
+    * request-payload bound, not a correctness knob — past it the probe
+    * falls back to the full read with identical results (spec-pinned). */
+  val DefaultPhraseSeedMaxDf: Long = 65536L
+
+  /** Ceiling on the number of values pushed as a literal `In` into the
+    * parquet filter by the candidate fetches. Parquet evaluates a pushed
+    * In as a RECURSIVE Or chain — thousands of values stack-overflow the
+    * scan (measured: the sf0.1 phrase seed list did) — so past this cap
+    * the fetch lets Spark's default threshold rewrite the PUSHED filter
+    * to the `[min, max]` range (which still prunes row groups over the
+    * (tok, doc_id)-sorted runs) while the exact membership evaluates
+    * post-scan as an InSet hash lookup. Correctness is unaffected either
+    * way; only the pushed form changes. */
+  private val MaxPushedInValues = 512
+
+  /** The In-pushdown threshold for a candidate fetch of `n` ids: the full
+    * literal In when the chain stays shallow, the range rewrite past the
+    * cap. Never below parquet's default of 10. */
+  private def idPushdown(n: Int): Int =
+    math.max(math.min(n, MaxPushedInValues), 10)
+
+  /** The candidate-restricted phrase fetch: the non-seed slots' postings
+    * for the seed term's documents only — bucket partition literals,
+    * pushed `In(tok)` AND `In(doc_id)` over the (tok, doc_id)-sorted
+    * files. Package-private so the spec can pin the plan. */
+  private[sources] def probePositionsForDocs(spark: SparkSession,
+                                             root: String,
+                                             terms: Seq[String],
+                                             docIds: Seq[Long],
+                                             batches: Seq[Long]): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches) &&
+        col("tbucket").isInCollection(buckets) &&
+        col("tok").isInCollection(terms) &&
+        col("doc_id").isInCollection(docIds))
+      .select(col("tok"), col("doc_id"),
+        decodePositions(col("positions")).as("abs_pos"))
   }
 
   /** The phrase probe: both tiers of the terms' buckets with positions
@@ -1282,8 +1369,11 @@ object PostingsStore {
     checkConsistent(root)
     // locate through the doc-keyed sidecar: O(touched leaves), not a scan
     val dbuckets = docIds.map(dbucketOf).distinct
+    // the pushed-In cap applies here too: a takedown batch of thousands
+    // must not stack-overflow the parquet Or chain — the range rewrite
+    // still prunes over the doc_id-sorted docidx files
     val located = IncrementalContainment.withInPushdown(
-      spark, math.max(docIds.size, 10)) {
+      spark, idPushdown(docIds.size)) {
       readDocIdx(spark, root)
         .filter(col("ingest_batch").isInCollection(committedBatches(root)) &&
           col("dbucket").isInCollection(dbuckets) &&

@@ -789,6 +789,28 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
       .zipWithIndex.map { case ((id, tf), i) => (i + 1, id, tf) }
   }
 
+  test("phrase seed pruning: the seeded probe equals the full-probe " +
+    "fallback row for row, and the candidate fetch plan pushes In(doc_id)") {
+    for ((ph, slop) <- Seq((Seq("the", "fast"), 0), (Seq("table", "merge"), 2),
+      (Seq("table", "hash", "scan"), 0))) {
+      val seeded = PostingsStore.phraseTopK(spark, bulk, ph, 20, slop)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      // seedMaxDf = 0 forces the full O(Σ df) probe — results identical
+      val full = PostingsStore.phraseTopK(spark, bulk, ph, 20, slop, seedMaxDf = 0L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(seeded == full && seeded.nonEmpty, s"$ph slop=$slop")
+    }
+    graft.streaming.IncrementalContainment.withInPushdown(spark, 2048) {
+      val plan = PostingsStore
+        .probePositionsForDocs(spark, bulk, Seq("the"), Seq(3L, 7L), Seq(-1L))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("In(doc_id"), s"pushed In(doc_id) missing:\n$plan")
+      val pfStart = plan.indexOf("PartitionFilters: [")
+      assert(pfStart >= 0 && plan.substring(pfStart,
+        plan.indexOf("]", pfStart) max (pfStart + 1)).contains("tbucket"), plan)
+    }
+  }
+
   test("sloppy phrase equals a driver-side chain reference — bigram and " +
     "trigram windows; slop=0 degenerates to the exact phrase") {
     for ((ph, slop) <- Seq((Seq("table", "merge"), 2),
