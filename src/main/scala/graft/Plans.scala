@@ -390,13 +390,16 @@ object Plans {
         "q126's replay re-targeted), with driver state bounded by " +
         "headSize x batches x terms."),
     "q133_phrase_topk" ->
-      ("Phrase serving from positional postings: ONE probe over the " +
-        "phrase's distinct terms (bucket partition literals + pushed " +
-        "In(tok) — the standard probe bound), positions gap-decode and " +
+      ("Phrase serving from positional postings with SEED-TERM candidate " +
+        "pruning: the rarest phrase term (exact df from _termmeta) probes " +
+        "fully, every other slot fetches ONLY the seed's doc ids over the " +
+        "(tok, doc_id)-sorted runs — a stop-word slot costs O(seed df), " +
+        "never its own O(df) positions run (probes execute eagerly; their " +
+        "plans — bucket literals, pushed In(tok), pushed/ranged In(doc_id) " +
+        "— are pinned in PostingsStoreSpec). Positions gap-decode and " +
         "adjacency verify inside a codegen'd projection (higher-order " +
-        "array functions, no UDF, no re-tokenization), the per-doc join " +
-        "fans in one row per (doc, phrase slot) — postings volume, never " +
-        "the corpus token stream — and the result is one " +
+        "array functions, no UDF, no re-tokenization); the per-doc join " +
+        "fans in one row per (doc, phrase slot) and the result is one " +
         "TakeOrderedAndProject plus the k-row rank window."),
     "q134_bm25_pruned_erased" ->
       ("q130's tiered serving plan over the ERASED, UNCOMPACTED store: " +

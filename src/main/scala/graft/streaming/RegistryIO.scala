@@ -34,13 +34,29 @@ private[graft] object RegistryIO {
   }
 
   /** Read `dir` under the declared schema, or an empty relation of that
-    * schema when [[hasData]] finds nothing committed yet. */
+    * schema when [[hasData]] finds nothing committed yet.
+    *
+    * Prefixed reads are GLOB-SCOPED to `<dir>/<prefix>*` with `dir` as
+    * the basePath (the IvfIndexStore list-scan discipline): partition
+    * discovery walks only the layout's own partition dirs, so an
+    * unrelated sibling appearing mid-read — the postings store's `v<N>`
+    * snapshot landing between a reader's resolve and its file listing
+    * (the one formerly-unscoped window; the compact hammer spec caught
+    * it as CONFLICTING_DIRECTORY_STRUCTURES), a dot-staging dir made
+    * visible by a misbehaving filesystem, a caller-owned marker — can
+    * never break or pollute the scan. */
   def readOrEmpty(spark: SparkSession, dir: String, schema: StructType,
                   partitionPrefix: Option[String]): DataFrame = {
     if (!hasData(dir, partitionPrefix))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dir)
+    else partitionPrefix match {
+      case Some(pre) =>
+        spark.read.schema(schema)
+          .option("basePath", dir.stripSuffix("/"))
+          .parquet(dir.stripSuffix("/") + "/" + pre + "*")
+      case None => spark.read.schema(schema).parquet(dir)
+    }
   }
 
   /** Erase every row of the given documents from a hive-partitioned
