@@ -426,6 +426,34 @@ object Plans {
         "ordered-chain window as nested exists higher-order functions, " +
         "still one codegen'd projection; widening the window costs ZERO " +
         "additional I/O or shuffle, only per-row predicate work."),
+    "q137_bm25_leveled" ->
+      ("q126's exact serving plan over a LEVELED store (compactLevel " +
+        "folded the smallest batches mid-ingest behind the _vlog flip): " +
+        "the read shape is IDENTICAL — committed-batch set + tbucket " +
+        "literals in PartitionFilters, pushed In(tok) — which is the " +
+        "plan's whole claim: leveling changes batch COUNT (the " +
+        "partition-filter list and the footer tier stay capped under " +
+        "unbounded streaming ingest), never the serving algebra. The " +
+        "fold itself writes only the folded batches' bytes (untouched " +
+        "batches carry over as hard links / a manifest), spec-pinned " +
+        "with the nlink proof and the live-fold reader hammer."),
+    "q138_bm25_phrase" ->
+      ("Phrase-aware ranked retrieval — the composed plan: the phrase " +
+        "match runs eagerly inside serving checkpoints (seed-pruned, " +
+        "q133's pinned probes), then THIS dump's scoring read fetches " +
+        "only the candidates' rows (bucket literals + pushed In(tok) " +
+        "and In(doc_id)) with df from the broadcast _termmeta sidecar — " +
+        "never counted from the restricted probe — so a stop-word free " +
+        "term costs O(phrase candidates), not its O(df) run; one " +
+        "bounded top-k + k-row rank window on top."),
+    "q139_ivf_merged" ->
+      ("q112's serving plan over a LEAF-MERGED store (mergeLeaves " +
+        "folded the smallest ingest batches per list): probe literals " +
+        "as PartitionFilters, one pruned scan — identical read shape, " +
+        "fewer leaf files under each probed list, which is the point: " +
+        "the merge bounds the per-list file count a probed scan pays " +
+        "under streaming ingest, content-neutral by construction " +
+        "(q112's oracle verbatim gates it)."),
     "q116_qcut_ingest" ->
       ("The quality cut read back from the INGEST registry: admitted() " +
         "ranks over the per-source score HISTOGRAM built from the " +

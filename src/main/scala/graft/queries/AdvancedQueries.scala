@@ -197,6 +197,46 @@ object AdvancedQueries extends graft.QueryModule {
       where = col("label") === 3 && col("vec_id") < 40, nprobe = 2)
   }
 
+  private val mergedStoreMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** q139: LEAF-MERGED serving — the IVF store's batch-count discipline
+    * ([[graft.sources.IvfIndexStore.mergeLeaves]]): a store seeded with
+    * the first 100 vectors (codebook = first 16, q112's) ingests the
+    * rest as TEN striped appends (eleven batches of leaves per touched
+    * list), then the smallest batches fold until four remain — no
+    * re-cluster, no reassignment, every row byte-identical. Serving
+    * q112's query must therefore reproduce q112's oracle VERBATIM: a row
+    * lost or doubled by the merge, a leaf the swap missed, or a replayed
+    * folded batch slipping past the `_folded` tripwire hash-fails here.
+    * Later battery passes re-serve from the memoized merged store (the
+    * q112 discipline). */
+  def ivfMergedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val keyStr = s"$dir|merged"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val storeDir = "/tmp/graft-ivf-store/" + digest + "_" +
+      ("merged_" + dir).replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (s, keyStr)
+    if (!mergedStoreMemo.contains(key)) {
+      graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(storeDir))
+      graft.sources.IvfIndexStore.build(
+        emb.filter($"vec_id" < 100), storeDir, nlist = 16)
+      (0 to 9).foreach(b => graft.sources.IvfIndexStore.appendBatch(
+        emb.filter($"vec_id" >= 100 && $"vec_id" % 10 === b),
+        storeDir, batchId = b.toLong))
+      require(graft.sources.IvfIndexStore.mergeLeaves(s, storeDir,
+        maxBatches = 4), "q139 fixture: the leaf merge was a no-op")
+      mergedStoreMemo.add(key)
+    }
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    graft.sources.IvfIndexStore.topK(s, storeDir, qvec, k = 10, nprobe = 2)
+  }
+
   private val pqDriftMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
@@ -311,7 +351,8 @@ object AdvancedQueries extends graft.QueryModule {
     "q120_pq_drift" -> pqDriftReport,
     "q121_ivf_filtered" -> ivfFilteredTopK,
     "q122_ivf_deleted" -> ivfDeletedTopK,
-    "q123_ivf_adaptive" -> ivfAdaptiveFiltered)
+    "q123_ivf_adaptive" -> ivfAdaptiveFiltered,
+    "q139_ivf_merged" -> ivfMergedTopK)
 
   /** Shared by q53 (in-memory probe path) and q112 (persisted index): the
     * full IVF computation — deterministic first-16-vectors codebook,
@@ -366,6 +407,10 @@ object AdvancedQueries extends graft.QueryModule {
     // identical ANN computation served from the persisted index — a store
     // bug (stale lists, wrong codebook, broken pruning) hash-fails here
     "q112_ivf_store" -> ivfOracle,
+    // the leaf merge is CONTENT-NEUTRAL (no reassignment, no codebook
+    // change), so serving the merged multi-batch store must reproduce
+    // q112's oracle verbatim — a lost or doubled row hash-fails
+    "q139_ivf_merged" -> ivfOracle,
     // q112's replay minus the deleted ids: the deterministic takedown set
     // (vec_id % 5 = 3) must be gone from serving while the frozen
     // codebook keeps its centroids — a tombstone leak or a missed leaf

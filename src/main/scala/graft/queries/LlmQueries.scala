@@ -323,6 +323,37 @@ object LlmQueries extends graft.QueryModule {
     graft.sources.PostingsStore.bm25TopKPruned(s, store, Seq("dup", "the"), k = 10)
   }
 
+  /** q137: serving across LEVELED compaction — the corpus ingested as six
+    * striped micro-batches with
+    * [[graft.sources.PostingsStore.compactLevel]] folding the smallest
+    * batches MID-INGEST (after batches 3 and 5, cap 3), then q126's exact
+    * serve. The oracle is q126's VERBATIM: exact BM25 is fold-invariant
+    * by construction, so a row lost by the linked carry, a double-counted
+    * stats row in the folded batch, a drifted recomputed sidecar, or an
+    * append that failed to resolve into the flipped version all
+    * hash-fail — the leveled fold's whole surface inside one gate. */
+  def bm25LeveledSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.leveledLayoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopK(
+      s, store, Seq("dup", "vector", "merge"), k = 20)
+  }
+
+  /** q138: PHRASE-AWARE RANKED RETRIEVAL — the composed query a retrieval
+    * user types after q133 and q124: the exact phrase "the fast" as a
+    * CANDIDATE FILTER plus the free term "dup", ranked by exact BM25 over
+    * all three scoring terms with corpus-wide df (the `_termmeta`
+    * sidecar; a candidate-restricted probe must never count df). Oracle
+    * replays adjacency over the raw corpus (q133's discipline) joined
+    * with the from-corpus BM25 contributions (q124's), ranked within the
+    * phrase matches — a candidate the phrase filter should have dropped,
+    * an idf computed over the candidates instead of the corpus, or a
+    * lost phrase occurrence hash-fails. */
+  def bm25PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.PostingsStore.layoutFor(s, dir)
+    graft.sources.PostingsStore.bm25TopKPhrase(
+      s, store, phrase = Seq("the", "fast"), terms = Seq("dup"), k = 10)
+  }
+
   /** Character-level verification beside the token-level Jaccard (q33):
     * exact Levenshtein distance over the candidates' leading 80 chars —
     * the cheap second opinion fuzzy-dedup pipelines run before dropping a
@@ -795,7 +826,9 @@ object LlmQueries extends graft.QueryModule {
     "q133_phrase_topk" -> phraseSearch,
     "q134_bm25_pruned_erased" -> bm25PrunedErasedSearch,
     "q135_bm25_wand_batch" -> bm25WandBatchSearch,
-    "q136_phrase_near" -> phraseNearSearch)
+    "q136_phrase_near" -> phraseNearSearch,
+    "q137_bm25_leveled" -> bm25LeveledSearch,
+    "q138_bm25_phrase" -> bm25PhraseSearch)
 
   // Shared oracle CTEs --------------------------------------------------------
 
@@ -1130,6 +1163,49 @@ object LlmQueries extends graft.QueryModule {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
         |  doc_id, n_terms_hit, bm25_q
         |FROM ranked ORDER BY query_id, rnk""".stripMargin,
+    // the leveled-compaction gate: exact BM25 is fold-invariant, so the
+    // oracle is q126's VERBATIM — a row lost by the linked carry, a
+    // doubled stats row in the folded batch, or a drifted recomputed
+    // sidecar hash-fails against the from-corpus replay
+    "q137_bm25_leveled" -> (bm25Cte +
+      """
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, bm25_q
+        |FROM bm ORDER BY rnk""".stripMargin),
+    // phrase-aware ranked retrieval: adjacency replay (q133's) joined
+    // with the from-corpus BM25 contributions over the three scoring
+    // terms, ranked WITHIN the phrase matches with corpus-wide df
+    "q138_bm25_phrase" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+        |qt(tok) AS (VALUES ('the'), ('fast'), ('dup')),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |       FROM toks t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |c AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+        |          / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS contrib_q
+        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+        |               CAST(sum(contrib_q) AS BIGINT) AS bm25_q
+        |        FROM c GROUP BY doc_id),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+        |p AS (SELECT doc_id, count(*) AS phrase_tf
+        |      FROM t2, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
+        |      WHERE tl[i] = 'the' AND tl[i+1] = 'fast'
+        |      GROUP BY doc_id),
+        |r AS (SELECT p.doc_id, p.phrase_tf, a.n_terms_hit, a.bm25_q,
+        |        row_number() OVER (ORDER BY a.bm25_q DESC, p.doc_id) AS rnk
+        |      FROM p JOIN agg a USING (doc_id) QUALIFY rnk <= 10)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, phrase_tf,
+        |  n_terms_hit, bm25_q
+        |FROM r ORDER BY rnk""".stripMargin,
     // WAND serving is EXACT by construction: the oracle is the plain
     // from-corpus BM25 replay (q126's discipline) over the stop-word
     // fixture — the certificate algebra must reproduce it bit for bit

@@ -789,6 +789,165 @@ object IvfIndexStore {
     * prunes on `centroid_id` and scans every batch of the probed lists. */
   private[sources] val BatchCol = "ingest_batch"
 
+  /** The leaf-merge fold registry: batch ids folded by [[mergeLeaves]]
+    * (one per line at the resolved root). A replayed folded batch must be
+    * refused — its rows already live in a merged leaf, and the dynamic
+    * partition overwrite would file a SECOND copy under the original
+    * batch id beside them. */
+  private val FoldedMarker = "_folded"
+
+  private def foldedBatches(root: String): Set[Long] = {
+    val m = java.nio.file.Paths.get(root, FoldedMarker)
+    if (!java.nio.file.Files.exists(m)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** LEVELED LEAF MERGE — the postings store's batch-count discipline
+    * ([[graft.sources.PostingsStore.compactLevel]]) applied to this
+    * store's smaller dose of the same disease: every append files one
+    * `(centroid_id, ingest_batch=N)` leaf per touched list, so a
+    * long-running sink grows the per-list FILE COUNT linearly — every
+    * probed scan pays the footer tier — and the only remedy before this
+    * was [[rebuild]]'s full corpus re-cluster. `mergeLeaves` instead
+    * folds the SMALLEST batches — enough to bring the store's batch
+    * count back to `maxBatches` — into ONE new batch per touched list
+    * (a fresh negative id below build's -1, so no stream id ever
+    * collides), leaving every other leaf byte-identical. No re-cluster,
+    * no codebook change, no row is re-assigned: the merge is
+    * CONTENT-NEUTRAL, which is why per-list swap atomicity suffices —
+    * a reader racing the merge sees each list whole-old or whole-new
+    * through the rename-aside swap, and either layout serves identical
+    * results ([[delete]]'s documented granularity). Folded original ids
+    * enter the `_folded` registry BEFORE any swap, so a post-crash
+    * replay of a folded batch is refused loudly by [[appendBatch]]
+    * instead of double-filing; a crash mid-merge leaves some lists
+    * merged and others not — still content-identical — and the next
+    * call converges. [[qualityReport]] sees a merged batch as one row
+    * (its per-original-batch drift attribution folds with it — the
+    * documented trade; run the report before merging if per-append
+    * attribution matters). Returns true iff a fold ran. */
+  def mergeLeaves(spark: SparkSession, dir: String,
+                  maxBatches: Int = 8): Boolean = {
+    require(maxBatches >= 2, "ivf mergeLeaves: maxBatches must be >= 2")
+    val root = resolveDir(spark, dir)
+    val rp = java.nio.file.Paths.get(root)
+    // heal any centroid-level aside a crashed merge left mid-swap
+    if (java.nio.file.Files.exists(rp)) {
+      val s = java.nio.file.Files.list(rp)
+      try {
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith(".centroid_id=") && n.endsWith(".old"))
+            names += n.stripPrefix(".").stripSuffix(".old")
+        }
+        names.foreach(n => graft.queue.Maintenance.healAside(rp.resolve(n)))
+      } finally s.close()
+    }
+    // batch census from the layout (metadata-scale directory walk)
+    def centroidDirs: Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(rp)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c.getFileName.toString.startsWith("centroid_id=")) b += c
+        }
+        b.result()
+      } finally s.close()
+    }
+    def leavesOf(c: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+      val s = java.nio.file.Files.list(c)
+      try {
+        val b = Seq.newBuilder[(Long, java.nio.file.Path)]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val l = it.next(); val n = l.getFileName.toString
+          if (n.startsWith(s"$BatchCol="))
+            b += ((n.stripPrefix(s"$BatchCol=").toLong, l))
+        }
+        b.result()
+      } finally s.close()
+    }
+    def bytesOf(p: java.nio.file.Path): Long =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          var sum = 0L; val it = s.iterator()
+          while (it.hasNext) sum += bytesOf(it.next())
+          sum
+        } finally s.close()
+      } else java.nio.file.Files.size(p)
+    val cents = centroidDirs
+    val sizeByBatch = cents.flatMap(leavesOf)
+      .groupBy(_._1).map { case (b, ls) => b -> ls.map(l => bytesOf(l._2)).sum }
+    if (sizeByBatch.size <= maxBatches) return false
+    val fold = sizeByBatch.toSeq.sortBy { case (b, sz) => (sz, b) }
+      .take(sizeByBatch.size - maxBatches + 1).map(_._1)
+    val newId = (sizeByBatch.keySet + -1L).min - 1L
+    // the replay tripwire lands BEFORE any swap: from here on, a replay
+    // of a folded batch is refused rather than double-filed
+    java.nio.file.Files.write(rp.resolve(FoldedMarker),
+      (foldedBatches(root) ++ fold).toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ONE job folds every touched list's victim rows, clustered by list
+    val stage = rp.resolve(".merge_stage")
+    graft.queue.Maintenance.deleteRec(stage)
+    readLists(spark, root)
+      .filter(col(BatchCol).isin(fold: _*))
+      .drop(BatchCol)
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(stage.toString)
+    // per touched list: new dir = merged leaf + links of kept leaves,
+    // swapped in whole (readers see the list old or new, never mixed)
+    cents.foreach { c =>
+      val ls = leavesOf(c)
+      if (ls.exists(l => fold.contains(l._1))) {
+        val tmp = c.resolveSibling("." + c.getFileName.toString + ".swap")
+        graft.queue.Maintenance.deleteRec(tmp)
+        java.nio.file.Files.createDirectories(tmp)
+        ls.filterNot(l => fold.contains(l._1)).foreach { case (b, l) =>
+          linkTree(l, tmp.resolve(s"$BatchCol=$b"))
+        }
+        val staged = stage.resolve(c.getFileName.toString)
+        if (java.nio.file.Files.exists(staged))
+          linkTree(staged, tmp.resolve(s"$BatchCol=$newId"))
+        graft.queue.Maintenance.replaceDir(tmp.toString, c.toString)
+      }
+    }
+    graft.queue.Maintenance.deleteRec(stage)
+    true
+  }
+
+  /** Hard-link `src` under `dst` per file (copy where links are refused)
+    * — [[mergeLeaves]]' zero-byte carry of kept leaves. Safe: list files
+    * are immutable once written (every mutation swaps whole dirs). */
+  private def linkTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.createDirectories(dst)
+      val s = java.nio.file.Files.list(src)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          linkTree(c, dst.resolve(c.getFileName.toString))
+        }
+      } finally s.close()
+    } else {
+      java.nio.file.Files.createDirectories(dst.getParent)
+      try java.nio.file.Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src, dst)
+      }
+    }
+  }
+
   /** One append step, keyed by `batchId` — [[sink]]'s per-micro-batch body,
     * public because batch pipelines (a scheduled backfill, a q120-style
     * fixture) append with exactly the same replay contract: same batchId →
@@ -803,6 +962,11 @@ object IvfIndexStore {
     // and the write all land in the same version snapshot (appends racing
     // a rebuild follow the quiesce contract in the version-layer scaladoc)
     val root = resolveDir(batch.sparkSession, dir)
+    require(!foldedBatches(root).contains(batchId),
+      s"ivf store at $dir: batch $batchId was already folded by " +
+        "mergeLeaves() - replaying it would file a second copy of its " +
+        "vectors beside the merged leaf; resolve the stream checkpoint " +
+        "instead")
     // the codebook is FROZEN at build time (standard IVF maintenance:
     // appends assign against the existing centroids; re-centering is an
     // offline rebuild) — a missing store fails loudly here

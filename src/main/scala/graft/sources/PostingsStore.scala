@@ -47,6 +47,18 @@ import org.apache.spark.sql.types.StructType
   *     at serve-time (df, N, avgdl) upper-bounds every tail contribution,
   *     which is what lets [[bm25TopKWand]] prove a tail needs no opening.
   *     O(vocab) rows — metadata-scale beside the postings.
+  *   - `_blockmeta/ingest_batch=N/tbucket=B/` — one
+  *     `(tok, blk_lo, blk_hi, blk_max_tf, blk_min_dl)` row per
+  *     [[TailBlockSize]]-posting BLOCK of a term's doc_id-sorted tail:
+  *     the block-max refinement of the `_termmeta` certificate
+  *     ([[bm25TopKWand]] keys a candidate doc's tail bound to its OWN
+  *     block — or to a proof of absence when no block covers its id —
+  *     so one outlier posting cannot poison a whole tail's bound).
+  *     O(tail/64) rows, never driver-collected (the serve range-joins
+  *     it against the broadcast head summary). Recomputed wherever
+  *     `_termmeta` is (append, erase, both compactions); a batch with
+  *     tails but no block rows (pre-gen-4) falls back to the per-batch
+  *     certificate — conservative, never wrong.
   *   - `_docidx/ingest_batch=N/dbucket=D/` — one `(doc_id, tbuckets)` row
   *     per ingested document, hive-partitioned by `doc_id mod 256` and
   *     sorted by `doc_id`, recording which term buckets carry the doc's
@@ -63,6 +75,14 @@ import org.apache.spark.sql.types.StructType
   *   - `_compacted_through` — highest batch id folded by [[compact]];
   *     [[appendBatch]] REFUSES a batch at or below it (loud, not a
   *     silent double count — see the compaction contract below).
+  *   - `_folded` — the batch ids [[compactLevel]] has folded (a leveled
+  *     fold picks the SMALLEST batches, not a prefix, so refusal needs
+  *     the explicit set); same replay semantics as the watermark.
+  *   - `_format` — the layout-generation marker: created only on an
+  *     empty root and required before any append to a non-empty one, so
+  *     its presence PROVES every batch carries positions + blockmeta
+  *     ([[phraseTopK]]'s guard is one file-existence check, not a
+  *     per-serve null scan).
   *   - `_vlog/<N>` + `v<N>/` — the version-manifest layer [[compact]]
   *     flips through (the [[IvfIndexStore.rebuild]] discipline): a fold
   *     builds the ENTIRE next layout into `v<N+1>`, invisible to readers,
@@ -95,7 +115,10 @@ import org.apache.spark.sql.types.StructType
   * is the per-document sum over the postings actually read. [[compact]]
   * bounds the footer tier (batches fold into one) and re-tiers globally,
   * so a long-lived store's head is the corpus-wide impact cut, not the
-  * union of per-batch cuts.
+  * union of per-batch cuts; [[compactLevel]] is its INCREMENTAL face —
+  * fold only the smallest batches, link the rest — so the batch-count
+  * bound holds under unbounded streaming ingest at O(folded bytes) per
+  * fold instead of O(store).
   *
   * Replay/maintenance contract: [[appendBatch]] is idempotent (a
   * replayed micro-batch overwrites its own `ingest_batch=N` subtree, its
@@ -190,6 +213,21 @@ object PostingsStore {
   private val docIdxSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, tbuckets ARRAY<INT>, ingest_batch BIGINT, dbucket INT")
 
+  private val blockMetaSchema: StructType = StructType.fromDDL(
+    "tok STRING, blk_lo BIGINT, blk_hi BIGINT, blk_max_tf BIGINT, " +
+      "blk_min_dl BIGINT, ingest_batch BIGINT, tbucket INT")
+
+  /** Tail postings per `_blockmeta` block: within a (term, batch), the
+    * tier-1 postings sort by doc_id and chunk into runs of this many rows,
+    * each contributing one (blk_lo, blk_hi, max tf, min dl) certificate —
+    * the BLOCK-MAX refinement of the per-batch tail certificate: a single
+    * outlier posting (one huge tf in a stop word's tail) poisons only its
+    * own block's bound, not the whole tail's, so [[bm25TopKWand]]'s
+    * candidate cut excludes the documents the outlier has nothing to do
+    * with. 64 keeps the sidecar at tail/64 rows (never driver-collected —
+    * the serve range-joins it against the broadcast head summary). */
+  private[sources] val TailBlockSize: Int = 64
+
   /** Term bucket: first hex byte of md5(tok), 0..255 — a pure function
     * of the probe key, so pruning never drops a match (the
     * [[graft.streaming.IncrementalContainment]] bucketing). */
@@ -276,6 +314,58 @@ object PostingsStore {
       max(when(col("tier") === 1, col("tf"))).as("tail_max_tf"),
       min(when(col("tier") === 1, col("dl"))).as("tail_min_dl"))
 
+  /** One batch's `_blockmeta` rows from its tiered postings: per (term,
+    * [[TailBlockSize]]-row block of the doc_id-sorted tail), the block's
+    * id range and its max-score certificate inputs (max tf, min dl) — the
+    * per-block refinement of [[termMetaFor]]'s per-batch tail bound.
+    * Blocks partition the tail COMPLETELY (every tier-1 posting falls in
+    * exactly one block), which is what makes "no block covers doc d" a
+    * PROOF that d has no tail posting for the term — the strongest bound
+    * of all (zero), and the one the outlier-adversary spec leans on. */
+  private def blockMetaFor(tiered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    tiered.filter(col("tier") === 1)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("blk",
+        ((row_number().over(w) - 1) / lit(TailBlockSize)).cast("long"))
+      .groupBy(col("tok"), col("blk"))
+      .agg(min(col("doc_id")).as("blk_lo"), max(col("doc_id")).as("blk_hi"),
+        max(col("tf")).as("blk_max_tf"), min(col("dl")).as("blk_min_dl"))
+      .drop("blk")
+  }
+
+  /** On-disk format generation this writer produces: 4 = delta-encoded
+    * positions + `_termmeta` tail certificates + `_blockmeta` block-max
+    * sidecar + the `_format` marker itself. The marker is the
+    * LAYOUT-TRUST contract: it exists iff EVERY batch in the store was
+    * written by a gen-4 writer ([[writeBatch]] creates it only on a
+    * fresh root and REFUSES to append to a marker-less non-empty store),
+    * so [[phraseTopK]] can trust the positions column without scanning
+    * for nulls (the r19 guard paid a full probe pass on every serve) and
+    * a pre-positions store is refused loudly instead of serving silently
+    * empty adjacency. */
+  private val FormatGen = 4
+  private val FormatMarker = "_format"
+
+  private def hasFormatMarker(root: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root.stripSuffix("/"), FormatMarker))
+
+  /** The leveled-compaction fold registry: batch ids folded by
+    * [[compactLevel]] (one id per line). Unlike [[compact]]'s single
+    * watermark, a leveled fold picks the SMALLEST batches — not a prefix —
+    * so replay refusal needs the explicit set. */
+  private val FoldedMarker = "_folded"
+
+  private def foldedBatches(root: String): Set[Long] = {
+    val m = java.nio.file.Paths.get(root.stripSuffix("/"), FoldedMarker)
+    if (!java.nio.file.Files.exists(m)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
   // Version-manifest layer ----------------------------------------------------
 
   /** Highest committed `_vlog` entry, or None for a flat (never-compacted)
@@ -344,6 +434,10 @@ object PostingsStore {
       s"postings store at $dir: batch $batchId was already folded by " +
         "compact() - replaying it would double-count its documents; " +
         "resolve the stream checkpoint instead")
+    require(!foldedBatches(root).contains(batchId),
+      s"postings store at $dir: batch $batchId was already folded by " +
+        "compactLevel() - replaying it would double-count its documents; " +
+        "resolve the stream checkpoint instead")
     if (checkDupIds) {
       // only COMMITTED registrations can refuse an append: a torn batch's
       // leftover _docidx rows (postings landed, stats never did) will be
@@ -362,7 +456,11 @@ object PostingsStore {
             s"${r.getLong(0)} in batch ${r.getLong(1)}").mkString(", ")}) - " +
           "cross-batch doc-id uniqueness is the append contract; erase the " +
           "old rows first or pass checkDupIds = false if uniqueness is " +
-          "guaranteed upstream")
+          "guaranteed upstream. If this batch is the REPLAY of a torn " +
+          "append whose documents were since committed under the listed " +
+          "batches, the store already carries them: drop those documents " +
+          "from the replayed batch, or advance the stream checkpoint past " +
+          s"batch $batchId")
     }
     writeBatch(docs, root, batchId, idCol, textCol, headSize)
   }
@@ -383,6 +481,25 @@ object PostingsStore {
   private def writeBatch(docs: DataFrame, root: String, batchId: Long,
                          idCol: String, textCol: String, headSize: Int): Unit = {
     require(headSize >= 1, "postings store: headSize must be positive")
+    // the format-trust contract: the marker is created only on a root with
+    // no committed batches, so its presence proves EVERY batch was written
+    // by a gen-4 (positions + blockmeta) writer — a marker-less store with
+    // data predates the layout and appending would mix formats (phrase
+    // serving over the legacy rows' null positions would be silently
+    // empty; WAND over missing blockmeta degrades). Loud, with the heal
+    // path named.
+    if (!hasFormatMarker(root)) {
+      require(!RegistryIO.hasData(root, Some("ingest_batch=")),
+        s"postings store at $root predates the gen-$FormatGen layout " +
+          "(no _format marker beside committed batches) - appending would " +
+          "mix on-disk formats; rebuild the store from its corpus on the " +
+          "current layout instead")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root.stripSuffix("/")))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root.stripSuffix("/"), FormatMarker),
+        FormatGen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // the tombstone gate: a replayed pre-erase batch re-registers only
     // the survivors (takedown-request-sized broadcast by contract)
     val live = docs.join(
@@ -413,6 +530,15 @@ object PostingsStore {
       .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("tbucket", "tier")
       .parquet(s"$root/ingest_batch=$batchId")
+    // block-max certificates BEFORE the stats commit record, like every
+    // sidecar: a torn append's blockmeta is invisible with its postings
+    blockMetaFor(tiered)
+      .select(col("tok"), col("blk_lo"), col("blk_hi"), col("blk_max_tf"),
+        col("blk_min_dl"), bucketCol(col("tok")).as("tbucket"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tok"), col("blk_lo"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tbucket")
+      .parquet(s"$root/_blockmeta/ingest_batch=$batchId")
     termMetaFor(tiered)
       .select(col("tok"), col("df"), col("tail_max_tf"), col("tail_min_dl"),
         bucketCol(col("tok")).as("tbucket"))
@@ -452,6 +578,10 @@ object PostingsStore {
   private[sources] def readDocIdx(spark: SparkSession, root: String): DataFrame =
     RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + "/_docidx",
       docIdxSchema, Some("ingest_batch="))
+
+  private[sources] def readBlockMeta(spark: SparkSession, root: String): DataFrame =
+    RegistryIO.readOrEmpty(spark, root.stripSuffix("/") + "/_blockmeta",
+      blockMetaSchema, Some("ingest_batch="))
 
   /** The batches whose `_stats` row landed — the batch COMMIT RECORD
     * ([[writeBatch]] writes it last): serving restricts every scan to
@@ -495,7 +625,11 @@ object PostingsStore {
       .filter(col("ingest_batch").isInCollection(batches) &&
         col("tbucket").isInCollection(buckets) &&
         col("tier") === 0 && col("tok").isInCollection(terms))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      // ingest_batch is a partition column (free to carry): the WAND
+      // block-max refinement keys a doc's tail bounds by ITS batch (the
+      // cross-batch uniqueness contract pins each doc to exactly one)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("ingest_batch"))
   }
 
   /** BM25 top-k served from the store: identical output to
@@ -612,17 +746,46 @@ object PostingsStore {
     * bounded by the LAYOUT, never the corpus: the per-doc head summary is
     * ≤ headSize · batches · |terms| rows, the certificates ≤ |terms|. */
   def bm25TopKWand(spark: SparkSession, dir: String, terms: Seq[String],
-                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKWandDiag(spark, dir, terms, k, k1, b)._1
+
+  /** Per-serve diagnostics for the WAND faces — what the spec's
+    * outlier-adversary gate and SCALE.md's candidate-rows column read.
+    * `candidateRows` counts the doc ids named in tail fetches (the
+    * request size the block-max refinement exists to shrink);
+    * `dispatchedExact` marks the all-head dispatch (no term has a tail:
+    * certificates are vacuous and the serve IS the exact head read);
+    * `exactFallback` marks the both-tier fallback (unseen documents not
+    * excludable, or the head summary exceeded [[WandMaxHeadRows]]). */
+  private[graft] final case class WandDiag(
+      dispatchedExact: Boolean, exactFallback: Boolean, headRows: Long,
+      tailTerms: Int, candidateRows: Long, blockRefined: Boolean,
+      fullTailFallback: Boolean = false)
+
+  /** Ceiling on the head-probe rows the WAND faces will summarize on the
+    * driver: the summary is layout-bounded (≤ headSize · batches ·
+    * |terms| rows), but that bound grows LINEARLY in committed batch
+    * count, so a long-running uncompacted stream of micro-batches could
+    * inflate driver memory per serve. Past the cap the serve falls back
+    * to the exact both-tier path — still exact, no driver summary at all
+    * — and [[compactLevel]] is the operational remedy (it is precisely
+    * the knob that keeps batch count, and with it this bound, flat). */
+  private[sources] val WandMaxHeadRows: Long = 1000000L
+
+  private[graft] def bm25TopKWandDiag(spark: SparkSession, dir: String,
+                                      terms: Seq[String], k: Int,
+                                      k1: Double = 1.2, b: Double = 0.75,
+                                      useBlockMax: Boolean = true,
+                                      maxHeadRows: Long = WandMaxHeadRows)
+      : (DataFrame, WandDiag) = {
     require(terms.nonEmpty, "bm25 wand serve: empty query-term list")
     require(k >= 1, "bm25 wand serve: k must be positive")
     val root = resolveDir(dir)
     checkConsistent(root)
     val batches = committedBatches(root)
     val buckets = terms.map(bucketOf).distinct
-    val matched = IncrementalContainment.withInPushdown(
-      spark, math.max(terms.size, 10)) {
-      probeHead(spark, root, terms, batches).localCheckpoint(true)
-    }
+    // metadata FIRST (KB-scale): the dispatch decision must not cost a
+    // head probe when the answer is "no certificates needed at all"
     val meta = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       readTermMeta(spark, root)
@@ -636,11 +799,6 @@ object PostingsStore {
       .filter(col("ingest_batch").isInCollection(batches))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
-    val headScored = matched.join(broadcast(dfs), "tok")
-      .crossJoin(broadcast(stats))
-      .select(col("tok"), col("doc_id"),
-        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
-      .localCheckpoint(true) // feeds the summary pull AND the final rank
     // per-term tail upper bounds through the SHARED scorer expression
     // (≤ |terms| rows — certificate-scale)
     val tailUB: Map[String, Long] = meta
@@ -653,15 +811,46 @@ object PostingsStore {
       .groupBy(col("tok")).agg(max(col("ub_q")).as("ub_q"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (tailUB.isEmpty)
-      // no query term has a tail anywhere: the head IS the exact probe
-      return Retrieval.bm25Rank(
-        headScored.select(col("doc_id"), col("contrib_q")), k)
-    // per-doc head summary (≤ headSize · batches · |terms| rows by layout)
+      // DISPATCH: no query term has a tail anywhere (every df ≤ headSize
+      // per batch — q130's exactness class), so the head IS the whole
+      // posting set and the exact serve reads exactly it. Skip the
+      // summary assembly entirely; the common rare-term query pays
+      // nothing for WAND being the entry point.
+      return (Retrieval.bm25Rank(
+        servingScored(spark, root, terms, k1, b)
+          .select(col("doc_id"), col("contrib_q")), k),
+        WandDiag(dispatchedExact = true, exactFallback = false,
+          headRows = 0L, tailTerms = 0, candidateRows = 0L,
+          blockRefined = false))
+    val matched = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probeHead(spark, root, terms, batches).localCheckpoint(true)
+    }
+    val headRows = matched.count()
+    def exactServe(diag: WandDiag): (DataFrame, WandDiag) =
+      (Retrieval.bm25Rank(
+        servingScored(spark, root, terms, k1, b)
+          .select(col("doc_id"), col("contrib_q")), k), diag)
+    if (headRows > maxHeadRows)
+      // the driver summary would exceed its budget (batch-count growth on
+      // an uncompacted store) — exact both-tier serve, no summary
+      return exactServe(WandDiag(dispatchedExact = false,
+        exactFallback = true, headRows = headRows,
+        tailTerms = tailUB.size, candidateRows = 0L, blockRefined = false))
+    val headScored = matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"), col("ingest_batch"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      .localCheckpoint(true) // feeds the summary pull AND the final rank
+    // per-doc head summary (≤ headSize · batches · |terms| rows by
+    // layout, capped above); min(ingest_batch) IS the doc's batch — the
+    // cross-batch uniqueness contract pins each doc to exactly one
     val headDocs = headScored.groupBy(col("doc_id"))
       .agg(sum(col("contrib_q")).as("s_head"),
-        collect_set(col("tok")).as("hit"))
+        collect_set(col("tok")).as("hit"),
+        min(col("ingest_batch")).as("batch"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getSeq[String](2).toSet))
+        r.getSeq[String](2).toSet, r.getLong(3)))
     val totalUB = tailUB.values.sum
     val theta: Long =
       if (headDocs.length < k) Long.MinValue
@@ -669,16 +858,67 @@ object PostingsStore {
     if (headDocs.length < k || totalUB >= theta)
       // certificates cannot exclude unseen documents — exact both-tier
       // serve (same pinned-snapshot discipline inside servingScored)
-      return Retrieval.bm25Rank(
-        servingScored(spark, root, terms, k1, b)
-          .select(col("doc_id"), col("contrib_q")), k)
-    def ubOf(sHead: Long, hit: Set[String]): Long =
-      sHead + tailUB.collect { case (t, u) if !hit(t) => u }.sum
+      return exactServe(WandDiag(dispatchedExact = false,
+        exactFallback = true, headRows = headRows,
+        tailTerms = tailUB.size, candidateRows = 0L, blockRefined = false))
+    // BLOCK-MAX refinement: per (tail term, head doc), the bound of the
+    // ONE block whose id range covers the doc in the doc's batch —
+    // Some(bound) when covered, None = PROOF of no tail posting (blocks
+    // partition the tail completely). Computed as a range join of the
+    // pruned `_blockmeta` scan against the BROADCAST head summary, so
+    // the driver never holds more than |headDocs| · |tailTerms| refined
+    // bounds; a batch with tails but no block rows (pre-gen-4) falls
+    // back to its per-batch certificate — conservative, never wrong.
+    val (blockUB, blocksPresent): (Map[(String, Long), Long], Set[(String, Long)]) =
+      if (!useBlockMax) (Map.empty, Set.empty)
+      else {
+        val tailToks = tailUB.keys.toSeq.sorted
+        val blocks = IncrementalContainment.withInPushdown(
+          spark, math.max(tailToks.size, 10)) {
+          readBlockMeta(spark, root)
+            .filter(col("ingest_batch").isInCollection(batches) &&
+              col("tbucket").isInCollection(tailToks.map(bucketOf).distinct) &&
+              col("tok").isInCollection(tailToks))
+            .localCheckpoint(true)
+        }
+        val present = blocks.select(col("tok"), col("ingest_batch"))
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        import spark.implicits._
+        val hd = broadcast(headDocs.map(d => (d._1, d._4)).toSeq
+          .toDF("cand_id", "cand_batch"))
+        val ub = blocks
+          .join(hd, hd("cand_batch") === blocks("ingest_batch") &&
+            hd("cand_id").between(col("blk_lo"), col("blk_hi")))
+          .select(col("tok"), col("cand_id"),
+            col("blk_max_tf").as("tf"), col("blk_min_dl").as("dl"))
+          .join(broadcast(dfs), "tok")
+          .crossJoin(broadcast(stats))
+          .select(col("tok"), col("cand_id"),
+            Retrieval.bm25ContribQ(k1, b).as("ub_q"))
+          .groupBy(col("tok"), col("cand_id"))
+          .agg(max(col("ub_q")).as("ub_q"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (ub, present)
+      }
+    // Some(bound) = the doc COULD have a tail posting for t (fetch if the
+    // total still clears θ); None = provably cannot — never fetched
+    def boundOf(t: String, id: Long, batch: Long): Option[Long] =
+      if (blocksPresent((t, batch))) blockUB.get((t, id))
+      else Some(tailUB(t))
+    def ubOf(id: Long, sHead: Long, hit: Set[String], batch: Long): Long =
+      sHead + tailUB.keysIterator.collect {
+        case t if !hit(t) => boundOf(t, id, batch).getOrElse(0L)
+      }.sum
     val candByTerm: Seq[(String, Seq[Long])] = tailUB.keys.toSeq.sorted.map {
       t => t -> headDocs.collect {
-        case (id, s, hit) if !hit(t) && ubOf(s, hit) >= theta => id
+        case (id, s, hit, batch) if !hit(t) &&
+          boundOf(t, id, batch).isDefined &&
+          ubOf(id, s, hit, batch) >= theta => id
       }.toSeq
     }.filter(_._2.nonEmpty)
+    val candidateRows = candByTerm.map(_._2.size.toLong).sum
     val tailScored = candByTerm.map { case (t, ids) =>
       IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
         probeTail(spark, root, t, ids, batches).localCheckpoint(true)
@@ -691,9 +931,12 @@ object PostingsStore {
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
     }
-    Retrieval.bm25Rank(
+    (Retrieval.bm25Rank(
       headScored.select(col("doc_id"), col("contrib_q"))
-        .unionByName(tailScored), k)
+        .unionByName(tailScored), k),
+      WandDiag(dispatchedExact = false, exactFallback = false,
+        headRows = headRows, tailTerms = tailUB.size,
+        candidateRows = candidateRows, blockRefined = blocksPresent.nonEmpty))
   }
 
   /** The WAND candidate fetch: ONE term's tail rows for the named
@@ -750,7 +993,18 @@ object PostingsStore {
   def bm25TopKWandBatch(spark: SparkSession, dir: String, queries: DataFrame,
                         k: Int, k1: Double = 1.2, b: Double = 0.75,
                         queryIdCol: String = "query_id",
-                        termCol: String = "term"): DataFrame = {
+                        termCol: String = "term"): DataFrame =
+    bm25TopKWandBatchDiag(spark, dir, queries, k, k1, b,
+      queryIdCol, termCol)._1
+
+  private[graft] def bm25TopKWandBatchDiag(spark: SparkSession, dir: String,
+                                           queries: DataFrame, k: Int,
+                                           k1: Double = 1.2, b: Double = 0.75,
+                                           queryIdCol: String = "query_id",
+                                           termCol: String = "term",
+                                           useBlockMax: Boolean = true,
+                                           maxHeadRows: Long = WandMaxHeadRows)
+      : (DataFrame, WandDiag) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "bm25 wand batch serve: k must be positive")
     val qt = queries
@@ -767,10 +1021,7 @@ object PostingsStore {
     checkConsistent(root)
     val batches = committedBatches(root)
     val buckets = terms.map(bucketOf).distinct
-    val matched = IncrementalContainment.withInPushdown(
-      spark, math.max(terms.size, 10)) {
-      probeHead(spark, root, terms, batches).localCheckpoint(true)
-    }
+    // metadata first — the dispatch rule of the single serve
     val meta = IncrementalContainment.withInPushdown(
       spark, math.max(terms.size, 10)) {
       readTermMeta(spark, root)
@@ -784,11 +1035,6 @@ object PostingsStore {
       .filter(col("ingest_batch").isInCollection(batches))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
-    val headScored = matched.join(broadcast(dfs), "tok")
-      .crossJoin(broadcast(stats))
-      .select(col("tok"), col("doc_id"),
-        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
-      .localCheckpoint(true)
     val tailUB: Map[String, Long] = meta
       .filter(col("tail_max_tf").isNotNull)
       .select(col("tok"), col("tail_max_tf").as("tf"),
@@ -809,18 +1055,81 @@ object PostingsStore {
         .select(col(queryIdCol), col("rnk"), col("doc_id"),
           col("n_terms_hit"), col("bm25_q"))
     }
+    def exactServe(diag: WandDiag): (DataFrame, WandDiag) =
+      (rank(servingScored(spark, root, terms, k1, b)), diag)
+    if (tailUB.isEmpty)
+      // DISPATCH: every union term fits the head everywhere — the exact
+      // batched serve reads exactly the head's rows; no summary assembly
+      return exactServe(WandDiag(dispatchedExact = true,
+        exactFallback = false, headRows = 0L, tailTerms = 0,
+        candidateRows = 0L, blockRefined = false))
+    val matched = IncrementalContainment.withInPushdown(
+      spark, math.max(terms.size, 10)) {
+      probeHead(spark, root, terms, batches).localCheckpoint(true)
+    }
+    val headRows = matched.count()
+    if (headRows > maxHeadRows)
+      // driver-summary cap (the single serve's rule, times |queries|):
+      // fall back to the exact batched path; compactLevel is the remedy
+      return exactServe(WandDiag(dispatchedExact = false,
+        exactFallback = true, headRows = headRows,
+        tailTerms = tailUB.size, candidateRows = 0L, blockRefined = false))
+    val headScored = matched.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"), col("ingest_batch"),
+        Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      .localCheckpoint(true)
     val allScored = headScored.select(col("tok"), col("doc_id"), col("contrib_q"))
-    if (tailUB.isEmpty) return rank(allScored)
-    // per-(query, doc) head summary — request-scaled by the layout
+    // per-(query, doc) head summary — request-scaled by the layout;
+    // min(ingest_batch) is the doc's one batch (uniqueness contract)
     val perQueryDoc = headScored.join(broadcast(qt), Seq("tok"))
       .groupBy(col(queryIdCol), col("doc_id"))
       .agg(sum(col("contrib_q")).as("s_head"),
-        collect_set(col("tok")).as("hit"))
+        collect_set(col("tok")).as("hit"),
+        min(col("ingest_batch")).as("batch"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getSeq[String](3).toSet))
+        r.getSeq[String](3).toSet, r.getLong(4)))
     val byQuery = perQueryDoc.groupBy(_._1)
-    // per term: Left(full tail) if any query falls back on it, else the
-    // union of the queries' surviving candidates (possibly empty = skip)
+    // block-max refinement over the DISTINCT head docs (shared across
+    // queries — the bound depends on (term, doc), not the query)
+    val (blockUB, blocksPresent): (Map[(String, Long), Long], Set[(String, Long)]) =
+      if (!useBlockMax) (Map.empty, Set.empty)
+      else {
+        val tailToks = tailUB.keys.toSeq.sorted
+        val blocks = IncrementalContainment.withInPushdown(
+          spark, math.max(tailToks.size, 10)) {
+          readBlockMeta(spark, root)
+            .filter(col("ingest_batch").isInCollection(batches) &&
+              col("tbucket").isInCollection(tailToks.map(bucketOf).distinct) &&
+              col("tok").isInCollection(tailToks))
+            .localCheckpoint(true)
+        }
+        val present = blocks.select(col("tok"), col("ingest_batch"))
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        import spark.implicits._
+        val hd = broadcast(perQueryDoc.map(d => (d._2, d._5)).distinct.toSeq
+          .toDF("cand_id", "cand_batch"))
+        val ub = blocks
+          .join(hd, hd("cand_batch") === blocks("ingest_batch") &&
+            hd("cand_id").between(col("blk_lo"), col("blk_hi")))
+          .select(col("tok"), col("cand_id"),
+            col("blk_max_tf").as("tf"), col("blk_min_dl").as("dl"))
+          .join(broadcast(dfs), "tok")
+          .crossJoin(broadcast(stats))
+          .select(col("tok"), col("cand_id"),
+            Retrieval.bm25ContribQ(k1, b).as("ub_q"))
+          .groupBy(col("tok"), col("cand_id"))
+          .agg(max(col("ub_q")).as("ub_q"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        (ub, present)
+      }
+    def boundOf(t: String, id: Long, batch: Long): Option[Long] =
+      if (blocksPresent((t, batch))) blockUB.get((t, id))
+      else Some(tailUB(t))
+    // per term: full tail if any query falls back on it, else the union
+    // of the queries' surviving candidates (possibly empty = skip)
     val fullTails = scala.collection.mutable.Set.empty[String]
     val candByTerm = scala.collection.mutable.Map.empty[String, Set[Long]]
     request.toSeq.sortBy(_._1).foreach { case (q, qTerms) =>
@@ -835,14 +1144,18 @@ object PostingsStore {
           fullTails ++= qTail // unseen docs not excludable for this query
         else qTail.foreach { t =>
           val cands = docs.collect {
-            case (_, id, s, hit) if !hit(t) &&
-              s + qTail.collect { case t2 if !hit(t2) => tailUB(t2) }.sum >= theta => id
+            case (_, id, s, hit, batch) if !hit(t) &&
+              boundOf(t, id, batch).isDefined &&
+              s + qTail.collect { case t2 if !hit(t2) =>
+                boundOf(t2, id, batch).getOrElse(0L) }.sum >= theta => id
           }
           if (cands.nonEmpty)
             candByTerm(t) = candByTerm.getOrElse(t, Set.empty) ++ cands
         }
       }
     }
+    val candidateRows = (candByTerm.keySet -- fullTails).toSeq
+      .map(t => candByTerm(t).size.toLong).sum
     val fetches =
       fullTails.toSeq.sorted.map(t => probeTailAll(spark, root, t, batches)) ++
         (candByTerm.keySet -- fullTails).toSeq.sorted.map { t =>
@@ -851,13 +1164,17 @@ object PostingsStore {
             probeTail(spark, root, t, ids, batches).localCheckpoint(true)
           }
         }
-    if (fetches.isEmpty) return rank(allScored)
+    val diag = WandDiag(dispatchedExact = false,
+      exactFallback = false, headRows = headRows, tailTerms = tailUB.size,
+      candidateRows = candidateRows, blockRefined = blocksPresent.nonEmpty)
+    if (fetches.isEmpty) return (rank(allScored), diag)
     val tailScored = fetches.reduce(_ unionByName _)
       .join(broadcast(dfs), "tok")
       .crossJoin(broadcast(stats))
       .select(col("tok"), col("doc_id"),
         Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
-    rank(allScored.unionByName(tailScored))
+    (rank(allScored.unionByName(tailScored)),
+      diag.copy(fullTailFallback = fullTails.nonEmpty))
   }
 
   /** The ONE tiered-serving assembly the single and batched pruned
@@ -1003,7 +1320,40 @@ object PostingsStore {
     require(slop >= 0, "phrase serve: slop must be >= 0")
     val root = resolveDir(dir)
     checkConsistent(root)
+    requirePositionalFormat(root, dir)
     val batches = committedBatches(root)
+    phraseMatches(spark, root, phrase, slop, seedMaxDf, batches)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("phrase_tf"))
+  }
+
+  /** Layout guard (replaces the r19 per-serve null scan — ADVICE'd as an
+    * extra full action over every probe): the `_format` marker exists iff
+    * every batch was written by a positional-layout writer
+    * ([[writeBatch]] creates it only on an empty root and refuses to
+    * append to a marker-less store with data), so one file-existence
+    * check proves the positions column is real. A pre-positions store
+    * would read `positions` as NULL on every row and adjacency over
+    * nulls would return silently EMPTY — the one wrong answer worse than
+    * an error. Refuse loudly instead; the heal path is a rebuild on the
+    * current layout. */
+  private def requirePositionalFormat(root: String, dir: String): Unit =
+    require(hasFormatMarker(root),
+      s"postings store at $dir: no _format marker, so postings may lack " +
+        "the positions column (pre-gen-4 layout) - phrase serving needs " +
+        "a store rebuilt on the positional format")
+
+  /** The phrase/proximity MATCH relation `(doc_id, phrase_tf)`,
+    * phrase_tf ≥ 1 — [[phraseTopK]]'s body without the rank, factored so
+    * [[bm25TopKPhrase]] composes it as a candidate filter. `root`
+    * resolved, format-checked by the caller; `batches` the pinned
+    * committed snapshot. */
+  private def phraseMatches(spark: SparkSession, root: String,
+                            phrase: Seq[String], slop: Int, seedMaxDf: Long,
+                            batches: Seq[Long]): DataFrame = {
     val terms = phrase.distinct
     val buckets = terms.map(bucketOf).distinct
     // SEED-TERM candidate pruning (the WAND candidate-fetch trick applied
@@ -1028,7 +1378,7 @@ object PostingsStore {
     }
     if (terms.exists(t => metaDf.getOrElse(t, 0L) == 0L))
       // a slot term absent from the corpus: no document can match
-      return spark.emptyDataFrame.select(lit(0).cast("int").as("rnk"),
+      return spark.emptyDataFrame.select(
         lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
     val seed = terms.sortBy(t => (metaDf(t), t)).head
     val probed = (if (metaDf(seed) <= seedMaxDf) {
@@ -1048,18 +1398,11 @@ object PostingsStore {
       spark, math.max(terms.size, 10)) {
       probePositions(spark, root, terms, batches).localCheckpoint(true)
     })
-    // layout guard (the readRegistry legacy-guard discipline): a store
-    // written by the pre-positions format reads `positions` as NULL on
-    // every row — adjacency over nulls would return silently EMPTY, the
-    // one wrong answer worse than an error. Refuse loudly instead; the
-    // heal path is a rebuild (or compact after re-ingest) on the current
-    // layout. One pass over the already-checkpointed bounded probe.
-    require(probed.filter(col("abs_pos").isNull).isEmpty,
-      s"postings store at $dir: postings lack the positions column " +
-        "(pre-gen-3 layout) - phrase serving needs a store rebuilt on " +
-        "the positional format")
     // slot i = the phrase's i-th token's position set per doc; a doc
-    // missing any slot term cannot match (inner joins drop it)
+    // missing any slot term cannot match (inner joins drop it). The
+    // pre-positions legacy hazard (null positions → silently empty
+    // adjacency) is excluded up front by [[requirePositionalFormat]] —
+    // no per-serve row scan needed.
     val slots = phrase.zipWithIndex.map { case (t, i) =>
       probed.filter(col("tok") === t)
         .select(col("doc_id"), col("abs_pos").as(s"pos_$i"))
@@ -1074,11 +1417,96 @@ object PostingsStore {
     val starts = filter(col("pos_0"), p => chain(1, p))
     joined.select(col("doc_id"), size(starts).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") >= 1)
-      .orderBy(col("phrase_tf").desc, col("doc_id"))
+  }
+
+  /** PHRASE-AWARE RANKED RETRIEVAL — the query shape a retrieval user
+    * types after [[phraseTopK]]: a quoted phrase plus free terms
+    * (`"the fast" dup`). The phrase is a CANDIDATE FILTER (a document
+    * must contain the exact sequence — or the `slop`-relaxed ordered
+    * chain), the ranking is BM25 over `phrase ++ terms` through the
+    * shared quantized scorer, with df EXACT from `_termmeta` (the tiered
+    * serve's rule: a candidate-restricted probe must never count df —
+    * idf stays the corpus-wide exact value) and N/avgdl from `_stats`.
+    *
+    * Cost shape: the phrase match is seed-pruned (O(seed df), the
+    * [[phraseTopK]] bound), and the SCORING probe fetches only the
+    * candidates' rows — bucket partition literals, pushed `In(tok)` and
+    * `In(doc_id, candidates)` over the (tok, doc_id)-sorted runs — so a
+    * stop-word free term costs O(candidates), never its O(df) run. Past
+    * `seedMaxDf` candidates the scoring probe falls back to the full
+    * probe + a candidate semi-join (honest and stated, same rule as the
+    * phrase probe itself). Output
+    * `(rnk, doc_id, phrase_tf, n_terms_hit, bm25_q)` ranked
+    * (bm25_q desc, doc_id), at most `k` rows — q138 hash-gates it
+    * against a DuckDB replay of adjacency + BM25 + the composition. */
+  def bm25TopKPhrase(spark: SparkSession, dir: String, phrase: Seq[String],
+                     terms: Seq[String] = Nil, k: Int = 10, slop: Int = 0,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     seedMaxDf: Long = DefaultPhraseSeedMaxDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.size >= 2, "phrase-ranked serve: need at least two tokens")
+    require(k >= 1, "phrase-ranked serve: k must be positive")
+    require(slop >= 0, "phrase-ranked serve: slop must be >= 0")
+    val root = resolveDir(dir)
+    checkConsistent(root)
+    requirePositionalFormat(root, dir)
+    val batches = committedBatches(root)
+    val matches = phraseMatches(spark, root, phrase, slop, seedMaxDf, batches)
+      .localCheckpoint(true) // candidates feed the id pull AND the final join
+    val scoring = (phrase ++ terms).distinct
+    val buckets = scoring.map(bucketOf).distinct
+    val candIds = matches.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    if (candIds.isEmpty)
+      return spark.emptyDataFrame.select(lit(0).cast("int").as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("phrase_tf"),
+        lit(0L).as("n_terms_hit"), lit(0L).as("bm25_q")).limit(0)
+    // df EXACT from the sidecar — the candidate-restricted probe below
+    // must not be the df source (it would undercount every idf)
+    val dfs = IncrementalContainment.withInPushdown(
+      spark, math.max(scoring.size, 10)) {
+      readTermMeta(spark, root)
+        .filter(col("ingest_batch").isInCollection(batches) &&
+          col("tbucket").isInCollection(buckets) &&
+          col("tok").isInCollection(scoring))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .localCheckpoint(true)
+    }
+    val stats = readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(batches))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    val scored =
+      if (candIds.size <= seedMaxDf)
+        IncrementalContainment.withInPushdown(spark, idPushdown(candIds.size)) {
+          readPostings(spark, root)
+            .filter(col("ingest_batch").isInCollection(batches) &&
+              col("tbucket").isInCollection(buckets) &&
+              col("tok").isInCollection(scoring) &&
+              col("doc_id").isInCollection(candIds))
+            .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+            .localCheckpoint(true)
+        }
+      else // candidate list past the driver-payload bound: full probe +
+        // semi-join (the phrase probe's own fallback rule)
+        IncrementalContainment.withInPushdown(
+          spark, math.max(scoring.size, 10)) {
+          probe(spark, root, scoring, batches)
+            .join(matches.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+        }
+    scored.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib_q")).as("bm25_q"))
+      .join(matches, "doc_id") // inner: scores exist for every candidate
+      .orderBy(col("bm25_q").desc, col("doc_id"))
       .limit(k)
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
-      .select(col("rnk"), col("doc_id"), col("phrase_tf"))
+        Window.orderBy(col("bm25_q").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("phrase_tf"),
+        col("n_terms_hit"), col("bm25_q"))
   }
 
   /** Seed-df ceiling for [[phraseTopK]]'s candidate pruning: the seed's
@@ -1214,7 +1642,8 @@ object PostingsStore {
     * two generations stale. Never touches `_vlog`, `v<N>` trees, or
     * caller-owned markers beside the store. */
   private val StoreArtifacts =
-    Seq("_stats", "_termmeta", "_docidx", "_erased", CompactMarker)
+    Seq("_stats", "_termmeta", "_docidx", "_blockmeta", "_erased",
+      CompactMarker, FormatMarker, FoldedMarker)
 
   /** Fold every batch into one `ingest_batch=-1` layout — re-sorted by
     * key and RE-TIERED globally (the per-batch impact cuts collapse into
@@ -1272,6 +1701,13 @@ object PostingsStore {
       .sortWithinPartitions(col("tbucket"), col("tok"))
       .write.partitionBy("tbucket")
       .parquet(s"$tmp/_termmeta/ingest_batch=-1")
+    blockMetaFor(folded)
+      .select(col("tok"), col("blk_lo"), col("blk_hi"), col("blk_max_tf"),
+        col("blk_min_dl"), bucketCol(col("tok")).as("tbucket"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tok"), col("blk_lo"))
+      .write.partitionBy("tbucket")
+      .parquet(s"$tmp/_blockmeta/ingest_batch=-1")
     readDocIdx(spark, root)
       .select(col("doc_id"), col("tbuckets"), col("dbucket"))
       .repartition(col("dbucket"))
@@ -1289,8 +1725,25 @@ object PostingsStore {
       erased.coalesce(1).write.parquet(s"$tmp$ErasedDir")
     java.nio.file.Files.write(tmp.resolve(CompactMarker),
       watermark.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // COMMIT: stage rename + exclusive manifest create (the commit point —
-    // a racing compact fails loudly here, never half-flips)
+    // the format marker rides the fold UNCHANGED: a gen-4 source stays
+    // gen-4 (compact preserves positions + blockmeta); a legacy source
+    // stays marker-less (the fold cannot invent positions it never had)
+    val fm = java.nio.file.Paths.get(root, FormatMarker)
+    if (java.nio.file.Files.exists(fm))
+      java.nio.file.Files.copy(fm, tmp.resolve(FormatMarker))
+    // a FULL fold subsumes the leveled-fold registry: every id at or
+    // below the watermark is refused by it already
+    commitVersion(base, next, tmp)
+  }
+
+  /** The one version-commit idiom [[compact]] and [[compactLevel]] share:
+    * stage rename + exclusive manifest create (the commit point — a
+    * racing fold fails loudly here, never half-flips), then retention:
+    * keep `v<next>` and ONE superseded version for in-flight readers;
+    * everything two generations stale goes, including the flat layout
+    * (version 0) once v2 commits. */
+  private def commitVersion(base: String, next: Long,
+                            tmp: java.nio.file.Path): Unit = {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, s"v$next"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val vlog = java.nio.file.Paths.get(base, "_vlog")
@@ -1299,13 +1752,10 @@ object PostingsStore {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
-          s"postings store at $dir: concurrent compact committed v$next " +
+          s"postings store at $base: concurrent fold committed v$next " +
             "first - this fold loses (its staged snapshot was renamed; " +
-            "re-run compact against the winner)")
+            "re-run against the winner)")
     }
-    // retention: keep v<next> and ONE superseded version for in-flight
-    // readers; everything two generations stale goes — including the flat
-    // layout (version 0) once v2 commits
     val keepFlat = next - 1 <= 0
     if (!keepFlat) StoreArtifacts.foreach(a =>
       graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(base, a)))
@@ -1325,6 +1775,168 @@ object PostingsStore {
     } finally s.close()
     stale.foreach(graft.queue.Maintenance.deleteRec)
   }
+
+  /** LEVELED (incremental) compaction — the batch-count bound under
+    * streaming ingest: every serving cost that is linear in committed
+    * batch count (the head read's headSize · batches, the WAND driver
+    * summary, the `_termmeta`/`_stats` fan-out, the per-batch footer
+    * tier) degrades as micro-batches accumulate, and the only remedy
+    * before this was [[compact]]'s full O(store) fold. `compactLevel`
+    * instead folds only the SMALLEST committed batches — enough to bring
+    * the count back to `maxBatches` — into one new batch, re-tiered
+    * WITHIN the fold, with its `_stats`/`_termmeta`/`_blockmeta`/
+    * `_docidx` recomputed from the folded postings; every untouched
+    * batch's subtrees enter the next version as HARD LINKS (metadata
+    * ops, zero data bytes — on a distributed store this step is a
+    * manifest of unchanged files, the standard LSM discipline), so the
+    * fold's write cost is proportional to the FOLDED bytes, never the
+    * store. Folding smallest-first is the leveled invariant: batch sizes
+    * grow geometrically across folds, so total write amplification over
+    * an n-batch ingest is O(log n) rewrites per posting while the live
+    * batch count stays ≤ maxBatches.
+    *
+    * Commit is [[compact]]'s `_vlog` flip verbatim (whole-old or
+    * whole-new to every reader; links make it cheap). The folded batch
+    * lands under a fresh NEGATIVE id (below build's -1 — stream ids are
+    * ≥ 0, so no collision ever), and the folded ORIGINAL ids enter the
+    * `_folded` registry: a post-crash replay of a just-folded batch is
+    * refused loudly by [[appendBatch]] (the [[compact]] watermark
+    * semantics, as a set — a leveled fold picks smallest, not a prefix).
+    * Safe against in-place mutation sharing: appends and erasures only
+    * ever swap whole files/dirs (parquet never modifies in place), so a
+    * linked file can never be changed under a retained older version.
+    *
+    * Returns true iff a fold ran (count > maxBatches); a no-op call is
+    * free. Single-maintainer like every mutating face. */
+  def compactLevel(spark: SparkSession, dir: String, maxBatches: Int = 8,
+                   headSize: Int = DefaultHeadSize): Boolean = {
+    require(maxBatches >= 2, "compactLevel: maxBatches must be >= 2")
+    val base = dir.stripSuffix("/")
+    val root = resolveDir(base)
+    checkComplete(root)
+    val committed = committedBatches(root)
+    if (committed.size <= maxBatches) return false
+    def bytesOf(b: Long): Long =
+      treeBytes(java.nio.file.Paths.get(s"$root/ingest_batch=$b"))
+    val fold = committed.sortBy(b => (bytesOf(b), b))
+      .take(committed.size - maxBatches + 1)
+    val keep = committed.filterNot(fold.contains)
+    val foldId = (committed :+ -1L).min - 1L
+    val next = currentVersion(base).getOrElse(0L) + 1L
+    // heal a crash between a prior fold's stage-rename and its _vlog
+    // entry (compact's orphan rule: the manifest entry IS the commit)
+    val orphan = java.nio.file.Paths.get(base, s"v$next")
+    if (java.nio.file.Files.exists(orphan))
+      graft.queue.Maintenance.deleteRec(orphan)
+    val tmp = java.nio.file.Paths.get(base, s".v$next.build")
+    graft.queue.Maintenance.deleteRec(tmp)
+    java.nio.file.Files.createDirectories(tmp)
+    // untouched batches: linked, never copied — the O(folded bytes) bound
+    keep.foreach { b =>
+      linkTree(java.nio.file.Paths.get(s"$root/ingest_batch=$b"),
+        tmp.resolve(s"ingest_batch=$b"))
+      Seq("_termmeta", "_docidx", "_blockmeta", "_stats").foreach { a =>
+        val src = java.nio.file.Paths.get(s"$root/$a/ingest_batch=$b")
+        if (java.nio.file.Files.exists(src))
+          linkTree(src, tmp.resolve(a).resolve(s"ingest_batch=$b"))
+      }
+    }
+    // the fold: re-tier within it (the folded batches' per-batch impact
+    // cuts collapse into one per-fold cut — min(fold df, headSize) head
+    // per term), sidecars recomputed from the folded postings
+    val folded = readPostings(spark, root)
+      .filter(col("ingest_batch").isInCollection(fold))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), col("tbucket"), tierCol(headSize).as("tier"))
+      .localCheckpoint(true)
+    folded
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tier"), col("tok"), col("doc_id"))
+      .write.partitionBy("tbucket", "tier")
+      .parquet(s"$tmp/ingest_batch=$foldId")
+    termMetaFor(folded)
+      .select(col("tok"), col("df"), col("tail_max_tf"), col("tail_min_dl"),
+        bucketCol(col("tok")).as("tbucket"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tok"))
+      .write.partitionBy("tbucket")
+      .parquet(s"$tmp/_termmeta/ingest_batch=$foldId")
+    blockMetaFor(folded)
+      .select(col("tok"), col("blk_lo"), col("blk_hi"), col("blk_max_tf"),
+        col("blk_min_dl"), bucketCol(col("tok")).as("tbucket"))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("tok"), col("blk_lo"))
+      .write.partitionBy("tbucket")
+      .parquet(s"$tmp/_blockmeta/ingest_batch=$foldId")
+    readDocIdx(spark, root)
+      .filter(col("ingest_batch").isInCollection(fold))
+      .select(col("doc_id"), col("tbuckets"), col("dbucket"))
+      .repartition(col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.partitionBy("dbucket")
+      .parquet(s"$tmp/_docidx/ingest_batch=$foldId")
+    readStats(spark, root)
+      .filter(col("ingest_batch").isInCollection(fold))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+      .coalesce(1).write.parquet(s"$tmp/_stats/ingest_batch=$foldId")
+    // carried artifacts: tombstones, watermark, format, and the fold
+    // registry grown by this fold's victims
+    val erased = erasedIds(spark, root)
+    if (!erased.isEmpty)
+      erased.coalesce(1).write.parquet(s"$tmp$ErasedDir")
+    val ct = compactedThrough(root)
+    if (ct >= 0)
+      java.nio.file.Files.write(tmp.resolve(CompactMarker),
+        ct.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fm = java.nio.file.Paths.get(root, FormatMarker)
+    if (java.nio.file.Files.exists(fm))
+      java.nio.file.Files.copy(fm, tmp.resolve(FormatMarker))
+    val allFolded = (foldedBatches(root) ++ fold).toSeq.sorted
+    java.nio.file.Files.write(tmp.resolve(FoldedMarker),
+      allFolded.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commitVersion(base, next, tmp)
+    true
+  }
+
+  /** Recreate `src` under `dst` with HARD LINKS per file (falls back to a
+    * copy where the filesystem refuses links): [[compactLevel]]'s
+    * zero-byte carry of untouched batches into the next version. Safe
+    * because store files are immutable once written — every mutation
+    * swaps whole directories. */
+  private def linkTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.createDirectories(dst)
+      val s = java.nio.file.Files.list(src)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          linkTree(c, dst.resolve(c.getFileName.toString))
+        }
+      } finally s.close()
+    } else {
+      java.nio.file.Files.createDirectories(dst.getParent)
+      try java.nio.file.Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src, dst)
+      }
+    }
+  }
+
+  private def treeBytes(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        var sum = 0L
+        val it = s.iterator()
+        while (it.hasNext) sum += treeBytes(it.next())
+        sum
+      } finally s.close()
+    } else java.nio.file.Files.size(p)
 
   private val EraseMarker = "_erase_inflight"
 
@@ -1487,6 +2099,19 @@ object PostingsStore {
             .write.partitionBy("tbucket").parquet(metaTmp)
           graft.queue.Maintenance.replaceDir(metaTmp,
             s"$base/_termmeta/ingest_batch=$b")
+          // block certificates recompute from the re-tiered survivors —
+          // same recompute-never-delta rule as the termmeta rewrite
+          val blkTmp = s"$base/_blockmeta/.ingest_batch=$b.swap"
+          graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(blkTmp))
+          blockMetaFor(survivors)
+            .select(col("tok"), col("blk_lo"), col("blk_hi"),
+              col("blk_max_tf"), col("blk_min_dl"),
+              bucketCol(col("tok")).as("tbucket"))
+            .repartition(col("tbucket"))
+            .sortWithinPartitions(col("tbucket"), col("tok"), col("blk_lo"))
+            .write.partitionBy("tbucket").parquet(blkTmp)
+          graft.queue.Maintenance.replaceDir(blkTmp,
+            s"$base/_blockmeta/ingest_batch=$b")
         }
       } else {
         // per-leaf path (few touched buckets): a term's every posting in
@@ -1532,6 +2157,20 @@ object PostingsStore {
               graft.queue.Maintenance.rewriteLeaf(metaLeaf,
                 termMetaFor(spark.read.parquet(leaf.toString)),
                 Seq("tok"))
+          }
+          // block certificates are leaf-local like the termmeta (a term's
+          // batch postings live in one tbucket): recompute from the
+          // rewritten leaf's re-tiered survivors
+          val blkLeaf = s"$base/_blockmeta/ingest_batch=$b/tbucket=$tb"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(blkLeaf))) {
+            if (!java.nio.file.Files.exists(leaf))
+              graft.queue.Maintenance.deleteRec(java.nio.file.Paths.get(blkLeaf))
+            else
+              graft.queue.Maintenance.rewriteLeaf(blkLeaf,
+                blockMetaFor(spark.read.parquet(leaf.toString)
+                  .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+                    col("tier").cast("int").as("tier"))),
+                Seq("tok", "blk_lo"))
           }
         }
       }
@@ -1580,6 +2219,8 @@ object PostingsStore {
         java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
       graft.queue.Maintenance.deleteRec(
         java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
+      graft.queue.Maintenance.deleteRec(
+        java.nio.file.Paths.get(s"$base/_blockmeta/ingest_batch=$b"))
     } else {
       graft.queue.Maintenance.rewriteLeaf(statsDir,
         spark.read.parquet(batchDir.toString)
@@ -1617,6 +2258,8 @@ object PostingsStore {
         java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
       graft.queue.Maintenance.healAside(
         java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
+      graft.queue.Maintenance.healAside(
+        java.nio.file.Paths.get(s"$base/_blockmeta/ingest_batch=$b"))
       healAsidesUnder(batchDir)
       // tier-level asides live one level down
       if (java.nio.file.Files.exists(batchDir)) {
@@ -1632,6 +2275,7 @@ object PostingsStore {
       }
       healAsidesUnder(java.nio.file.Paths.get(s"$base/_termmeta/ingest_batch=$b"))
       healAsidesUnder(java.nio.file.Paths.get(s"$base/_docidx/ingest_batch=$b"))
+      healAsidesUnder(java.nio.file.Paths.get(s"$base/_blockmeta/ingest_batch=$b"))
       graft.queue.Maintenance.healAside(
         java.nio.file.Paths.get(s"$base/_stats/ingest_batch=$b"))
     }
@@ -1657,27 +2301,36 @@ object PostingsStore {
   }
 
   /** Streaming face: maintain the index from a document stream.
-    * `compactEvery` folds batches on cadence INSIDE the batch step — see
-    * the compaction contract in the object scaladoc for the post-crash
-    * replay semantics (refused loudly, never double-counted). */
+    * `compactEvery` folds ALL batches on cadence INSIDE the batch step —
+    * see the compaction contract in the object scaladoc for the
+    * post-crash replay semantics (refused loudly, never double-counted).
+    * `levelMaxBatches` is the INCREMENTAL alternative: after each append,
+    * [[compactLevel]] folds just enough smallest batches to hold the
+    * committed count at the cap — O(folded bytes) per fold instead of
+    * O(store), which is what keeps every batch-count-linear serving bound
+    * flat under an unbounded stream. Same replay semantics (a replayed
+    * folded batch is refused loudly via the `_folded` registry). */
   def sink(docStream: DataFrame, dir: String,
            idCol: String = "doc_id", textCol: String = "text",
-           compactEvery: Int = 0,
+           compactEvery: Int = 0, levelMaxBatches: Int = 0,
            headSize: Int = DefaultHeadSize): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, dir, batchId, idCol, textCol, headSize)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compact(batch.sparkSession, dir, headSize)
+        if (levelMaxBatches > 0)
+          compactLevel(batch.sparkSession, dir, levelMaxBatches, headSize)
+        ()
     }
 
   // Battery-entry layouts (the IvfIndexStore.layoutFor discipline:
   // built once per (session, sfDir) per /tmp lifetime, marker-gated so a
   // warm /tmp re-run replays the ingest instead of duplicating it).
-  // Path carries the layout-format generation ("postings3" = the r19
-  // layout: delta-encoded position arrays + _termmeta tail certificates)
-  // so a warm /tmp from an earlier round can never serve a stale format
-  // to a newer reader.
+  // Path carries the layout-format generation ("postings4" = the r20
+  // layout: positions + _blockmeta block-max certificates + _format
+  // marker) so a warm /tmp from an earlier round can never serve a stale
+  // format to a newer reader.
 
   private val layoutMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
@@ -1690,7 +2343,7 @@ object PostingsStore {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
-    val dir = "/tmp/graft-postings3/" + digest + "_" + variant + "_" +
+    val dir = "/tmp/graft-postings4/" + digest + "_" + variant + "_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val key = (spark, keyStr)
     if (!layoutMemo.contains(key)) {
@@ -1753,5 +2406,25 @@ object PostingsStore {
       val takedown = docs.filter(col("doc_id") % 97 === 3)
         .select(col("doc_id").cast("long")).as[Long].collect().toSeq
       deleteDocs(spark, dir, takedown)
+    }
+
+  /** q137's store: the corpus ingested as SIX striped micro-batches with
+    * [[compactLevel]] LEVELING MID-INGEST (after batches 3 and 5, cap 3)
+    * — so the hash gate covers the leveled fold's whole surface: the
+    * linked carry of untouched batches, the folded batch's re-tier and
+    * recomputed sidecars, the `_vlog` flip, and appends RESOLVING INTO
+    * the new version after each fold. Serving is the exact both-tier
+    * read, so the oracle is q126's VERBATIM (exact BM25 is fold-
+    * invariant by construction — that is the gate). Single-threaded
+    * callers only. */
+  def leveledLayoutFor(spark: SparkSession, sfDir: String): String =
+    layoutImpl(spark, sfDir, "leveled") { dir =>
+      val docs = graft.Tables.documents(spark, sfDir)
+      (0 to 5).foreach { b =>
+        appendBatch(docs.filter(col("doc_id") % 6 === b), dir, b.toLong)
+        if (b == 3 || b == 5)
+          require(compactLevel(spark, dir, maxBatches = 3),
+            s"leveled layout: fold after batch $b was a no-op")
+      }
     }
 }

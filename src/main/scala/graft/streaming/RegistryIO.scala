@@ -52,12 +52,22 @@ private[graft] object RegistryIO {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else partitionPrefix match {
       case Some(pre) =>
+        // the dir itself must read as a LITERAL path inside the glob: a
+        // store rooted at a path carrying glob metacharacters ([x], {a},
+        // *) would otherwise be interpreted by the globber — failing
+        // path-not-found after hasData passed, or scanning a sibling
         spark.read.schema(schema)
           .option("basePath", dir.stripSuffix("/"))
-          .parquet(dir.stripSuffix("/") + "/" + pre + "*")
+          .parquet(escapeGlob(dir.stripSuffix("/")) + "/" + pre + "*")
       case None => spark.read.schema(schema).parquet(dir)
     }
   }
+
+  /** Backslash-escape Hadoop glob metacharacters so a directory PATH is
+    * matched literally when embedded in a glob pattern (only the appended
+    * `<prefix>*` should glob). */
+  private def escapeGlob(p: String): String =
+    p.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
   /** Erase every row of the given documents from a hive-partitioned
     * registry — the takedown/GDPR face the doc-grained ingest registries

@@ -1002,8 +1002,31 @@ object ScaleBench {
       val tb = graft.sources.PostingsStore.bucketOf("the")
       val headBytes = dirBytes(new java.io.File(s"$dir/ingest_batch=-1/tbucket=$tb/tier=0"))
       val tailBytes = dirBytes(new java.io.File(s"$dir/ingest_batch=-1/tbucket=$tb/tier=1"))
-      println(f"""{"kind":"tiered_serve","scale":$k,"df_the":$dfThe,"exact_sec":$exactSec%.3f,"pruned_sec":$prunedSec%.3f,"wand_sec":$wandSec%.3f,"wand_exact":$wandExact,"recall_at_10":$recall%.3f,"head_bytes":$headBytes,"tail_bytes":$tailBytes}""")
-      (k, dfThe, exactSec, prunedSec, wandSec, recall, headBytes, tailBytes)
+      // r20 columns: the BLOCK-MAX refinement's candidate-fetch shrink
+      // (same exact output — asserted above — fewer tail rows named), and
+      // the rare-term DISPATCH (every df <= headSize -> the WAND entry
+      // point serves the exact path with zero certificate assembly)
+      val (_, diagBlock) = graft.sources.PostingsStore
+        .bm25TopKWandDiag(spark, dir, terms, 10, useBlockMax = true)
+      val (_, diagBatchB) = graft.sources.PostingsStore
+        .bm25TopKWandDiag(spark, dir, terms, 10, useBlockMax = false)
+      val (_, diagRare) = graft.sources.PostingsStore
+        .bm25TopKWandDiag(spark, dir, Seq("dup"), 10)
+      // the dispatch is df-AWARE: at 1x df('dup') fits the head (no tail
+      // anywhere -> certificates vacuous -> serve the exact path with no
+      // assembly), at 10x the same term has outgrown it and the
+      // certificate path must engage — assert the decision TRACKS the
+      // layout rather than a fixed boolean
+      val dupTailed = spark.read.parquet(dir)
+        .filter(col("tok") === "dup" && col("tier") === 1).limit(1).count() > 0
+      require(diagRare.dispatchedExact == !dupTailed,
+        s"dispatch decision diverged from the layout at scale $k: " +
+          s"dispatched=${diagRare.dispatchedExact}, tailed=$dupTailed")
+      val candB = diagBlock.candidateRows
+      val candP = diagBatchB.candidateRows
+      println(f"""{"kind":"tiered_serve","scale":$k,"df_the":$dfThe,"exact_sec":$exactSec%.3f,"pruned_sec":$prunedSec%.3f,"wand_sec":$wandSec%.3f,"wand_exact":$wandExact,"recall_at_10":$recall%.3f,"head_bytes":$headBytes,"tail_bytes":$tailBytes,"wand_cand_rows_block":$candB,"wand_cand_rows_batchbound":$candP,"wand_dispatch_rare":${diagRare.dispatchedExact}}""")
+      (k, dfThe, exactSec, prunedSec, wandSec, recall, headBytes, tailBytes,
+        candB, candP)
     }
 
     // HEAD-SIZE curve (headSize-vs-recall, the sizing evidence): the
@@ -1036,6 +1059,126 @@ object ScaleBench {
         println(f"""{"kind":"head_curve","scale":$k,"head_size":$hs,"df_dup":$dfDup,"recall_at_10":$recall%.3f}""")
         (k, hs, dfDup, recall)
       }
+    }
+
+    // LEVELED-COMPACTION regime (the r19 verdict's top item): a 50-batch
+    // ingest with compactLevel(cap=8) after every append. Every serving
+    // bound that is linear in committed batch count is capped iff the
+    // count is; the O(store) full fold was the only remedy before. The
+    // claims this regime carries: (a) the batch count holds AT the cap
+    // across the whole ingest (flat, better than the O(log n) floor);
+    // (b) each fold WRITES only the folded (smallest) batches' bytes —
+    // max/total fold-written vs what repeated FULL compacts would have
+    // written (Σ store-size-at-fold) is the incremental win; (c) serving
+    // over the leveled store is EXACT (asserted against the from-corpus
+    // scorer, not charted).
+    val levelRows = locally {
+      val docsBase = spark.read.parquet(s"$root/x1/documents.parquet")
+      val dir = s"$root/postings-leveled"
+      graft.queue.Maintenance.deleteRec(Paths.get(dir))
+      def negBatchDirs: Map[Long, java.io.File] = {
+        val r = new java.io.File(graft.sources.PostingsStore.resolveDir(dir))
+        Option(r.listFiles).getOrElse(Array.empty).collect {
+          case f if f.getName.startsWith("ingest_batch=-") &&
+            f.getName.stripPrefix("ingest_batch=").toLong < -1L =>
+            f.getName.stripPrefix("ingest_batch=").toLong -> f
+        }.toMap
+      }
+      var folds = 0
+      var foldWritten = 0L
+      var maxFold = 0L
+      var naiveFull = 0L
+      var maxBatches = 0
+      def storeBytes: Long =
+        dirBytes(new java.io.File(graft.sources.PostingsStore.resolveDir(dir)))
+      val t0 = System.nanoTime()
+      (0 until 50).foreach { b =>
+        graft.sources.PostingsStore.appendBatch(
+          docsBase.filter(col("doc_id") % 50 === b), dir, b.toLong)
+        val knownNeg = negBatchDirs.keySet
+        if (graft.sources.PostingsStore.compactLevel(spark, dir, maxBatches = 8)) {
+          folds += 1
+          naiveFull += storeBytes // a FULL compact rewrites ~the store
+          val newId = (negBatchDirs.keySet -- knownNeg).min
+          val w = dirBytes(new java.io.File(
+            graft.sources.PostingsStore.resolveDir(dir) +
+              s"/ingest_batch=$newId"))
+          foldWritten += w
+          maxFold = math.max(maxFold, w)
+        }
+        val n = {
+          val sd = new java.io.File(
+            graft.sources.PostingsStore.resolveDir(dir), "_stats")
+          Option(sd.listFiles).getOrElse(Array.empty)
+            .count(_.getName.startsWith("ingest_batch="))
+        }
+        maxBatches = math.max(maxBatches, n)
+      }
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val terms = Seq("dup", "vector", "merge")
+      val served = graft.sources.PostingsStore
+        .bm25TopK(spark, dir, terms, k = 20).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val exact = graft.operators.Retrieval.bm25TopK(docsBase, terms, k = 20)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      require(served == exact, "leveled store drifted from the exact scorer")
+      val sb2 = storeBytes
+      println(f"""{"kind":"leveled_compaction","batches":50,"cap":8,"folds":$folds,"max_batches_seen":$maxBatches,"fold_written_bytes":$foldWritten,"max_fold_bytes":$maxFold,"full_compact_equiv_bytes":$naiveFull,"store_bytes":$sb2,"ingest_sec":$ingestSec%.1f,"serve_exact":true}""")
+      (folds, maxBatches, foldWritten, maxFold, naiveFull, sb2, ingestSec)
+    }
+
+    // IVF LEAF-MERGE regime — the same discipline on the vector store:
+    // 48 appends grow every probed list's per-batch leaf count linearly;
+    // mergeLeaves(cap=8) per append holds it flat. The merge is
+    // content-neutral (no reassignment), so serving the leveled store
+    // must EQUAL the in-memory probe path over the full corpus —
+    // asserted, not charted.
+    val ivfMergeRows = locally {
+      import spark.implicits._
+      val embDisk = spark.read.parquet(s"$root/x1/embeddings.parquet")
+      val dir = s"$root/ivf-leveled"
+      graft.queue.Maintenance.deleteRec(Paths.get(dir))
+      graft.sources.IvfIndexStore.build(
+        embDisk.filter(col("vec_id") < 200), dir, nlist = 16)
+      var maxBatches = 0
+      var maxLeaves = 0
+      def census(): (Int, Int) = {
+        val r = new java.io.File(dir)
+        val lists = Option(r.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("centroid_id="))
+        val perList = lists.map(l =>
+          Option(l.listFiles).getOrElse(Array.empty)
+            .count(_.getName.startsWith("ingest_batch=")))
+        val ids = lists.flatMap(l =>
+          Option(l.listFiles).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("ingest_batch="))
+            .map(_.getName)).distinct
+        (ids.length, if (perList.isEmpty) 0 else perList.max)
+      }
+      val t0 = System.nanoTime()
+      (0 until 48).foreach { b =>
+        graft.sources.IvfIndexStore.appendBatch(
+          embDisk.filter(col("vec_id") >= 200 && col("vec_id") % 48 === b),
+          dir, b.toLong)
+        graft.sources.IvfIndexStore.mergeLeaves(spark, dir, maxBatches = 8)
+        val (nb, nl) = census()
+        maxBatches = math.max(maxBatches, nb)
+        maxLeaves = math.max(maxLeaves, nl)
+      }
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val qv = embDisk.filter(col("vec_id") === 0L)
+        .select(col("embedding")).as[Seq[Float]].head()
+      val served = graft.sources.IvfIndexStore
+        .topK(spark, dir, qv, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inMem = graft.operators.Similarity
+        .ivfTopK(embDisk, queryId = 0L, k = 10, nlist = 16, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      require(served == inMem, "leaf-merged ivf store drifted from exact")
+      val (nbF, nlF) = census()
+      println(f"""{"kind":"ivf_leaf_merge","appends":48,"cap":8,"final_batches":$nbF,"max_batches_seen":$maxBatches,"max_list_leaves_seen":$maxLeaves,"final_max_list_leaves":$nlF,"ingest_sec":$ingestSec%.1f,"serve_identical":true}""")
+      (nbF, maxBatches, maxLeaves, nlF, ingestSec)
     }
 
     // ROW-GROUP-TIER regime (the r17 verdict's named evidence gap): the
@@ -1213,7 +1356,7 @@ object ScaleBench {
       (k, st.nDocs, st.nVerdictLinksCanonicalized, sec)
     }
 
-    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, maintRows, postingsRows, pqStoreRows, pqRecallRows, tieredRows, headCurveRows, rgContRows, rgPostRows, recallRows, dRows, fRows, rcRows)
+    writeMd(out, qRows, rRows, pRows, quRows, spRows, coRows, stRows, qcRows, mrRows, icRows, fgRows, bRows, contRows, cRows, ccOrganic, vRows, kRows, ivfRows, storeRows, maintRows, postingsRows, pqStoreRows, pqRecallRows, tieredRows, headCurveRows, levelRows, ivfMergeRows, rgContRows, rgPostRows, recallRows, dRows, fRows, rcRows)
     println(s"wrote $out")
     spark.stop()
   }
@@ -1323,8 +1466,10 @@ object ScaleBench {
                       postingsRows: Seq[(Int, Double, Double, Double, Int, Int, Int, Long, Double, Double, Int, Long, Double)],
                       pqStoreRows: Seq[(Int, Double, Double, Double, Long, Long)],
                       pqRecallRows: Seq[(Int, Double)],
-                      tieredRows: Seq[(Int, Long, Double, Double, Double, Double, Long, Long)],
+                      tieredRows: Seq[(Int, Long, Double, Double, Double, Double, Long, Long, Long, Long)],
                       headCurveRows: Seq[(Int, Int, Long, Double)],
+                      levelRows: (Int, Int, Long, Long, Long, Long, Double),
+                      ivfMergeRows: (Int, Int, Int, Int, Double),
                       rgContRows: Seq[(Int, Int, Int, Double)],
                       rgPostRows: Seq[(Int, Int, Int, Double)],
                       recallRows: Seq[(String, Long, Long, Int)],
@@ -1687,9 +1832,9 @@ object ScaleBench {
     sb ++= "rewrite. compact folds the batch tier in one offline pass\n"
     sb ++= "behind the _vlog version flip (readers whole-old or whole-new,\n"
     sb ++= "hammer-spec pinned).\n"
-    sb ++= "\n| tiered BM25 serve ('dup'+'the', k=10, unsuffixed copies) | df('the') | exact serve | tiered serve | WAND serve (exact) | tiered recall@10 | head bytes ('the' bucket) | tail bytes (tiered never reads) |\n|---|---|---|---|---|---|---|---|\n"
-    tieredRows.foreach { case (k, dfThe, es, ps, ws, rec, hb, tb) =>
-      sb ++= f"| ${k}x documents | $dfThe | $es%.2f s | $ps%.2f s | $ws%.2f s | ${rec * 100}%.0f%% | ${hb / 1024} KiB | ${tb / 1024} KiB |\n"
+    sb ++= "\n| tiered BM25 serve ('dup'+'the', k=10, unsuffixed copies) | df('the') | exact serve | tiered serve | WAND serve (exact) | tiered recall@10 | head bytes ('the' bucket) | tail bytes (tiered never reads) | WAND cand rows (block-max) | WAND cand rows (per-batch bound) |\n|---|---|---|---|---|---|---|---|---|---|\n"
+    tieredRows.foreach { case (k, dfThe, es, ps, ws, rec, hb, tb, cb, cp) =>
+      sb ++= f"| ${k}x documents | $dfThe | $es%.2f s | $ps%.2f s | $ws%.2f s | ${rec * 100}%.0f%% | ${hb / 1024} KiB | ${tb / 1024} KiB | $cb | $cp |\n"
     }
     sb ++= "\nThe q130 bound made a line: df('the') grows 10x for real here\n"
     sb ++= "(unsuffixed copies), the exact path's stop-word read grows with\n"
@@ -1712,7 +1857,24 @@ object ScaleBench {
     sb ++= "sorted run, so its wall tracks the CANDIDATE count (flat-ish in\n"
     sb ++= "df) instead of the stop word's O(df) postings; the q132 oracle\n"
     sb ++= "gates the exactness, the poisoned-tail WAND spec pins the skip\n"
-    sb ++= "when certificates allow it. WAND's higher ABSOLUTE wall at\n"
+    sb ++= "when certificates allow it. The two r20 candidate-rows columns\n"
+    sb ++= "measure the BLOCK-MAX refinement (_blockmeta: per-(term, 64-\n"
+    sb ++= "posting block) maxima keyed by doc-id range): a doc's tail\n"
+    sb ++= "bound is its OWN block's, or provably zero when no block covers\n"
+    sb ++= "its id — so one outlier posting poisons one block, not the\n"
+    sb ++= "whole tail (the adversary spec constructs exactly that and pins\n"
+    sb ++= "the shrink; both paths serve the identical exact rows). A query\n"
+    sb ++= "whose every term fits the head DISPATCHES to the exact serve\n"
+    sb ++= "before any certificate assembly (wand_dispatch_rare in the\n"
+    sb ++= "JSON — asserted to TRACK the layout: true at 1x where\n"
+    sb ++= "df('dup') fits the head, false at 10x where the same term has\n"
+    sb ++= "outgrown it and certificates must engage) — the common\n"
+    sb ++= "rare-term query pays nothing for WAND being the entry point,\n"
+    sb ++= "and past\n"
+    sb ++= "the driver-summary cap (1M head rows) WAND falls back to the\n"
+    sb ++= "exact both-tier path, so driver state is bounded no matter the\n"
+    sb ++= "batch count (compactLevel below is the remedy that keeps the\n"
+    sb ++= "cap from ever engaging). WAND's higher ABSOLUTE wall at\n"
     sb ++= "these sizes is its fixed assembly overhead (two extra bounded\n"
     sb ++= "driver pulls), while the exact column is the one carrying the\n"
     sb ++= "O(df) term — read each column's GROWTH across the decade, not\n"
@@ -1747,6 +1909,42 @@ object ScaleBench {
     sb ++= "max(expected discriminative df per batch, serving k budget)\n"
     sb ++= "and reaches for WAND when the mixed-query caveat matters; the\n"
     sb ++= "scaladoc on DefaultHeadSize cites this table.\n"
+    locally {
+      val (folds, maxB, fw, mf, naive, store, isec) = levelRows
+      sb ++= "\n| leveled compaction (50-batch ingest, cap 8) | folds | max committed batches seen | fold-written bytes (total) | max single-fold bytes | repeated-full-compact bytes (equiv) | final store bytes |\n|---|---|---|---|---|---|---|\n"
+      sb ++= f"| compactLevel after every append ($isec%.0f s ingest) | $folds | $maxB | ${fw / 1024} KiB | ${mf / 1024} KiB | ${naive / 1024} KiB | ${store / 1024} KiB |\n"
+      sb ++= "\nThe r19 verdict's top item, measured: every serving bound that\n"
+      sb ++= "is linear in committed batch count (head read, WAND driver\n"
+      sb ++= "summary, _termmeta fan-out, per-batch footers) is capped iff\n"
+      sb ++= "the count is, and compactLevel holds it AT the cap across the\n"
+      sb ++= "whole 50-batch ingest (max-seen column) by folding only the\n"
+      sb ++= "SMALLEST batches into one — untouched batches enter the next\n"
+      sb ++= "_vlog version as hard links (zero data bytes; a distributed\n"
+      sb ++= "store writes a manifest of unchanged files instead, the LSM\n"
+      sb ++= "discipline). The bytes columns carry the claim: total\n"
+      sb ++= "fold-written vs what 'full compact at the same cadence' would\n"
+      sb ++= "have rewritten, and no single fold approaches the store's\n"
+      sb ++= "size. Serving over the leveled store is asserted row-identical\n"
+      sb ++= "to the from-corpus exact scorer before this table is written\n"
+      sb ++= "(and q137's oracle gates the same equality at three SFs);\n"
+      sb ++= "folded-batch replays are refused through the _folded registry\n"
+      sb ++= "(spec-pinned), and the reader hammer re-ran across a live\n"
+      sb ++= "leveled fold (whole-old or whole-new, never torn).\n"
+    }
+    locally {
+      val (nbF, maxB, maxL, nlF, isec) = ivfMergeRows
+      sb ++= "\n| ivf leaf merge (48 appends, cap 8) | final batches | max batches seen | max per-list leaf dirs seen | final max per-list leaf dirs |\n|---|---|---|---|---|\n"
+      sb ++= f"| mergeLeaves after every append ($isec%.0f s ingest) | $nbF | $maxB | $maxL | $nlF |\n"
+      sb ++= "\nThe same discipline on the vector store's smaller dose of the\n"
+      sb ++= "disease: appends accumulate (centroid_id, ingest_batch) leaves,\n"
+      sb ++= "and every probed scan pays the per-list file count. The merge\n"
+      sb ++= "folds the smallest batches per list — content-neutral (no\n"
+      sb ++= "reassignment, no codebook change), so serving the merged store\n"
+      sb ++= "is asserted row-identical to the in-memory probe path over the\n"
+      sb ++= "full corpus before this table is written (q139's oracle gates\n"
+      sb ++= "the same equality), single and batched and ADC alike\n"
+      sb ++= "(spec-pinned); folded replays are refused via _folded.\n"
+    }
     sb ++= "\n| containment probe over ~16 KiB row groups (25-doc batch) | files | row groups | probe sec |\n|---|---|---|---|\n"
     rgContRows.foreach { case (k, files, groups, s) =>
       sb ++= f"| ${k}x registry | $files | $groups | $s%.2f s |\n"

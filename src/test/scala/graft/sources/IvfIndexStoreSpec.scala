@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.SparkTestSession
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[IvfIndexStore]]'s layout contract — what q112's SQL gate cannot see:
@@ -323,5 +323,99 @@ class IvfIndexStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(IvfIndexStore.layoutFor(spark, dir, emb, nlist = 16) == base)
     assert(new java.io.File(base, "_SUCCESS").lastModified == mtime0)
     assert(IvfIndexStore.layoutFor(spark, dir, emb, nlist = 8) != base)
+  }
+
+  // ---- r20: leveled leaf merge ----
+
+  private def batchLeafCount(d: String): (Int, Int) = {
+    // (distinct batch ids, max leaves under any one list)
+    def kids(p: java.nio.file.Path, pre: String): Seq[java.nio.file.Path] = {
+      if (!java.nio.file.Files.exists(p)) return Nil
+      val s = java.nio.file.Files.list(p)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c.getFileName.toString.startsWith(pre)) b += c
+        }
+        b.result()
+      } finally s.close()
+    }
+    val cents = kids(java.nio.file.Paths.get(d), "centroid_id=")
+    val perList = cents.map(c => kids(c, "ingest_batch="))
+    (perList.flatten.map(_.getFileName.toString).distinct.size,
+      if (perList.isEmpty) 0 else perList.map(_.size).max)
+  }
+
+  test("mergeLeaves folds the smallest batches content-neutrally: " +
+    "single/batched serving identical, leaf count bounded across a " +
+    "many-append ingest, folded replays refused") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfmerge").toString
+    IvfIndexStore.build(emb.filter($"vec_id" < 100), d, nlist = 16)
+    (0 to 9).foreach(b => IvfIndexStore.appendBatch(
+      emb.filter($"vec_id" >= 100 && $"vec_id" % 10 === b), d, b.toLong))
+    def serveAll() = {
+      val single = IvfIndexStore.topK(spark, d, qvec, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val batched = IvfIndexStore.topKBatch(spark, d, queries, k = 10, nprobe = 2)
+        .collect().toSeq.map(_.toString).sorted
+      (single, batched)
+    }
+    val before = serveAll()
+    val (nBefore, _) = batchLeafCount(d)
+    assert(nBefore == 11, s"fixture: $nBefore batches")
+    assert(!IvfIndexStore.mergeLeaves(spark, d, maxBatches = 16),
+      "below the cap must be a no-op")
+    assert(IvfIndexStore.mergeLeaves(spark, d, maxBatches = 4))
+    val (nAfter, maxLeaves) = batchLeafCount(d)
+    assert(nAfter == 4 && maxLeaves <= 4, s"$nAfter batches, $maxLeaves leaves")
+    assert(serveAll() == before, "the merge moved a result")
+    // the store content is row-for-row identical to a bulk build's serve
+    val inMem = Similarity.ivfTopK(emb, queryId = 0L, k = 10,
+      nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before._1 == inMem)
+    // folded batches refuse replay (their rows live in the merged leaf);
+    // kept batches replay idempotently
+    val refused = (0 to 9).count { b =>
+      scala.util.Try(IvfIndexStore.appendBatch(
+        emb.filter($"vec_id" >= 100 && $"vec_id" % 10 === b),
+        d, b.toLong)).isFailure
+    }
+    assert(refused == 8, s"expected 8 folded-replay refusals, got $refused")
+    assert(serveAll() == before, "a kept-batch replay drifted serving")
+    // leveling under a CONTINUING ingest (fresh shifted ids per batch):
+    // merge-per-append holds the batch count - and with it the per-list
+    // leaf/file count every probed scan pays - at the cap forever
+    (10 to 17).foreach { b =>
+      val fresh = emb.filter($"vec_id" < 30).select(
+        ($"vec_id" + lit(1000000L * b)).as("vec_id"),
+        $"embedding", $"label")
+      IvfIndexStore.appendBatch(fresh, d, b.toLong)
+      IvfIndexStore.mergeLeaves(spark, d, maxBatches = 4)
+      val (n, leaves) = batchLeafCount(d)
+      assert(n <= 4 && leaves <= 4, s"batch $b: $n batches, $leaves leaves")
+    }
+  }
+
+  test("mergeLeaves levels a PQ store too: ADC serving identical across " +
+    "the fold") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfmerge_pq").toString
+    val base = emb.filter($"vec_id" < 100)
+    val cb = graft.operators.ProductQuantizer.train(base, m = 8, ksub = 16, iters = 0)
+    IvfIndexStore.build(base, d, nlist = 16, pq = Some(cb))
+    (0 to 7).foreach(b => IvfIndexStore.appendBatch(
+      emb.filter($"vec_id" >= 100 && $"vec_id" % 8 === b), d, b.toLong))
+    val before = IvfIndexStore.adcTopK(spark, d, qvec, k = 10, nprobe = 2,
+      refine = 4).collect().map(_.toString).toSeq
+    assert(IvfIndexStore.mergeLeaves(spark, d, maxBatches = 3))
+    val after = IvfIndexStore.adcTopK(spark, d, qvec, k = 10, nprobe = 2,
+      refine = 4).collect().map(_.toString).toSeq
+    assert(after == before && before.nonEmpty)
   }
 }

@@ -828,10 +828,12 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("phrase serving REFUSES a pre-positions legacy store loudly; " +
-    "BM25 (which never reads positions) still serves it") {
+    "BM25 (which never reads positions) still serves it; appends refuse " +
+    "rather than mix formats") {
     val d = tmp("graft_postings_legacy")
     PostingsStore.build(docs.limit(60), d)
-    // strip the positions column — the pre-gen-3 on-disk shape
+    // strip the positions column AND the _format marker — the pre-gen-4
+    // on-disk shape (a true legacy store never had either)
     val batchDir = java.nio.file.Paths.get(d, "ingest_batch=-1")
     val legacy = spark.read.parquet(batchDir.toString)
       .drop("positions")
@@ -839,14 +841,24 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
         $"tbucket".cast("int").as("tbucket"), $"tier".cast("int").as("tier"))
       .localCheckpoint(true)
     graft.queue.Maintenance.deleteRec(batchDir)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d, "_format"))
     legacy.repartition(1)
       .sortWithinPartitions($"tbucket", $"tier", $"tok", $"doc_id")
       .write.partitionBy("tbucket", "tier").parquet(batchDir.toString)
     assert(serveRows(d, Seq("dup"), 10).nonEmpty)
-    // adjacency over null positions would be silently EMPTY — refuse
+    // adjacency over null positions would be silently EMPTY — refuse.
+    // The guard is the marker (one file-existence check), NOT a per-serve
+    // null scan over the probe (the r19 shape the ADVICE flagged).
     val e = intercept[IllegalArgumentException](
       PostingsStore.phraseTopK(spark, d, Seq("the", "fast"), 10))
     assert(e.getMessage.contains("positional format"), e.getMessage)
+    // and the marker's trust contract holds because appends to a
+    // marker-less store with data refuse: gen-4 batches can never land
+    // beside legacy ones (a mixed store would make the marker a lie)
+    val e2 = intercept[IllegalArgumentException](
+      PostingsStore.appendBatch(docs.filter($"doc_id" >= 400), d, 0L,
+        checkDupIds = false))
+    assert(e2.getMessage.contains("_format"), e2.getMessage)
   }
 
   test("the phrase probe prunes like every probe: bucket partition " +
@@ -886,5 +898,263 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     val after = serveRows(d)
     assert(after == corpusRows(docs.filter($"doc_id" < 20 && $"doc_id" =!= 12L)))
     assert(!after.map(_._2).contains(12L))
+  }
+
+  // ---- r20: leveled compaction, block-max WAND, dispatch, phrase+BM25 ----
+
+  private def committedCount(d: String): Int = {
+    val root = java.nio.file.Paths.get(PostingsStore.resolveDir(d), "_stats")
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        var n = 0
+        val it = s.iterator()
+        while (it.hasNext)
+          if (it.next().getFileName.toString.startsWith("ingest_batch=")) n += 1
+        n
+      } finally s.close()
+    }
+  }
+
+  test("compactLevel folds only the smallest batches behind the vlog " +
+    "flip: serving identical, count capped, kept batches carried by " +
+    "hard link, folded replays refused") {
+    val d = tmp("graft_postings_level")
+    (0 to 4).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 5 === b), d, b.toLong))
+    val before = serveRows(d)
+    assert(!PostingsStore.compactLevel(spark, d, maxBatches = 8),
+      "below the cap must be a no-op")
+    assert(PostingsStore.compactLevel(spark, d, maxBatches = 3))
+    assert(PostingsStore.resolveDir(d) == d + "/v1")
+    assert(committedCount(d) == 3)
+    assert(serveRows(d) == before && before == corpusRows(docs))
+    // tiered + WAND + phrase all serve the leveled store
+    assert(PostingsStore.bm25TopKPruned(spark, d, Seq("dup", "the"), 10)
+      .count() == 10)
+    assert(PostingsStore.bm25TopKWand(spark, d, terms, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == serveRows(d, terms, 10))
+    assert(PostingsStore.phraseTopK(spark, d, Seq("the", "fast"), 5).count() > 0)
+    // kept (largest) batches entered v1 as HARD LINKS — zero data bytes
+    // moved for them; the fold's write cost is the folded bytes only
+    val keptLeafFile = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(PostingsStore.resolveDir(d)))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("ingest_batch=-"))
+      .findFirst().get()
+    assert(java.nio.file.Files.getAttribute(keptLeafFile, "unix:nlink")
+      .asInstanceOf[Number].intValue >= 2,
+      s"kept batch file $keptLeafFile is not hard-linked")
+    // exactly the folded (smallest) batch ids are refused on replay; a
+    // KEPT batch replays idempotently (overwrites itself, serving fixed)
+    val refused = (0 to 4).filter { b =>
+      scala.util.Try(PostingsStore.appendBatch(
+        docs.filter($"doc_id" % 5 === b), d, b.toLong,
+        checkDupIds = false)).isFailure
+    }
+    assert(refused.size == 3, s"folded-replay refusals: $refused")
+    assert(serveRows(d) == before, "a kept-batch replay drifted serving")
+    // a second fold stacks: append two more, level again, still exact
+    PostingsStore.appendBatch(docs.limit(0), d, 100L)
+    assert(committedCount(d) == 4)
+    assert(PostingsStore.compactLevel(spark, d, maxBatches = 3))
+    assert(PostingsStore.resolveDir(d) == d + "/v2")
+    assert(serveRows(d) == before)
+  }
+
+  test("leveled sink discipline: batch count stays at the cap across a " +
+    "12-batch ingest, serving exact throughout") {
+    val d = tmp("graft_postings_level12")
+    (0 to 11).foreach { b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 12 === b), d, b.toLong)
+      PostingsStore.compactLevel(spark, d, maxBatches = 4)
+      assert(committedCount(d) <= 4, s"batch count broke the cap at $b")
+    }
+    assert(serveRows(d) == corpusRows(docs))
+    // erasure still works over a leveled store (folded + kept batches)
+    import spark.implicits._
+    val takedown = docs.filter($"doc_id" % 97 === 3)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    PostingsStore.deleteDocs(spark, d, takedown)
+    assert(serveRows(d) == corpusRows(docs.filter($"doc_id" % 97 =!= 3)))
+  }
+
+  test("reader hammer across a LIVE compactLevel: every serve is " +
+    "whole-old or whole-new, never torn") {
+    val d = tmp("graft_postings_levelhammer")
+    (0 to 4).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 5 === b), d, b.toLong))
+    val expected = serveRows(d)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = serveRows(d)
+          if (got != expected) failures.add(s"torn read: $got")
+        } catch { case e: Throwable => failures.add(e.toString) }
+      }
+    })
+    reader.start()
+    try {
+      PostingsStore.compactLevel(spark, d, maxBatches = 3) // flat -> v1
+      PostingsStore.appendBatch(docs.limit(0), d, 10L)     // lands in v1
+      PostingsStore.compactLevel(spark, d, maxBatches = 2) // v1 -> v2
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    assert(serveRows(d) == expected)
+    assert(PostingsStore.resolveDir(d) == d + "/v2")
+  }
+
+  test("WAND dispatch: a query whose every term fits the head serves " +
+    "via the exact path with NO certificate assembly") {
+    // an all-head store (every df <= 120 < headSize): _termmeta alone
+    // proves certificates are vacuous and the serve dispatches before
+    // any head probe ever runs
+    val d = tmp("graft_postings_dispatch")
+    val small = docs.limit(120)
+    PostingsStore.build(small, d)
+    val (got, diag) = PostingsStore.bm25TopKWandDiag(spark, d, terms, 10)
+    assert(diag.dispatchedExact && diag.headRows == 0L &&
+      diag.candidateRows == 0L, diag.toString)
+    assert(got.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == serveRows(d, terms, 10))
+    // batched twin
+    val req = Seq((0L, "dup"), (0L, "vector"), (1L, "merge"))
+      .toDF("query_id", "term")
+    val (gotB, diagB) = PostingsStore.bm25TopKWandBatchDiag(spark, d, req, 10)
+    assert(diagB.dispatchedExact, diagB.toString)
+    assert(gotB.collect().toSeq ==
+      PostingsStore.bm25TopKBatch(spark, d, req, 10).collect().toSeq)
+    // on the full bulk store the same query carries TAILED terms
+    // ("vector"/"merge" exceed the head at this SF): no dispatch, the
+    // certificate path engages and still serves the exact rows
+    val (got2, diag2) = PostingsStore.bm25TopKWandDiag(spark, bulk, terms, 10)
+    assert(!diag2.dispatchedExact && !diag2.exactFallback, diag2.toString)
+    assert(got2.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == serveRows(bulk, terms, 10))
+  }
+
+  test("WAND head-summary cap: past maxHeadRows the serve falls back to " +
+    "the exact both-tier path - bounded driver state, identical output") {
+    val (got, diag) = PostingsStore.bm25TopKWandDiag(
+      spark, bulk, Seq("dup", "the"), 10, maxHeadRows = 1L)
+    assert(diag.exactFallback && !diag.dispatchedExact, diag.toString)
+    assert(got.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == serveRows(bulk, Seq("dup", "the"), 10))
+  }
+
+  test("block-max certificates: an outlier posting in a stop word's tail " +
+    "poisons only its own block - the refined cut fetches strictly fewer " +
+    "candidates than the per-batch bound, both serving exactly") {
+    val d = tmp("graft_postings_blockmax")
+    import spark.implicits._
+    // head: 256 docs with tf=50 (top impact). Tail: one OUTLIER doc with
+    // tf=40 (just below the head cut) + 300 docs with tf=1. The
+    // per-batch certificate is contrib(tf=40) - poisoned for every doc;
+    // the outlier's own 64-posting block is the only one carrying that
+    // bound, every other block certifies contrib(tf=1). 20 docs carry
+    // only the rare term; their ids sit far outside every tail block's
+    // id range, so the refined bound PROVES they have no "zz" tail row.
+    val corpus =
+      (0 until 256).map(i => (i.toLong, Seq.fill(50)("zz").mkString(" ") + " pad")) ++
+      (300 until 600).map(i => (i.toLong, "zz pad pad pad")) ++
+      Seq((600L, Seq.fill(40)("zz").mkString(" ") + " pad")) ++
+      (1000 until 1020).map(i => (i.toLong, "rare pad pad pad"))
+    val cdf = corpus.toDF("doc_id", "text")
+    PostingsStore.build(cdf, d)
+    val qterms = Seq("rare", "zz")
+    val exact = serveRows(d, qterms, 5)
+    val (gotBatchBound, diagOff) = PostingsStore.bm25TopKWandDiag(
+      spark, d, qterms, 5, useBlockMax = false)
+    val (gotBlock, diagOn) = PostingsStore.bm25TopKWandDiag(
+      spark, d, qterms, 5, useBlockMax = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(gotBatchBound) == exact && rows(gotBlock) == exact)
+    assert(!diagOff.exactFallback && !diagOn.exactFallback,
+      s"adversary degenerated to fallback: $diagOff / $diagOn")
+    assert(diagOn.blockRefined, diagOn.toString)
+    assert(diagOn.candidateRows < diagOff.candidateRows,
+      s"block-max did not shrink the fetch: ${diagOn.candidateRows} vs " +
+        s"${diagOff.candidateRows}")
+    // the rare-only docs are exactly the per-batch bound's false
+    // candidates: the refined cut excludes them all
+    assert(diagOff.candidateRows >= 20 && diagOn.candidateRows == 0L,
+      s"${diagOff.candidateRows} / ${diagOn.candidateRows}")
+  }
+
+  test("block-max certificates survive erase and leveled compaction: " +
+    "WAND stays exact and block-refined over a mutated store") {
+    val d = tmp("graft_postings_blockmaint")
+    (0 to 2).foreach(b =>
+      PostingsStore.appendBatch(docs.filter($"doc_id" % 3 === b), d, b.toLong))
+    import spark.implicits._
+    val takedown = docs.filter($"doc_id" % 31 === 5)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    PostingsStore.deleteDocs(spark, d, takedown)
+    val survivors = docs.filter($"doc_id" % 31 =!= 5)
+    val (got, _) = PostingsStore.bm25TopKWandDiag(
+      spark, d, Seq("dup", "the"), 10)
+    assert(got.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == corpusRows(survivors, Seq("dup", "the"), 10))
+    PostingsStore.appendBatch(
+      survivors.limit(0), d, 5L) // push count over the cap is not needed;
+    PostingsStore.compactLevel(spark, d, maxBatches = 2)
+    val (got2, _) = PostingsStore.bm25TopKWandDiag(
+      spark, d, Seq("dup", "the"), 10)
+    assert(got2.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == corpusRows(survivors, Seq("dup", "the"), 10))
+  }
+
+  test("phrase-ranked retrieval equals the driver-composed reference " +
+    "(phrase filter x exact BM25, corpus-wide df); the seed-pruned and " +
+    "full-probe paths agree; an absent phrase serves empty") {
+    val phrase = Seq("the", "fast")
+    val scoring = Seq("the", "fast", "dup")
+    val got = PostingsStore.bm25TopKPhrase(
+      spark, bulk, phrase, Seq("dup"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // reference: every phrase match (phraseTopK, large k) joined with the
+    // exact from-corpus BM25 scores over the scoring terms, re-ranked
+    val matches = PostingsStore.phraseTopK(spark, bulk, phrase, k = 100000)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val scores = Retrieval.bm25TopK(docs, scoring, k = 1000000)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val expected = matches.toSeq
+      .map { case (id, ptf) =>
+        val (hits, q) = scores(id); (id, ptf, hits, q) }
+      .sortBy { case (id, _, _, q) => (-q, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, ptf, hits, q), i) => (i + 1, id, ptf, hits, q) }
+    assert(got == expected && got.nonEmpty)
+    // forcing the full-probe fallback (seed list over the cap) changes
+    // the read path, never the answer
+    val gotFull = PostingsStore.bm25TopKPhrase(
+      spark, bulk, phrase, Seq("dup"), k = 10, seedMaxDf = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(gotFull == got)
+    // slop composes too: proximity filter, same scorer
+    assert(PostingsStore.bm25TopKPhrase(spark, bulk,
+      Seq("table", "merge"), Nil, k = 10, slop = 2).count() > 0)
+    assert(PostingsStore.bm25TopKPhrase(spark, bulk,
+      Seq("zzzz", "qqqq"), Nil, k = 10).isEmpty)
+  }
+
+  test("a store rooted at a glob-metacharacter path reads through the " +
+    "prefix-scoped registry scan (RegistryIO escapes the dir)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_glob[1]{x}")
+    val d = base.toString + "/store"
+    PostingsStore.build(docs.limit(80), d)
+    assert(serveRows(d, terms, 10) == corpusRows(docs.limit(80), terms, 10))
   }
 }
