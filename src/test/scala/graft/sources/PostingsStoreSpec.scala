@@ -213,6 +213,58 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(serveRows(d) == corpusRows(docs))
   }
 
+  test("streaming sink with levelMaxBatches holds the committed batch " +
+    "count at the cap after every micro-batch, serves exactly, and " +
+    "refuses a replayed folded batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = tmp("graft_postings_sink_level")
+    def committedCount: Int = {
+      val root = java.nio.file.Paths.get(PostingsStore.resolveDir(d))
+      if (!java.nio.file.Files.exists(root)) 0
+      else {
+        val s = java.nio.file.Files.list(root)
+        try {
+          var n = 0; val it = s.iterator()
+          while (it.hasNext)
+            if (it.next().getFileName.toString.startsWith("ingest_batch="))
+              n += 1
+          n
+        } finally s.close()
+      }
+    }
+    val rows = docs.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = PostingsStore.sink(
+      stream.toDF().toDF("doc_id", "text"), d, levelMaxBatches = 3)
+      .option("checkpointLocation", d + "_ckpt").start()
+    val capSeen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      // 8 micro-batches against a cap of 3: without the per-append fold
+      // the count would reach 8; the cap must hold after EVERY batch
+      rows.grouped(math.max(1, rows.size / 8 + 1)).foreach { g =>
+        stream.addData(g); q.processAllAvailable()
+        capSeen += committedCount
+      }
+    } finally q.stop()
+    assert(capSeen.size >= 6 && capSeen.forall(_ <= 3), capSeen.mkString(","))
+    assert(serveRows(d) == corpusRows(docs))
+    // post-crash checkpoint replay of a batch the leveler folded away:
+    // refused loudly (the _folded registry), never double-counted
+    // the registry also carries negative ids (a fold folding an earlier
+    // fold's output); a stream replay can only redeliver ids >= 0
+    import scala.jdk.CollectionConverters._
+    val folded = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(PostingsStore.resolveDir(d), "_folded"))
+      .asScala.map(_.trim.toLong).filter(_ >= 0L)
+    assert(folded.nonEmpty)
+    val e = intercept[IllegalArgumentException](
+      PostingsStore.appendBatch(docs.limit(5), d, folded.head))
+    assert(e.getMessage.contains("compactLevel"), e.getMessage)
+    assert(serveRows(d) == corpusRows(docs))
+  }
+
   test("a crashed root swap (aside present, root missing) heals on the next call") {
     val d = tmp("graft_postings_heal")
     PostingsStore.build(docs.limit(40), d)
