@@ -89,4 +89,56 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Ceiling for the input-skew balancing repartition in [[balanced]]: a
+    * layout at or above this size has enough row groups for the scan to
+    * parallelize naturally, so only genuinely toy layouts qualify. */
+  private val BalanceMaxBytes = 2L * 1024 * 1024 * 1024
+
+  /** Input-skew mitigation (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read"): a
+    * table whose layout supplies fewer input FILES than the session has
+    * cores cannot parallelize its scan stage past the file count when the
+    * files are single-row-group — parquet splits at row-group granularity,
+    * and the driver's testdata tables are exactly one file with one row
+    * group — so everything FUSED into the scan stage (token explodes,
+    * shingle generation, regex scrubs, codegen'd scorers) runs on a
+    * handful of cores while the rest idle.
+    *
+    * CONDITIONAL by construction: fires only when the layout is both
+    * under-filed (files < defaultParallelism) and small in absolute bytes
+    * (< 2 GiB — generous for a local layout, far under any production
+    * table), so a real multi-file table keeps its natural scan
+    * parallelism and pays no extra exchange; the plan at scale is
+    * unchanged. Hash-keyed, never round-robin: the row→partition mapping
+    * is deterministic under task retry (guide §2.5's SPARK-38388 note),
+    * and downstream per-key aggregations and joins REUSE the partitioning
+    * (HashPartitioning(key) satisfies any clustering that contains the
+    * key, so e.g. groupBy(doc_id, …) over the balanced relation needs no
+    * further exchange). The partition count is pinned explicitly —
+    * repartition(col) alone is an AQE-coalescable shuffle, and at these
+    * input sizes AQE would fold it straight back to one partition. */
+  def balanced(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val sess = df.sparkSession
+    if (sys.env.contains("SPARK_GRAFT_NOBALANCE")) return df // dev A/B knob
+    val files = df.inputFiles
+    if (files.length >= sess.sparkContext.defaultParallelism) df
+    else {
+      val conf = sess.sparkContext.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      if (bytes < BalanceMaxBytes)
+        df.repartition(sess.sparkContext.defaultParallelism, key)
+      else df
+    }
+  }
+
+  /** [[documents]] balanced by doc_id for scan-stage-heavy consumers
+    * (tokenization, shingling, PII regexes, classifier scoring): the
+    * identical relation, hash-spread over the cores when — and only
+    * when — the file layout under-supplies them (see [[balanced]]). */
+  def documentsBalanced(s: SparkSession, d: String): DataFrame =
+    balanced(documents(s, d), org.apache.spark.sql.functions.col("doc_id"))
 }

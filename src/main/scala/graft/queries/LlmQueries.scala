@@ -36,8 +36,11 @@ object LlmQueries extends graft.QueryModule {
     // the verify's inline distinct appears three times in the plan (a-side,
     // b-side, set sizes): ReuseExchange computes it once — measured faster
     // than persisting the distinct relation and scanning it thrice
+    // the persisted distinct SET with preDistincted = true: same rows
+    // by definition (jaccardVerify's internal distinct over the raw
+    // shingles), minus three per-run recomputations of that distinct
     Dedup.jaccardVerify(SharedStages.lshCandidates(s, dir),
-      SharedStages.shingles(s, dir))
+      SharedStages.distinctShingles(s, dir), preDistincted = true)
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -59,7 +62,7 @@ object LlmQueries extends graft.QueryModule {
   def jaccardVerifyCapped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.jaccardVerify(SharedStages.lshCandidatesCapped(s, dir),
-      SharedStages.shingles(s, dir))
+      SharedStages.distinctShingles(s, dir), preDistincted = true)
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -721,7 +724,7 @@ object LlmQueries extends graft.QueryModule {
   /** Rolling-hash fingerprints (order-sensitive, integer-only). */
   def rollingFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select($"doc_id", TextAnalysis.rollingFingerprint().as("rolling_fp"))
       .orderBy($"doc_id")
   }
@@ -764,7 +767,7 @@ object LlmQueries extends graft.QueryModule {
     * terms per doc ranked by the exact tf/df rational. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.tfidf(Tables.documents(s, dir), topPerDoc = 5)
+    TextAnalysis.tfidf(Tables.documentsBalanced(s, dir), topPerDoc = 5)
       .orderBy($"doc_id", $"rnk")
   }
 

@@ -26,18 +26,36 @@ object SharedStages {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Word-trigram shingles of the documents table: (doc_id, shingle),
-    * with multiplicity (n-gram frequency needs the duplicates). */
+    * with multiplicity (n-gram frequency needs the duplicates).
+    *
+    * Built over the BALANCED documents relation
+    * ([[Tables.documentsBalanced]]): on an under-filed layout the shingle
+    * explode otherwise runs inside a one-task scan stage, and the
+    * persisted cache then carries that single partition into every
+    * consumer's first aggregation. Balancing keys by doc_id, so the
+    * cached relation reports HashPartitioning(doc_id) and every
+    * doc-clustered consumer — distinct() on (doc_id, shingle), the
+    * per-doc set sizes, minhash's groupBy(doc_id, band) — aggregates
+    * WITHOUT a further exchange, in parallel. */
   def shingles(s: SparkSession, dir: String): DataFrame =
-    memo(shingleCache, s, dir)(Dedup.shingles(Tables.documents(s, dir)))
+    memo(shingleCache, s, dir)(
+      Dedup.shingles(Tables.documentsBalanced(s, dir)))
 
-  /** Distinct per-document shingle SET. Deliberately NOT persisted: the
-    * distinct is an exchange over the cached shingles, and a consumer that
-    * uses it several times in one query (Jaccard touches it three times)
-    * gets ReuseExchange — measured faster than repeatedly scanning a cached
-    * 2.4M-row relation. Cache narrow/expensive outputs, recompute wide
-    * cheap exchanges. */
+  private val distinctShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Distinct per-document shingle SET — persisted. This REVERSES the
+    * pre-r20 "recompute the distinct, ReuseExchange shares it" stance:
+    * the r20 plan audit showed ReuseExchange does NOT fire across the
+    * containment/Jaccard consumers (each occurrence carries different
+    * pushed null filters, so the canonical subtrees differ), so q113
+    * recomputed this distinct EIGHT times per run and q33/q87/q59/q76
+    * two-to-three times each. One persisted copy turns those into cache
+    * scans; built over the balanced shingle stage, it inherits
+    * HashPartitioning(doc_id), so per-doc set sizes and the doc-keyed
+    * intersect joins also skip their exchanges. */
   def distinctShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).distinct()
+    memo(distinctShingleCache, s, dir)(shingles(s, dir).distinct())
 
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -134,8 +152,8 @@ object SharedStages {
     * it between measurement groups so one pipeline's cold run is never
     * contaminated by (or evicted under) a neighbor's cache residue. */
   def invalidate(s: SparkSession): Unit = {
-    Seq(shingleCache, nearDupCache, sigCache, candCache, cappedCandCache,
-        clusterCache).foreach { c =>
+    Seq(shingleCache, distinctShingleCache, nearDupCache, sigCache,
+        candCache, cappedCandCache, clusterCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -523,7 +523,7 @@ object TrainingDataQueries extends graft.QueryModule {
     * md5(clean), never the text (q60's no-raw-text discipline). */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val d = Tables.documentsBalanced(s, dir).select($"doc_id", $"text")
       .withColumn("dirty", concat($"text",
         when($"doc_id" % 3 === 0, concat(lit(" contact user"),
           $"doc_id".cast("string"), lit("@example.com"))).otherwise(lit("")),
