@@ -95,6 +95,32 @@ object Tables {
     * parallelize naturally, so only genuinely toy layouts qualify. */
   private val BalanceMaxBytes = 2L * 1024 * 1024 * 1024
 
+  /** Bytes of COMPRESSED input per balanced partition. The pinned count
+    * is data-derived (`bytes / this`, capped at defaultParallelism), not
+    * the core count: r20 pinned `defaultParallelism` outright and the
+    * driver's 8-vs-32-core scaling block showed the shingle/LSH family
+    * running up to 3.5× FASTER at 8 cores — 32 partitions over a
+    * KB-scale relation fragments every downstream stage into tasks whose
+    * scheduling overhead dwarfs their work. 64 KiB of zstd'd text is
+    * roughly 200–400 KiB in flight and several hundred ms of
+    * explode/shingle/regex work — comfortably above task overhead —
+    * so the derived count keeps tasks coarse while still spreading a
+    * one-file layout. Parameterised for other deployments
+    * (SPARK_GRAFT_BALANCE_BYTES_PER_PART); the production no-op argument
+    * is unchanged — real tables exceed [[BalanceMaxBytes]] or the file
+    * floor and never reach this arithmetic. */
+  private lazy val BalanceBytesPerPartition: Long =
+    sys.env.get("SPARK_GRAFT_BALANCE_BYTES_PER_PART").map(_.toLong)
+      .getOrElse(64L * 1024)
+
+  /** Memo of the balanced relation per (session, input-files signature):
+    * the balance decision re-listed the input and issued one getFileStatus
+    * per file on EVERY consuming query build (ADVICE r20) — pure driver
+    * overhead repeated tens of times per bench run. The signature is the
+    * sorted file list, so a swapped-out layout re-decides. */
+  private val balanceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Input-skew mitigation (optimization guide §2.5: "one huge
     * unsplittable file … repartition immediately after the read"): a
     * table whose layout supplies fewer input FILES than the session has
@@ -117,22 +143,30 @@ object Tables {
     * key, so e.g. groupBy(doc_id, …) over the balanced relation needs no
     * further exchange). The partition count is pinned explicitly —
     * repartition(col) alone is an AQE-coalescable shuffle, and at these
-    * input sizes AQE would fold it straight back to one partition. */
+    * input sizes AQE would fold it straight back to one partition — and
+    * SCALED TO THE DATA, not the core count (see
+    * [[BalanceBytesPerPartition]]). */
   def balanced(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val sess = df.sparkSession
     if (sys.env.contains("SPARK_GRAFT_NOBALANCE")) return df // dev A/B knob
     val files = df.inputFiles
-    if (files.length >= sess.sparkContext.defaultParallelism) df
-    else {
+    if (files.length >= sess.sparkContext.defaultParallelism) return df
+    val memoKey = (sess, files.sorted.mkString("\n"), key.toString)
+    balanceMemo.computeIfAbsent(memoKey, _ => {
       val conf = sess.sparkContext.hadoopConfiguration
       val bytes = files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(conf).getFileStatus(p).getLen
       }.sum
-      if (bytes < BalanceMaxBytes)
-        df.repartition(sess.sparkContext.defaultParallelism, key)
-      else df
-    }
+      if (bytes >= BalanceMaxBytes) df
+      else {
+        val parts = math.max(1L, math.min(
+          sess.sparkContext.defaultParallelism.toLong,
+          (bytes + BalanceBytesPerPartition - 1) / BalanceBytesPerPartition)).toInt
+        if (parts <= files.length) df
+        else df.repartition(parts, key)
+      }
+    })
   }
 
   /** [[documents]] balanced by doc_id for scan-stage-heavy consumers

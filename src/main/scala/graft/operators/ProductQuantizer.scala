@@ -211,9 +211,21 @@ object ProductQuantizer {
                            cb: Codebooks, vecCol: String = "embedding",
                            codesCol: Column = col("codes")): Column =
     (0 until cb.m).map { s =>
+      // evaluate ONLY the stored code's score: the pre-r21 form indexed
+      // into the full scoresArr, computing all ksub dot products per
+      // (row, subspace) to read one — a 16× per-row waste at the 8×16
+      // default. Selecting the centroid by code through a literal 2-D
+      // lookup computes the identical quantized value (same vecDot, same
+      // element order, same floor) for one dot product; a null/invalid
+      // code yields a null error either way.
       val sub = subvecCol(vecCol, s, cb.subDim)
+      val code = element_at(codesCol, s + 1)
+      val cents2d = typedLit(cb.cents(s).map(_.toSeq).toSeq)
+      val ccArr = typedLit(cb.cents(s).map(c => c.map(x => x.toDouble * x).sum).toSeq)
       Similarity.quantize(GraftFunctions.vecDot(spark, sub, sub)) -
-        element_at(scoresArr(spark, cb, vecCol, s), element_at(codesCol, s + 1) + 1)
+        Similarity.quantize(lit(2.0) *
+          GraftFunctions.vecDot(spark, sub, element_at(cents2d, code + 1)) -
+          element_at(ccArr, code + 1))
     }.reduce(_ + _)
 
   /** The query's per-(subspace, code) dot table — KBs, driver-side by

@@ -126,21 +126,26 @@ object TextAnalysis {
         lit("unknown")).otherwise(best))
   }
 
-  /** TF-IDF via two aggregations (SURVEY §2.9 L3): term frequency per
-    * (doc, token), document frequency per token, corpus size — joined back
-    * per term. Ranking uses the exact rational tf/df (single double division
-    * of exact integers — engine-deterministic); the tfidf score itself is
-    * floor-quantized. Both aggregations are partial+final hash aggs; the df
-    * side is tiny (vocabulary) and broadcast back onto tf. */
+  /** TF-IDF in ONE pass over the token stream (SURVEY §2.9 L3): term
+    * frequency per (doc, token), then document frequency as a COUNT
+    * WINDOW over the tf rows — tf rows are unique per (doc, token) by
+    * construction, so `count(*) over (partition by tok)` IS the number of
+    * documents carrying the token. The pre-r21 shape derived df from a
+    * second explode of the corpus (distinct + aggregate + broadcast
+    * join-back): the r21 plan audit showed the token explode — the
+    * scan-stage-heavy part the input is balanced FOR — running twice per
+    * query. The window costs one exchange of the already-aggregated tf
+    * rows (narrow, vocabulary-bounded per doc), strictly cheaper than
+    * re-exploding the corpus. Ranking uses the exact rational tf/df
+    * (single double division of exact integers — engine-deterministic);
+    * the tfidf score itself is floor-quantized. */
   def tfidf(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id", topPerDoc: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col(idCol), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    tf.join(broadcast(df), "tok")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(idCol))

@@ -33,9 +33,6 @@ object LlmQueries extends graft.QueryModule {
 
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the verify's inline distinct appears three times in the plan (a-side,
-    // b-side, set sizes): ReuseExchange computes it once — measured faster
-    // than persisting the distinct relation and scanning it thrice
     // the persisted distinct SET with preDistincted = true: same rows
     // by definition (jaccardVerify's internal distinct over the raw
     // shingles), minus three per-run recomputations of that distinct
@@ -599,19 +596,34 @@ object LlmQueries extends graft.QueryModule {
   /** Shared mining core: positives = verified near-dups (≥ 0.35), hard
     * negatives = the 4 most-similar verified non-dups per anchor from the
     * candidate relation only — the window runs over candidates, never the
-    * corpus. */
+    * corpus.
+    *
+    * ONE pass over the scored-candidate relation: the floor filter
+    * (≥ 0.15) prunes the random-collision tail once, pair_type is a
+    * projection, and the per-anchor cap is a window partitioned by
+    * (anchor, pair_type) that only the hard-negative rows have to clear.
+    * The pre-r21 two-branch union recomputed the ENTIRE candidate join +
+    * rescore per branch (the two branches' pushed sim_q filters differ,
+    * so ReuseExchange never fired — the q113 lesson), and q102's input is
+    * deliberately unpersisted (quadratic-in-corpus, see
+    * [[SharedStages.scoredCandidates]]); mining in one pass halves the
+    * expensive stage instead. Output rows are identical: positives pass
+    * the rank filter unconditionally, and the hard-negative ranking
+    * within (vec_a, hard_negative) orders exactly the rows the old
+    * hn-branch window ranked. */
   private def minePairs(scored: DataFrame): DataFrame = {
-    val pos = scored.filter(col("sim_q") >= 350000L)
-      .select(col("vec_a"), col("vec_b"), col("sim_q"),
-        lit("positive").as("pair_type"))
+    val floored = scored.filter(col("sim_q") >= 150000L)
+      .withColumn("pair_type",
+        when(col("sim_q") >= 350000L, lit("positive"))
+          .otherwise(lit("hard_negative")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_a")).orderBy(col("sim_q").desc, col("vec_b"))
-    val hn = scored.filter(col("sim_q") >= 150000L && col("sim_q") < 350000L)
+      .partitionBy(col("vec_a"), col("pair_type"))
+      .orderBy(col("sim_q").desc, col("vec_b"))
+    floored
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 4)
-      .select(col("vec_a"), col("vec_b"), col("sim_q"),
-        lit("hard_negative").as("pair_type"))
-    pos.unionByName(hn).orderBy(col("pair_type"), col("vec_a"), col("vec_b"))
+      .filter(col("pair_type") === "positive" || col("rn") <= 4)
+      .select(col("vec_a"), col("vec_b"), col("sim_q"), col("pair_type"))
+      .orderBy(col("pair_type"), col("vec_a"), col("vec_b"))
   }
 
   // ---- similarity --------------------------------------------------------
@@ -733,8 +745,11 @@ object LlmQueries extends graft.QueryModule {
     * and top-trigram mass fractions; see TextAnalysis.repetitionMetrics). */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // balanced input: the token explode spreads past the one-file scan,
+    // and HashPartitioning(doc_id) carries both grouped aggregations and
+    // the uni⋈tri join without an exchange
     TextAnalysis.repetitionMetrics(
-      Tables.documents(s, dir), SharedStages.shingles(s, dir))
+      Tables.documentsBalanced(s, dir), SharedStages.shingles(s, dir))
       .orderBy($"doc_id")
   }
 

@@ -69,7 +69,15 @@ object TrainingDataQueries extends graft.QueryModule {
     val evalSh = dsh
       .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
     val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val ov = evalSh.join(benchSh, "shingle")
+    // benchSh is the join's small side BY CONTRACT (an eval set's distinct
+    // shingles — bounded at any corpus scale; the bloom variant serializes
+    // this very set into a KB-scale filter), but the planner cannot see
+    // that through the aggregation and was picking a SortMergeJoin that
+    // re-shuffled every eval shingle by the shingle key (r21 plan audit:
+    // Exchange + Sort on both sides). The explicit broadcast keeps the
+    // eval side in its cache-inherited doc_id partitioning, so the
+    // overlap count and the tot⋈ov join need no further exchange.
+    val ov = evalSh.join(broadcast(benchSh), "shingle")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
     tot.join(ov, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
@@ -148,7 +156,10 @@ object TrainingDataQueries extends graft.QueryModule {
     val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
     val prefiltered = evalSh.filter(call_function("graft_might_contain",
       lit(bloomBytes), xxhash64($"shingle")))
-    val ov = prefiltered.join(benchSh, "shingle")
+    // same explicit broadcast as [[decontaminate]] — the exact join that
+    // kills the bloom's false positives must not re-shuffle the (already
+    // prefiltered) eval side by shingle
+    val ov = prefiltered.join(broadcast(benchSh), "shingle")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
     tot.join(ov, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
@@ -211,19 +222,50 @@ object TrainingDataQueries extends graft.QueryModule {
       .orderBy($"mix_position")
   }
 
-  /** Exact order statistics per group (percentile_disc-style p50/p90 via
-    * row_number selection — no interpolation, engine-portable). Exact
-    * selection parallelizes only per group (the window sorts each flag's
-    * rows in one task); q62's sketch is the corpus-scale path, with this
-    * query as its verification twin (ApproxQuantileSpec pins the error). */
+  /** Exact order statistics per group (percentile_disc-style p50/p90 — no
+    * interpolation, engine-portable), computed over the per-group VALUE
+    * HISTOGRAM instead of a row_number over every row: the rank-target
+    * value is the smallest value whose running count reaches the target,
+    * which is the same value the row at that rank carries (duplicates of
+    * a value are contiguous in rank order, so selecting by cumulative
+    * count ≥ target and selecting the rank-target row's value coincide —
+    * the old tie-break columns ordered rows WITHIN equal values and never
+    * changed the selected value). The histogram aggregation is map-side
+    * combined and fully parallel; only the distinct (flag, value) rows —
+    * not the corpus — enter the 3-group cumulative window, which at sf0.1
+    * cuts the single-task-per-flag sort from every lineitem row to the
+    * distinct prices (guide §2.3 aggregate-before-shuffle; the r20
+    * scaling block showed this query window-sort-bound). q62's sketch
+    * remains the corpus-scale path; this stays its verification twin. */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag")
+    // Parallel exact selection via the bucket-offset trick (q67
+    // dataMixture's pattern): `pb = floor(price/1000)` is a monotone
+    // prefix of the sort key, so ranking runs per (flag, bucket) —
+    // distributed windows over ~100-row groups instead of one task per
+    // flag sorting the whole flag (the r20 scaling block showed this
+    // query single-partition-sort-bound; l_extendedprice is too distinct
+    // for a value histogram to shrink anything, measured r21). Global
+    // rank = bucket offset + rank-in-bucket, with offsets a running sum
+    // over per-bucket COUNTS (rows = buckets, not lineitems). Selection
+    // semantics identical: same total order (price, orderkey,
+    // linenumber — price ties land in one bucket), same rank targets.
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .withColumn("pb", floor($"l_extendedprice" / 1000.0).cast("long"))
+    val counts = li.groupBy($"l_returnflag", $"pb").agg(count(lit(1)).as("c"))
+    val offs = counts
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.partitionBy($"l_returnflag").orderBy($"pb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"l_returnflag", $"pb", $"off")
+    val totals = counts.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+    val w = Window.partitionBy($"l_returnflag", $"pb")
       .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    val wc = Window.partitionBy($"l_returnflag")
-    Tables.lineitem(s, dir)
-      .select($"l_returnflag", $"l_extendedprice",
-        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n"))
+    li.withColumn("rn_b", row_number().over(w))
+      .join(broadcast(offs), Seq("l_returnflag", "pb"))
+      .join(broadcast(totals), "l_returnflag")
+      .withColumn("rn", $"off" + $"rn_b")
       .groupBy($"l_returnflag")
       .agg(max($"n").as("n_rows"),
         max(when($"rn" === floor(($"n" + 1) / lit(2.0)).cast("long"),
@@ -273,7 +315,12 @@ object TrainingDataQueries extends graft.QueryModule {
       .filter($"doc_id" === $"cluster_rep").select($"doc_id")
     val contaminated = decontaminate(s, dir)
       .filter($"contaminated").select($"doc_id")
-    val repetitive = TextAnalysis.repetitionMetrics(docs, SharedStages.shingles(s, dir))
+    // the gate's token explode runs over the BALANCED relation (the r21
+    // plan audit showed it re-exploding raw one-file parquet here); the
+    // doc_id partitioning also carries both of its aggregations without
+    // an exchange
+    val repetitive = TextAnalysis.repetitionMetrics(
+      Tables.documentsBalanced(s, dir), SharedStages.shingles(s, dir))
       .filter($"repetitive").select($"doc_id")
     Sampling.stratified(docs, "doc_id", "lang",
       rates = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.1), defaultRate = 1.0)
@@ -476,7 +523,12 @@ object TrainingDataQueries extends graft.QueryModule {
     * ParagraphDedupSpec's scaffolding-flood test pins the shuffle fallback
     * completing with identical output. */
   def paragraphDedup(s: SparkSession, dir: String): DataFrame =
-    paragraphDedupOn(Tables.documents(s, dir))
+    // balanced input: the chunk explode (which the plan shows running
+    // twice — recurring-set derivation and anti-join left side) spreads
+    // past the one-file scan, and the rebuilt-document aggregation
+    // inherits HashPartitioning(doc_id) so the text payload never
+    // shuffles (guide §8: the heavy bytes move zero times here)
+    paragraphDedupOn(Tables.documentsBalanced(s, dir))
 
   /** [[paragraphDedup]]'s core on an arbitrary documents relation (the
     * flood test feeds a synthetic template-heavy corpus through it). */

@@ -248,35 +248,89 @@ object IvfIndexStore {
     }
   }
 
+  private val pqCodebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.ProductQuantizer.Codebooks]()
+
   /** The persisted PQ codebooks — fails loudly when the store was built
-    * without PQ (or a crash tore the build before the codebook landed). */
+    * without PQ (or a crash tore the build before the codebook landed).
+    * Memoized per (session, resolved root) like [[codebookRows]] and for
+    * the same reason: the ADC faces re-read this KB-scale relation per
+    * serve, and no in-place maintenance path mutates `_pq_codebook`. */
   def pqCodebook(spark: SparkSession, dir: String)
       : graft.operators.ProductQuantizer.Codebooks = {
     val root = resolveDir(spark, dir)
-    require(hasPq(spark, root),
-      s"ivf store at $dir has no _pq_codebook — built without PQ, or the " +
-        "build crashed before the codebook write; rebuild with pq=Some(...)")
-    graft.operators.ProductQuantizer.codebooksFromDF(
-      spark.read.parquet(root + PqDir))
+    def read() = {
+      require(hasPq(spark, root),
+        s"ivf store at $dir has no _pq_codebook — built without PQ, or the " +
+          "build crashed before the codebook write; rebuild with pq=Some(...)")
+      graft.operators.ProductQuantizer.codebooksFromDF(
+        spark.read.parquet(root + PqDir))
+    }
+    if (sys.env.contains("SPARK_GRAFT_NOCACHE")) read()
+    else pqCodebookMemo.computeIfAbsent((spark, root), _ => read())
   }
 
   /** The persisted codebook: (centroid_id, cvec), nlist rows. */
   def codebook(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(resolveDir(spark, dir) + "/_codebook")
 
+  /** Driver-resident copy of the KB-scale coarse codebook, memoized per
+    * (session, RESOLVED root). Probe selection runs per serve; reading
+    * nlist rows through a distributed scan job every time was pure serve
+    * latency (r21: one job per probeLists call, two per batch serve).
+    * The resolved root is version-specific ([[rebuild]] flips to a new
+    * root = a new memo key) and no in-place maintenance path touches
+    * `_codebook` (deletes rewrite leaves, appends encode against the
+    * frozen codebook, merges fold leaves), so the memo can never serve a
+    * stale codebook. In-memory, per-JVM, first consumer pays the read —
+    * the SharedStages discipline, with the same A/B knob. */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Float])]]()
+
+  private[sources] def codebookRows(spark: SparkSession, root: String): Array[(Long, Array[Float])] = {
+    def read() = codebook(spark, root)
+      .select(col("centroid_id").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (sys.env.contains("SPARK_GRAFT_NOCACHE")) read()
+    else codebookMemo.computeIfAbsent((spark, root), _ => read())
+  }
+
+  /** Driver-side mirror of [[graft.functions.FloatVectorDot]] + the
+    * quantized cut: double accumulation in index order, floor to
+    * millionths — bit-identical to the expression the serving scans run
+    * (the [[Similarity.planeCoef]] mirror discipline), so probe selection
+    * computed on the driver picks exactly the lists the oracle's SQL
+    * replay picks. */
+  private def quantizedDot(a: Array[Float], b: Array[Float]): Long =
+    if (a.length != b.length) Long.MinValue // expression yields null = sorts last
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(acc * 1000000L).toLong
+    }
+
   /** The `nprobe` list ids whose centroids score highest against
     * `queryVec` — the driver-side probe-selection step. Quantized-dot
-    * ordering with centroid-id ties, exactly [[Similarity.ivfTopK]]'s. */
+    * ordering with centroid-id ties, exactly [[Similarity.ivfTopK]]'s.
+    * Pure driver arithmetic over the memoized codebook: no Spark job per
+    * serve (the pre-r21 shape ran a scan+sort+limit job per call). */
   def probeLists(spark: SparkSession, dir: String, queryVec: Seq[Float],
                  nprobe: Int): Seq[Long] = {
-    import spark.implicits._
-    codebook(spark, dir)
-      .select(col("centroid_id"), Similarity.quantize(
-        GraftFunctions.vecDot(spark, col("cvec"), typedLit(queryVec))).as("cdot"))
-      .orderBy(col("cdot").desc, col("centroid_id"))
-      .limit(nprobe)
-      .select(col("centroid_id")).as[Long].collect().toSeq
+    val q = queryVec.toArray
+    probeOf(codebookRows(spark, resolveDir(spark, dir)), q, nprobe)
   }
+
+  /** (cdot desc, centroid_id asc) top-`nprobe` — negation-free ordering so
+    * a Long.MinValue sentinel (the null-dot case) still sorts last. */
+  private def probeOf(cb: Array[(Long, Array[Float])], q: Array[Float],
+                      nprobe: Int): Seq[Long] =
+    cb.map { case (cid, cv) => (cid, quantizedDot(cv, q)) }
+      .sortBy { case (cid, cdot) => (cdot, -cid) }(
+        Ordering[(Long, Long)].reverse)
+      .take(nprobe)
+      .map(_._1).toSeq
 
   /** Serve one ANN query from the persisted index: probe selection on the
     * codebook, then top-k over ONLY the probed lists. The probe ids land
@@ -327,8 +381,8 @@ object IvfIndexStore {
                    nprobe: Int = 2, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val root = resolveDir(spark, dir) // the whole widening loop serves one snapshot
-    // nlist rows — the same bounded codebook read every probe pays
-    val nlist = codebook(spark, root).count().toInt
+    // nlist from the memoized driver-resident codebook — no count job
+    val nlist = codebookRows(spark, root).length
     var np = math.max(1, math.min(nprobe, nlist))
     var res = topK(spark, root, queryVec, k, np, idCol, vecCol, Some(where))
     while (np < nlist && res.count() < k) {
@@ -371,26 +425,23 @@ object IvfIndexStore {
                 k: Int, nprobe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding", queryIdCol: String = "query_id",
                 queryVecCol: String = "query_vec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val root = resolveDir(spark, dir) // one snapshot for probes AND scan
-    val rankW = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cdot").desc, col("centroid_id"))
-    // localCheckpoint(eager): the probe table feeds the driver-side list
-    // pull AND the scan join; one materialization pins both to the same
-    // probe selection
-    val probes = queries
-      .select(col(queryIdCol), col(queryVecCol))
-      .crossJoin(broadcast(codebook(spark, root)))
-      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"),
-        Similarity.quantize(
-          GraftFunctions.vecDot(spark, col("cvec"), col(queryVecCol))).as("cdot"))
-      .withColumn("prn", row_number().over(rankW))
-      .filter(col("prn") <= nprobe)
-      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
-      .localCheckpoint(true)
-    val probedLists = probes.select(col("centroid_id").cast("long"))
-      .distinct().as[Long].collect().toSeq.sorted
+    // probe selection is DRIVER arithmetic over the memoized codebook
+    // (the query batch is the service's bounded request payload, exactly
+    // [[probeLists]]' contract ×|batch|): the pre-r21 shape ran a
+    // crossJoin+window+checkpoint job plus a distinct+collect job per
+    // serve to compute |batch|·nlist quantized dots — KB-scale work. The
+    // per-query cut is [[probeOf]], bit-identical to the old rank window
+    // (same quantized dot, same (cdot desc, centroid_id) order).
+    val qvecs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val cb = codebookRows(spark, root)
+    val probeRows = qvecs.flatMap { case (qid, qv) =>
+      probeOf(cb, qv.toArray, nprobe).map(cid => (qid, qv, cid)) }
+    val probes = probeRows.toDF(queryIdCol, queryVecCol, "centroid_id")
+    val probedLists = probeRows.map(_._3).distinct.sorted
     readLists(spark, root)
       .filter(col("centroid_id").isin(probedLists: _*))
       .join(broadcast(probes), Seq("centroid_id"))
@@ -519,28 +570,22 @@ object IvfIndexStore {
   private def batchCtx(spark: SparkSession, dir: String, queries: DataFrame,
                        nprobe: Int, queryIdCol: String,
                        queryVecCol: String): BatchCtx = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val cb = pqCodebook(spark, dir)
-    val rankW = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cdot").desc, col("centroid_id"))
-    val probes = queries
-      .select(col(queryIdCol), col(queryVecCol))
-      .crossJoin(broadcast(codebook(spark, dir)))
-      .select(col(queryIdCol), col("centroid_id"),
-        Similarity.quantize(
-          GraftFunctions.vecDot(spark, col("cvec"), col(queryVecCol))).as("cdot"))
-      .withColumn("prn", row_number().over(rankW))
-      .filter(col("prn") <= nprobe)
-      .select(col(queryIdCol).cast("long").as(queryIdCol), col("centroid_id"))
-      .localCheckpoint(true)
-    val probedLists = probes.select(col("centroid_id").cast("long"))
-      .distinct().as[Long].collect().toSeq.sorted
     // the query batch is the service's request payload — bounded, driver-
     // side by contract (exactly [[adcTopK]]'s single-vector case, ×|batch|)
     val qvecs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Seq[Float])].collect().toSeq
+    // probe selection as driver arithmetic over the memoized codebook —
+    // [[topKBatch]]'s discipline: the old crossJoin+window job and the
+    // probed-list distinct+collect job were two serve-latency Spark jobs
+    // computing |batch|·nlist quantized dots; [[probeOf]] is bit-identical
+    val cbRows = codebookRows(spark, dir)
+    val probeRows = qvecs.flatMap { case (qid, v) =>
+      probeOf(cbRows, v.toArray, nprobe).map(cid => (qid, cid)) }
+    val probes = probeRows.toDF(queryIdCol, "centroid_id")
+    val probedLists = probeRows.map(_._2).distinct.sorted
     val qmeta = qvecs.map { case (qid, v) =>
       val t = graft.operators.ProductQuantizer.adcTable(cb, v.toArray)
       (qid, t.flatten.toSeq, v)

@@ -772,11 +772,25 @@ object PostingsStore {
     * the knob that keeps batch count, and with it this bound, flat). */
   private[sources] val WandMaxHeadRows: Long = 1000000L
 
+  /** Gate on the block-max refinement: `_blockmeta` is only consulted when
+    * the candidate set the PER-BATCH certificates leave behind is at least
+    * this many (term, doc) rows. The refinement's whole point is shrinking
+    * a LARGE candidate fetch; below this floor the fetch is a handful of
+    * pushed-`In` row-group reads, cheaper than the refinement's own
+    * metadata scan, range join and two driver collects (r20 measured that
+    * unconditional read as a 14-24% regression on q132/q135 at sf0.1,
+    * where the per-batch certificates already excluded everything). The
+    * bound is metadata-scale (candidate rows ≤ headDocs · tailTerms, both
+    * layout-bounded), not corpus-scale, so a constant is appropriate at
+    * any SF; tests force the refinement with `blockMaxMinRows = 1`. */
+  private[sources] val WandBlockMaxMinCandidates: Long = 1024L
+
   private[graft] def bm25TopKWandDiag(spark: SparkSession, dir: String,
                                       terms: Seq[String], k: Int,
                                       k1: Double = 1.2, b: Double = 0.75,
                                       useBlockMax: Boolean = true,
-                                      maxHeadRows: Long = WandMaxHeadRows)
+                                      maxHeadRows: Long = WandMaxHeadRows,
+                                      blockMaxMinRows: Long = WandBlockMaxMinCandidates)
       : (DataFrame, WandDiag) = {
     require(terms.nonEmpty, "bm25 wand serve: empty query-term list")
     require(k >= 1, "bm25 wand serve: k must be positive")
@@ -861,16 +875,43 @@ object PostingsStore {
       return exactServe(WandDiag(dispatchedExact = false,
         exactFallback = true, headRows = headRows,
         tailTerms = tailUB.size, candidateRows = 0L, blockRefined = false))
-    // BLOCK-MAX refinement: per (tail term, head doc), the bound of the
-    // ONE block whose id range covers the doc in the doc's batch —
-    // Some(bound) when covered, None = PROOF of no tail posting (blocks
-    // partition the tail completely). Computed as a range join of the
-    // pruned `_blockmeta` scan against the BROADCAST head summary, so
-    // the driver never holds more than |headDocs| · |tailTerms| refined
-    // bounds; a batch with tails but no block rows (pre-gen-4) falls
-    // back to its per-batch certificate — conservative, never wrong.
+    // candidate cut, parameterized by the bound in force: Some(bound) =
+    // the doc COULD have a tail posting for t (fetch if the total still
+    // clears θ); None = provably cannot — never fetched. Driver-local
+    // over the already-collected head summary.
+    def candidatesWith(bound: (String, Long, Long) => Option[Long])
+        : Seq[(String, Seq[Long])] = {
+      def ubOf(id: Long, sHead: Long, hit: Set[String], batch: Long): Long =
+        sHead + tailUB.keysIterator.collect {
+          case t if !hit(t) => bound(t, id, batch).getOrElse(0L)
+        }.sum
+      tailUB.keys.toSeq.sorted.map {
+        t => t -> headDocs.collect {
+          case (id, s, hit, batch) if !hit(t) &&
+            bound(t, id, batch).isDefined &&
+            ubOf(id, s, hit, batch) >= theta => id
+        }.toSeq
+      }.filter(_._2.nonEmpty)
+    }
+    // FIRST the per-batch certificates alone — free, the head summary is
+    // already on the driver. `_blockmeta` is only worth reading when the
+    // set they leave behind is big enough that shrinking it pays for the
+    // refinement's own scan and collects (see [[WandBlockMaxMinCandidates]]).
+    val coarse = candidatesWith((t, _, _) => Some(tailUB(t)))
+    val coarseRows = coarse.map(_._2.size.toLong).sum
+    val refine = useBlockMax && coarseRows > 0 && coarseRows >= blockMaxMinRows
+    // BLOCK-MAX refinement: per (tail term, coarse-surviving doc), the
+    // bound of the ONE block whose id range covers the doc in the doc's
+    // batch — Some(bound) when covered, None = PROOF of no tail posting
+    // (blocks partition the tail completely). Computed as a range join of
+    // the pruned `_blockmeta` scan against the BROADCAST coarse-candidate
+    // ids (refined bounds only ever shrink, so the refined cut is a
+    // subset of the coarse one — docs outside it never need a bound), so
+    // the driver never holds more than |coarse docs| · |tailTerms|
+    // refined bounds; a batch with tails but no block rows (pre-gen-4)
+    // falls back to its per-batch certificate — conservative, never wrong.
     val (blockUB, blocksPresent): (Map[(String, Long), Long], Set[(String, Long)]) =
-      if (!useBlockMax) (Map.empty, Set.empty)
+      if (!refine) (Map.empty, Set.empty)
       else {
         val tailToks = tailUB.keys.toSeq.sorted
         val blocks = IncrementalContainment.withInPushdown(
@@ -885,8 +926,10 @@ object PostingsStore {
           .distinct().collect()
           .map(r => (r.getString(0), r.getLong(1))).toSet
         import spark.implicits._
-        val hd = broadcast(headDocs.map(d => (d._1, d._4)).toSeq
-          .toDF("cand_id", "cand_batch"))
+        val coarseIds = coarse.iterator.flatMap(_._2).toSet
+        val hd = broadcast(headDocs.collect {
+          case (id, _, _, batch) if coarseIds(id) => (id, batch)
+        }.toSeq.toDF("cand_id", "cand_batch"))
         val ub = blocks
           .join(hd, hd("cand_batch") === blocks("ingest_batch") &&
             hd("cand_id").between(col("blk_lo"), col("blk_hi")))
@@ -902,22 +945,11 @@ object PostingsStore {
           .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
         (ub, present)
       }
-    // Some(bound) = the doc COULD have a tail posting for t (fetch if the
-    // total still clears θ); None = provably cannot — never fetched
     def boundOf(t: String, id: Long, batch: Long): Option[Long] =
-      if (blocksPresent((t, batch))) blockUB.get((t, id))
+      if (refine && blocksPresent((t, batch))) blockUB.get((t, id))
       else Some(tailUB(t))
-    def ubOf(id: Long, sHead: Long, hit: Set[String], batch: Long): Long =
-      sHead + tailUB.keysIterator.collect {
-        case t if !hit(t) => boundOf(t, id, batch).getOrElse(0L)
-      }.sum
-    val candByTerm: Seq[(String, Seq[Long])] = tailUB.keys.toSeq.sorted.map {
-      t => t -> headDocs.collect {
-        case (id, s, hit, batch) if !hit(t) &&
-          boundOf(t, id, batch).isDefined &&
-          ubOf(id, s, hit, batch) >= theta => id
-      }.toSeq
-    }.filter(_._2.nonEmpty)
+    val candByTerm: Seq[(String, Seq[Long])] =
+      if (refine) candidatesWith(boundOf) else coarse
     val candidateRows = candByTerm.map(_._2.size.toLong).sum
     val tailScored = candByTerm.map { case (t, ids) =>
       IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
@@ -1003,7 +1035,8 @@ object PostingsStore {
                                            queryIdCol: String = "query_id",
                                            termCol: String = "term",
                                            useBlockMax: Boolean = true,
-                                           maxHeadRows: Long = WandMaxHeadRows)
+                                           maxHeadRows: Long = WandMaxHeadRows,
+                                           blockMaxMinRows: Long = WandBlockMaxMinCandidates)
       : (DataFrame, WandDiag) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "bm25 wand batch serve: k must be positive")
@@ -1090,10 +1123,54 @@ object PostingsStore {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getSeq[String](3).toSet, r.getLong(4)))
     val byQuery = perQueryDoc.groupBy(_._1)
-    // block-max refinement over the DISTINCT head docs (shared across
-    // queries — the bound depends on (term, doc), not the query)
+    // the per-term fetch decision, parameterized by the bound in force —
+    // per term: full tail if any query falls back on it, else the union
+    // of the queries' surviving candidates (possibly empty = skip). The
+    // fallback decision itself uses only per-batch bounds (qTotalUB), so
+    // `fullTails` is identical under coarse and refined bounds.
+    def decideWith(bound: (String, Long, Long) => Option[Long])
+        : (Set[String], Map[String, Set[Long]]) = {
+      val fullTails = scala.collection.mutable.Set.empty[String]
+      val candByTerm = scala.collection.mutable.Map.empty[String, Set[Long]]
+      request.toSeq.sortBy(_._1).foreach { case (q, qTerms) =>
+        val qTail = qTerms.filter(tailUB.contains).toSeq.sorted
+        if (qTail.nonEmpty) {
+          val docs = byQuery.getOrElse(q, Array.empty)
+          val theta: Long =
+            if (docs.length < k) Long.MinValue
+            else docs.map(_._3).sorted(Ordering[Long].reverse).apply(k - 1)
+          val qTotalUB = qTail.map(tailUB).sum
+          if (docs.length < k || qTotalUB >= theta)
+            fullTails ++= qTail // unseen docs not excludable for this query
+          else qTail.foreach { t =>
+            val cands = docs.collect {
+              case (_, id, s, hit, batch) if !hit(t) &&
+                bound(t, id, batch).isDefined &&
+                s + qTail.collect { case t2 if !hit(t2) =>
+                  bound(t2, id, batch).getOrElse(0L) }.sum >= theta => id
+            }
+            if (cands.nonEmpty)
+              candByTerm(t) = candByTerm.getOrElse(t, Set.empty) ++ cands
+          }
+        }
+      }
+      (fullTails.toSet, candByTerm.toMap)
+    }
+    // per-batch certificates first (driver-local, free); `_blockmeta`
+    // only when the surviving candidate set is big enough to be worth
+    // shrinking (see [[WandBlockMaxMinCandidates]] on the single serve)
+    val (coarseFull, coarseCands) =
+      decideWith((t, _, _) => Some(tailUB(t)))
+    val coarseRows = (coarseCands.keySet -- coarseFull).toSeq
+      .map(t => coarseCands(t).size.toLong).sum
+    val refine = useBlockMax && coarseRows > 0 &&
+      coarseRows >= blockMaxMinRows
+    // block-max refinement over the DISTINCT coarse-surviving docs
+    // (shared across queries — the bound depends on (term, doc), not the
+    // query; the refined cut is a subset of the coarse one, so docs
+    // outside it never need a refined bound)
     val (blockUB, blocksPresent): (Map[(String, Long), Long], Set[(String, Long)]) =
-      if (!useBlockMax) (Map.empty, Set.empty)
+      if (!refine) (Map.empty, Set.empty)
       else {
         val tailToks = tailUB.keys.toSeq.sorted
         val blocks = IncrementalContainment.withInPushdown(
@@ -1108,8 +1185,10 @@ object PostingsStore {
           .distinct().collect()
           .map(r => (r.getString(0), r.getLong(1))).toSet
         import spark.implicits._
-        val hd = broadcast(perQueryDoc.map(d => (d._2, d._5)).distinct.toSeq
-          .toDF("cand_id", "cand_batch"))
+        val coarseIds = coarseCands.valuesIterator.flatten.toSet
+        val hd = broadcast(perQueryDoc.collect {
+          case (_, id, _, _, batch) if coarseIds(id) => (id, batch)
+        }.distinct.toSeq.toDF("cand_id", "cand_batch"))
         val ub = blocks
           .join(hd, hd("cand_batch") === blocks("ingest_batch") &&
             hd("cand_id").between(col("blk_lo"), col("blk_hi")))
@@ -1126,34 +1205,10 @@ object PostingsStore {
         (ub, present)
       }
     def boundOf(t: String, id: Long, batch: Long): Option[Long] =
-      if (blocksPresent((t, batch))) blockUB.get((t, id))
+      if (refine && blocksPresent((t, batch))) blockUB.get((t, id))
       else Some(tailUB(t))
-    // per term: full tail if any query falls back on it, else the union
-    // of the queries' surviving candidates (possibly empty = skip)
-    val fullTails = scala.collection.mutable.Set.empty[String]
-    val candByTerm = scala.collection.mutable.Map.empty[String, Set[Long]]
-    request.toSeq.sortBy(_._1).foreach { case (q, qTerms) =>
-      val qTail = qTerms.filter(tailUB.contains).toSeq.sorted
-      if (qTail.nonEmpty) {
-        val docs = byQuery.getOrElse(q, Array.empty)
-        val theta: Long =
-          if (docs.length < k) Long.MinValue
-          else docs.map(_._3).sorted(Ordering[Long].reverse).apply(k - 1)
-        val qTotalUB = qTail.map(tailUB).sum
-        if (docs.length < k || qTotalUB >= theta)
-          fullTails ++= qTail // unseen docs not excludable for this query
-        else qTail.foreach { t =>
-          val cands = docs.collect {
-            case (_, id, s, hit, batch) if !hit(t) &&
-              boundOf(t, id, batch).isDefined &&
-              s + qTail.collect { case t2 if !hit(t2) =>
-                boundOf(t2, id, batch).getOrElse(0L) }.sum >= theta => id
-          }
-          if (cands.nonEmpty)
-            candByTerm(t) = candByTerm.getOrElse(t, Set.empty) ++ cands
-        }
-      }
-    }
+    val (fullTails, candByTerm) =
+      if (refine) decideWith(boundOf) else (coarseFull, coarseCands)
     val candidateRows = (candByTerm.keySet -- fullTails).toSeq
       .map(t => candByTerm(t).size.toLong).sum
     val fetches =

@@ -20,7 +20,10 @@ object PlanDump {
     val sfDir = args(0)
     val outDir = args(1)
     val tag = args(2)
-    val prefixes = args(3).split(",").toSet
+    // exact qNN-token match (not startsWith: "q13" must not also select
+    // q130–q139, nor "q11" q113 — a loose prefix silently dumped, and
+    // plan-built side effects for, unintended queries)
+    val tokens = args(3).split(",").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +34,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     graft.SparkEntry.queries
-      .filter { case (name, _) => prefixes.exists(name.startsWith) }
+      .filter { case (name, _) =>
+        tokens.contains(name) || tokens.contains(name.takeWhile(_ != '_')) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         val df = fn(spark, sfDir)

@@ -1124,8 +1124,11 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     val exact = serveRows(d, qterms, 5)
     val (gotBatchBound, diagOff) = PostingsStore.bm25TopKWandDiag(
       spark, d, qterms, 5, useBlockMax = false)
+    // blockMaxMinRows = 1 forces the refinement past the candidate-count
+    // gate (the adversary's coarse set is ~20 rows, below the production
+    // floor — the gate itself is specced separately below)
     val (gotBlock, diagOn) = PostingsStore.bm25TopKWandDiag(
-      spark, d, qterms, 5, useBlockMax = true)
+      spark, d, qterms, 5, useBlockMax = true, blockMaxMinRows = 1L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows(gotBatchBound) == exact && rows(gotBlock) == exact)
@@ -1139,6 +1142,42 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestSession {
     // candidates: the refined cut excludes them all
     assert(diagOff.candidateRows >= 20 && diagOn.candidateRows == 0L,
       s"${diagOff.candidateRows} / ${diagOn.candidateRows}")
+  }
+
+  test("block-max refinement is gated on candidate-set size: a small " +
+    "coarse cut serves without touching _blockmeta (blockRefined=false), " +
+    "output identical to the forced refinement") {
+    val d = tmp("graft_postings_blockgate")
+    import spark.implicits._
+    // same adversary corpus shape as above — the coarse candidate set is
+    // ~20 rows, far below WandBlockMaxMinCandidates, so the DEFAULT serve
+    // must skip the refinement read entirely and fetch the coarse set
+    val corpus =
+      (0 until 256).map(i => (i.toLong, Seq.fill(50)("zz").mkString(" ") + " pad")) ++
+      (300 until 600).map(i => (i.toLong, "zz pad pad pad")) ++
+      Seq((600L, Seq.fill(40)("zz").mkString(" ") + " pad")) ++
+      (1000 until 1020).map(i => (i.toLong, "rare pad pad pad"))
+    PostingsStore.build(corpus.toDF("doc_id", "text"), d)
+    val qterms = Seq("rare", "zz")
+    val exact = serveRows(d, qterms, 5)
+    val (gotDefault, diagDefault) = PostingsStore.bm25TopKWandDiag(
+      spark, d, qterms, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(gotDefault) == exact)
+    assert(!diagDefault.blockRefined && !diagDefault.exactFallback &&
+      !diagDefault.dispatchedExact, diagDefault.toString)
+    // the coarse fetch carries the per-batch bound's false candidates —
+    // nonzero, proving the serve went through the candidate path
+    assert(diagDefault.candidateRows >= 20, diagDefault.toString)
+    // the batched face obeys the same gate
+    val req = Seq((0L, "rare"), (0L, "zz")).toDF("query_id", "term")
+    val (gotBatch, diagBatch) = PostingsStore.bm25TopKWandBatchDiag(
+      spark, d, req, 5)
+    assert(!diagBatch.blockRefined, diagBatch.toString)
+    assert(gotBatch.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == exact.map { case (rnk, id, hits, q) => (0L, rnk, id, hits, q) })
   }
 
   test("block-max certificates survive erase and leveled compaction: " +
