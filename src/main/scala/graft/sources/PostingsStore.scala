@@ -951,17 +951,24 @@ object PostingsStore {
     val candByTerm: Seq[(String, Seq[Long])] =
       if (refine) candidatesWith(boundOf) else coarse
     val candidateRows = candByTerm.map(_._2.size.toLong).sum
-    val tailScored = candByTerm.map { case (t, ids) =>
-      IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
-        probeTail(spark, root, t, ids, batches).localCheckpoint(true)
-      }
-    } match {
+    val tailScored = candByTerm match {
       case Nil => spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("contrib_q")).limit(0)
-      case fetches => fetches.reduce(_ unionByName _)
-        .join(broadcast(dfs), "tok")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
+      case cands =>
+        // ONE fetch job for every tail term (pre-r21: one checkpointed
+        // job per term, serialized — pure serve latency when a query
+        // carries several tails). The pushdown threshold is sized to the
+        // largest per-term id list; each scan's own In list is per-term,
+        // so a larger threshold only ever pushes more.
+        val fetched = IncrementalContainment.withInPushdown(
+          spark, idPushdown(cands.map(_._2.size).max)) {
+          cands.map { case (t, ids) => probeTail(spark, root, t, ids, batches) }
+            .reduce(_ unionByName _).localCheckpoint(true)
+        }
+        fetched
+          .join(broadcast(dfs), "tok")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), Retrieval.bm25ContribQ(k1, b).as("contrib_q"))
     }
     (Retrieval.bm25Rank(
       headScored.select(col("doc_id"), col("contrib_q"))
@@ -1211,14 +1218,22 @@ object PostingsStore {
       if (refine) decideWith(boundOf) else (coarseFull, coarseCands)
     val candidateRows = (candByTerm.keySet -- fullTails).toSeq
       .map(t => candByTerm(t).size.toLong).sum
+    // candidate fetches union into ONE checkpointed job (the single
+    // serve's r21 discipline) — threshold sized to the largest per-term
+    // id list; full-tail fetches carry no In list and ride the same union
+    val candTerms = (candByTerm.keySet -- fullTails).toSeq.sorted
     val fetches =
       fullTails.toSeq.sorted.map(t => probeTailAll(spark, root, t, batches)) ++
-        (candByTerm.keySet -- fullTails).toSeq.sorted.map { t =>
-          val ids = candByTerm(t).toSeq.sorted
-          IncrementalContainment.withInPushdown(spark, idPushdown(ids.size)) {
-            probeTail(spark, root, t, ids, batches).localCheckpoint(true)
-          }
-        }
+        (candTerms match {
+          case Nil => Nil
+          case ts =>
+            Seq(IncrementalContainment.withInPushdown(
+              spark, idPushdown(ts.map(candByTerm(_).size).max)) {
+              ts.map { t =>
+                probeTail(spark, root, t, candByTerm(t).toSeq.sorted, batches)
+              }.reduce(_ unionByName _).localCheckpoint(true)
+            })
+        })
     val diag = WandDiag(dispatchedExact = false,
       exactFallback = false, headRows = headRows, tailTerms = tailUB.size,
       candidateRows = candidateRows, blockRefined = blocksPresent.nonEmpty)

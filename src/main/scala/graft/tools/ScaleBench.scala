@@ -1123,9 +1123,27 @@ object ScaleBench {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       require(served == exact, "leveled store drifted from the exact scorer")
+      // r21: the WAND driver-summary leash, measured where it matters —
+      // the head summary is layout-bounded at headSize · batches · |terms|
+      // and grows with BATCH COUNT; auto-leveling is the documented remedy
+      // that keeps the bound flat. On the leveled store the serve must
+      // run the certificate path (exactFallback=false: WandMaxHeadRows
+      // never fires) with headRows far under the cap; both numbers are
+      // published so the leash is a row, not prose.
+      val (wandServed, wandDiag) = graft.sources.PostingsStore
+        .bm25TopKWandDiag(spark, dir, Seq("dup", "the"), 10)
+      require(!wandDiag.exactFallback && !wandDiag.dispatchedExact,
+        s"WAND on the leveled store left the certificate path: $wandDiag")
+      require(wandServed.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        == graft.operators.Retrieval.bm25TopK(docsBase, Seq("dup", "the"), 10)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+        "leveled WAND drifted from the exact scorer")
       val sb2 = storeBytes
-      println(f"""{"kind":"leveled_compaction","batches":50,"cap":8,"folds":$folds,"max_batches_seen":$maxBatches,"fold_written_bytes":$foldWritten,"max_fold_bytes":$maxFold,"full_compact_equiv_bytes":$naiveFull,"store_bytes":$sb2,"ingest_sec":$ingestSec%.1f,"serve_exact":true}""")
-      (folds, maxBatches, foldWritten, maxFold, naiveFull, sb2, ingestSec)
+      println(f"""{"kind":"leveled_compaction","batches":50,"cap":8,"folds":$folds,"max_batches_seen":$maxBatches,"fold_written_bytes":$foldWritten,"max_fold_bytes":$maxFold,"full_compact_equiv_bytes":$naiveFull,"store_bytes":$sb2,"ingest_sec":$ingestSec%.1f,"serve_exact":true,"wand_head_rows":${wandDiag.headRows},"wand_cand_rows":${wandDiag.candidateRows},"wand_exact_fallback":${wandDiag.exactFallback}}""")
+      (folds, maxBatches, foldWritten, maxFold, naiveFull, sb2, ingestSec,
+        wandDiag.headRows, wandDiag.candidateRows)
     }
 
     // IVF LEAF-MERGE regime — the same discipline on the vector store:
@@ -1468,7 +1486,7 @@ object ScaleBench {
                       pqRecallRows: Seq[(Int, Double)],
                       tieredRows: Seq[(Int, Long, Double, Double, Double, Double, Long, Long, Long, Long)],
                       headCurveRows: Seq[(Int, Int, Long, Double)],
-                      levelRows: (Int, Int, Long, Long, Long, Long, Double),
+                      levelRows: (Int, Int, Long, Long, Long, Long, Double, Long, Long),
                       ivfMergeRows: (Int, Int, Int, Int, Double),
                       rgContRows: Seq[(Int, Int, Int, Double)],
                       rgPostRows: Seq[(Int, Int, Int, Double)],
@@ -1910,9 +1928,15 @@ object ScaleBench {
     sb ++= "and reaches for WAND when the mixed-query caveat matters; the\n"
     sb ++= "scaladoc on DefaultHeadSize cites this table.\n"
     locally {
-      val (folds, maxB, fw, mf, naive, store, isec) = levelRows
-      sb ++= "\n| leveled compaction (50-batch ingest, cap 8) | folds | max committed batches seen | fold-written bytes (total) | max single-fold bytes | repeated-full-compact bytes (equiv) | final store bytes |\n|---|---|---|---|---|---|---|\n"
-      sb ++= f"| compactLevel after every append ($isec%.0f s ingest) | $folds | $maxB | ${fw / 1024} KiB | ${mf / 1024} KiB | ${naive / 1024} KiB | ${store / 1024} KiB |\n"
+      val (folds, maxB, fw, mf, naive, store, isec, wandHead, wandCand) = levelRows
+      sb ++= "\n| leveled compaction (50-batch ingest, cap 8) | folds | max committed batches seen | fold-written bytes (total) | max single-fold bytes | repeated-full-compact bytes (equiv) | final store bytes | WAND headRows (cap 1,000,000) | WAND cand rows |\n|---|---|---|---|---|---|---|---|---|\n"
+      sb ++= f"| compactLevel after every append ($isec%.0f s ingest) | $folds | $maxB | ${fw / 1024} KiB | ${mf / 1024} KiB | ${naive / 1024} KiB | ${store / 1024} KiB | $wandHead | $wandCand |\n"
+      sb ++= "\nThe WAND columns are the driver-summary leash on the leveled\n"
+      sb ++= "store: the head summary is layout-bounded at headSize x\n"
+      sb ++= "batches x |terms| and grows with BATCH COUNT, so leveling is\n"
+      sb ++= "what keeps it far under WandMaxHeadRows — the serve above ran\n"
+      sb ++= "the certificate path (exactFallback asserted false, output\n"
+      sb ++= "asserted exact), not the cap's escape hatch.\n"
       sb ++= "\nThe r19 verdict's top item, measured: every serving bound that\n"
       sb ++= "is linear in committed batch count (head read, WAND driver\n"
       sb ++= "summary, _termmeta fan-out, per-batch footers) is capped iff\n"
