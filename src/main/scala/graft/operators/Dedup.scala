@@ -291,6 +291,13 @@ object Dedup {
       .localCheckpoint() // MEMORY_AND_DISK + lineage truncation at first action
     var stats = edgeStats(edges)
     val parts = partitions(stats._1)
+    // the converted edge RDD inherits the session's shuffle partitioning
+    // (32 under the bench shape) while the loop's own data-derived count
+    // is usually 1 — every round's flatMap/union then ran dozens of
+    // near-empty tasks per op (the r21 scaling block showed q65 3× faster
+    // at 8 cores for exactly this reason). Narrow coalesce once, up
+    // front; rounds then run at the edge-count-derived width.
+    if (edges.getNumPartitions > parts) edges = edges.coalesce(parts)
     var converged = stats._1 == 0
     var i = 0
     while (!converged && i < maxIter) {

@@ -746,8 +746,10 @@ object LlmQueries extends graft.QueryModule {
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // balanced input: the token explode spreads past the one-file scan,
-    // and HashPartitioning(doc_id) carries both grouped aggregations and
-    // the uni⋈tri join without an exchange
+    // and the balanced HashPartitioning(doc_id) carries the token side's
+    // two grouped aggregations without an exchange (the n-gram side reads
+    // the cached shingle stage, whose partitioning AQE caches do not
+    // propagate — its aggregation exchange stays)
     TextAnalysis.repetitionMetrics(
       Tables.documentsBalanced(s, dir), SharedStages.shingles(s, dir))
       .orderBy($"doc_id")

@@ -32,11 +32,14 @@ object SharedStages {
     * ([[Tables.documentsBalanced]]): on an under-filed layout the shingle
     * explode otherwise runs inside a one-task scan stage, and the
     * persisted cache then carries that single partition into every
-    * consumer's first aggregation. Balancing keys by doc_id, so the
-    * cached relation reports HashPartitioning(doc_id) and every
-    * doc-clustered consumer — distinct() on (doc_id, shingle), the
-    * per-doc set sizes, minhash's groupBy(doc_id, band) — aggregates
-    * WITHOUT a further exchange, in parallel. */
+    * consumer's first aggregation. Balancing keys by doc_id so the
+    * cached BLOCKS are doc-spread and data-proportional in count
+    * (r21: the r20 claim that consumers also skip their aggregation
+    * exchanges was checked against the committed plans and is FALSE —
+    * an AQE-planned cached relation does not expose its partitioning,
+    * so doc-clustered consumers still exchange; the balance win is scan
+    * parallelism and right-sized cache partitions, not exchange
+    * elimination). */
   def shingles(s: SparkSession, dir: String): DataFrame =
     memo(shingleCache, s, dir)(
       Dedup.shingles(Tables.documentsBalanced(s, dir)))

@@ -74,9 +74,11 @@ object TrainingDataQueries extends graft.QueryModule {
     // this very set into a KB-scale filter), but the planner cannot see
     // that through the aggregation and was picking a SortMergeJoin that
     // re-shuffled every eval shingle by the shingle key (r21 plan audit:
-    // Exchange + Sort on both sides). The explicit broadcast keeps the
-    // eval side in its cache-inherited doc_id partitioning, so the
-    // overlap count and the tot⋈ov join need no further exchange.
+    // Exchange + Sort on both sides). The explicit broadcast removes that
+    // corpus-side shingle shuffle outright; the doc_id aggregations
+    // downstream still exchange (an AQE-planned cached relation does not
+    // expose its partitioning to consumers), but those carry one row per
+    // doc, not one per shingle.
     val ov = evalSh.join(broadcast(benchSh), "shingle")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
     tot.join(ov, Seq("doc_id"), "left")
@@ -317,8 +319,8 @@ object TrainingDataQueries extends graft.QueryModule {
       .filter($"contaminated").select($"doc_id")
     // the gate's token explode runs over the BALANCED relation (the r21
     // plan audit showed it re-exploding raw one-file parquet here); the
-    // doc_id partitioning also carries both of its aggregations without
-    // an exchange
+    // balanced doc_id partitioning also carries the token side's two
+    // aggregations without an exchange
     val repetitive = TextAnalysis.repetitionMetrics(
       Tables.documentsBalanced(s, dir), SharedStages.shingles(s, dir))
       .filter($"repetitive").select($"doc_id")
