@@ -116,7 +116,9 @@ object Plans {
         "hint-forced — AQE picks broadcast here because the set is small on " +
         "this corpus, and falls back to shuffle on a template-heavy one " +
         "(ParagraphDedupSpec's flood test pins the fallback); document " +
-        "reassembly is the single by-document shuffle."),
+        "reassembly rides the balanced input's doc_id partitioning (r21: " +
+        "no by-document exchange in the plan — the chunk text payload " +
+        "never shuffles)."),
     "q93_token_domain_cap" ->
       ("Token-budgeted domain balancing: only over-threshold sources " +
         "broadcast a token-mass row, the uniform-hash prefilter thins each " +
@@ -160,11 +162,14 @@ object Plans {
         "itself is one map-side-combined bigram count over the reference " +
         "slice."),
     "q102_contrastive_pairs" ->
-      ("Contrastive mining rides the dedup pipeline's shared stage: the " +
-        "scored-candidate relation persists once (banded equi-join + exact " +
-        "rescore, no cartesian anywhere), positives are a free filter over " +
-        "it, and the hard-negative cut is a ranking window over candidate " +
-        "rows only — O(band collisions), never the corpus."),
+      ("Contrastive mining in ONE pass over the scored-candidate relation " +
+        "(banded equi-join + exact rescore, no cartesian anywhere — " +
+        "deliberately unpersisted, it is quadratic-in-corpus at this band " +
+        "geometry): the sim floor filters once, pair_type is a projection, " +
+        "and the per-anchor cap is a ranking window over candidate rows " +
+        "only — O(band collisions), never the corpus, and the expensive " +
+        "join appears once in the plan (r21: the old positive/negative " +
+        "branch union recomputed it per branch)."),
     "q103_variant_props" ->
       ("VARIANT event properties: parse_json decodes each props string " +
         "once into the binary variant encoding inside the scan-side " +
