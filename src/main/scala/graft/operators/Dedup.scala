@@ -128,7 +128,19 @@ object Dedup {
     * instrument for them; this one exists for pair-local duplication. */
   def rareShingleCandidates(shingleDf: DataFrame, maxDf: Int,
                             idCol: String = "doc_id",
-                            preDistincted: Boolean = false): DataFrame = {
+                            preDistincted: Boolean = false): DataFrame =
+    rareCandidatesFromPostings(
+      rarePostings(shingleDf, maxDf, idCol, preDistincted), idCol)
+
+  /** The rare-postings relation [[rareShingleCandidates]] self-joins:
+    * (shingle, doc) restricted to shingles with corpus df ≤ `maxDf`.
+    * Split out so a pipeline can persist it as a staging table — the
+    * self-join consumes it TWICE, and without persistence each side pays
+    * the df aggregate + postings join again (ReuseExchange does not fire
+    * across the sides' differing projections; the q113/r20 lesson). */
+  def rarePostings(shingleDf: DataFrame, maxDf: Int,
+                   idCol: String = "doc_id",
+                   preDistincted: Boolean = false): DataFrame = {
     require(maxDf >= 2, "a cap under 2 would drop every pair")
     val base = shingleDf.select(col(idCol), col("shingle"))
     val dsh = if (preDistincted) base else base.distinct()
@@ -143,13 +155,19 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-    val postings = dsh.join(rare, "shingle")
+    dsh.join(rare, "shingle")
+  }
+
+  /** Self-join of a rare-postings relation into candidate pairs (a<b,
+    * distinct). Cost Σ_rare df² ≤ maxDf · |postings| — see
+    * [[rareShingleCandidates]]. */
+  def rareCandidatesFromPostings(postings: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame =
     postings.select(col("shingle"), col(idCol).as("doc_a"))
       .join(postings.select(col("shingle"), col(idCol).as("doc_b")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-  }
 
   /** Asymmetric containment over distinct shingle sets, for candidate
     * pairs: [[jaccardVerify]]'s exact-integer counts plus the two directed
@@ -160,8 +178,9 @@ object Dedup {
     * cont_a ≈ 1, jaccard ≈ 0.01. */
   def containmentVerify(pairs: DataFrame, shingleDf: DataFrame,
                         idCol: String = "doc_id",
-                        preDistincted: Boolean = false): DataFrame =
-    jaccardVerify(pairs, shingleDf, idCol, preDistincted)
+                        preDistincted: Boolean = false,
+                        sizesDf: Option[DataFrame] = None): DataFrame =
+    jaccardVerify(pairs, shingleDf, idCol, preDistincted, sizesDf)
       .withColumn("cont_a_ppm",
         floor(col("n_inter") * lit(1000000.0) / col("size_a")).cast("long"))
       .withColumn("cont_b_ppm",
@@ -170,13 +189,19 @@ object Dedup {
   /** Jaccard similarity over distinct shingle sets, for candidate pairs only.
     * Output is exact-integer intersection/union counts plus the ratio.
     * Pass `preDistincted = true` when `shingleDf` is already a set (e.g. a
-    * persisted staging table) to skip the dedup shuffle. */
+    * persisted staging table) to skip the dedup shuffle; pass `sizesDf`
+    * (idCol, set_size — the same aggregate as a persisted staging table,
+    * e.g. SharedStages.shingleSetSizes) to skip recomputing the per-doc
+    * set sizes, which this verify otherwise aggregates from the full
+    * shingle relation TWICE (once per pair side). */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame,
                     idCol: String = "doc_id",
-                    preDistincted: Boolean = false): DataFrame = {
+                    preDistincted: Boolean = false,
+                    sizesDf: Option[DataFrame] = None): DataFrame = {
     val base = shingleDf.select(col(idCol), col("shingle"))
     val distinctSh = if (preDistincted) base else base.distinct()
-    val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val sizes = sizesDf.getOrElse(
+      distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size")))
     // shingle is part of the second join KEY — joining on doc_b alone and
     // filtering afterwards would materialize |pairs|·|shingles_b| rows.
     // All joins stay shuffle joins deliberately: the candidate-pair list is

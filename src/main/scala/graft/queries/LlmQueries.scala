@@ -37,7 +37,8 @@ object LlmQueries extends graft.QueryModule {
     // by definition (jaccardVerify's internal distinct over the raw
     // shingles), minus three per-run recomputations of that distinct
     Dedup.jaccardVerify(SharedStages.lshCandidates(s, dir),
-      SharedStages.distinctShingles(s, dir), preDistincted = true)
+      SharedStages.distinctShingles(s, dir), preDistincted = true,
+      sizesDf = Some(SharedStages.shingleSetSizes(s, dir)))
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -59,7 +60,8 @@ object LlmQueries extends graft.QueryModule {
   def jaccardVerifyCapped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.jaccardVerify(SharedStages.lshCandidatesCapped(s, dir),
-      SharedStages.distinctShingles(s, dir), preDistincted = true)
+      SharedStages.distinctShingles(s, dir), preDistincted = true,
+      sizesDf = Some(SharedStages.shingleSetSizes(s, dir)))
       .select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -81,12 +83,15 @@ object LlmQueries extends graft.QueryModule {
     * synthetic corpus lacks (found here, invisible to q33's candidates). */
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // distinct shingles appear on both sides of the blocking join and
-    // three times in the verify: ReuseExchange shares them (q33's lesson)
+    // distinct shingles appear on both sides of the blocking join and in
+    // the verify's intersect joins: all read the persisted stage (cache
+    // scans); the per-doc set sizes come from their own persisted stage
+    // (the verify otherwise aggregates the full cache once per pair side)
     val dsh = SharedStages.distinctShingles(s, dir)
     Dedup.containmentVerify(
-      Dedup.rareShingleCandidates(dsh, maxDf = 8, preDistincted = true),
-      dsh, preDistincted = true)
+      Dedup.rareCandidatesFromPostings(SharedStages.rarePostings(s, dir)),
+      dsh, preDistincted = true,
+      sizesDf = Some(SharedStages.shingleSetSizes(s, dir)))
       .filter(greatest($"cont_a_ppm", $"cont_b_ppm") >= 600000L)
       .select($"doc_a", $"doc_b", $"n_inter", $"size_a", $"size_b",
         $"cont_a_ppm", $"cont_b_ppm")

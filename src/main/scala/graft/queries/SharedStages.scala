@@ -60,6 +60,61 @@ object SharedStages {
   def distinctShingles(s: SparkSession, dir: String): DataFrame =
     memo(distinctShingleCache, s, dir)(shingles(s, dir).distinct())
 
+  private val sizesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Per-document distinct-shingle SET SIZE — one narrow row per document.
+    * Every verify/decontamination consumer recomputed this as its own full
+    * aggregate over the distinct-shingle cache (r21 plan audit: q113 ran it
+    * TWICE — once per pair side — and q33/q87 once each; q59/q76/q78/q85
+    * ran the same aggregate restricted to eval docs as `tot`). Rows =
+    * documents, so the persisted stage joins back broadcast-sized at any
+    * corpus scale; on a cluster it is a one-column staging table beside the
+    * shingle set. */
+  def shingleSetSizes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    memo(sizesCache, s, dir)(
+      distinctShingles(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("set_size")))
+  }
+
+  private val rarePostingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Containment blocking's rare-postings relation: (shingle, doc_id)
+    * restricted to shingles with corpus df ≤ [[ContainmentMaxDf]]. The
+    * candidate self-join consumes it TWICE (one side per pair role), and
+    * unpersisted each side re-ran the df aggregate + postings join over
+    * the full shingle cache (r21 plan audit of q113: the rare aggregate's
+    * Exchange appeared twice — ReuseExchange cannot match the sides'
+    * differing projections). Linear in the corpus by the df cap
+    * (≤ maxDf · |rare shingles| rows); the cluster analog is the staging
+    * table a containment-dedup pipeline materializes between its blocking
+    * and verify passes. */
+  val ContainmentMaxDf = 8
+  def rarePostings(s: SparkSession, dir: String): DataFrame =
+    memo(rarePostingsCache, s, dir)(
+      Dedup.rarePostings(distinctShingles(s, dir), maxDf = ContainmentMaxDf,
+        preDistincted = true))
+
+  private val benchShCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Distinct benchmark (src0) shingle set — the decontamination join's
+    * small side, KB-scale BY CONTRACT (an eval set's shingles, bounded at
+    * any corpus scale; [[benchmarkBloom]] serializes this very relation
+    * into a KB filter). q59, q76 and the q78/q85 pipeline each rebuilt it
+    * with a full pass over the distinct-shingle cache; one persisted copy
+    * turns those into a tiny cache scan feeding the existing broadcast. */
+  def benchmarkShingles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    memo(benchShCache, s, dir)(
+      distinctShingles(s, dir)
+        .join(Tables.documents(s, dir).filter(col("source") === "src0")
+          .select(col("doc_id")), "doc_id")
+        .select(col("shingle")).distinct())
+  }
+
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val candCache =
@@ -110,10 +165,9 @@ object SharedStages {
     import org.apache.spark.sql.functions._
     def build: Array[Byte] = {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      distinctShingles(s, dir)
-        .join(docs.filter(col("source") === "src0").select(col("doc_id")), "doc_id")
-        .select(col("shingle")).distinct()
+      // built over the persisted benchmark-shingle stage: the bloom is that
+      // relation's serialized form, so they must come from one derivation
+      benchmarkShingles(s, dir)
         .agg(call_function("graft_bloom_agg",
           xxhash64(col("shingle")), lit(100000L), lit(800000L)).as("bf"))
         .head().getAs[Array[Byte]]("bf")
@@ -155,8 +209,9 @@ object SharedStages {
     * it between measurement groups so one pipeline's cold run is never
     * contaminated by (or evicted under) a neighbor's cache residue. */
   def invalidate(s: SparkSession): Unit = {
-    Seq(shingleCache, distinctShingleCache, nearDupCache, sigCache,
-        candCache, cappedCandCache, clusterCache).foreach { c =>
+    Seq(shingleCache, distinctShingleCache, sizesCache, rarePostingsCache,
+        benchShCache, nearDupCache, sigCache, candCache, cappedCandCache,
+        clusterCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -63,12 +63,16 @@ object TrainingDataQueries extends graft.QueryModule {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val dsh = SharedStages.distinctShingles(s, dir)
-    val benchSh = dsh
-      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
-      .select($"shingle").distinct()
+    val benchSh = SharedStages.benchmarkShingles(s, dir)
     val evalSh = dsh
       .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
-    val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // per-doc totals read the persisted set-size stage restricted to eval
+    // docs — identical to counting evalSh rows per doc (docs are unique by
+    // doc_id, so the source join never changes multiplicity), minus one
+    // full aggregate over the shingle cache per run
+    val tot = SharedStages.shingleSetSizes(s, dir)
+      .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
+      .select($"doc_id", $"set_size".as("n_shingles"))
     // benchSh is the join's small side BY CONTRACT (an eval set's distinct
     // shingles — bounded at any corpus scale; the bloom variant serializes
     // this very set into a KB-scale filter), but the planner cannot see
@@ -144,9 +148,7 @@ object TrainingDataQueries extends graft.QueryModule {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val dsh = SharedStages.distinctShingles(s, dir)
-    val benchSh = dsh
-      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
-      .select($"shingle").distinct()
+    val benchSh = SharedStages.benchmarkShingles(s, dir)
     // The bloom is a staged artifact (one job over the small benchmark set,
     // memoized per session) injected as a literal — the same shape Spark's
     // InjectRuntimeFilter gives its own bloom runtime filters, and what
@@ -155,7 +157,10 @@ object TrainingDataQueries extends graft.QueryModule {
     val bloomBytes = SharedStages.benchmarkBloom(s, dir)
     val evalSh = dsh
       .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
-    val tot = evalSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // same persisted-stage totals as [[decontaminate]]
+    val tot = SharedStages.shingleSetSizes(s, dir)
+      .join(docs.filter($"source" =!= "src0").select($"doc_id"), "doc_id")
+      .select($"doc_id", $"set_size".as("n_shingles"))
     val prefiltered = evalSh.filter(call_function("graft_might_contain",
       lit(bloomBytes), xxhash64($"shingle")))
     // same explicit broadcast as [[decontaminate]] — the exact join that

@@ -100,6 +100,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
   }
 
+  test("jaccardVerify with a supplied sizes relation is identical to the default") {
+    // the staged-sizes path (SharedStages.shingleSetSizes) must be a pure
+    // substitution: same rows, same values, for every column
+    val sh = Dedup.shingles(docs)
+    val dsh = sh.select($"doc_id", $"shingle").distinct()
+    val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("set_size"))
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"n_inter", $"n_union", $"size_a",
+          $"size_b", $"jaccard")
+        .collect().map(_.toSeq).toSet
+    val default = rows(Dedup.jaccardVerify(pairs, sh))
+    val staged = rows(Dedup.jaccardVerify(pairs, dsh, preDistincted = true,
+      sizesDf = Some(sizes)))
+    assert(default == staged)
+    val cdefault = Dedup.containmentVerify(pairs, sh)
+      .select($"doc_a", $"doc_b", $"cont_a_ppm", $"cont_b_ppm")
+      .collect().map(_.toSeq).toSet
+    val cstaged = Dedup.containmentVerify(pairs, dsh, preDistincted = true,
+      sizesDf = Some(sizes))
+      .select($"doc_a", $"doc_b", $"cont_a_ppm", $"cont_b_ppm")
+      .collect().map(_.toSeq).toSet
+    assert(cdefault == cstaged)
+  }
+
   test("simhash: equal for identical text, 16-bit range, unequal for distinct") {
     val h = Dedup.simhash16(docs).as[(Long, Int)].collect().toMap
     assert(h(1L) == h(2L))
@@ -135,5 +160,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long)].collect().toSet
     assert(!lshCand.contains((10L, 20L)),
       "if this ever fires, the constructed pair banded together — pick new filler")
+  }
+
+  test("rare candidates from a PERSISTED postings stage equal the one-shot form") {
+    // the q113 staging split: rarePostings persisted between blocking's
+    // aggregate and the pair self-join must be a pure substitution
+    val sh = Dedup.shingles(docs)
+    val dsh = sh.select($"doc_id", $"shingle").distinct()
+    val oneShot = Dedup.rareShingleCandidates(dsh, maxDf = 8, preDistincted = true)
+      .as[(Long, Long)].collect().toSet
+    val postings = Dedup.rarePostings(dsh, maxDf = 8, preDistincted = true).persist()
+    try {
+      val staged = Dedup.rareCandidatesFromPostings(postings)
+        .as[(Long, Long)].collect().toSet
+      assert(oneShot == staged)
+      assert(staged.nonEmpty, "fixture must produce at least one rare pair")
+    } finally postings.unpersist()
   }
 }
