@@ -245,9 +245,11 @@ object Plans {
       ("Containment dedup: candidates come from a per-shingle equi-join " +
         "confined to rare shingles (df ≤ 8 bounds the per-shingle fanout, " +
         "so Σ df² is linear in postings) — no CartesianProduct; the " +
-        "distinct-shingle relation feeds the blocking join and the " +
-        "three-way verify through ReuseExchange instead of five " +
-        "recomputations."),
+        "self-join's two sides scan the PERSISTED rare-postings stage " +
+        "(the df aggregate runs once, at materialization) and the verify " +
+        "reads the persisted distinct-shingle and per-doc set-size stages " +
+        "— cache scans instead of recomputation (ReuseExchange never " +
+        "fired across these consumers; r20/r21 plan audits)."),
     "q115_ivf_batch" ->
       ("Batched ANN from the persisted IVF store: ONE scan whose " +
         "PartitionFilters hold the UNION of all queries' probed lists " +
